@@ -1,0 +1,393 @@
+"""Index build pipeline — Ray-Data-first, per-partition lineage, skew-proof.
+
+Stages (each checkpointed in ``manifest.json``, each resumable):
+
+1. **tokenize** — ``read_parquet`` (columns pruned) → ``map_batches``
+   (zero-copy Arrow kernel: docIDs, sha256 invariant, per-doc (term,tf))
+   → write ``tokenized/part_<g>/bucket=<b>/`` Parquet, hive-partitioned
+   by the docID-range bucket. ``content`` is dropped here — wide rows
+   never travel past this stage. Lineage partition = input-file group.
+2. **docmap + stats** — column-pruned re-read of ``tokenized`` →
+   ``docmap/`` (doc_id, keys, length, content_sha256) + global stats
+   (N, avgdl) + docID collision check (groupby count).
+3. **segments** — per bucket: explode (term,tf) lists into
+   (grp, term, doc_id, tf, dl) triples, ``groupby(grp)`` where
+   ``grp = crc32(term) % term_parts`` → vectorized multi-term
+   block-max encode → ``segments/bucket_<b>/``. The bucket loop is the
+   doc-range salt: a stop word's postings split across all buckets, so
+   no single shuffle group ever exceeds ~1/2^bucket_bits of the
+   corpus; within a bucket terms spread over ``term_parts`` groups.
+   Because blocks are self-contained, a term's runs from different
+   buckets stitch back together by concatenation at read time.
+4. **lexicon** — ``groupby(term).sum(df)`` over the (small) segment
+   rows → global document frequencies.
+
+Reference lineage analog: the snapshot-block materialization + three
+skip-if-exists resume levels of /root/reference/src/helpers/Reader.py:148-178,
+/root/reference/src/main.py:79-88 and
+/root/reference/src/helpers/Runner.py:115-137.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import zlib
+from dataclasses import asdict, dataclass
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from .checkpoint import Manifest, StageTimer
+from .codec import encode_postings
+from .docids import bucket_of, doc_ids_from_int, doc_ids_from_keys
+from .tokenizer import doc_term_counts, sha256_column
+
+
+@dataclass
+class IndexConfig:
+    """Knobs sized for a 32-CPU node; scale notes inline.
+
+    At 10^12 docs: raise ``bucket_bits`` to ~12 (4096 doc-range
+    shards, each an independent resumable merge), ``term_parts`` to
+    ~256, and ``lineage_parts`` to the input file-group count.
+    """
+
+    bucket_bits: int = 3          # 2^3 = 8 docID-range buckets
+    term_parts: int = 32          # term-hash groups per bucket merge
+    tokenize_batch_size: int = 512  # content rows per batch (wide-row guard)
+    lineage_parts: int = 4        # input file groups (tokenize resume units)
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    id_col: str | None = None     # pre-existing unique int64 key column
+    content_col: str = "content"
+    meta_cols: tuple[str, ...] = ("lang",)
+    check_collisions: bool = True  # exact docID-collision groupby (skip at 100TB)
+
+
+# --------------------------------------------------------------------------
+# stage kernels (all vectorized, all pure functions of their batch)
+# --------------------------------------------------------------------------
+
+
+def make_tokenize_fn(cfg: IndexConfig):
+    key_cols = () if cfg.id_col else cfg.key_cols
+    carry = [c for c in (*key_cols, *cfg.meta_cols)]
+    id_col, content_col, bucket_bits = cfg.id_col, cfg.content_col, cfg.bucket_bits
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        content = batch[content_col]
+        if id_col is not None:
+            doc = doc_ids_from_int(batch[id_col])
+        else:
+            doc = doc_ids_from_keys(*[batch[c] for c in key_cols])
+        terms, tfs, dl = doc_term_counts(content)
+        sha = sha256_column(content)
+        # NOTE: when id_col is set, the engine doc_id is splitmix64(orig id)
+        # — a bijection, so the original id is recoverable via
+        # docids.unsplitmix64 (the scorer does this for output); the raw
+        # column is NOT carried to avoid shadowing the canonical doc_id.
+        cols: dict[str, Any] = {
+            "doc_id": pa.array(doc, type=pa.uint64()),
+            "bucket": pa.array(bucket_of(doc, bucket_bits), type=pa.uint32()),
+        }
+        for c in carry:
+            cols[c] = batch[c]
+        cols["length"] = pa.array(dl.astype(np.uint32))
+        cols["content_sha256"] = sha
+        cols["term"] = terms
+        cols["tf"] = tfs
+        return pa.table(cols)
+
+    return tokenize
+
+
+def term_group_hash(vocab: pa.Array, n_parts: int) -> np.ndarray:
+    """Deterministic term -> group id (crc32 mod parts), per unique term."""
+    return np.array(
+        [zlib.crc32(s.encode("utf-8")) % n_parts for s in vocab.to_pylist()],
+        dtype=np.uint32,
+    )
+
+
+def make_explode_fn(cfg: IndexConfig):
+    n_parts = cfg.term_parts
+
+    def explode(batch: pa.Table) -> pa.Table:
+        terms = batch["term"]
+        tfs = batch["tf"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        if isinstance(tfs, pa.ChunkedArray):
+            tfs = tfs.combine_chunks()
+        flat_t = pc.list_flatten(terms)
+        parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
+        flat_tf = pc.list_flatten(tfs)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[parents]
+        dl = batch["length"].to_numpy(zero_copy_only=False)[parents]
+        denc = flat_t.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        grp = term_group_hash(denc.dictionary, n_parts)[codes]
+        return pa.table(
+            {
+                "grp": pa.array(grp, type=pa.uint32()),
+                "term": flat_t.cast(pa.string()),
+                "doc_id": pa.array(doc, type=pa.uint64()),
+                "tf": flat_tf.cast(pa.uint32()),
+                "dl": pa.array(dl.astype(np.uint32)),
+            }
+        )
+
+    return explode
+
+
+def make_encode_group_fn(avgdl: float, bucket: int):
+    """Encode every term of one (grp, bucket) shuffle group.
+
+    Sorts the group's triples by (term, doc_id) with one lexsort, then
+    runs the vectorized block codec per term run — Python loops only
+    over distinct terms, never over postings.
+    """
+
+    def encode_group(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            from .schema import SEGMENT
+
+            return SEGMENT.empty_table()
+        term_col = tbl["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        denc = term_col.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dl = tbl["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+        order = np.lexsort((doc, codes))
+        codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1, [codes.size]))
+
+        terms_out, dfs = [], []
+        doc_blobs, tf_blobs = [], []
+        b_last, b_doff, b_toff, b_cnt, b_max = [], [], [], [], []
+        for i in range(starts.size - 1):
+            s, e = int(starts[i]), int(starts[i + 1])
+            ep = encode_postings(doc[s:e], tf[s:e], dl[s:e], avgdl)
+            terms_out.append(vocab[int(codes[s])].as_py())
+            dfs.append(e - s)
+            doc_blobs.append(ep.doc_blob)
+            tf_blobs.append(ep.tf_blob)
+            b_last.append(ep.block_last_doc)
+            b_doff.append(ep.block_doc_off)
+            b_toff.append(ep.block_tf_off)
+            b_cnt.append(ep.block_count)
+            b_max.append(ep.block_max_wnorm)
+
+        return pa.table(
+            {
+                "term": pa.array(terms_out, type=pa.string()),
+                "bucket": pa.array([bucket] * len(terms_out), type=pa.uint32()),
+                "df": pa.array(dfs, type=pa.uint64()),
+                "doc_blob": pa.array(doc_blobs, type=pa.large_binary()),
+                "tf_blob": pa.array(tf_blobs, type=pa.large_binary()),
+                "block_last_doc": pa.array(
+                    [a.tolist() for a in b_last], type=pa.large_list(pa.uint64())
+                ),
+                "block_doc_off": pa.array(
+                    [a.tolist() for a in b_doff], type=pa.large_list(pa.uint32())
+                ),
+                "block_tf_off": pa.array(
+                    [a.tolist() for a in b_toff], type=pa.large_list(pa.uint32())
+                ),
+                "block_count": pa.array(
+                    [a.tolist() for a in b_cnt], type=pa.large_list(pa.uint32())
+                ),
+                "block_max_wnorm": pa.array(
+                    [a.tolist() for a in b_max], type=pa.large_list(pa.float64())
+                ),
+            }
+        )
+
+    return encode_group
+
+
+# --------------------------------------------------------------------------
+# build driver
+# --------------------------------------------------------------------------
+
+
+def _atomic_write(ds: rd.Dataset, final_dir: str, **write_kwargs: Any) -> None:
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp, **write_kwargs)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp, final_dir)
+
+
+def _input_groups(source, n_groups: int) -> list[tuple[str, Any]]:
+    """Split the input into lineage partitions (file groups)."""
+    if isinstance(source, (str, os.PathLike)):
+        p = str(source)
+        files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)) if os.path.isdir(p) else [p]
+        source = files
+    if isinstance(source, (list, tuple)) and source and isinstance(source[0], str):
+        files = list(source)
+        n = max(1, min(n_groups, len(files)))
+        return [(f"g{i}", files[i::n]) for i in range(n)]
+    return [("all", source)]  # a Dataset / pa.Table: one lineage partition
+
+
+def build_index(
+    source: str | Sequence[str] | rd.Dataset | pa.Table,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume building) a full index under ``index_dir``.
+
+    Returns the manifest dict (stats + per-stage metrics).
+    """
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    if not resume:
+        for sub in ("tokenized", "docmap", "segments", "lexicon", "manifest.json", "stats.json"):
+            p = os.path.join(index_dir, sub)
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else (
+                os.remove(p) if os.path.exists(p) else None
+            )
+    man = Manifest(index_dir)
+    man.data["config"] = asdict(cfg)
+    n_buckets = 1 << cfg.bucket_bits
+    tok_dir = os.path.join(index_dir, "tokenized")
+
+    read_cols = list(
+        dict.fromkeys(
+            ([cfg.id_col] if cfg.id_col else list(cfg.key_cols))
+            + list(cfg.meta_cols)
+            + [cfg.content_col]
+        )
+    )
+
+    # ---- stage 1: tokenize ---------------------------------------------
+    if not man.stage_done("tokenized"):
+        tok_fn = make_tokenize_fn(cfg)
+        for gname, ginput in _input_groups(source, cfg.lineage_parts):
+            if man.partition_done("tokenized", gname):
+                continue
+            t = StageTimer()
+            if isinstance(ginput, list):
+                ds = rd.read_parquet(ginput, columns=read_cols)
+            elif isinstance(ginput, pa.Table):
+                ds = rd.from_arrow(ginput.select([c for c in read_cols if c in ginput.column_names]))
+            else:
+                ds = ginput
+            out = ds.map_batches(
+                tok_fn, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
+            )
+            part_dir = os.path.join(tok_dir, f"part_{gname}")
+            _atomic_write(out, part_dir, partition_cols=["bucket"])
+            rows = pads.dataset(part_dir).count_rows()
+            man.mark_partition("tokenized", gname, rows=rows, wall_s=t.elapsed())
+        man.mark_stage("tokenized")
+
+    # ---- stage 2: docmap + stats ---------------------------------------
+    if not man.stage_done("docmap"):
+        t = StageTimer()
+        tok_files = sorted(glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True))
+        all_cols = pads.dataset(tok_files[0]).schema.names
+        dm_cols = [c for c in all_cols if c not in ("term", "tf")]
+        dm = rd.read_parquet(tok_files, columns=dm_cols)
+        _atomic_write(dm, os.path.join(index_dir, "docmap"))
+
+        dm2 = rd.read_parquet(
+            os.path.join(index_dir, "docmap"), columns=["doc_id", "length"]
+        )
+        n_docs = dm2.count()
+        total_tokens = dm2.sum("length") or 0
+        if cfg.check_collisions and n_docs:
+            # order-preserving uint64 -> int64 view: Ray's sort-based
+            # groupby samples boundaries as int64; raw uint64 ids above
+            # 2^63 would force a pickled-python fallback.
+            def _i64_key(b: pa.Table) -> pa.Table:
+                d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                key = (d ^ np.uint64(1 << 63)).view(np.int64)
+                return pa.table({"doc_key": pa.array(key, type=pa.int64())})
+
+            dup = (
+                dm2.map_batches(_i64_key, batch_format="pyarrow")
+                .groupby("doc_key")
+                .count()
+                .max("count()")
+            )
+            if dup and dup > 1:
+                raise ValueError(
+                    "docID collision detected — use wider ids or distinct keys"
+                )
+        stats = {
+            "n_docs": int(n_docs),
+            "total_tokens": int(total_tokens),
+            "avgdl": (float(total_tokens) / n_docs) if n_docs else 0.0,
+            "id_mode": "int" if cfg.id_col else "keys",
+        }
+        man.data["stats"] = stats
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        man.mark_stage("docmap", wall_s=t.elapsed(), rows=int(n_docs))
+
+    stats = man.data["stats"]
+
+    # ---- stage 3: per-bucket merge into segments -----------------------
+    if not man.stage_done("segments"):
+        explode_fn = make_explode_fn(cfg)
+        for b in range(n_buckets):
+            pname = f"bucket_{b}"
+            if man.partition_done("segments", pname):
+                continue
+            t = StageTimer()
+            bfiles = sorted(
+                glob.glob(
+                    os.path.join(tok_dir, "*", f"bucket={b}", "*.parquet")
+                )
+            )
+            seg_dir = os.path.join(index_dir, "segments", pname)
+            if not bfiles:
+                os.makedirs(seg_dir, exist_ok=True)
+                man.mark_partition("segments", pname, rows=0, wall_s=t.elapsed())
+                continue
+            tk = rd.read_parquet(bfiles, columns=["doc_id", "length", "term", "tf"])
+            triples = tk.map_batches(explode_fn, batch_format="pyarrow")
+            seg = triples.groupby("grp").map_groups(
+                make_encode_group_fn(stats["avgdl"], b), batch_format="pyarrow"
+            )
+            _atomic_write(seg, seg_dir)
+            rows = pads.dataset(seg_dir).count_rows()
+            man.mark_partition("segments", pname, rows=rows, wall_s=t.elapsed())
+        man.mark_stage("segments")
+
+    # ---- stage 4: lexicon (global df) ----------------------------------
+    if not man.stage_done("lexicon"):
+        t = StageTimer()
+        seg_files = sorted(
+            glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+        )
+        from ray.data.aggregate import Sum
+
+        lex = (
+            rd.read_parquet(seg_files, columns=["term", "df"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+        )
+        _atomic_write(lex, os.path.join(index_dir, "lexicon"))
+        man.mark_stage("lexicon", wall_s=t.elapsed())
+
+    return man.data

@@ -1,0 +1,410 @@
+"""BM25 top-k query engine — stateful actor-pool scorers.
+
+``BM25Scorer`` is a callable class for
+``queries.map_batches(BM25Scorer, concurrency=N, ...)``: segment
+blobs, lexicon, docmap lengths and global stats load ONCE per actor in
+``__init__`` (the reference's load-state-once pattern:
+model checkpoint + cached graph loaded per snapshot at
+/root/reference/src/models/Model.py:87-100 and
+/root/reference/src/models/Dataloader.py:124-162), then every batch of
+queries is scored against the resident index.
+
+Two scoring paths, both rank-identical to the oracle:
+
+* ``taat`` — exhaustive term-at-a-time: decode each query term's
+  postings fully, accumulate float64 scores with ``np.add.at`` in
+  sorted-term order (fixed summation order ⇒ bit-identical scores at
+  any parallelism), vectorized end to end.
+* ``bmw`` — document-at-a-time Block-Max WAND: per-term cursors over
+  self-contained blocks, pivot selection on global term upper bounds,
+  block-max refinement (``idf * block_max_wnorm``) to skip blocks that
+  cannot beat the running top-k threshold, lazy per-block decode.
+  Exact scores are recomputed in sorted-term order on full evaluation,
+  so results are identical to ``taat``; the pruning only changes how
+  much is decoded.
+
+Tie-break everywhere: (score desc, doc_id asc) — the analog of
+``torch.topk`` index-order ties at /root/reference/src/Inference.py:240.
+
+Scale path: each scorer actor may hold only a subset of doc-range
+``buckets`` (constructor arg); a query fans out over bucket shards and
+partial top-k lists merge by (score, doc_id) — exact because BM25
+stats (N, avgdl, df) are global.
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codec import bm25_idf, bm25_wnorm, decode_block, decode_postings
+from .docids import unsplitmix64
+from .tokenizer import tokenize_py
+
+
+class IndexReader:
+    """Loads an index directory into RAM (per actor)."""
+
+    def __init__(self, index_dir: str, buckets: set[int] | None = None):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        # "int" = index built over a pre-existing int64 key column; engine
+        # ids are splitmix64(orig), a bijection — output (and tie-break)
+        # uses the original id via the inverse mix.
+        self.id_mode = self.stats.get("id_mode", "keys")
+
+        lex_files = sorted(
+            glob.glob(os.path.join(index_dir, "lexicon", "**", "*.parquet"), recursive=True)
+        )
+        lex = pa.concat_tables([pq.read_table(f) for f in lex_files])
+        self.df = dict(
+            zip(lex["term"].to_pylist(), lex["df"].to_numpy(zero_copy_only=False))
+        )
+
+        seg_files = sorted(
+            glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+        )
+        self.runs: dict[str, list[dict]] = {}
+        for f in seg_files:
+            t = pq.read_table(f)
+            terms = t["term"].to_pylist()
+            bks = t["bucket"].to_numpy(zero_copy_only=False)
+            for i, term in enumerate(terms):
+                if buckets is not None and int(bks[i]) not in buckets:
+                    continue
+                run = {
+                    "bucket": int(bks[i]),
+                    "doc_blob": t["doc_blob"][i].as_py(),
+                    "tf_blob": t["tf_blob"][i].as_py(),
+                    "last": np.asarray(t["block_last_doc"][i].as_py(), dtype=np.uint64),
+                    "doff": np.asarray(t["block_doc_off"][i].as_py(), dtype=np.uint32),
+                    "toff": np.asarray(t["block_tf_off"][i].as_py(), dtype=np.uint32),
+                    "cnt": np.asarray(t["block_count"][i].as_py(), dtype=np.uint32),
+                    "maxw": np.asarray(t["block_max_wnorm"][i].as_py(), dtype=np.float64),
+                }
+                self.runs.setdefault(term, []).append(run)
+        for rs in self.runs.values():
+            rs.sort(key=lambda r: (r["bucket"], int(r["last"][0]) if r["last"].size else 0))
+
+        dm_files = sorted(
+            glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+        )
+        dm = pa.concat_tables(
+            [pq.read_table(f, columns=["doc_id", "length"]) for f in dm_files]
+        )
+        docs = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lens = dm["length"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(docs, kind="stable")
+        self.doc_sorted = docs[order]
+        self.len_sorted = lens[order]
+
+    # ------------------------------------------------------------------
+    def doc_lengths(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_sorted, doc_ids)
+        return self.len_sorted[idx]
+
+    def idf(self, term: str) -> float:
+        return float(bm25_idf(int(self.df.get(term, 0)), self.n_docs))
+
+    def out_ids(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Internal uint64 doc_ids -> user-visible ids (tie-break domain)."""
+        if self.id_mode == "int":
+            return unsplitmix64(doc_ids).astype(np.int64)
+        return np.asarray(doc_ids, dtype=np.uint64)
+
+    def decode_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full decode of a term's postings across all runs -> sorted."""
+        runs = self.runs.get(term)
+        if not runs:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+        ds, ts = [], []
+        for r in runs:
+            d, t = decode_postings(r["doc_blob"], r["tf_blob"], r["cnt"])
+            ds.append(d)
+            ts.append(t)
+        docs = np.concatenate(ds)
+        tfs = np.concatenate(ts)
+        if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):
+            # overlapping runs (incremental generations): re-sort
+            order = np.argsort(docs, kind="stable")
+            docs, tfs = docs[order], tfs[order]
+        return docs, tfs
+
+
+# --------------------------------------------------------------------------
+# TAAT (exhaustive, vectorized)
+# --------------------------------------------------------------------------
+
+
+def score_taat(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, float]]:
+    terms = sorted(set(tokenize_py(text)))
+    all_docs, all_contrib = [], []
+    for t in terms:
+        docs, tfs = reader.decode_term(t)
+        if docs.size == 0:
+            continue
+        dl = reader.doc_lengths(docs)
+        contrib = reader.idf(t) * bm25_wnorm(tfs, dl, reader.avgdl)
+        all_docs.append(docs)
+        all_contrib.append(contrib)
+    if not all_docs:
+        return []
+    docs_cat = np.concatenate(all_docs)
+    contrib_cat = np.concatenate(all_contrib)
+    uniq, inv = np.unique(docs_cat, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, contrib_cat)
+    out = reader.out_ids(uniq)
+    top = min(k, uniq.size)
+    order = np.lexsort((out, -scores))[:top]
+    return [(int(out[i]), float(scores[i])) for i in order]
+
+
+# --------------------------------------------------------------------------
+# Block-Max WAND (document-at-a-time with block skipping)
+# --------------------------------------------------------------------------
+
+
+class _Cursor:
+    """Posting cursor over one term's concatenated block runs."""
+
+    __slots__ = (
+        "term", "idf", "last", "doff", "toff", "cnt", "maxw", "blobs",
+        "blk", "i", "docs", "tfs", "cur", "n_blocks", "blk_of",
+    )
+
+    def __init__(self, reader: IndexReader, term: str):
+        runs = reader.runs[term]
+        self.term = term
+        self.idf = reader.idf(term)
+        self.last = np.concatenate([r["last"] for r in runs])
+        self.maxw = np.concatenate([r["maxw"] for r in runs])
+        self.cnt = [r["cnt"] for r in runs]
+        self.blobs = runs
+        # map global block index -> (run, local block)
+        self.blk_of = []
+        for ri, r in enumerate(runs):
+            for bi in range(len(r["cnt"])):
+                self.blk_of.append((ri, bi))
+        self.n_blocks = len(self.blk_of)
+        self.blk = -1
+        self.docs = self.tfs = None
+        self.cur = np.uint64(0)
+        self._load_block(0)
+
+    def _load_block(self, b: int) -> None:
+        if b >= self.n_blocks:
+            self.blk = self.n_blocks
+            self.cur = np.uint64(0xFFFFFFFFFFFFFFFF)
+            return
+        ri, bi = self.blk_of[b]
+        r = self.blobs[ri]
+        self.docs, self.tfs = decode_block(
+            r["doc_blob"], r["tf_blob"], r["doff"], r["toff"], r["cnt"], bi
+        )
+        self.blk = b
+        self.i = 0
+        self.cur = self.docs[0]
+
+    @property
+    def exhausted(self) -> bool:
+        return self.blk >= self.n_blocks
+
+    def block_max(self) -> float:
+        if self.exhausted:
+            return 0.0
+        return self.idf * float(self.maxw[self.blk])
+
+    def block_last(self) -> int:
+        return int(self.last[self.blk])
+
+    def next_geq(self, target: np.uint64) -> None:
+        """Advance to first posting with doc >= target (block skipping)."""
+        if self.exhausted:
+            return
+        if self.last[self.blk] < target:
+            b = int(np.searchsorted(self.last, target, side="left"))
+            if b >= self.n_blocks:
+                self.blk = self.n_blocks
+                self.cur = np.uint64(0xFFFFFFFFFFFFFFFF)
+                return
+            self._load_block(b)
+        j = int(np.searchsorted(self.docs, target, side="left"))
+        if j >= self.docs.size:  # target falls in a gap after this block
+            self._load_block(self.blk + 1)
+            return
+        self.i = j
+        self.cur = self.docs[j]
+
+    def advance(self) -> None:
+        self.i += 1
+        if self.i >= self.docs.size:
+            self._load_block(self.blk + 1)
+        else:
+            self.cur = self.docs[self.i]
+
+    def tf_at_cur(self) -> int:
+        return int(self.tfs[self.i])
+
+
+def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, float]]:
+    terms = sorted(set(tokenize_py(text)))
+    cursors = [_Cursor(reader, t) for t in terms if t in reader.runs]
+    if not cursors:
+        return []
+    gub = {c.term: c.idf * float(c.maxw.max()) for c in cursors}
+
+    heap: list[tuple[float, int]] = []  # (score, -out_id) min-heap, size <= k
+    threshold = -1.0
+
+    def consider(doc: int, score: float) -> None:
+        # tie-break on the user-visible id, matching TAAT/oracle
+        out = int(reader.out_ids(np.array([doc], dtype=np.uint64))[0])
+        nonlocal threshold
+        if len(heap) < k:
+            heapq.heappush(heap, (score, -out))
+            if len(heap) == k:
+                threshold = heap[0][0]
+        elif score > heap[0][0] or (score == heap[0][0] and -out > heap[0][1]):
+            heapq.heapreplace(heap, (score, -out))
+            threshold = heap[0][0]
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: int(c.cur))
+        # WAND pivot: smallest prefix whose summed global UBs can reach the
+        # threshold. `>=` (not `>`) keeps exact-tie docs evaluable — a doc
+        # scoring exactly `threshold` can still win its tie on id.
+        acc, p = 0.0, -1
+        for i, c in enumerate(live):
+            acc += gub[c.term]
+            if acc >= threshold:
+                p = i
+                break
+        if p < 0:
+            break  # no remaining doc can enter the top-k
+        pivot = int(live[p].cur)
+        # fold suffix cursors sitting exactly on the pivot doc into the
+        # pivot set so the skip target below is strictly > pivot
+        while p + 1 < len(live) and int(live[p + 1].cur) == pivot:
+            p += 1
+
+        # block-max refinement: bound using the exact blocks covering `pivot`
+        # (shallow — searchsorted on skip pointers, no decode)
+        bsum = 0.0
+        min_block_last = None
+        for c in live[: p + 1]:
+            b = int(np.searchsorted(c.last, np.uint64(pivot), side="left"))
+            if b >= c.last.size:
+                continue  # no postings >= pivot in this list
+            bsum += c.idf * float(c.maxw[b])
+            bl = int(c.last[b])
+            min_block_last = bl if min_block_last is None else min(min_block_last, bl)
+        if bsum < threshold:  # `<` not `<=`: exact-tie blocks stay evaluable
+            # No doc in [pivot, T) can beat the threshold, where T stops at
+            # the next suffix cursor's doc (Ding & Suel block-max WAND skip):
+            # suffix lists contribute nothing before live[p+1].cur, and
+            # prefix lists are bounded by their current blocks up to
+            # min_block_last.
+            target = min_block_last + 1
+            if p + 1 < len(live):
+                target = min(target, int(live[p + 1].cur))
+            target_u = np.uint64(target)
+            for c in live[: p + 1]:
+                if c.cur < target_u:
+                    c.next_geq(target_u)
+            continue
+
+        if int(live[0].cur) == pivot:
+            # full evaluation — exact score, sorted-term summation order
+            doc_cs = [c for c in live if int(c.cur) == pivot]
+            doc_cs.sort(key=lambda c: c.term)
+            dl = reader.doc_lengths(np.array([pivot], dtype=np.uint64))
+            score = 0.0
+            for c in doc_cs:
+                tf = np.array([c.tf_at_cur()], dtype=np.uint64)
+                score += c.idf * float(bm25_wnorm(tf, dl, reader.avgdl)[0])
+            consider(pivot, score)
+            for c in doc_cs:
+                c.advance()
+        else:
+            live[0].next_geq(np.uint64(pivot))
+
+    out = sorted(heap, key=lambda sd: (-sd[0], -sd[1]))
+    return [(-d, s) for s, d in out]
+
+
+# --------------------------------------------------------------------------
+# actor-pool stage
+# --------------------------------------------------------------------------
+
+
+class BM25Scorer:
+    """Callable class for ``map_batches`` actor pools.
+
+    ``__init__`` (once per actor): load the whole index.
+    ``__call__`` (per batch): score a batch of (query_id, text) rows,
+    return (query_id, rank, doc_id, score) hit rows.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        method: str = "taat",
+        buckets: set[int] | None = None,
+    ):
+        self.reader = IndexReader(index_dir, buckets=buckets)
+        self.k = k
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        score_fn = score_bmw if self.method == "bmw" else score_taat
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, text in zip(qids, texts):
+            hits = score_fn(self.reader, text, self.k)
+            for rank, (doc, score) in enumerate(hits, start=1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc)
+                out_s.append(score)
+        id_type = pa.int64() if self.reader.id_mode == "int" else pa.uint64()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int32()),
+                "doc_id": pa.array(out_d, type=id_type),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def query_index(
+    queries,
+    index_dir: str,
+    k: int = 10,
+    method: str = "taat",
+    concurrency: int = 4,
+    batch_size: int = 64,
+):
+    """queries Dataset (query_id, text) -> hits Dataset via actor pool."""
+    return queries.map_batches(
+        BM25Scorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "method": method},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

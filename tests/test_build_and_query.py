@@ -1,0 +1,174 @@
+"""End-to-end build + query conformance (SURVEY.md §5.2-5.3).
+
+Golden pattern follows the reference's checked-in per-snapshot result
+files (/root/reference/src/helpers/Runner.py:94-98): the Ray engine
+must be rank-identical to the naive oracle — same top-10 doc_ids,
+scores equal to <= 1e-9 — and invariant under parallelism and
+resume.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+from pisa_ray.build import IndexConfig, build_index
+from pisa_ray.docids import doc_ids_from_keys
+from pisa_ray.scorer import BM25Scorer, IndexReader, score_bmw, score_taat
+from pisa_ray.synth import make_corpus, make_queries
+
+
+def _check_rank_identical(golden, engine):
+    assert len(golden) == len(engine)
+    for (gd, gs), (ed, es) in zip(golden, engine):
+        assert gd == ed
+        assert abs(gs - es) <= 1e-9
+
+
+def test_rank_identity_vs_oracle(tiny_index, tiny_oracle):
+    reader = IndexReader(tiny_index)
+    queries = make_queries(100)
+    for qid, text in zip(
+        queries["query_id"].to_pylist(), queries["text"].to_pylist()
+    ):
+        golden = tiny_oracle.score_query(text, 10)
+        _check_rank_identical(golden, score_taat(reader, text, 10))
+
+
+def test_bmw_identical_to_taat(tiny_index):
+    reader = IndexReader(tiny_index)
+    queries = make_queries(150)
+    for text in queries["text"].to_pylist():
+        assert score_bmw(reader, text, 10) == score_taat(reader, text, 10)
+
+
+def test_stats_match_oracle(tiny_index, tiny_oracle):
+    reader = IndexReader(tiny_index)
+    assert reader.n_docs == tiny_oracle.n_docs
+    assert abs(reader.avgdl - tiny_oracle.avgdl) < 1e-9
+    # global df in lexicon == oracle df for every term
+    for term, df in tiny_oracle.df.items():
+        assert int(reader.df.get(term, 0)) == df
+    assert len(reader.df) == len(tiny_oracle.df)
+
+
+def test_sha256_invariant(tiny_index, tiny_corpus):
+    """Per-row invariant: content sha256 equality source table <-> docmap."""
+    import hashlib
+
+    dm_files = sorted(
+        glob.glob(os.path.join(tiny_index, "docmap", "**", "*.parquet"), recursive=True)
+    )
+    dm = pa.concat_tables([pq.read_table(f) for f in dm_files])
+    ids = doc_ids_from_keys(
+        tiny_corpus["repo"], tiny_corpus["path"], tiny_corpus["commit"]
+    )
+    want = {
+        int(i): hashlib.sha256(c.encode()).digest()
+        for i, c in zip(ids, tiny_corpus["content"].to_pylist())
+    }
+    got = {
+        int(i): s
+        for i, s in zip(
+            dm["doc_id"].to_pylist(), dm["content_sha256"].to_pylist()
+        )
+    }
+    assert got == want
+
+
+def test_postings_invariants(tiny_index, tiny_oracle):
+    """Postings doc-sorted; sum tf per doc == doc length."""
+    reader = IndexReader(tiny_index)
+    tf_per_doc: dict[int, int] = {}
+    for term in reader.runs:
+        docs, tfs = reader.decode_term(term)
+        assert np.all(docs[1:] > docs[:-1]) if docs.size > 1 else True
+        for d, t in zip(docs.tolist(), tfs.tolist()):
+            tf_per_doc[d] = tf_per_doc.get(d, 0) + t
+    lengths = dict(
+        zip(reader.doc_sorted.tolist(), reader.len_sorted.tolist())
+    )
+    for d, total in tf_per_doc.items():
+        assert total == lengths[d]
+
+
+def test_parallelism_invariance(tmp_path, tiny_corpus):
+    """Identical segments + identical query results at different
+    partitioning/bucketing configs (the sandbox analog of the
+    two-cluster-size rank-identity requirement)."""
+    q = make_queries(40)
+    results = []
+    for i, cfg in enumerate(
+        [
+            IndexConfig(bucket_bits=0, term_parts=2, lineage_parts=1),
+            IndexConfig(bucket_bits=3, term_parts=16, lineage_parts=1,
+                        tokenize_batch_size=64),
+        ]
+    ):
+        d = str(tmp_path / f"idx{i}")
+        build_index(tiny_corpus, d, cfg)
+        reader = IndexReader(d)
+        results.append(
+            [score_taat(reader, t, 10) for t in q["text"].to_pylist()]
+        )
+    assert results[0] == results[1]
+
+
+def test_actor_pool_query(tiny_index, tiny_oracle):
+    """Full Ray Data path: queries Dataset -> actor pool -> hits Dataset."""
+    from pisa_ray.scorer import query_index
+
+    q = make_queries(30)
+    hits = query_index(rd.from_arrow(q), tiny_index, k=10, concurrency=2).to_pandas()
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        golden = tiny_oracle.score_query(text, 10)
+        sub = hits[hits.query_id == qid].sort_values("rank")
+        _check_rank_identical(
+            golden, list(zip(sub.doc_id.astype("uint64"), sub.score))
+        )
+
+
+def test_resume_skips_done_and_is_byte_identical(tmp_path, tiny_corpus):
+    d1 = str(tmp_path / "a")
+    build_index(tiny_corpus, d1, IndexConfig(bucket_bits=1, term_parts=4))
+    # simulate kill after tokenize: drop later stages, then resume
+    d2 = str(tmp_path / "b")
+    cfg = IndexConfig(bucket_bits=1, term_parts=4)
+    build_index(tiny_corpus, d2, cfg)
+    man_path = os.path.join(d2, "manifest.json")
+    man = json.load(open(man_path))
+    for stage in ("docmap", "segments", "lexicon"):
+        man["stages"].pop(stage, None)
+    json.dump(man, open(man_path, "w"))
+    shutil.rmtree(os.path.join(d2, "segments"))
+    shutil.rmtree(os.path.join(d2, "lexicon"))
+    build_index(tiny_corpus, d2, cfg, resume=True)
+
+    def seg_dump(d):
+        files = sorted(
+            glob.glob(os.path.join(d, "segments", "**", "*.parquet"), recursive=True)
+        )
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
+        )
+        return t.take(idx)
+
+    assert seg_dump(d1).equals(seg_dump(d2))
+
+
+def test_manifest_lineage(tiny_index):
+    man = json.load(open(os.path.join(tiny_index, "manifest.json")))
+    for stage in ("tokenized", "docmap", "segments", "lexicon"):
+        assert man["stages"][stage]["status"] == "done"
+    # per-partition entries with metrics exist
+    parts = man["stages"]["segments"]["partitions"]
+    assert len(parts) == 4  # bucket_bits=2
+    for p in parts.values():
+        assert p["status"] == "done" and "wall_s" in p
