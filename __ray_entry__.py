@@ -1,44 +1,791 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() / queries() / oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported —
+nothing here (or in pisa_ray) calls ray.init/shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Determinism conventions shared with every oracle SQL string:
+- tokenize rule: lowercase, split on [^a-z0-9_]+, drop empties
+- BM25: k1=0.9, b=0.4, idf = ln(1 + (N-df+0.5)/(df+0.5))
+- float aggregates are rounded on BOTH sides (and, where a ranking
+  depends on a float, the rank is computed over the ROUNDED value with
+  an explicit id tie-break) so value-hashes are association-order-proof
+- every computed column is named identically in Ray and SQL
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_SPLIT_SQL = "[^a-z0-9_]+"
+_TOK = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+)
+
+# fixed BM25 benchmark query set (terms drawn from the documents vocab,
+# plus a stop-ish term and an OOV term for the empty path)
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "merge join"),
+    (1, "window"),
+    (2, "group order data"),
+    (3, "stream filter"),
+    (4, "scan"),
+    (5, "slow query table"),
+    (6, "spark row"),
+    (7, "zz_absent_token partition"),
+]
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _tbl(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _index_dir(sf_dir: str) -> str:
+    """Build (or reuse — the manifest makes this idempotent) the
+    full-text index over the documents table of this sf_dir."""
+    from pisa_ray.build import IndexConfig, build_index
+
+    out = os.path.join(
+        "/tmp/pisa_ray_idx", os.path.basename(os.path.normpath(sf_dir)), "documents"
+    )
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        out,
+        IndexConfig(
+            id_col="doc_id",
+            key_cols=(),
+            content_col="text",
+            meta_cols=("lang", "source"),
+            bucket_bits=2,
+            term_parts=16,
+        ),
+        resume=True,
+    )
+    return out
+
+
+def _term_explode(distinct: bool):
+    import pyarrow.compute as pc
+
+    from pisa_ray.tokenizer import doc_term_counts
+
+    def fn(batch: pa.Table) -> pa.Table:
+        terms, tfs, _ = doc_term_counts(batch["text"])
+        flat_t = pc.list_flatten(terms)
+        parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[parents]
+        cols = {"term": flat_t.cast(pa.string()), "doc_id": pa.array(doc)}
+        if not distinct:
+            cols["tf"] = pc.list_flatten(tfs).cast(pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# engine queries
+# --------------------------------------------------------------------------
+
+
+def q_term_df(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_term_explode(distinct=True), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+    )
+
+
+def q_term_tf(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_term_explode(distinct=False), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+
+def q_doc_lengths(sf_dir: str):
+    from pisa_ray.tokenizer import doc_term_counts
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, _, dl = doc_term_counts(batch["text"])
+        return pa.table(
+            {"doc_id": batch["doc_id"], "length": pa.array(dl.astype(np.int64))}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_index_lexicon(sf_dir: str):
+    """Global df table read back from the BUILT index — checks the whole
+    tokenize -> bucketed merge -> lexicon pipeline against SQL."""
+    import ray.data as rd
+
+    idx = _index_dir(sf_dir)
+    lex = rd.read_parquet(os.path.join(idx, "lexicon"))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"term": batch["term"], "df": batch["df"].cast(pa.int64())}
+        )
+
+    return lex.map_batches(cast, batch_format="pyarrow")
+
+
+def q_docmap(sf_dir: str):
+    """(doc_id, length) from the built index's docmap — doc ids are
+    recovered through the inverse splitmix bijection."""
+    import ray.data as rd
+
+    from pisa_ray.docids import unsplitmix64
+
+    idx = _index_dir(sf_dir)
+    dm = rd.read_parquet(os.path.join(idx, "docmap"), columns=["doc_id", "length"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        orig = unsplitmix64(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(orig),
+                "length": batch["length"].cast(pa.int64()),
+            }
+        )
+
+    return dm.map_batches(fn, batch_format="pyarrow")
+
+
+def q_bm25_topk(sf_dir: str):
+    import ray.data as rd
+
+    from pisa_ray.scorer import query_index
+
+    idx = _index_dir(sf_dir)
+    qt = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in BM25_QUERIES], type=pa.int64()),
+            "text": pa.array([q[1] for q in BM25_QUERIES], type=pa.string()),
+        }
+    )
+    hits = query_index(rd.from_arrow(qt), idx, k=50, concurrency=2).to_pandas()
+    if hits.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    # rank over ROUNDED score (+ doc_id tie-break) exactly as the SQL does
+    hits["score"] = np.round(hits["score"].to_numpy(), 4)
+    hits = hits.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    hits["rank"] = hits.groupby("query_id").cumcount() + 1
+    hits = hits[hits["rank"] <= 10].reset_index(drop=True)
+    return hits[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64"}
+    )
+
+
+# --------------------------------------------------------------------------
+# relational queries (reference operator surface, SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (reference A1-A6 analogs)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_rev"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = np.round(out["sum_qty"], 2)
+    out["sum_rev"] = np.round(out["sum_rev"], 2)
+    out["avg_disc"] = np.round(out["avg_disc"], 4)
+    return out
+
+
+def q_top_customers(sf_dir: str):
+    """Broadcast join (small dim via ray.put) + grouped sum + top-10."""
+    from ray.data.aggregate import Sum
+
+    from pisa_ray.pipelines.relational import broadcast_inner_join
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_inner_join(
+        orders.map_batches(
+            lambda b: b.rename_columns(["c_custkey", "o_totalprice"]),
+            batch_format="pyarrow",
+        ),
+        cust,
+        on="c_custkey",
+    )
+    agg = (
+        joined.groupby("c_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = np.round(agg["revenue"], 2)
+    agg = agg.merge(cust, on="c_custkey")
+    agg = agg.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg[["rank", "c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+def q_customers_with_orders(sf_dir: str):
+    from pisa_ray.pipelines.relational import broadcast_semi_join
+
+    keys = _tbl(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    return broadcast_semi_join(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]), keys, "c_custkey"
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    from pisa_ray.pipelines.relational import broadcast_anti_join
+
+    keys = _tbl(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    out = broadcast_anti_join(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]), keys, "c_custkey"
+    ).to_pandas()
+    if out.empty:  # an all-empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+            }
+        )
+    return out
+
+
+def q_distinct_segments(sf_dir: str):
+    vals = sorted(_tbl(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": pd.Series(vals, dtype="object")})
+
+
+def q_events_hourly(sf_dir: str):
+    from pisa_ray.pipelines.relational import tumbling_window_agg
+
+    out = tumbling_window_agg(
+        _tbl(sf_dir, "events", ["ts", "event_type", "value"]),
+        "ts",
+        "event_type",
+        "value",
+        window="hour",
+    ).to_pandas()
+    out["sum_value"] = np.round(out["sum_value"], 2)
+    return out
+
+
+def q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _tbl(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.round(out["sum_value"], 2)
+    return out
+
+
+def q_snapshot_counts(sf_dir: str):
+    """The reference's size-based snapshot split
+    (/root/reference/src/helpers/Reader.py:81-92,148-178): sort the
+    event log, split at boundaries, count rows + distinct users per
+    block (block 0 = train, 1..5 = incremental)."""
+    from pisa_ray.pipelines.relational import snapshot_blocks
+
+    ev = _tbl(sf_dir, "events", ["ts", "event_id", "user_id"])
+    blocks = snapshot_blocks(ev, ["ts", "event_id"], train_ratio=0.6, n_snapshots=5)
+    rows = []
+    for i, b in enumerate(blocks):
+        rows.append(
+            {
+                "snap": i,
+                "n_rows": b.count(),
+                "n_users": len(b.unique("user_id")),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"snap": "int64", "n_rows": "int64", "n_users": "int64"}
+    )
+
+
+def q_user_top_events(sf_dir: str):
+    """Per-user top-3 event types (reference per-user top-k,
+    /root/reference/src/Inference.py:240), rank ties by event_type."""
+    from ray.data.aggregate import Count
+
+    from pisa_ray.pipelines.relational import per_group_topk
+
+    counts = (
+        _tbl(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+    out = per_group_topk(
+        counts, "user_id", ["n", "event_type"], [False, True], k=3
+    ).to_pandas()
+    return out.astype({"user_id": "int64", "n": "int64", "rank": "int64"})[
+        ["user_id", "event_type", "n", "rank"]
+    ]
+
+
+def q_nation_region(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from pisa_ray.pipelines.relational import broadcast_inner_join
+
+    region = _tbl(sf_dir, "region").to_pandas()
+    nation = _tbl(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    joined = broadcast_inner_join(
+        nation.map_batches(
+            lambda b: b.rename_columns(["n_nationkey", "r_regionkey"]),
+            batch_format="pyarrow",
+        ),
+        region,
+        on="r_regionkey",
+    )
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+
+
+# --------------------------------------------------------------------------
+# training-data queries
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from pisa_ray.pipelines.dedup import dedup_exact
+
+    out = dedup_exact(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out[["doc_id"]].astype({"doc_id": "int64"})
+
+
+def q_quality_counts(sf_dir: str):
+    """Integer quality features (exact-comparable): token count,
+    English-stopword count, digit count."""
+    import pyarrow.compute as pc
+
+    from pisa_ray.pipelines.text import STOPWORDS
+    from pisa_ray.tokenizer import TOKEN_SPLIT_RE
+
+    stop = pa.array(sorted(STOPWORDS["en"]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parents = parents[keep]
+        flat = flat.filter(pa.array(keep))
+        n = len(batch)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tokens, parents, 1)
+        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, parents, is_stop.astype(np.int64))
+        digits = pc.count_substring_regex(batch["text"], "[0-9]").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "n_stop_en": pa.array(n_stop),
+                "n_digits": pa.array(digits.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact cosine top-5 for query vectors vec_id 0..4 (self included;
+    rank over rounded cosine + vec_id tie-break, mirroring the SQL)."""
+    from pisa_ray.pipelines.similarity import brute_knn
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 5)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
+    out = brute_knn(
+        emb, q, k=10, query_ids=qtab["vec_id"].to_numpy(dtype=np.int64)
+    )
+    # Recompute the winners' cosines in DuckDB's exact accumulation
+    # order (sequential dot; dot/(sqrt(na)*sqrt(nb))) so the rounded
+    # value is bit-identical to list_cosine_similarity and can never
+    # straddle a rounding boundary differently.
+    import math
+
+    from pisa_ray.pipelines.relational import broadcast_semi_join
+
+    need = set(out["vec_id"]) | set(qtab["vec_id"])
+    vecs = broadcast_semi_join(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), need, "vec_id"
+    ).to_pandas()
+    vec_of = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(vecs["vec_id"], vecs["embedding"])
+    }
+
+    def duck_cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    out["cosine"] = np.round(
+        [
+            duck_cos(vec_of[int(qi)], vec_of[int(vi)])
+            for qi, vi in zip(out["query_id"], out["vec_id"])
+        ],
+        5,
+    )
+    out = out.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[out["rank"] <= 5].reset_index(drop=True)
+    return out[["query_id", "rank", "vec_id", "cosine"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
+    )
+
+
+# ---- rows-only (no SQL oracle: heuristic / hash / stub semantics) --------
+
+
+def q_lang_id(sf_dir: str):
+    from pisa_ray.pipelines.text import lang_id
+
+    return lang_id(_docs(sf_dir, ["doc_id", "text", "lang"])).select_columns(
+        ["doc_id", "lang", "pred_lang"]
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    from pisa_ray.pipelines.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+
+
+def q_simhash(sf_dir: str):
+    from pisa_ray.pipelines.dedup import simhash_signatures
+
+    def cast(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pc.bit_wise_and(
+                    batch["simhash"], pa.scalar((1 << 63) - 1, type=pa.uint64())
+                ).cast(pa.int64()),
+            }
+        )
+
+    return simhash_signatures(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        cast, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from pisa_ray.pipelines.text import fingerprint64
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["fingerprint"] = (
+            batch["fingerprint"].astype("uint64") & np.uint64((1 << 63) - 1)
+        ).astype("int64")
+        return batch
+
+    return fingerprint64(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        cast, batch_format="pandas"
+    )
+
+
+def q_lsh_knn(sf_dir: str):
+    from pisa_ray.pipelines.similarity import lsh_knn
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 5)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
+    return lsh_knn(emb, q, k=5)
+
+
+def q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from pisa_ray.pipelines.multimodal import decode_features, synth_media
+
+    return decode_features(rd.from_arrow(synth_media(64)))
+
+
+def q_bm25_bmw(sf_dir: str):
+    """Same top-k via the block-max WAND path (rows-only; its
+    rank-identity to TAAT is pytest-enforced)."""
+    import ray.data as rd
+
+    from pisa_ray.scorer import query_index
+
+    idx = _index_dir(sf_dir)
+    qt = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in BM25_QUERIES], type=pa.int64()),
+            "text": pa.array([q[1] for q in BM25_QUERIES], type=pa.string()),
+        }
+    )
+    return query_index(rd.from_arrow(qt), idx, k=10, method="bmw", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the full-text index over sf0.001 documents and
+    answer the benchmark query set."""
+    return q_bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_df": q_term_df,
+        "term_tf": q_term_tf,
+        "doc_lengths": q_doc_lengths,
+        "index_lexicon": q_index_lexicon,
+        "index_docmap": q_docmap,
+        "bm25_topk": q_bm25_topk,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "distinct_segments": q_distinct_segments,
+        "events_hourly": q_events_hourly,
+        "events_by_type": q_events_by_type,
+        "snapshot_counts": q_snapshot_counts,
+        "user_top_events": q_user_top_events,
+        "nation_region": q_nation_region,
+        "dedup_exact": q_dedup_exact,
+        "quality_counts": q_quality_counts,
+        "knn_cosine": q_knn_cosine,
+        # rows-only (non-SQL-expressible: heuristics, hashes, stubs)
+        "lang_id": q_lang_id,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "lsh_knn": q_lsh_knn,
+        "multimodal_decode": q_multimodal,
+        "bm25_bmw": q_bm25_bmw,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_docs = f"SELECT doc_id, unnest({_TOK}) AS term FROM documents"
+    bm25_values = ", ".join(
+        f"({qid}, '{t}')" for qid, text in BM25_QUERIES for t in sorted(set(text.split()))
+    )
+    return {
+        "term_df": f"""
+            SELECT term, count(*) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
+            GROUP BY term
+        """,
+        "term_tf": f"""
+            SELECT term, count(*) AS tf FROM ({tok_docs}) GROUP BY term
+        """,
+        "doc_lengths": f"""
+            SELECT doc_id, len({_TOK}) AS length FROM documents
+        """,
+        "index_lexicon": f"""
+            SELECT term, count(*) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
+            GROUP BY term
+        """,
+        "index_docmap": f"""
+            SELECT doc_id, len({_TOK}) AS length FROM documents
+        """,
+        "bm25_topk": f"""
+            WITH tok AS ({tok_docs}),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            q(query_id, term) AS (VALUES {bm25_values}),
+            scores AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+                            * (tf.tf * 1.9 / (tf.tf + 0.9*(1 - 0.4 + 0.4 * dl.dl / s.avgdl))) ) AS score
+                FROM q
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT query_id, doc_id, round(score, 4) AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 4) DESC, doc_id
+                       ) AS rank
+                FROM scores
+            ) WHERE rank <= 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT rank, c_custkey, c_name, revenue FROM (
+                SELECT c.c_custkey, c.c_name, revenue,
+                       row_number() OVER (ORDER BY revenue DESC, c.c_custkey) AS rank
+                FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                      FROM orders GROUP BY o_custkey) o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+            ) WHERE rank <= 10
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS "window", event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "snapshot_counts": """
+            -- int(n*0.6) truncates in Python: use floor, then integer div
+            WITH p AS (SELECT count(*) AS n,
+                              floor(count(*) * 0.6)::BIGINT AS n_train FROM events),
+            p2 AS (SELECT n, n_train, (n - n_train) // 5 AS incre FROM p),
+            ordered AS (
+                SELECT user_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+                FROM events
+            )
+            SELECT CASE WHEN rn < n_train THEN 0
+                        ELSE least(5, (rn - n_train) // incre + 1) END AS snap,
+                   count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+            FROM ordered CROSS JOIN p2
+            GROUP BY 1
+        """,
+        "user_top_events": """
+            SELECT user_id, event_type, n, rank FROM (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY n DESC, event_type
+                       ) AS rank
+                FROM (SELECT user_id, event_type, count(*) AS n
+                      FROM events GROUP BY 1, 2)
+            ) WHERE rank <= 3
+        """,
+        "nation_region": """
+            SELECT r.r_name, count(*) AS n_nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "quality_counts": f"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   len(list_filter({_TOK},
+                       x -> list_contains(['a','and','for','in','is','it','of','that','the','to','with'], x)
+                   )) AS n_stop_en,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+            FROM documents
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT query_id, rank, vec_id, cosine FROM (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ), 5) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                           ), 5) DESC, e.vec_id
+                       ) AS rank
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rank <= 5
+        """,
+    }

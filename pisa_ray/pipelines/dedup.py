@@ -1,0 +1,428 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard verification, embedding-cosine near-dup.
+
+Shared shape (the scalable pattern): per-batch vectorized signature
+computation -> explode to (bucket, doc) rows -> ONE ``groupby`` on the
+bucket key -> per-bucket verification against the bucket's minimum doc
+(deterministic representative) -> survivors. No stage ever holds more
+than one bucket; stop-word-like mega-buckets are bounded by the band
+structure. Transitive closure beyond shared-bucket reach is
+intentionally not chased (documented trade-off, standard in web-scale
+dedup); the representative rule makes results deterministic at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..tokenizer import TOKEN_SPLIT_RE
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Exact dedup: hash-partition on content sha256, keep min id per
+    group. Returns the surviving rows (id + hash). The groupby key is
+    the 64-bit hash prefix (int64-safe), so the shuffle moves 16-byte
+    rows, never the content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = np.empty(len(batch), dtype=np.int64)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        for i, s in enumerate(texts.to_pylist()):
+            d = hashlib.sha256(s.encode("utf-8")).digest()
+            hs[i] = int.from_bytes(d[:8], "big", signed=True)
+        return pa.table({id_col: batch[id_col], "content_hash": pa.array(hs)})
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, id_col)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash
+# --------------------------------------------------------------------------
+
+
+def _token_shingle_hashes(text: str, rx, k: int = 3) -> np.ndarray:
+    toks = [t for t in rx.split(text.lower()) if t]
+    if len(toks) < k:
+        toks = toks + ["\x00"] * (k - len(toks))
+    hs = np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        out = (
+            hs[: len(hs) - k + 1] * np.uint64(0x9E3779B97F4A7C15)
+            + hs[1 : len(hs) - k + 2] * np.uint64(0xC2B2AE3D27D4EB4F)
+            + hs[2 : len(hs) - k + 3]
+        )
+    return np.unique(out)
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minimums of (a*x+b) mod 2^61-1 (vectorized)."""
+    with np.errstate(over="ignore"):
+        x = shingles & _MERSENNE
+        prod = a[:, None] * x[None, :] + b[:, None]
+        prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
+        prod = np.where(prod >= _MERSENNE, prod - _MERSENNE, prod)
+    return prod.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params + compiled regex built once."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.rx = re.compile(TOKEN_SPLIT_RE)
+        self.k = shingle_k
+        self.num_perm = num_perm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sigs = np.empty((len(batch), self.num_perm), dtype=np.uint64)
+        for i, s in enumerate(texts.to_pylist()):
+            sigs[i] = _minhash_sig(
+                _token_shingle_hashes(s, self.rx, self.k), self.a, self.b
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array(list(sigs), type=pa.large_list(pa.uint64())),
+            }
+        )
+
+
+def minhash_signatures(
+    ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 3, concurrency: int = 4
+) -> rd.Dataset:
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def _explode_bands(num_bands: int, rows_per_band: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = batch["sig"]
+        if isinstance(sigs, pa.ChunkedArray):
+            sigs = sigs.combine_chunks()
+        flat = pc.list_flatten(sigs).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        sig2 = flat.reshape(n, num_bands * rows_per_band)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands, bhash, docs, sig_list = [], [], [], []
+        for b in range(num_bands):
+            chunk = sig2[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.array(
+                [zlib.crc32(chunk[i].tobytes()) for i in range(n)], dtype=np.int64
+            )
+            bands.append(np.full(n, b, dtype=np.int32))
+            bhash.append(h)
+            docs.append(doc)
+            sig_list.extend(sig2)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "bhash": pa.array(np.concatenate(bhash)),
+                "doc_id": pa.array(np.concatenate(docs)),
+                "sig": pa.array(list(sig_list), type=pa.large_list(pa.uint64())),
+            }
+        )
+
+    return fn
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset,
+    num_perm: int = 64,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """MinHash-LSH near-dup: returns (doc_id, dup_of) for docs whose
+    estimated Jaccard vs their bucket representative >= threshold.
+    Survivors = all docs minus returned doc_ids."""
+    rows_per_band = num_perm // num_bands
+    sigs = minhash_signatures(ds, num_perm, concurrency=concurrency)
+    bands = sigs.map_batches(
+        _explode_bands(num_bands, rows_per_band), batch_format="pyarrow"
+    )
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": [], "dup_of": []}).astype(
+                {"doc_id": "int64", "dup_of": "int64"}
+            )
+        g = g.sort_values("doc_id", kind="mergesort")
+        rep_sig = np.asarray(list(g["sig"].iloc[0]), dtype=np.uint64)
+        rep_id = int(g["doc_id"].iloc[0])
+        out_doc, out_rep = [], []
+        for _, row in g.iloc[1:].iterrows():
+            sig = np.asarray(list(row["sig"]), dtype=np.uint64)
+            est = float((sig == rep_sig).mean())
+            if est >= threshold:
+                out_doc.append(int(row["doc_id"]))
+                out_rep.append(rep_id)
+        return pd.DataFrame({"doc_id": out_doc, "dup_of": out_rep}).astype(
+            {"doc_id": "int64", "dup_of": "int64"}
+        )
+
+    return (
+        bands.groupby(["band", "bhash"])
+        .map_groups(bucket_dups, batch_format="pandas")
+        .groupby("doc_id")
+        .min("dup_of")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "dup_of"]), batch_format="pyarrow"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over token crc32 hashes, tf-weighted."""
+
+    def __init__(self):
+        self.rx = re.compile(TOKEN_SPLIT_RE)
+
+    def sim64(self, text: str) -> int:
+        toks = [t for t in self.rx.split(text.lower()) if t]
+        if not toks:
+            return 0
+        hs, tf = np.unique(
+            np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64),
+            return_counts=True,
+        )
+        bits = ((hs[:, None] >> np.arange(32, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        # extend to 64 bits by hashing twice (crc32 is 32-bit)
+        hs2 = (hs * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        bits2 = (
+            (hs2[:, None] >> np.arange(32, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        allbits = np.concatenate([bits, bits2], axis=1)  # (n, 64)
+        v = ((allbits * 2 - 1) * tf[:, None]).sum(axis=0)
+        out = 0
+        for j in range(64):
+            if v[j] > 0:
+                out |= 1 << j
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        out = np.array(
+            [self.sim64(s) for s in texts.to_pylist()], dtype=np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(out, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_signatures(ds: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1
+    )
+
+
+def simhash_dedup(
+    ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 4
+) -> rd.Dataset:
+    """SimHash near-dup: 4x16-bit band buckets, verify hamming distance
+    vs bucket representative. Returns (doc_id, dup_of)."""
+    sigs = simhash_signatures(ds, concurrency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands, key, docs, hh = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(h.size, b, dtype=np.int32))
+            key.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            docs.append(doc)
+            hh.append(h)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "bhash": pa.array(np.concatenate(key)),
+                "doc_id": pa.array(np.concatenate(docs)),
+                "simhash": pa.array(np.concatenate(hh), type=pa.uint64()),
+            }
+        )
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": [], "dup_of": []}).astype(
+                {"doc_id": "int64", "dup_of": "int64"}
+            )
+        g = g.sort_values("doc_id", kind="mergesort")
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        rep = hs[0]
+        ham = np.array(
+            [bin(int(rep ^ h)).count("1") for h in hs[1:]], dtype=np.int64
+        )
+        mask = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[1:][mask].astype("int64"),
+                "dup_of": np.full(int(mask.sum()), int(g["doc_id"].iloc[0]), dtype="int64"),
+            }
+        )
+
+    return (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "bhash"])
+        .map_groups(bucket_dups, batch_format="pandas")
+        .groupby("doc_id")
+        .min("dup_of")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "dup_of"]), batch_format="pyarrow"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard verification
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    rx = re.compile(TOKEN_SPLIT_RE)
+    sa = set(_token_shingle_hashes(a, rx, k).tolist())
+    sb = set(_token_shingle_hashes(b, rx, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def verify_pairs_jaccard(
+    docs: rd.Dataset, pairs: rd.Dataset, threshold: float, text_col: str = "text"
+) -> pd.DataFrame:
+    """Exact n-gram-Jaccard verification of candidate (doc_id, dup_of)
+    pairs. The candidate set is small (LSH output), so texts for just
+    those ids are gathered via a broadcast semi-join and verified on
+    the driver."""
+    import ray
+
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pdf.assign(jaccard=pd.Series(dtype="float64"))
+    need = set(pdf["doc_id"]) | set(pdf["dup_of"])
+    from .relational import broadcast_semi_join
+
+    texts = broadcast_semi_join(docs, need, "doc_id").to_pandas()
+    lookup = dict(zip(texts["doc_id"], texts[text_col]))
+    jac = [
+        ngram_jaccard(lookup[d], lookup[r]) for d, r in zip(pdf["doc_id"], pdf["dup_of"])
+    ]
+    pdf["jaccard"] = np.round(jac, 6)
+    return pdf[pdf["jaccard"] >= threshold].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_dedup(
+    emb: rd.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> rd.Dataset:
+    """Near-dup by cosine similarity: random-hyperplane LSH buckets,
+    exact cosine vs bucket representative inside each bucket."""
+    rng = np.random.default_rng(seed)
+    planes_holder = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = batch[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        m = np.asarray(vecs.to_pylist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        if "p" not in planes_holder:
+            planes_holder["p"] = np.random.default_rng(seed).standard_normal(
+                (m.shape[1], n_planes)
+            )
+        bits = (m @ planes_holder["p"]) > 0
+        key = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pa.table(
+            {
+                "bhash": pa.array(key.astype(np.int64)),
+                id_col: batch[id_col],
+                "vec": pa.array(list(m), type=pa.large_list(pa.float64())),
+            }
+        )
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": [], "cosine": []}).astype(
+                {id_col: "int64", "dup_of": "int64", "cosine": "float64"}
+            )
+        g = g.sort_values(id_col, kind="mergesort")
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        rep = m[0]
+        cos = m[1:] @ rep
+        mask = cos >= threshold
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[1:][mask].astype("int64"),
+                "dup_of": np.full(int(mask.sum()), int(g[id_col].iloc[0]), dtype="int64"),
+                "cosine": np.round(cos[mask], 6),
+            }
+        )
+
+    return (
+        emb.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bhash")
+        .map_groups(bucket_dups, batch_format="pandas")
+    )

@@ -1,0 +1,185 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``brute_knn`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``); every batch does one numpy matmul and emits its
+  LOCAL top-k per query; a final tiny groupby merges partials. The
+  full corpus is never collected anywhere — this is the reference's
+  score-everything matmul (/root/reference/src/Inference.py:227-231)
+  turned into a streaming partial-top-k.
+* ``lsh_knn`` — the scale path: random-hyperplane bucket sketch;
+  queries only score docs in their (multi-probe) buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _as_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_knn(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query vector against the dataset.
+
+    Returns DataFrame (query_id, rank, vec_id, cosine) with rank by
+    (cosine desc, vec_id asc) — deterministic at any parallelism.
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = (
+        np.arange(q.shape[0], dtype=np.int64)
+        if query_ids is None
+        else np.asarray(query_ids, dtype=np.int64)
+    )
+    qref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = qm @ m.T  # (Q, B)
+        kk = min(k, m.shape[0])
+        # partial top-k per query within this batch
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            sel = part[qi]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(sims[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        emb.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+class LshIndexer:
+    """Actor-pool stage: hyperplanes generated once per actor (same
+    seed everywhere -> identical planes, no coordination)."""
+
+    def __init__(self, dim: int, n_planes: int = 10, seed: int = 29):
+        self.planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        self.n_planes = n_planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch["embedding"]))
+        bits = (m @ self.planes) > 0
+        key = bits @ (1 << np.arange(self.n_planes, dtype=np.int64))
+        return pa.table(
+            {
+                "bhash": pa.array(key.astype(np.int64)),
+                "vec_id": batch["vec_id"],
+                "vec": pa.array(list(m), type=pa.large_list(pa.float64())),
+            }
+        )
+
+
+def lsh_knn(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    dim: int | None = None,
+    n_planes: int = 10,
+    seed: int = 29,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Bucketed ANN: queries probe only their own hyperplane bucket
+    (single-probe; recall < 1 by design — the exact path is
+    ``brute_knn``). Scale path: bucket count 2^n_planes spreads the
+    corpus; each query touches ~N/2^n_planes docs."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    if dim is None:
+        dim = q.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    qkeys = ((q @ planes) > 0) @ (1 << np.arange(n_planes, dtype=np.int64))
+
+    bucketed = emb.map_batches(
+        LshIndexer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+    qdf = pd.DataFrame(
+        {
+            "query_id": np.arange(q.shape[0], dtype=np.int64),
+            "bhash": qkeys.astype(np.int64),
+            "qvec": list(q),
+        }
+    )
+    qref = ray.put(qdf)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(qref)
+        sub = qs[qs.bhash == g["bhash"].iloc[0]]
+        if sub.empty:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
+        m = np.asarray([np.asarray(v) for v in g["vec"]])
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        out = []
+        for _, row in sub.iterrows():
+            sims = m @ np.asarray(row["qvec"])
+            kk = min(k, len(ids))
+            sel = np.argpartition(-sims, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, row["query_id"], dtype=np.int64),
+                        "vec_id": ids[sel],
+                        "cosine": np.round(sims[sel], 6),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    res = (
+        bucketed.groupby("bhash")
+        .map_groups(probe, batch_format="pandas")
+        .to_pandas()
+    )
+    if res.empty:
+        return res
+    res = res.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return res[res["rank"] <= k].reset_index(drop=True)

@@ -405,6 +405,6 @@ def query_index(
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "method": method},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )

@@ -1,0 +1,235 @@
+"""Tests for the training-data pipeline operators (dedup, text,
+similarity, relational, multimodal)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+# -- dedup ----------------------------------------------------------------
+
+
+def test_dedup_exact_with_planted_dups(docs):
+    from pisa_ray.pipelines.dedup import dedup_exact
+
+    base = docs.to_pandas()
+    dup = base.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000  # same text, later ids
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = dedup_exact(ds).to_pandas()
+    # the 5 planted duplicates collapse onto the original (smaller) ids
+    assert len(out) == len(base)
+    assert set(out["doc_id"]) == set(base["doc_id"])
+
+
+def test_minhash_detects_planted_near_dups(docs):
+    from pisa_ray.pipelines.dedup import minhash_lsh_dedup
+
+    base = docs.to_pandas()[["doc_id", "text"]]
+    dup = base.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    # identical text -> jaccard 1.0 -> must be flagged
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = minhash_lsh_dedup(ds, threshold=0.9).to_pandas()
+    flagged = dict(zip(out["doc_id"], out["dup_of"]))
+    for _, row in dup.iterrows():
+        assert flagged.get(row["doc_id"]) == row["doc_id"] - 100_000
+
+
+def test_minhash_deterministic(docs):
+    from pisa_ray.pipelines.dedup import minhash_lsh_dedup
+
+    a = minhash_lsh_dedup(docs, threshold=0.7).to_pandas().sort_values("doc_id")
+    b = minhash_lsh_dedup(docs, threshold=0.7).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_simhash_near_dup_and_jaccard(docs):
+    from pisa_ray.pipelines.dedup import ngram_jaccard, simhash_dedup
+
+    base = docs.to_pandas()[["doc_id", "text"]]
+    dup = base.head(3).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = simhash_dedup(ds, max_hamming=0).to_pandas()
+    flagged = dict(zip(out["doc_id"], out["dup_of"]))
+    for _, row in dup.iterrows():
+        assert flagged.get(row["doc_id"]) == row["doc_id"] - 100_000
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_embedding_dedup_planted(emb):
+    from pisa_ray.pipelines.dedup import embedding_dedup
+
+    base = emb.to_pandas()
+    dup = base.head(4).copy()
+    dup["vec_id"] = dup["vec_id"] + 100_000  # identical vectors
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = embedding_dedup(ds, threshold=0.999).to_pandas()
+    flagged = dict(zip(out["vec_id"], out["dup_of"]))
+    for _, row in dup.iterrows():
+        assert flagged.get(row["vec_id"]) == row["vec_id"] - 100_000
+
+
+# -- similarity -----------------------------------------------------------
+
+
+def test_brute_knn_matches_numpy_oracle(emb):
+    from pisa_ray.pipelines.similarity import brute_knn
+
+    pdf = emb.to_pandas()
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    q = m[:3]
+    got = brute_knn(emb, q, k=5)
+    for qi in range(3):
+        sims = m @ q[qi]
+        order = np.lexsort((ids, -np.round(sims, 12)))[:5]
+        want = ids[order].tolist()
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == want
+
+
+def test_lsh_knn_self_hit(emb):
+    from pisa_ray.pipelines.similarity import lsh_knn
+
+    pdf = emb.to_pandas().head(3)
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    got = lsh_knn(emb, q, k=3)
+    # each query's own vector shares its bucket -> rank-1 self hit
+    for qi, vid in enumerate(pdf["vec_id"]):
+        sub = got[(got.query_id == qi) & (got["rank"] == 1)]
+        assert len(sub) == 1 and int(sub["vec_id"].iloc[0]) == int(vid)
+
+
+# -- text -----------------------------------------------------------------
+
+
+def test_token_stats_and_quality(docs):
+    from pisa_ray.pipelines.text import quality_score, token_stats
+    from pisa_ray.tokenizer import tokenize_py
+
+    stats = token_stats(docs).to_pandas().set_index("doc_id")
+    pdf = docs.to_pandas()
+    for _, row in pdf.head(20).iterrows():
+        toks = tokenize_py(row["text"])
+        assert stats.loc[row["doc_id"], "n_tokens"] == len(toks)
+        assert stats.loc[row["doc_id"], "n_distinct"] == len(set(toks))
+    q = quality_score(docs).to_pandas()
+    assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
+
+
+def test_lang_id_on_multilingual_texts():
+    """documents.lang is random metadata (texts are English-ish), so
+    test the heuristic on purpose-built per-language texts."""
+    from pisa_ray.pipelines.text import STOPWORDS, lang_id
+
+    rows = []
+    for i, (lang, words) in enumerate(sorted(STOPWORDS.items())):
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": lang,
+                "text": " ".join(sorted(words) * 3) + " foo bar baz",
+            }
+        )
+    rows.append({"doc_id": 99, "lang": "unknown", "text": "qq ww ee rr"})
+    out = lang_id(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    for i, lang in enumerate(sorted(STOPWORDS)):
+        assert out.loc[i, "pred_lang"] == lang
+    assert out.loc[99, "pred_lang"] == "unknown"
+
+
+def test_fingerprint_properties(docs):
+    from pisa_ray.pipelines.text import fingerprint64
+
+    out = fingerprint64(docs).to_pandas()
+    assert out["fingerprint"].nunique() > len(out) * 0.95
+    # whitespace-insensitive, order-sensitive
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "a b   c"},
+            {"doc_id": 1, "text": "a b c"},
+            {"doc_id": 2, "text": "c b a"},
+        ]
+    )
+    fp = fingerprint64(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+# -- relational -----------------------------------------------------------
+
+
+def test_snapshot_blocks_reference_semantics():
+    """hist/incre split matches the reference's positional rule
+    (/root/reference/src/helpers/Reader.py:81-92) on a pandas oracle."""
+    from pisa_ray.pipelines.relational import snapshot_blocks, snapshot_boundaries
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_id", "user_id"])
+    pdf = ev.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(pdf)
+    bounds = snapshot_boundaries(n, 0.6, 5)
+    assert bounds[0] == int(n * 0.6) and bounds[-1] == n
+    blocks = snapshot_blocks(ev, ["ts", "event_id"], 0.6, 5)
+    assert len(blocks) == 6
+    lo = 0
+    for b, hi in zip(blocks, bounds):
+        got = b.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        want = pdf.iloc[lo:hi].reset_index(drop=True)
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        lo = hi
+
+
+def test_broadcast_joins():
+    from pisa_ray.pipelines.relational import (
+        broadcast_anti_join,
+        broadcast_inner_join,
+        broadcast_semi_join,
+    )
+
+    cust = rd.read_parquet(f"{SF}/customer.parquet")
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    keys = orders.unique("o_custkey")
+    semi = broadcast_semi_join(cust, keys, "c_custkey").to_pandas()
+    anti = broadcast_anti_join(cust, keys, "c_custkey").to_pandas()
+    total = cust.count()
+    assert len(semi) + len(anti) == total
+    anti_keys = set(anti["c_custkey"]) if len(anti) else set()
+    assert set(semi["c_custkey"]).isdisjoint(anti_keys)
+    small = pd.DataFrame({"c_custkey": semi["c_custkey"], "flag": 1})
+    joined = broadcast_inner_join(cust, small, "c_custkey").to_pandas()
+    assert len(joined) == len(semi)
+
+
+# -- multimodal -----------------------------------------------------------
+
+
+def test_multimodal_decode_deterministic():
+    from pisa_ray.pipelines.multimodal import decode_features, synth_media
+
+    media = synth_media(32)
+    a = decode_features(rd.from_arrow(media)).to_pandas().sort_values("media_id")
+    b = decode_features(rd.from_arrow(media)).to_pandas().sort_values("media_id")
+    assert a["n_bytes"].tolist() == b["n_bytes"].tolist()
+    fa = np.asarray([np.asarray(x) for x in a["features"]])
+    fb = np.asarray([np.asarray(x) for x in b["features"]])
+    assert np.array_equal(fa, fb)
+    assert fa.shape == (32, 8)
+    assert ((fa >= 0) & (fa <= 1)).all()
