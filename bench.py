@@ -1,0 +1,236 @@
+"""Benchmark harness (driver-run per round; also the scaling evidence).
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline seconds + derived throughputs...},
+   "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the same suite in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both headline
+times plus efficiency = (T_8/T_32)/(32/8) — the sandbox stand-in for
+the N vs 4N cluster-size criterion (no real cluster exists here).
+
+The index-build corpus is the sf documents table replicated with
+distinct doc_ids (deterministic) so the build is large enough to
+exercise the shuffle at 32 CPUs rather than fixed overheads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1000"))
+
+
+def prepare_corpus(sf_dir: str) -> tuple[str, int]:
+    """Replicate documents x REPLICAS with distinct ids (untimed, cached)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pisa_ray_bench/{tag}_x{REPLICAS}"
+    done = os.path.join(out_dir, "_DONE")
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n = src.num_rows * REPLICAS
+    if os.path.exists(done):
+        return out_dir, n
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    base_ids = src["doc_id"].to_numpy()
+    import numpy as np
+
+    for r in range(REPLICAS):
+        t = src.set_column(
+            src.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(base_ids + np.int64(r) * np.int64(src.num_rows), type=pa.int64()),
+        )
+        pq.write_table(t, os.path.join(out_dir, f"part_{r:03d}.parquet"))
+    open(done, "w").write("ok")
+    return out_dir, n
+
+
+def bench_queries(n: int, seed: int = 17) -> list[tuple[int, str]]:
+    """Deterministic query mix over the documents vocabulary."""
+    import numpy as np
+
+    vocab = [
+        "merge", "join", "window", "group", "order", "data", "stream",
+        "filter", "scan", "slow", "query", "table", "spark", "row", "key",
+        "sort", "hash", "agg", "batch", "fast", "small", "part", "customer",
+        "value", "the", "a",
+    ]
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        k = int(rng.integers(1, 4))
+        out.append((i, " ".join(rng.choice(vocab, size=k, replace=False))))
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.scorer import query_index
+
+    results: dict[str, float] = {}
+
+    corpus_dir, n_docs = prepare_corpus(sf_dir)
+    # warm the page cache so we measure compute+shuffle, not first read
+    rd.read_parquet(corpus_dir).count()
+
+    # ---- index build -----------------------------------------------------
+    idx_dir = f"/tmp/pisa_ray_bench/idx_{os.path.basename(corpus_dir)}_{ncpu}"
+    t0 = time.perf_counter()
+    build_index(
+        corpus_dir,
+        idx_dir,
+        IndexConfig(
+            id_col="doc_id",
+            key_cols=(),
+            content_col="text",
+            meta_cols=("lang",),
+            bucket_bits=3,
+            term_parts=max(32, 2 * ncpu),
+            lineage_parts=4,
+            tokenize_batch_size=2048,
+            check_collisions=False,
+            per_bucket_merge=False,  # single shuffle: buckets are seconds
+        ),
+        resume=False,
+    )
+    dt = time.perf_counter() - t0
+    results["index_build_sec"] = round(dt, 3)
+    results["index_build_docs_per_s"] = round(n_docs / dt, 1)
+
+    # ---- BM25 query QPS --------------------------------------------------
+    qs = bench_queries(N_QUERIES)
+    qt = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in qs], type=pa.int64()),
+            "text": pa.array([q[1] for q in qs], type=pa.string()),
+        }
+    )
+    for method in ("taat", "auto"):
+        t0 = time.perf_counter()
+        n_hits = query_index(
+            rd.from_arrow(qt),
+            idx_dir,
+            k=10,
+            method=method,
+            concurrency=max(2, ncpu // 2),
+            batch_size=32,
+        ).count()
+        dt = time.perf_counter() - t0
+        results[f"bm25_{method}_sec"] = round(dt, 3)
+        results[f"bm25_{method}_qps"] = round(N_QUERIES / dt, 1)
+        results[f"bm25_{method}_hits"] = n_hits
+
+    # ---- relational + training-data pipelines ---------------------------
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        out = fn(sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    timed("pricing_summary_sec", E.q_pricing_summary)
+    timed("events_hourly_sec", E.q_events_hourly)
+    timed("user_top_events_sec", E.q_user_top_events)
+    timed("dedup_exact_sec", E.q_dedup_exact)
+    timed("minhash_dedup_sec", E.q_minhash_dedup)
+    timed("knn_cosine_sec", E.q_knn_cosine)
+    timed("quality_counts_sec", E.q_quality_counts)
+
+    headline = results["index_build_sec"] + results["bm25_taat_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_dir,
+                "num_cpus": ncpu,
+                "n_docs": n_docs,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        # bigger corpus for the scaling runs so compute dominates fixed
+        # job overheads (same input at both levels)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_REPLICAS=os.environ.get("BENCH_REPLICAS", "200"),
+            BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "2000"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_low": lo,
+                "cpus_high": hi,
+                "sec_low": r_lo["value"],
+                "sec_high": r_hi["value"],
+                "docs_per_s_low": r_lo["queries"]["index_build_docs_per_s"],
+                "docs_per_s_high": r_hi["queries"]["index_build_docs_per_s"],
+                "qps_low": r_lo["queries"]["bm25_auto_qps"],
+                "qps_high": r_hi["queries"]["bm25_auto_qps"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

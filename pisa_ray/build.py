@@ -68,6 +68,11 @@ class IndexConfig:
     content_col: str = "content"
     meta_cols: tuple[str, ...] = ("lang",)
     check_collisions: bool = True  # exact docID-collision groupby (skip at 100TB)
+    # True: one merge job per docID bucket (finest resume granularity —
+    # the 100TB setting, where each bucket is hours of work). False: ONE
+    # groupby over (term-hash, bucket) — identical output, one shuffle,
+    # no per-bucket job overhead (right when buckets are seconds each).
+    per_bucket_merge: bool = True
 
 
 # --------------------------------------------------------------------------
@@ -115,8 +120,14 @@ def term_group_hash(vocab: pa.Array, n_parts: int) -> np.ndarray:
     )
 
 
-def make_explode_fn(cfg: IndexConfig):
+def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
+    """Tokenized rows -> (grp, term, doc_id, tf, dl) triples.
+
+    ``with_bucket=True`` folds the docID-range bucket into the group key
+    (grp = term_hash * n_buckets + bucket) for the single-shuffle merge."""
     n_parts = cfg.term_parts
+    n_buckets = 1 << cfg.bucket_bits
+    bucket_bits = cfg.bucket_bits
 
     def explode(batch: pa.Table) -> pa.Table:
         terms = batch["term"]
@@ -135,6 +146,9 @@ def make_explode_fn(cfg: IndexConfig):
             denc = denc.combine_chunks()
         codes = denc.indices.to_numpy(zero_copy_only=False)
         grp = term_group_hash(denc.dictionary, n_parts)[codes]
+        if with_bucket:
+            bkt = bucket_of(doc, bucket_bits)
+            grp = grp * np.uint32(n_buckets) + bkt
         return pa.table(
             {
                 "grp": pa.array(grp, type=pa.uint32()),
@@ -148,7 +162,7 @@ def make_explode_fn(cfg: IndexConfig):
     return explode
 
 
-def make_encode_group_fn(avgdl: float, bucket: int):
+def make_encode_group_fn(avgdl: float, bucket: int | None, n_buckets: int = 1):
     """Encode every term of one (grp, bucket) shuffle group.
 
     Sorts the group's triples by (term, doc_id) with one lexsort, then
@@ -161,6 +175,11 @@ def make_encode_group_fn(avgdl: float, bucket: int):
             from .schema import SEGMENT
 
             return SEGMENT.empty_table()
+        bkt = (
+            bucket
+            if bucket is not None
+            else int(tbl["grp"][0].as_py()) % n_buckets
+        )
         term_col = tbl["term"]
         if isinstance(term_col, pa.ChunkedArray):
             term_col = term_col.combine_chunks()
@@ -196,7 +215,7 @@ def make_encode_group_fn(avgdl: float, bucket: int):
         return pa.table(
             {
                 "term": pa.array(terms_out, type=pa.string()),
-                "bucket": pa.array([bucket] * len(terms_out), type=pa.uint32()),
+                "bucket": pa.array([bkt] * len(terms_out), type=pa.uint32()),
                 "df": pa.array(dfs, type=pa.uint64()),
                 "doc_blob": pa.array(doc_blobs, type=pa.large_binary()),
                 "tf_blob": pa.array(tf_blobs, type=pa.large_binary()),
@@ -269,6 +288,9 @@ def build_index(
     man.data["config"] = asdict(cfg)
     n_buckets = 1 << cfg.bucket_bits
     tok_dir = os.path.join(index_dir, "tokenized")
+    import ray as _ray
+
+    ncpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
 
     read_cols = list(
         dict.fromkeys(
@@ -295,7 +317,10 @@ def build_index(
                 tok_fn, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
             )
             part_dir = os.path.join(tok_dir, f"part_{gname}")
-            _atomic_write(out, part_dir, partition_cols=["bucket"])
+            # hive-partition by bucket only when the merge will read
+            # per-bucket (avoids num_groups x num_buckets small files)
+            wkw = {"partition_cols": ["bucket"]} if cfg.per_bucket_merge else {}
+            _atomic_write(out, part_dir, **wkw)
             rows = pads.dataset(part_dir).count_rows()
             man.mark_partition("tokenized", gname, rows=rows, wall_s=t.elapsed())
         man.mark_stage("tokenized")
@@ -306,7 +331,7 @@ def build_index(
         tok_files = sorted(glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True))
         all_cols = pads.dataset(tok_files[0]).schema.names
         dm_cols = [c for c in all_cols if c not in ("term", "tf")]
-        dm = rd.read_parquet(tok_files, columns=dm_cols)
+        dm = rd.read_parquet(tok_files, columns=dm_cols).repartition(max(8, ncpus))
         _atomic_write(dm, os.path.join(index_dir, "docmap"))
 
         dm2 = rd.read_parquet(
@@ -346,7 +371,29 @@ def build_index(
 
     stats = man.data["stats"]
 
-    # ---- stage 3: per-bucket merge into segments -----------------------
+    # ---- stage 3: merge into segments ----------------------------------
+    if not man.stage_done("segments") and not cfg.per_bucket_merge:
+        # single-shuffle mode: bucket folded into the group key; one job
+        t = StageTimer()
+        tok_files = sorted(
+            glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
+        )
+        tk = rd.read_parquet(tok_files, columns=["doc_id", "length", "term", "tf"])
+        triples = tk.map_batches(
+            make_explode_fn(cfg, with_bucket=True), batch_format="pyarrow"
+        )
+        # coalesce pre-shuffle blocks: the aggregate's reduce-partition
+        # count follows the input block count, and hundreds of tiny
+        # blocks mean hundreds of near-empty reduce tasks + output files
+        triples = triples.repartition(2 * ncpus)
+        seg = triples.groupby("grp").map_groups(
+            make_encode_group_fn(stats["avgdl"], None, n_buckets),
+            batch_format="pyarrow",
+        )
+        seg = seg.repartition(max(8, n_buckets))
+        _atomic_write(seg, os.path.join(index_dir, "segments", "all"))
+        man.mark_stage("segments", wall_s=t.elapsed())
+
     if not man.stage_done("segments"):
         explode_fn = make_explode_fn(cfg)
         for b in range(n_buckets):
@@ -365,10 +412,13 @@ def build_index(
                 man.mark_partition("segments", pname, rows=0, wall_s=t.elapsed())
                 continue
             tk = rd.read_parquet(bfiles, columns=["doc_id", "length", "term", "tf"])
-            triples = tk.map_batches(explode_fn, batch_format="pyarrow")
+            triples = tk.map_batches(explode_fn, batch_format="pyarrow").repartition(
+                2 * ncpus
+            )
             seg = triples.groupby("grp").map_groups(
                 make_encode_group_fn(stats["avgdl"], b), batch_format="pyarrow"
             )
+            seg = seg.repartition(4)
             _atomic_write(seg, seg_dir)
             rows = pads.dataset(seg_dir).count_rows()
             man.mark_partition("segments", pname, rows=rows, wall_s=t.elapsed())

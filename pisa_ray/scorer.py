@@ -105,6 +105,7 @@ class IndexReader:
         order = np.argsort(docs, kind="stable")
         self.doc_sorted = docs[order]
         self.len_sorted = lens[order]
+        self._contrib_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     # ------------------------------------------------------------------
     def doc_lengths(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -119,6 +120,24 @@ class IndexReader:
         if self.id_mode == "int":
             return unsplitmix64(doc_ids).astype(np.int64)
         return np.asarray(doc_ids, dtype=np.uint64)
+
+    def term_contributions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, idf*wnorm contributions, positions into doc_sorted) for
+        a term — query-independent, so cached per actor (bounded; hot
+        terms dominate real query mixes)."""
+        cached = self._contrib_cache.get(term)
+        if cached is not None:
+            return cached
+        docs, tfs = self.decode_term(term)
+        if docs.size == 0:
+            out = (docs, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64))
+        else:
+            pos = np.searchsorted(self.doc_sorted, docs)
+            dl = self.len_sorted[pos]
+            out = (docs, self.idf(term) * bm25_wnorm(tfs, dl, self.avgdl), pos)
+        if len(self._contrib_cache) < 4096:
+            self._contrib_cache[term] = out
+        return out
 
     def decode_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Full decode of a term's postings across all runs -> sorted."""
@@ -145,27 +164,37 @@ class IndexReader:
 
 
 def score_taat(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, float]]:
+    """Exhaustive term-at-a-time over a dense per-shard score buffer.
+
+    ``np.add.at`` scatters each term's cached contribution vector into a
+    float64 buffer indexed by docmap position — accumulation order per
+    doc is sorted-term order (deterministic, oracle-identical). Top-k:
+    exact kth-score threshold, then tie-break (score desc, out_id asc)
+    over the (usually tiny) candidate set — exact ties all survive the
+    threshold cut, so no tie is ever lost to partitioning."""
     terms = sorted(set(tokenize_py(text)))
-    all_docs, all_contrib = [], []
+    scores = np.zeros(reader.n_docs, dtype=np.float64)
+    any_hit = False
     for t in terms:
-        docs, tfs = reader.decode_term(t)
+        docs, contrib, pos = reader.term_contributions(t)
         if docs.size == 0:
             continue
-        dl = reader.doc_lengths(docs)
-        contrib = reader.idf(t) * bm25_wnorm(tfs, dl, reader.avgdl)
-        all_docs.append(docs)
-        all_contrib.append(contrib)
-    if not all_docs:
+        np.add.at(scores, pos, contrib)
+        any_hit = True
+    if not any_hit:
         return []
-    docs_cat = np.concatenate(all_docs)
-    contrib_cat = np.concatenate(all_contrib)
-    uniq, inv = np.unique(docs_cat, return_inverse=True)
-    scores = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(scores, inv, contrib_cat)
-    out = reader.out_ids(uniq)
-    top = min(k, uniq.size)
-    order = np.lexsort((out, -scores))[:top]
-    return [(int(out[i]), float(scores[i])) for i in order]
+    nz = np.flatnonzero(scores > 0.0)
+    if nz.size == 0:
+        return []
+    if nz.size > k:
+        s_k = np.partition(scores[nz], nz.size - k)[nz.size - k]
+        cand = nz[scores[nz] >= s_k]
+    else:
+        cand = nz
+    out = reader.out_ids(reader.doc_sorted[cand])
+    c_scores = scores[cand]
+    order = np.lexsort((out, -c_scores))[: min(k, cand.size)]
+    return [(int(out[i]), float(c_scores[i])) for i in order]
 
 
 # --------------------------------------------------------------------------
@@ -359,22 +388,50 @@ class BM25Scorer:
 
     def __init__(
         self,
-        index_dir: str,
+        index_dir: str | None = None,
         k: int = 10,
         method: str = "taat",
         buckets: set[int] | None = None,
+        reader_ref=None,
     ):
-        self.reader = IndexReader(index_dir, buckets=buckets)
+        if reader_ref is not None:
+            # broadcast path: the driver loaded the index ONCE and
+            # ray.put() it; each actor deserializes from local plasma
+            # (numpy arrays zero-copy) instead of re-reading many files.
+            import ray
+
+            self.reader = ray.get(reader_ref)
+        else:
+            self.reader = IndexReader(index_dir, buckets=buckets)
         self.k = k
         self.method = method
+
+    def _pick(self, text: str):
+        """``auto``: Block-Max WAND pays off when pruning can actually
+        skip blocks — selective queries. When every term is stop-word
+        dense (candidate set ~ the whole corpus) the DAAT loop visits
+        every posting anyway, so the vectorized exhaustive TAAT kernel
+        is strictly faster. Both paths are rank-identical (tested), so
+        switching per query is purely a performance choice — the same
+        call real engines make between WAND and exhaustive SIMD scoring."""
+        if self.method != "auto":
+            return score_bmw if self.method == "bmw" else score_taat
+        terms = [t for t in set(tokenize_py(text)) if t in self.reader.df]
+        if not terms:
+            return score_taat
+        total = sum(int(self.reader.df[t]) for t in terms)
+        min_df = min(int(self.reader.df[t]) for t in terms)
+        selective = min_df < 0.05 * self.reader.n_docs and total < 0.5 * (
+            self.reader.n_docs * len(terms)
+        )
+        return score_bmw if selective else score_taat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        score_fn = score_bmw if self.method == "bmw" else score_taat
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, text in zip(qids, texts):
-            hits = score_fn(self.reader, text, self.k)
+            hits = self._pick(text)(self.reader, text, self.k)
             for rank, (doc, score) in enumerate(hits, start=1):
                 out_q.append(qid)
                 out_r.append(rank)
@@ -398,11 +455,31 @@ def query_index(
     method: str = "taat",
     concurrency: int = 4,
     batch_size: int = 64,
+    broadcast: bool = True,
 ):
-    """queries Dataset (query_id, text) -> hits Dataset via actor pool."""
+    """queries Dataset (query_id, text) -> hits Dataset via actor pool.
+
+    ``broadcast=True`` loads the index once on the driver and ships it
+    through the object store (zero-copy numpy in plasma) — actors start
+    in milliseconds instead of each re-reading the segment files. On a
+    multi-node cluster with doc-sharded scorers, pass
+    ``broadcast=False`` and per-actor ``buckets`` instead.
+
+    Queries are repartitioned into more blocks than actors so the pool
+    actually fans out (a single input block would pin ALL queries to
+    one actor)."""
+    if broadcast:
+        import ray
+
+        kwargs: dict = {"reader_ref": ray.put(IndexReader(index_dir))}
+    else:
+        kwargs = {"index_dir": index_dir}
+    kwargs.update({"k": k, "method": method})
+    if queries.count() > batch_size:
+        queries = queries.repartition(max(concurrency * 2, 4))
     return queries.map_batches(
         BM25Scorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "method": method},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
