@@ -26,6 +26,7 @@ import time
 
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1000"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "30000"))
 
 
 def prepare_corpus(sf_dir: str) -> tuple[str, int]:
@@ -54,6 +55,32 @@ def prepare_corpus(sf_dir: str) -> tuple[str, int]:
         pq.write_table(t, os.path.join(out_dir, f"part_{r:03d}.parquet"))
     open(done, "w").write("ok")
     return out_dir, n
+
+
+def prepare_synth_corpus(n_docs: int) -> tuple[str, int]:
+    """input_hint-shaped source-code corpus (repo/path/commit/lang/content),
+    Zipf vocab + stop-token skew — the engine's actual target workload.
+    Deterministic, partition-parallel, cached (untimed)."""
+    import pyarrow.parquet as pq
+
+    from pisa_ray.synth import make_corpus_partition
+
+    out_dir = f"/tmp/pisa_ray_bench/synth_{n_docs}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir, n_docs
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    n_parts = 16
+    base, rem = divmod(n_docs, n_parts)
+    start = 0
+    for p in range(n_parts):
+        rows = base + (1 if p < rem else 0)
+        t = make_corpus_partition(p, rows, start, max_tokens=800)
+        pq.write_table(t, os.path.join(out_dir, f"part_{p:03d}.parquet"))
+        start += rows
+    open(done, "w").write("ok")
+    return out_dir, n_docs
 
 
 def bench_queries(n: int, seed: int = 17) -> list[tuple[int, str]]:
@@ -101,25 +128,21 @@ def main() -> None:
 
     results: dict[str, float] = {}
 
-    corpus_dir, n_docs = prepare_corpus(sf_dir)
+    corpus_dir, n_docs = prepare_synth_corpus(SYNTH_DOCS)
     # warm the page cache so we measure compute+shuffle, not first read
     rd.read_parquet(corpus_dir).count()
 
-    # ---- index build -----------------------------------------------------
+    # ---- index build (input_hint-shaped source-code corpus) -------------
     idx_dir = f"/tmp/pisa_ray_bench/idx_{os.path.basename(corpus_dir)}_{ncpu}"
     t0 = time.perf_counter()
     build_index(
         corpus_dir,
         idx_dir,
         IndexConfig(
-            id_col="doc_id",
-            key_cols=(),
-            content_col="text",
-            meta_cols=("lang",),
             bucket_bits=3,
             term_parts=max(32, 2 * ncpu),
             lineage_parts=4,
-            tokenize_batch_size=2048,
+            tokenize_batch_size=512,
             check_collisions=False,
             per_bucket_merge=False,  # single shuffle: buckets are seconds
         ),
@@ -129,14 +152,10 @@ def main() -> None:
     results["index_build_sec"] = round(dt, 3)
     results["index_build_docs_per_s"] = round(n_docs / dt, 1)
 
-    # ---- BM25 query QPS --------------------------------------------------
-    qs = bench_queries(N_QUERIES)
-    qt = pa.table(
-        {
-            "query_id": pa.array([q[0] for q in qs], type=pa.int64()),
-            "text": pa.array([q[1] for q in qs], type=pa.string()),
-        }
-    )
+    # ---- BM25 query QPS (rare/common/multi/stop/OOV mix) ----------------
+    from pisa_ray.synth import make_queries
+
+    qt = make_queries(N_QUERIES)
     for method in ("taat", "auto"):
         t0 = time.perf_counter()
         n_hits = query_index(
@@ -195,7 +214,7 @@ def scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            BENCH_REPLICAS=os.environ.get("BENCH_REPLICAS", "200"),
+            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "100000"),
             BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "2000"),
         )
         out = subprocess.run(

@@ -72,27 +72,79 @@ class IndexReader:
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
         )
-        self.runs: dict[str, list[dict]] = {}
-        for f in seg_files:
-            t = pq.read_table(f)
-            terms = t["term"].to_pylist()
-            bks = t["bucket"].to_numpy(zero_copy_only=False)
-            for i, term in enumerate(terms):
-                if buckets is not None and int(bks[i]) not in buckets:
-                    continue
-                run = {
-                    "bucket": int(bks[i]),
-                    "doc_blob": t["doc_blob"][i].as_py(),
-                    "tf_blob": t["tf_blob"][i].as_py(),
-                    "last": np.asarray(t["block_last_doc"][i].as_py(), dtype=np.uint64),
-                    "doff": np.asarray(t["block_doc_off"][i].as_py(), dtype=np.uint32),
-                    "toff": np.asarray(t["block_tf_off"][i].as_py(), dtype=np.uint32),
-                    "cnt": np.asarray(t["block_count"][i].as_py(), dtype=np.uint32),
-                    "maxw": np.asarray(t["block_max_wnorm"][i].as_py(), dtype=np.float64),
-                }
-                self.runs.setdefault(term, []).append(run)
-        for rs in self.runs.values():
-            rs.sort(key=lambda r: (r["bucket"], int(r["last"][0]) if r["last"].size else 0))
+        # FLAT columnar layout (what a real engine would mmap): a dozen
+        # big numpy arrays + one term->run-range dict. Broadcasting this
+        # through the object store serializes a handful of large buffers
+        # zero-copy — NOT hundreds of thousands of tiny per-run arrays.
+        tables = [t for f in seg_files for t in [pq.read_table(f)] if t.num_rows]
+        if tables:
+            t = pa.concat_tables(tables).combine_chunks()
+            if buckets is not None:
+                import pyarrow.compute as pc
+
+                t = t.filter(
+                    pc.is_in(t["bucket"], value_set=pa.array(sorted(buckets), type=pa.uint32()))
+                )
+            import pyarrow.compute as pc
+
+            order = pc.sort_indices(
+                t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
+            )
+            t = t.take(order).combine_chunks()
+        else:
+            from .schema import SEGMENT
+
+            t = SEGMENT.empty_table()
+
+        R = t.num_rows
+        term_col = t["term"].combine_chunks() if R else t["term"]
+
+        def _flat(col, dtype=None):
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            if dtype is not None:
+                vals = vals.astype(dtype, copy=False)
+            return vals, arr.offsets.to_numpy().astype(np.int64, copy=False)
+
+        def _flat_binary(col):
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if len(arr) == 0:
+                return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            data_buf = arr.buffers()[2]
+            data = (
+                np.frombuffer(data_buf, dtype=np.uint8)
+                if data_buf is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            return data, offs.copy()
+
+        self.doc_data, self.doc_offs = _flat_binary(t["doc_blob"])
+        self.tf_data, self.tf_offs = _flat_binary(t["tf_blob"])
+        self.blk_last, self.blk_offs = _flat(t["block_last_doc"], np.uint64)
+        self.blk_doff, _ = _flat(t["block_doc_off"])
+        self.blk_toff, _ = _flat(t["block_tf_off"])
+        self.blk_cnt, _ = _flat(t["block_count"])
+        self.blk_maxw, _ = _flat(t["block_max_wnorm"])
+        self.run_bucket = (
+            t["bucket"].to_numpy(zero_copy_only=False) if R else np.empty(0, np.uint32)
+        )
+
+        # term -> contiguous run range (runs sorted by term, then bucket)
+        if R:
+            tnp = np.asarray(term_col.to_pylist(), dtype=object)
+            change = np.concatenate(
+                ([True], tnp[1:] != tnp[:-1])
+            )
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [R]))
+            self.term_runs = {
+                tnp[s]: (int(s), int(e)) for s, e in zip(starts, ends)
+            }
+        else:
+            self.term_runs = {}
 
         dm_files = sorted(
             glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
@@ -108,6 +160,32 @@ class IndexReader:
         self._contrib_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     # ------------------------------------------------------------------
+    def has_term(self, term: str) -> bool:
+        return term in self.term_runs
+
+    def runs_of(self, term: str) -> list[dict]:
+        """Per-run views (zero-copy slices of the flat arrays), in
+        (bucket asc) order — i.e. ascending docID ranges."""
+        rng = self.term_runs.get(term)
+        if rng is None:
+            return []
+        out = []
+        for r in range(rng[0], rng[1]):
+            b0, b1 = int(self.blk_offs[r]), int(self.blk_offs[r + 1])
+            out.append(
+                {
+                    "bucket": int(self.run_bucket[r]),
+                    "doc_blob": self.doc_data[self.doc_offs[r]:self.doc_offs[r + 1]],
+                    "tf_blob": self.tf_data[self.tf_offs[r]:self.tf_offs[r + 1]],
+                    "last": self.blk_last[b0:b1],
+                    "doff": self.blk_doff[b0:b1],
+                    "toff": self.blk_toff[b0:b1],
+                    "cnt": self.blk_cnt[b0:b1],
+                    "maxw": self.blk_maxw[b0:b1],
+                }
+            )
+        return out
+
     def doc_lengths(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_sorted, doc_ids)
         return self.len_sorted[idx]
@@ -132,16 +210,31 @@ class IndexReader:
         if docs.size == 0:
             out = (docs, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64))
         else:
-            pos = np.searchsorted(self.doc_sorted, docs)
+            pos = np.searchsorted(self.doc_sorted, docs).astype(np.int32)
             dl = self.len_sorted[pos]
             out = (docs, self.idf(term) * bm25_wnorm(tfs, dl, self.avgdl), pos)
         if len(self._contrib_cache) < 4096:
             self._contrib_cache[term] = out
         return out
 
+    def precompute_contributions(self, min_df_fraction: float = 0.005) -> None:
+        """Materialize the HOT terms' (positions, contributions) arrays —
+        the read-optimized 'impact file'. Done ONCE on the driver before
+        broadcasting: the numpy arrays then live in plasma and every
+        scorer actor maps them zero-copy instead of building its own
+        copy (which at 16 actors x hot-term-sized arrays thrashes the
+        node). Cold terms stay lazy — their lists are tiny, and paying
+        ~1ms of per-term setup for all of a Zipf vocabulary up front
+        costs more than it saves. At 10^12-doc scale this is
+        per-bucket-shard, not global."""
+        min_df = max(1, int(min_df_fraction * self.n_docs))
+        for term, df in self.df.items():
+            if int(df) >= min_df and self.has_term(term):
+                self.term_contributions(term)
+
     def decode_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Full decode of a term's postings across all runs -> sorted."""
-        runs = self.runs.get(term)
+        runs = self.runs_of(term)
         if not runs:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
         ds, ts = [], []
@@ -179,7 +272,13 @@ def score_taat(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, f
         docs, contrib, pos = reader.term_contributions(t)
         if docs.size == 0:
             continue
-        np.add.at(scores, pos, contrib)
+        # per-doc accumulation order is still sorted-term order either
+        # way (positions are unique within a term); bincount is much
+        # faster than add.at for dense terms, add.at for sparse ones
+        if pos.size * 16 > reader.n_docs:
+            scores += np.bincount(pos, weights=contrib, minlength=reader.n_docs)
+        else:
+            np.add.at(scores, pos, contrib)
         any_hit = True
     if not any_hit:
         return []
@@ -211,7 +310,7 @@ class _Cursor:
     )
 
     def __init__(self, reader: IndexReader, term: str):
-        runs = reader.runs[term]
+        runs = reader.runs_of(term)
         self.term = term
         self.idf = reader.idf(term)
         self.last = np.concatenate([r["last"] for r in runs])
@@ -286,7 +385,7 @@ class _Cursor:
 
 def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, float]]:
     terms = sorted(set(tokenize_py(text)))
-    cursors = [_Cursor(reader, t) for t in terms if t in reader.runs]
+    cursors = [_Cursor(reader, t) for t in terms if reader.has_term(t)]
     if not cursors:
         return []
     gub = {c.term: c.idf * float(c.maxw.max()) for c in cursors}
@@ -448,6 +547,26 @@ class BM25Scorer:
         )
 
 
+# driver-side broadcast cache: one load + one plasma put per (index,
+# build generation) no matter how many query_index calls are made
+_reader_cache: dict[str, tuple[float, object]] = {}
+
+
+def _broadcast_reader(index_dir: str):
+    key = os.path.abspath(index_dir)
+    mtime = os.path.getmtime(os.path.join(index_dir, "manifest.json"))
+    ent = _reader_cache.get(key)
+    if ent is not None and ent[0] == mtime:
+        return ent[1]
+    import ray
+
+    reader = IndexReader(index_dir)
+    reader.precompute_contributions()
+    ref = ray.put(reader)
+    _reader_cache[key] = (mtime, ref)
+    return ref
+
+
 def query_index(
     queries,
     index_dir: str,
@@ -469,9 +588,7 @@ def query_index(
     actually fans out (a single input block would pin ALL queries to
     one actor)."""
     if broadcast:
-        import ray
-
-        kwargs: dict = {"reader_ref": ray.put(IndexReader(index_dir))}
+        kwargs: dict = {"reader_ref": _broadcast_reader(index_dir)}
     else:
         kwargs = {"index_dir": index_dir}
     kwargs.update({"k": k, "method": method})
@@ -482,6 +599,9 @@ def query_index(
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # fixed pool size: Ray Data's autoscaler ramps too slowly for a
+        # short query burst; the caller sizes concurrency < node CPUs so
+        # upstream stages never starve
+        concurrency=concurrency,
         num_cpus=1,
     )

@@ -103,15 +103,25 @@ def make_corpus_partition(
         wide = rng.random(rows) < wide_row_permille / 1000.0
         lengths = np.where(wide, 50_000, lengths)
 
+    # draw ALL tokens for the partition at once (inverse-CDF sampling —
+    # rng.choice(p=...) recomputes the cumsum per call and is ~100x slower)
+    cdf = np.cumsum(probs)
+    total = int(lengths.sum())
+    codes = np.searchsorted(cdf, rng.random(total), side="right")
+    codes = np.minimum(codes, vocab_size - 1)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    stoppy = rng.random(rows) < 0.92  # stop tokens in >90% of docs
+    stop_codes = rng.integers(0, len(STOP_TOKENS), size=total)
     contents = []
     for i in range(rows):
-        n = int(lengths[i])
-        toks = vocab[rng.choice(vocab_size, size=n, p=probs)]
-        # stop tokens in >90% of docs
-        if rng.random() < 0.92:
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        toks = codes[lo:hi]
+        if stoppy[i]:
+            n = hi - lo
             pos = rng.integers(0, n, size=max(1, n // 50))
-            toks[pos] = rng.choice(STOP_TOKENS, size=pos.size)
-        contents.append(" ".join(toks))
+            toks = toks.copy()
+            toks[pos] = stop_codes[lo:lo + pos.size]
+        contents.append(" ".join(vocab[toks]))
 
     return pa.table(
         {

@@ -86,7 +86,7 @@ def test_postings_invariants(tiny_index, tiny_oracle):
     """Postings doc-sorted; sum tf per doc == doc length."""
     reader = IndexReader(tiny_index)
     tf_per_doc: dict[int, int] = {}
-    for term in reader.runs:
+    for term in reader.term_runs:
         docs, tfs = reader.decode_term(term)
         assert np.all(docs[1:] > docs[:-1]) if docs.size > 1 else True
         for d, t in zip(docs.tolist(), tfs.tolist()):
