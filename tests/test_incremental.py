@@ -1,0 +1,52 @@
+"""Incremental (generation-append) index build: base + delta must be
+rank-identical to a from-scratch oracle over the full corpus."""
+
+import numpy as np
+
+from pisa_ray.build import IndexConfig, build_incremental, build_index
+from pisa_ray.docids import doc_ids_from_keys
+from pisa_ray.oracle import OracleIndex
+from pisa_ray.scorer import IndexReader, score_bmw, score_taat
+from pisa_ray.synth import make_corpus, make_queries
+
+
+def test_incremental_generation_rank_identity(tmp_path):
+    corpus = make_corpus(240, n_partitions=2)
+    base = corpus.slice(0, 150)
+    delta = corpus.slice(150)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    build_index(base, d, cfg)
+    build_incremental(delta, d, generation="g1")
+
+    reader = IndexReader(d)
+    ids = doc_ids_from_keys(corpus["repo"], corpus["path"], corpus["commit"])
+    oracle = OracleIndex(ids, corpus["content"].to_pylist())
+    assert reader.n_docs == oracle.n_docs
+    assert abs(reader.avgdl - oracle.avgdl) < 1e-9
+    for term, df in oracle.df.items():
+        assert int(reader.df.get(term, 0)) == df
+
+    queries = make_queries(60)
+    for text in queries["text"].to_pylist():
+        golden = oracle.score_query(text, 10)
+        got = score_taat(reader, text, 10)
+        assert len(golden) == len(got)
+        for (gd, gs), (ed, es) in zip(golden, got):
+            assert gd == ed and abs(gs - es) <= 1e-9
+        assert score_bmw(reader, text, 10) == got
+
+
+def test_incremental_postings_sorted_after_merge(tmp_path):
+    """Overlapping docID ranges across generations re-sort at decode."""
+    corpus = make_corpus(120, n_partitions=1)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(bucket_bits=1, term_parts=4, lineage_parts=1)
+    build_index(corpus.slice(0, 60), d, cfg)
+    build_incremental(corpus.slice(60), d, generation="g1")
+    reader = IndexReader(d)
+    for term in list(reader.term_runs)[:50]:
+        docs, tfs = reader.decode_term(term)
+        if docs.size > 1:
+            assert np.all(docs[1:] > docs[:-1])
+        assert docs.size == int(reader.df[term])
