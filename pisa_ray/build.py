@@ -258,11 +258,37 @@ def _atomic_write(ds: rd.Dataset, final_dir: str, **write_kwargs: Any) -> None:
     os.rename(tmp, final_dir)
 
 
+def _read_files(files: list[str], columns: list[str]) -> rd.Dataset:
+    """Format-dispatched source read (reference reads TSV logs,
+    /root/reference/src/helpers/Reader.py:180-183; Parquet is the
+    native format — CSV/TSV/JSONL are convenience ingests)."""
+    ext = os.path.splitext(files[0])[1].lower()
+    if ext == ".parquet":
+        return rd.read_parquet(files, columns=columns)
+    if ext in (".csv", ".tsv"):
+        from pyarrow import csv as pacsv
+
+        parse = pacsv.ParseOptions(delimiter="\t" if ext == ".tsv" else ",")
+        ds = rd.read_csv(files, parse_options=parse)
+        return ds.select_columns([c for c in columns if c in ds.schema().names])
+    if ext in (".json", ".jsonl", ".ndjson"):
+        ds = rd.read_json(files)
+        return ds.select_columns([c for c in columns if c in ds.schema().names])
+    raise ValueError(f"unsupported corpus format: {ext}")
+
+
 def _input_groups(source, n_groups: int) -> list[tuple[str, Any]]:
     """Split the input into lineage partitions (file groups)."""
     if isinstance(source, (str, os.PathLike)):
         p = str(source)
-        files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)) if os.path.isdir(p) else [p]
+        if os.path.isdir(p):
+            files = sorted(
+                f
+                for pat in ("*.parquet", "*.csv", "*.tsv", "*.json", "*.jsonl")
+                for f in glob.glob(os.path.join(p, "**", pat), recursive=True)
+            )
+        else:
+            files = [p]
         source = files
     if isinstance(source, (list, tuple)) and source and isinstance(source[0], str):
         files = list(source)
@@ -313,7 +339,7 @@ def build_index(
                 continue
             t = StageTimer()
             if isinstance(ginput, list):
-                ds = rd.read_parquet(ginput, columns=read_cols)
+                ds = _read_files(ginput, read_cols)
             elif isinstance(ginput, pa.Table):
                 ds = rd.from_arrow(ginput.select([c for c in read_cols if c in ginput.column_names]))
             else:
@@ -550,4 +576,103 @@ def build_incremental(
     )
     man.mark_stage(f"generation_{generation}")
     man.save()
+    return man.data
+
+
+def compact_index(index_dir: str) -> dict:
+    """Merge all generations' segment runs into fresh single-generation
+    segments (one doc-sorted run per (term, bucket)), re-encoded under
+    the CURRENT global avgdl — restoring full block-max WAND usability
+    after incremental appends (interleaved docID ranges force scorers
+    onto the exhaustive path until compaction; cf. segment-merge
+    policies in log-structured engines).
+
+    Pipeline: read segment rows -> map_batches decode (postings back to
+    (grp, term, doc_id, tf, dl) triples; doc lengths looked up against
+    a broadcast docmap) -> the same groupby-encode merge as the build.
+    """
+    import ray
+
+    man = Manifest(index_dir)
+    cfg = IndexConfig(**{**man.data["config"]})
+    stats = man.data["stats"]
+    n_buckets = 1 << cfg.bucket_bits
+    avgdl = float(stats["avgdl"])
+    ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    # broadcast docmap lengths once
+    from .scorer import IndexReader
+
+    reader = IndexReader(index_dir)
+    dl_ref = ray.put((reader.doc_sorted, reader.len_sorted))
+    n_parts = cfg.term_parts
+
+    def decode_rows(batch: pa.Table) -> pa.Table:
+        from .codec import decode_postings
+
+        doc_sorted, len_sorted = ray.get(dl_ref)
+        terms_out, docs_out, tfs_out = [], [], []
+        doc_blobs = batch["doc_blob"].to_pylist()
+        tf_blobs = batch["tf_blob"].to_pylist()
+        cnt_col = batch["block_count"]
+        if isinstance(cnt_col, pa.ChunkedArray):
+            cnt_col = cnt_col.combine_chunks()
+        cnt_vals = cnt_col.values.to_numpy(zero_copy_only=False)
+        cnt_offs = cnt_col.offsets.to_numpy()
+        terms = batch["term"].to_pylist()
+        for i in range(batch.num_rows):
+            cnts = cnt_vals[cnt_offs[i]:cnt_offs[i + 1]]
+            d, tf = decode_postings(doc_blobs[i], tf_blobs[i], cnts)
+            docs_out.append(d)
+            tfs_out.append(tf)
+            terms_out.append(np.full(d.size, i, dtype=np.int64))
+        if not docs_out:
+            return pa.table(
+                {
+                    "grp": pa.array([], type=pa.uint32()),
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.uint64()),
+                    "tf": pa.array([], type=pa.uint32()),
+                    "dl": pa.array([], type=pa.uint32()),
+                }
+            )
+        row_idx = np.concatenate(terms_out)
+        docs = np.concatenate(docs_out)
+        tfs = np.concatenate(tfs_out)
+        dl = len_sorted[np.searchsorted(doc_sorted, docs)]
+        term_arr = pa.array(terms, type=pa.string()).take(pa.array(row_idx))
+        th = term_group_hash(pa.array(terms, type=pa.string()), n_parts)
+        grp = th[row_idx] * np.uint32(n_buckets) + bucket_of(docs, cfg.bucket_bits)
+        return pa.table(
+            {
+                "grp": pa.array(grp, type=pa.uint32()),
+                "term": term_arr,
+                "doc_id": pa.array(docs, type=pa.uint64()),
+                "tf": pa.array(tfs.astype(np.uint32)),
+                "dl": pa.array(dl.astype(np.uint32)),
+            }
+        )
+
+    seg_files = sorted(
+        glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+    )
+    triples = (
+        rd.read_parquet(seg_files)
+        .map_batches(decode_rows, batch_format="pyarrow", batch_size=64)
+        .repartition(2 * ncpus)
+    )
+    seg = triples.groupby("grp").map_groups(
+        make_encode_group_fn(avgdl, None, n_buckets), batch_format="pyarrow"
+    ).repartition(max(8, n_buckets))
+    _atomic_write(seg, os.path.join(index_dir, "segments_compacted"))
+
+    # swap in atomically, drop generation links
+    old = os.path.join(index_dir, "segments")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(os.path.join(index_dir, "segments_compacted"), old)
+    _write_lexicon(
+        sorted(glob.glob(os.path.join(old, "**", "*.parquet"), recursive=True)),
+        os.path.join(index_dir, "lexicon"),
+    )
+    man.mark_stage("compacted")
     return man.data

@@ -594,6 +594,59 @@ class BM25Scorer:
         )
 
 
+def query_index_sharded(
+    queries,
+    index_dir: str,
+    shards: list[set[int]],
+    k: int = 10,
+    method: str = "auto",
+    concurrency_per_shard: int = 2,
+    batch_size: int = 64,
+):
+    """Doc-sharded fan-out — the multi-node deployment shape.
+
+    Each shard's actor pool loads ONLY its docID-range buckets (on a
+    real cluster: one pool per node group, holding 1/S of the index);
+    every query runs against every shard and the per-shard top-k lists
+    merge by (score desc, doc_id asc). Exact: every doc lives in
+    exactly one shard and BM25 stats (N, avgdl, df) are global, so the
+    global top-k is a subset of the union of per-shard top-ks.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    if queries.count() > batch_size:
+        queries = queries.repartition(max(concurrency_per_shard * 2, 4))
+    parts = []
+    for shard in shards:
+        parts.append(
+            queries.map_batches(
+                BM25Scorer,
+                fn_constructor_kwargs={
+                    "index_dir": index_dir,
+                    "k": k,
+                    "method": method,
+                    "buckets": set(shard),
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency_per_shard,
+                num_cpus=1,
+            )
+        )
+    allhits = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return allhits.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 # driver-side broadcast cache: one load + one plasma put per (index,
 # build generation) no matter how many query_index calls are made
 _reader_cache: dict[str, tuple[float, object]] = {}

@@ -172,3 +172,46 @@ def test_manifest_lineage(tiny_index):
     assert len(parts) == 4  # bucket_bits=2
     for p in parts.values():
         assert p["status"] == "done" and "wall_s" in p
+
+
+def test_sharded_query_fanout_matches_broadcast(tiny_index, tiny_oracle):
+    """Doc-sharded scorer pools (multi-node shape) merge to the exact
+    same global top-k as the single-pool broadcast path."""
+    from pisa_ray.scorer import query_index, query_index_sharded
+
+    q = make_queries(25)
+    a = (
+        query_index(rd.from_arrow(q), tiny_index, k=10, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        query_index_sharded(
+            rd.from_arrow(q), tiny_index, shards=[{0, 1}, {2, 3}], k=10
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["query_id", "rank", "doc_id"]].equals(
+        b[["query_id", "rank", "doc_id"]]
+    )
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+
+
+def test_csv_source_builds_identical_index(tmp_path, tiny_corpus):
+    """CSV corpus ingest produces the same segments as Parquet."""
+    import pyarrow.csv as pacsv
+
+    csv_path = str(tmp_path / "corpus.csv")
+    pacsv.write_csv(tiny_corpus, csv_path)
+    d1, d2 = str(tmp_path / "pq"), str(tmp_path / "csv")
+    cfg = IndexConfig(bucket_bits=1, term_parts=4, lineage_parts=1)
+    build_index(tiny_corpus, d1, cfg)
+    build_index(csv_path, d2, cfg)
+    r1, r2 = IndexReader(d1), IndexReader(d2)
+    assert r1.df == r2.df
+    q = make_queries(20)
+    for text in q["text"].to_pylist():
+        assert score_taat(r1, text, 10) == score_taat(r2, text, 10)

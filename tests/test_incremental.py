@@ -50,3 +50,31 @@ def test_incremental_postings_sorted_after_merge(tmp_path):
         if docs.size > 1:
             assert np.all(docs[1:] > docs[:-1])
         assert docs.size == int(reader.df[term])
+
+
+def test_compaction_restores_single_runs_and_identity(tmp_path):
+    from pisa_ray.build import compact_index
+
+    corpus = make_corpus(200, n_partitions=2)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    build_index(corpus.slice(0, 120), d, cfg)
+    build_incremental(corpus.slice(120), d, generation="g1")
+    compact_index(d)
+
+    reader = IndexReader(d)
+    ids = doc_ids_from_keys(corpus["repo"], corpus["path"], corpus["commit"])
+    oracle = OracleIndex(ids, corpus["content"].to_pylist())
+    # one run per (term, bucket) again and every term BMW-safe
+    for term in list(reader.term_runs)[:100]:
+        runs = reader.runs_of(term)
+        assert len(runs) == len({r["bucket"] for r in runs})
+        assert reader.term_bmw_safe(term)
+        assert int(reader.df[term]) == oracle.df[term]
+    queries = make_queries(40)
+    for text in queries["text"].to_pylist():
+        golden = oracle.score_query(text, 10)
+        got = score_taat(reader, text, 10)
+        assert [g[0] for g in golden] == [e[0] for e in got]
+        assert all(abs(g[1] - e[1]) <= 1e-9 for g, e in zip(golden, got))
+        assert score_bmw(reader, text, 10) == got
