@@ -63,8 +63,12 @@ def _index_dir(sf_dir: str) -> str:
     full-text index over the documents table of this sf_dir."""
     from pisa_ray.build import IndexConfig, build_index
 
+    from pisa_ray import INDEX_FORMAT_VERSION
+
     out = os.path.join(
-        "/tmp/pisa_ray_idx", os.path.basename(os.path.normpath(sf_dir)), "documents"
+        f"/tmp/pisa_ray_idx/v{INDEX_FORMAT_VERSION}",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "documents",
     )
     build_index(
         os.path.join(sf_dir, "documents.parquet"),

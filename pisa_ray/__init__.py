@@ -8,15 +8,30 @@ Nothing in this package calls ``ray.init`` / ``ray.shutdown`` — the
 caller (driver, bench.py, tests' conftest) owns the Ray session.
 """
 
-from .build import IndexConfig, build_index
-from .scorer import BM25Scorer, IndexReader, query_index, score_bmw, score_taat
+# bump when the on-disk segment/docmap layout changes (callers key
+# their /tmp index caches by this so stale-format dirs are never reused)
+INDEX_FORMAT_VERSION = 2
+
+from .build import IndexConfig, build_incremental, build_index, compact_index
+from .scorer import (
+    BM25Scorer,
+    IndexReader,
+    query_index,
+    query_index_sharded,
+    score_bmw,
+    score_taat,
+)
 
 __all__ = [
+    "INDEX_FORMAT_VERSION",
     "IndexConfig",
     "build_index",
+    "build_incremental",
+    "compact_index",
     "BM25Scorer",
     "IndexReader",
     "query_index",
+    "query_index_sharded",
     "score_taat",
     "score_bmw",
 ]

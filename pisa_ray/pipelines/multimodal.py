@@ -100,3 +100,90 @@ def decode_features(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class FakeResizer:
+    """STUB image-resize stage (PIL unavailable): deterministic
+    payload transform preserving the Ray-side contract — width/height
+    metadata updated, payload size scales with target area. Replace
+    `_resize` with PIL `Image.resize` in production; batch sizes stay
+    small because rows are wide."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 64):
+        self.tw, self.th = target_w, target_h
+
+    def _resize(self, payload: bytes, w: int, h: int) -> bytes:
+        n_out = max(1, int(len(payload) * (self.tw * self.th) / max(1, w * h)))
+        rep = (payload * (n_out // max(1, len(payload)) + 1))[:n_out]
+        return rep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        out = [
+            self._resize(p, w, h)
+            for p, w, h in zip(payloads.to_pylist(), ws, hs)
+        ]
+        n = len(out)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out, type=pa.large_binary()),
+                "width": pa.array([self.tw] * n, type=pa.int32()),
+                "height": pa.array([self.th] * n, type=pa.int32()),
+                "sample_rate": batch["sample_rate"],
+            }
+        )
+
+
+class FakeFrameSampler:
+    """STUB video frame-sampler (ffmpeg unavailable): splits a payload
+    into `n_frames` deterministic byte slices, one output row per
+    frame (flat_map-shaped expansion inside map_batches)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        ids = batch["media_id"].to_pylist()
+        out_id, out_frame, out_bytes = [], [], []
+        for mid, p in zip(ids, payloads.to_pylist()):
+            step = max(1, len(p) // self.n_frames)
+            for f in range(self.n_frames):
+                out_id.append(mid)
+                out_frame.append(f)
+                out_bytes.append(p[f * step : (f + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame": pa.array(out_frame, type=pa.int32()),
+                "frame_payload": pa.array(out_bytes, type=pa.large_binary()),
+            }
+        )
+
+
+def resize_images(media: rd.Dataset, target_w: int = 64, target_h: int = 64,
+                  concurrency: int = 2, batch_size: int = 16) -> rd.Dataset:
+    return media.map_batches(
+        FakeResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=1,
+    )
+
+
+def sample_frames(media: rd.Dataset, n_frames: int = 4,
+                  concurrency: int = 2, batch_size: int = 16) -> rd.Dataset:
+    return media.map_batches(
+        FakeFrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=1,
+    )

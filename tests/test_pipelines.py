@@ -233,3 +233,22 @@ def test_multimodal_decode_deterministic():
     assert np.array_equal(fa, fb)
     assert fa.shape == (32, 8)
     assert ((fa >= 0) & (fa <= 1)).all()
+
+
+def test_multimodal_resize_and_frames():
+    from pisa_ray.pipelines.multimodal import (
+        decode_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = rd.from_arrow(__import__("pisa_ray.pipelines.multimodal", fromlist=["synth_media"]).synth_media(16))
+    resized = resize_images(media, 32, 32).to_pandas()
+    assert (resized["width"] == 32).all() and (resized["height"] == 32).all()
+    frames = sample_frames(media, n_frames=3).to_pandas()
+    assert len(frames) == 16 * 3
+    assert set(frames["frame"]) == {0, 1, 2}
+    # resize -> decode chains (schema compatibility)
+    chained = decode_features(resize_images(media, 16, 16)).to_pandas()
+    assert len(chained) == 16
