@@ -364,6 +364,18 @@ def q_snapshot_counts(sf_dir: str):
     )
 
 
+def q_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user — streaming semantics on
+    the batch engine; one groupby(user), sessions inside sorted groups."""
+    from pisa_ray.pipelines.relational import sessionize
+
+    out = sessionize(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        gap_seconds=1800,
+    ).to_pandas()
+    return out.astype({"user_id": "int64", "session_id": "int64", "n_events": "int64"})
+
+
 def q_user_top_events(sf_dir: str):
     """Per-user top-3 event types (reference per-user top-k,
     /root/reference/src/Inference.py:240), rank ties by event_type."""
@@ -628,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_by_type": q_events_by_type,
         "snapshot_counts": q_snapshot_counts,
+        "sessions": q_sessions,
         "user_top_events": q_user_top_events,
         "nation_region": q_nation_region,
         "dedup_exact": q_dedup_exact,
@@ -747,6 +760,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows, count(DISTINCT user_id) AS n_users
             FROM ordered CROSS JOIN p2
             GROUP BY 1
+        """,
+        "sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            labeled AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, session_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM labeled GROUP BY user_id, session_id
         """,
         "user_top_events": """
             SELECT user_id, event_type, n, rank FROM (

@@ -218,7 +218,7 @@ def scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "200000"),
+            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "400000"),
             BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "8000"),
         )
         out = subprocess.run(

@@ -169,12 +169,18 @@ def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
 def make_encode_group_fn(avgdl: float, bucket: int | None, n_buckets: int = 1):
     """Encode every term of one (grp, bucket) shuffle group.
 
-    Sorts the group's triples by (term, doc_id) with one lexsort, then
-    runs the vectorized block codec per term run — Python loops only
-    over distinct terms, never over postings.
+    Fully vectorized across ALL terms in the group: one lexsort, ONE
+    varint encode of the whole group's doc-gap stream and tf stream
+    (per-term/per-block resets expressed as masks), block metadata via
+    ``reduceat``, and zero-copy Arrow assembly from flat buffers. No
+    Python loop over terms — a ds.stats() audit showed 240k per-term
+    codec calls costing ~0.5ms of fixed overhead each (~110s CPU per
+    200k-doc build) before this.
     """
 
     def encode_group(tbl: pa.Table) -> pa.Table:
+        from .codec import BLOCK_SIZE, bm25_wnorm, varint_encode, varint_lengths
+
         if tbl.num_rows == 0:
             from .schema import SEGMENT
 
@@ -198,47 +204,64 @@ def make_encode_group_fn(avgdl: float, bucket: int | None, n_buckets: int = 1):
 
         order = np.lexsort((doc, codes))
         codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1, [codes.size]))
+        n = codes.size
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1))
+        starts_ext = np.concatenate((starts, [n]))  # T+1
+        counts = np.diff(starts_ext)
+        T = starts.size
 
-        terms_out, dfs = [], []
-        doc_blobs, tf_blobs = [], []
-        b_last, b_doff, b_toff, b_cnt, b_max = [], [], [], [], []
-        for i in range(starts.size - 1):
-            s, e = int(starts[i]), int(starts[i + 1])
-            ep = encode_postings(doc[s:e], tf[s:e], dl[s:e], avgdl)
-            terms_out.append(vocab[int(codes[s])].as_py())
-            dfs.append(e - s)
-            doc_blobs.append(ep.doc_blob)
-            tf_blobs.append(ep.tf_blob)
-            b_last.append(ep.block_last_doc)
-            b_doff.append(ep.block_doc_off)
-            b_toff.append(ep.block_tf_off)
-            b_cnt.append(ep.block_count)
-            b_max.append(ep.block_max_wnorm)
+        # block starts: every BLOCK_SIZE-th posting within a term (term
+        # starts are block starts, so gaps never cross term boundaries)
+        idx_in_term = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        block_start = (idx_in_term % BLOCK_SIZE) == 0
+        prev = np.empty(n, dtype=np.uint64)
+        prev[0] = 0
+        prev[1:] = doc[:-1]
+        vals = np.where(block_start, doc, doc - prev)
 
+        doc_bytes = varint_encode(vals)
+        tf_bytes = varint_encode(tf)
+        doc_cum = np.concatenate(([0], np.cumsum(varint_lengths(vals))))
+        tf_cum = np.concatenate(([0], np.cumsum(varint_lengths(tf))))
+
+        bpos = np.flatnonzero(block_start)
+        bend = np.concatenate((bpos[1:], [n]))
+        bterm = np.searchsorted(starts, bpos, side="right") - 1
+        wnorm = bm25_wnorm(tf, dl, avgdl)
+        maxw_b = np.maximum.reduceat(wnorm, bpos)
+        last_b = doc[bend - 1]
+        cnt_b = (bend - bpos).astype(np.uint32)
+        doff_b = (doc_cum[bpos] - doc_cum[starts][bterm]).astype(np.uint32)
+        toff_b = (tf_cum[bpos] - tf_cum[starts][bterm]).astype(np.uint32)
+        tb = np.searchsorted(bpos, starts_ext).astype(np.int64)  # T+1
+
+        def _list_arr(values: np.ndarray, pa_type) -> pa.LargeListArray:
+            return pa.LargeListArray.from_arrays(
+                pa.array(tb, type=pa.int64()), pa.array(values, type=pa_type)
+            )
+
+        def _blob_arr(cum: np.ndarray, data: np.ndarray) -> pa.Array:
+            offs = cum[starts_ext].astype(np.int64)
+            return pa.Array.from_buffers(
+                pa.large_binary(),
+                T,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
+            )
+
+        term_vals = vocab.take(pa.array(codes[starts])).cast(pa.string())
         return pa.table(
             {
-                "term": pa.array(terms_out, type=pa.string()),
-                "bucket": pa.array([bkt] * len(terms_out), type=pa.uint32()),
-                "df": pa.array(dfs, type=pa.uint64()),
-                "doc_blob": pa.array(doc_blobs, type=pa.large_binary()),
-                "tf_blob": pa.array(tf_blobs, type=pa.large_binary()),
-                "block_last_doc": pa.array(
-                    [a.tolist() for a in b_last], type=pa.large_list(pa.uint64())
-                ),
-                "block_doc_off": pa.array(
-                    [a.tolist() for a in b_doff], type=pa.large_list(pa.uint32())
-                ),
-                "block_tf_off": pa.array(
-                    [a.tolist() for a in b_toff], type=pa.large_list(pa.uint32())
-                ),
-                "block_count": pa.array(
-                    [a.tolist() for a in b_cnt], type=pa.large_list(pa.uint32())
-                ),
-                "block_max_wnorm": pa.array(
-                    [a.tolist() for a in b_max], type=pa.large_list(pa.float64())
-                ),
-                "avgdl": pa.array([float(avgdl)] * len(terms_out), type=pa.float64()),
+                "term": term_vals,
+                "bucket": pa.array(np.full(T, bkt, dtype=np.uint32)),
+                "df": pa.array(counts.astype(np.uint64)),
+                "doc_blob": _blob_arr(doc_cum, doc_bytes),
+                "tf_blob": _blob_arr(tf_cum, tf_bytes),
+                "block_last_doc": _list_arr(last_b, pa.uint64()),
+                "block_doc_off": _list_arr(doff_b, pa.uint32()),
+                "block_tf_off": _list_arr(toff_b, pa.uint32()),
+                "block_count": _list_arr(cnt_b, pa.uint32()),
+                "block_max_wnorm": _list_arr(maxw_b, pa.float64()),
+                "avgdl": pa.array(np.full(T, float(avgdl))),
             }
         )
 

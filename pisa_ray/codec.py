@@ -83,6 +83,15 @@ def varint_decode(buf: np.ndarray) -> np.ndarray:
     return vals
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += (v >= t).astype(np.int64)
+    return nb
+
+
 def varint_count(buf: np.ndarray) -> int:
     """Number of varints in a byte buffer (terminator-byte count)."""
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf

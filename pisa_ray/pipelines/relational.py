@@ -134,3 +134,37 @@ def tumbling_window_agg(
             Sum(value_col, alias_name="sum_value"),
         )
     )
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    gap_seconds: int = 1800,
+) -> rd.Dataset:
+    """Session windows: per key, a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``. Batch-engine shape of
+    the streaming semantic (the reference simulates streams with static
+    slicing the same way, /root/reference/src/helpers/Reader.py:148-178):
+    one groupby(key), sessions derived inside the sorted group.
+
+    Returns one row per session: (key, session_id, session_start,
+    n_events) with session_id numbered 1.. per key in time order.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort")
+        ts = g[ts_col]
+        gap = ts.diff().dt.total_seconds().fillna(float("inf"))
+        sess = (gap > gap_seconds).cumsum()
+        out = g.groupby(sess).agg(
+            session_start=(ts_col, "first"), n_events=(ts_col, "size")
+        )
+        out = out.reset_index(drop=True)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        out.insert(1, "session_id", np.arange(1, len(out) + 1, dtype=np.int64))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
