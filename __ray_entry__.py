@@ -214,6 +214,41 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_bm25_filtered(sf_dir: str):
+    """BM25 top-10 restricted to lang='en' docs (global stats, filtered
+    candidates) — the reference's group-restricted evaluation
+    (/root/reference/src/Inference.py:85-88) as a query-time predicate."""
+    import ray.data as rd
+
+    from pisa_ray.scorer import query_index
+
+    idx = _index_dir(sf_dir)
+    qt = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in BM25_QUERIES], type=pa.int64()),
+            "text": pa.array([q[1] for q in BM25_QUERIES], type=pa.string()),
+        }
+    )
+    hits = query_index(
+        rd.from_arrow(qt), idx, k=50, concurrency=2, doc_filter=("lang", "en")
+    ).to_pandas()
+    if hits.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    hits["score"] = np.round(hits["score"].to_numpy(), 4)
+    hits = hits.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    hits["rank"] = hits.groupby("query_id").cumcount() + 1
+    hits = hits[hits["rank"] <= 10].reset_index(drop=True)
+    return hits[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64"}
+    )
+
+
 # --------------------------------------------------------------------------
 # relational queries (reference operator surface, SURVEY.md §2)
 # --------------------------------------------------------------------------
@@ -632,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_lexicon": q_index_lexicon,
         "index_docmap": q_docmap,
         "bm25_topk": q_bm25_topk,
+        "bm25_filtered": q_bm25_filtered,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "customers_with_orders": q_customers_with_orders,
@@ -701,14 +737,43 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY q.query_id, tf.doc_id
             )
             SELECT query_id, rank, doc_id, score FROM (
-                SELECT query_id, doc_id, round(score, 4) AS score,
+                SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score,
                        row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY round(score, 4) DESC, doc_id
+                           PARTITION BY sc.query_id
+                           ORDER BY round(sc.score, 4) DESC, sc.doc_id
                        ) AS rank
-                FROM scores
+                FROM scores sc {{filter_join}}
             ) WHERE rank <= 10
-        """,
+        """.format(filter_join=""),
+        "bm25_filtered": f"""
+            WITH tok AS ({tok_docs}),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            q(query_id, term) AS (VALUES {bm25_values}),
+            scores AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+                            * (tf.tf * 1.9 / (tf.tf + 0.9*(1 - 0.4 + 0.4 * dl.dl / s.avgdl))) ) AS score
+                FROM q
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score,
+                       row_number() OVER (
+                           PARTITION BY sc.query_id
+                           ORDER BY round(sc.score, 4) DESC, sc.doc_id
+                       ) AS rank
+                FROM scores sc {{filter_join}}
+            ) WHERE rank <= 10
+        """.format(
+            filter_join="JOIN documents fd ON fd.doc_id = sc.doc_id AND fd.lang = 'en'"
+        ),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -298,7 +298,34 @@ class IndexReader:
 # --------------------------------------------------------------------------
 
 
-def score_taat(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, float]]:
+def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
+    """Boolean mask over docmap positions (aligned with
+    ``IndexReader.doc_sorted``) for a metadata predicate — the engine's
+    analog of the reference's user-group-restricted evaluation
+    (/root/reference/src/Inference.py:85-88) and exclusion masking
+    (/root/reference/src/Inference.py:233-238). BM25 stats stay GLOBAL;
+    only the candidate set is restricted."""
+    import glob as _glob
+
+    dm_files = sorted(
+        _glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+    ) or sorted(
+        _glob.glob(os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True)
+    )
+    dm = pa.concat_tables([pq.read_table(f, columns=["doc_id", col]) for f in dm_files])
+    docs = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    vals = dm[col].to_pylist()
+    order = np.argsort(docs, kind="stable")
+    mask = np.array([v == value for v in vals], dtype=bool)[order]
+    return mask
+
+
+def score_taat(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    doc_mask: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
     """Exhaustive term-at-a-time over a dense per-shard score buffer.
 
     ``np.add.at`` scatters each term's cached contribution vector into a
@@ -324,6 +351,10 @@ def score_taat(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, f
         any_hit = True
     if not any_hit:
         return []
+    if doc_mask is not None:
+        # restrict candidates (scores are per-doc independent, so
+        # masking after accumulation == scoring only allowed docs)
+        scores[~doc_mask] = 0.0
     nz = np.flatnonzero(scores > 0.0)
     if nz.size == 0:
         return []
@@ -538,6 +569,7 @@ class BM25Scorer:
         method: str = "taat",
         buckets: set[int] | None = None,
         reader_ref=None,
+        doc_mask_ref=None,
     ):
         if reader_ref is not None:
             # broadcast path: the driver loaded the index ONCE and
@@ -550,6 +582,15 @@ class BM25Scorer:
             self.reader = IndexReader(index_dir, buckets=buckets)
         self.k = k
         self.method = method
+        # metadata-filtered queries: boolean mask over docmap positions
+        # (broadcast once); filtered scoring uses the exhaustive kernel
+        # (WAND bounds are not filter-aware)
+        if doc_mask_ref is not None:
+            import ray
+
+            self.doc_mask = ray.get(doc_mask_ref)
+        else:
+            self.doc_mask = None
 
     def _pick(self, text: str):
         """``auto``: Block-Max WAND pays off when pruning can actually
@@ -559,6 +600,8 @@ class BM25Scorer:
         is strictly faster. Both paths are rank-identical (tested), so
         switching per query is purely a performance choice — the same
         call real engines make between WAND and exhaustive SIMD scoring."""
+        if self.doc_mask is not None:
+            return score_taat
         if self.method != "auto":
             return score_bmw if self.method == "bmw" else score_taat
         terms = [t for t in set(tokenize_py(text)) if t in self.reader.df]
@@ -577,7 +620,11 @@ class BM25Scorer:
         texts = batch["text"].to_pylist()
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, text in zip(qids, texts):
-            hits = self._pick(text)(self.reader, text, self.k)
+            fn = self._pick(text)
+            if fn is score_taat and self.doc_mask is not None:
+                hits = fn(self.reader, text, self.k, doc_mask=self.doc_mask)
+            else:
+                hits = fn(self.reader, text, self.k)
             for rank, (doc, score) in enumerate(hits, start=1):
                 out_q.append(qid)
                 out_r.append(rank)
@@ -675,6 +722,7 @@ def query_index(
     concurrency: int = 4,
     batch_size: int = 64,
     broadcast: bool = True,
+    doc_filter: tuple[str, object] | None = None,
 ):
     """queries Dataset (query_id, text) -> hits Dataset via actor pool.
 
@@ -692,6 +740,12 @@ def query_index(
     else:
         kwargs = {"index_dir": index_dir}
     kwargs.update({"k": k, "method": method})
+    if doc_filter is not None:
+        import ray
+
+        kwargs["doc_mask_ref"] = ray.put(
+            load_doc_filter(index_dir, doc_filter[0], doc_filter[1])
+        )
     if queries.count() > batch_size:
         queries = queries.repartition(max(concurrency * 2, 4))
     return queries.map_batches(
