@@ -10,9 +10,9 @@ two CPU levels (default 4 and 16; override BENCH_CPUS_LOW/HIGH) on the
 same input and reports both headline times plus efficiency = (T_lo/T_hi)/4 —
 the sandbox stand-in for the N vs 4N cluster-size criterion.
 
-The index-build corpus is the sf documents table replicated with
-distinct doc_ids (deterministic) so the build is large enough to
-exercise the shuffle at 32 CPUs rather than fixed overheads.
+The index-build corpus is the deterministic input_hint-shaped
+synthetic source-code corpus (Zipf vocab, stop-token skew) at a size
+where compute, not fixed job overhead, dominates.
 """
 
 from __future__ import annotations
@@ -24,37 +24,8 @@ import subprocess
 import sys
 import time
 
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1000"))
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "30000"))
-
-
-def prepare_corpus(sf_dir: str) -> tuple[str, int]:
-    """Replicate documents x REPLICAS with distinct ids (untimed, cached)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/pisa_ray_bench/{tag}_x{REPLICAS}"
-    done = os.path.join(out_dir, "_DONE")
-    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    n = src.num_rows * REPLICAS
-    if os.path.exists(done):
-        return out_dir, n
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
-    base_ids = src["doc_id"].to_numpy()
-    import numpy as np
-
-    for r in range(REPLICAS):
-        t = src.set_column(
-            src.schema.get_field_index("doc_id"),
-            "doc_id",
-            pa.array(base_ids + np.int64(r) * np.int64(src.num_rows), type=pa.int64()),
-        )
-        pq.write_table(t, os.path.join(out_dir, f"part_{r:03d}.parquet"))
-    open(done, "w").write("ok")
-    return out_dir, n
 
 
 def prepare_synth_corpus(n_docs: int) -> tuple[str, int]:
@@ -81,24 +52,6 @@ def prepare_synth_corpus(n_docs: int) -> tuple[str, int]:
         start += rows
     open(done, "w").write("ok")
     return out_dir, n_docs
-
-
-def bench_queries(n: int, seed: int = 17) -> list[tuple[int, str]]:
-    """Deterministic query mix over the documents vocabulary."""
-    import numpy as np
-
-    vocab = [
-        "merge", "join", "window", "group", "order", "data", "stream",
-        "filter", "scan", "slow", "query", "table", "spark", "row", "key",
-        "sort", "hash", "agg", "batch", "fast", "small", "part", "customer",
-        "value", "the", "a",
-    ]
-    rng = np.random.default_rng(seed)
-    out = []
-    for i in range(n):
-        k = int(rng.integers(1, 4))
-        out.append((i, " ".join(rng.choice(vocab, size=k, replace=False))))
-    return out
 
 
 def main() -> None:
