@@ -185,12 +185,12 @@ class MinHasher:
                         self.a,
                         self.b,
                     )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "sig": pa.array(list(sigs), type=pa.large_list(pa.uint64())),
-            }
+        offs = np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int64)
+        sig_arr = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            pa.array(sigs.reshape(-1), type=pa.uint64()),
         )
+        return pa.table({"doc_id": batch["doc_id"], "sig": sig_arr})
 
 
 def minhash_signatures(
@@ -214,22 +214,31 @@ def _explode_bands(num_bands: int, rows_per_band: int):
         n = len(batch)
         sig2 = flat.reshape(n, num_bands * rows_per_band)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bands, bhash, docs, sig_list = [], [], [], []
+        bands, bhash, docs = [], [], []
         for b in range(num_bands):
             chunk = sig2[:, b * rows_per_band : (b + 1) * rows_per_band]
             h = np.array(
                 [zlib.crc32(chunk[i].tobytes()) for i in range(n)], dtype=np.int64
             )
-            bands.append(np.full(n, b, dtype=np.int32))
+            bands.append(np.full(n, b, dtype=np.int64))
             bhash.append(h)
             docs.append(doc)
-            sig_list.extend(sig2)
+        band_cat = np.concatenate(bands)
+        bhash_cat = np.concatenate(bhash)
+        # single int64 bucket key: band in the high bits, crc32 below
+        key = (band_cat << np.int64(33)) | bhash_cat
+        flat_sigs = np.concatenate([sig2.reshape(-1)] * num_bands)
+        width = num_bands * rows_per_band
+        offs = np.arange(0, (key.size + 1) * width, width, dtype=np.int64)
+        sig_arr = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            pa.array(flat_sigs, type=pa.uint64()),
+        )
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands)),
-                "bhash": pa.array(np.concatenate(bhash)),
+                "key": pa.array(key),
                 "doc_id": pa.array(np.concatenate(docs)),
-                "sig": pa.array(list(sig_list), type=pa.large_list(pa.uint64())),
+                "sig": sig_arr,
             }
         )
 
@@ -271,8 +280,27 @@ def minhash_lsh_dedup(
             {"doc_id": "int64", "dup_of": "int64"}
         )
 
+    # Most buckets are singletons; routing every one through map_groups
+    # pays per-group overhead for nothing. Count bucket occupancy first
+    # (cheap shuffle of narrow rows), broadcast the multi-occupant key
+    # set, and only verify inside those buckets.
+    from ray.data.aggregate import Count
+
+    from .relational import broadcast_semi_join
+
+    bands = bands.materialize()  # consumed twice (occupancy count + verify)
+    sizes = bands.groupby("key").aggregate(Count(alias_name="n")).to_pandas()
+    hot = set(sizes.loc[sizes["n"] >= 2, "key"].tolist())
+    if not hot:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "dup_of": pa.array([], type=pa.int64())}
+            )
+        )
+    cand = broadcast_semi_join(bands, hot, "key")
     return (
-        bands.groupby(["band", "bhash"])
+        cand.groupby("key")
         .map_groups(bucket_dups, batch_format="pandas")
         .groupby("doc_id")
         .min("dup_of")
