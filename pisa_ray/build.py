@@ -489,6 +489,34 @@ def build_index(
         _write_lexicon(seg_files, os.path.join(index_dir, "lexicon"))
         man.mark_stage("lexicon", wall_s=t.elapsed())
 
+    # ---- index size / compression metrics ------------------------------
+    if "index_metrics" not in man.data:
+        import pyarrow.parquet as _pq
+
+        seg_files = sorted(
+            glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+        )
+        doc_bytes = tf_bytes = postings = n_terms = 0
+        for f in seg_files:
+            t2 = _pq.read_table(f, columns=["df", "doc_blob", "tf_blob"])
+            if t2.num_rows == 0:
+                continue
+            n_terms += t2.num_rows
+            postings += int(
+                pc.sum(t2["df"]).as_py() or 0
+            )
+            doc_bytes += sum(len(v) for v in t2["doc_blob"].to_pylist())
+            tf_bytes += sum(len(v) for v in t2["tf_blob"].to_pylist())
+        man.data["index_metrics"] = {
+            "segment_rows": n_terms,
+            "postings": postings,
+            "doc_blob_bytes": doc_bytes,
+            "tf_blob_bytes": tf_bytes,
+            "bytes_per_posting": round((doc_bytes + tf_bytes) / max(1, postings), 3),
+            "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
+        }
+        man.save()
+
     return man.data
 
 

@@ -215,3 +215,40 @@ def test_csv_source_builds_identical_index(tmp_path, tiny_corpus):
     q = make_queries(20)
     for text in q["text"].to_pylist():
         assert score_taat(r1, text, 10) == score_taat(r2, text, 10)
+
+
+def test_cli_build_and_query(tmp_path, tiny_corpus):
+    """python -m pisa_ray build/query — the ray-job-submit surface."""
+    import subprocess
+    import sys as _sys
+
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(tiny_corpus, corpus)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+    out = subprocess.run(
+        [_sys.executable, "-m", "pisa_ray", "build", "--corpus", corpus,
+         "--index", idx, "--bucket-bits", "1", "--term-parts", "4"],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n_docs"] == tiny_corpus.num_rows
+
+    qfile = str(tmp_path / "q.parquet")
+    pq.write_table(
+        pa.table({"query_id": pa.array([0], type=pa.int64()),
+                  "text": pa.array(["def return"])}), qfile)
+    out = subprocess.run(
+        [_sys.executable, "-m", "pisa_ray", "query", "--index", idx,
+         "--queries", qfile, "--k", "3"],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(rows) == 3 and rows[0]["rank"] == 1
+
+
+def test_index_metrics_in_manifest(tiny_index):
+    man = json.load(open(os.path.join(tiny_index, "manifest.json")))
+    m = man["index_metrics"]
+    assert m["postings"] > 0
+    assert 1.0 < m["bytes_per_posting"] < 12.0  # varint gaps + tfs
