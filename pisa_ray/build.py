@@ -276,6 +276,7 @@ def make_encode_group_fn(avgdl: float, bucket: int | None, n_buckets: int = 1):
 def _atomic_write(ds: rd.Dataset, final_dir: str, **write_kwargs: Any) -> None:
     tmp = final_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)  # a fully-empty dataset writes no files at all
     ds.write_parquet(tmp, **write_kwargs)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(tmp, final_dir)
@@ -529,9 +530,10 @@ def _write_lexicon(seg_files: list[str], lex_dir: str) -> None:
 
     n_rows = sum(pads.dataset(f).count_rows() for f in seg_files)
     if n_rows <= 5_000_000:
-        t = pa.concat_tables(
-            [pq.read_table(f, columns=["term", "df"]) for f in seg_files]
-        )
+        from .schema import LEXICON
+
+        tables = [pq.read_table(f, columns=["term", "df"]) for f in seg_files]
+        t = pa.concat_tables(tables) if tables else LEXICON.empty_table()
         lex = t.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
         tmp = lex_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)

@@ -64,7 +64,10 @@ class IndexReader:
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "lexicon", "**", "*.parquet"), recursive=True)
         )
-        lex = pa.concat_tables([pq.read_table(f) for f in lex_files])
+        lex_tables = [pq.read_table(f) for f in lex_files]
+        from .schema import LEXICON
+
+        lex = pa.concat_tables(lex_tables) if lex_tables else LEXICON.empty_table()
         self.df = dict(
             zip(lex["term"].to_pylist(), lex["df"].to_numpy(zero_copy_only=False))
         )

@@ -1,0 +1,90 @@
+"""Property-style end-to-end conformance: random tiny corpora through
+the FULL distributed build + both scorers must match the oracle,
+including degenerate shapes (exact ties everywhere, empty docs,
+duplicate texts, single-doc corpora)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pisa_ray.build import IndexConfig, build_index
+from pisa_ray.docids import doc_ids_from_keys
+from pisa_ray.oracle import OracleIndex
+from pisa_ray.scorer import IndexReader, score_bmw, score_taat
+
+CFG = IndexConfig(bucket_bits=1, term_parts=4, lineage_parts=1)
+
+
+def _corpus(texts):
+    n = len(texts)
+    return pa.table(
+        {
+            "repo": pa.array([f"r{i % 3}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["x"] * n),
+            "content": pa.array(texts, type=pa.large_string()),
+        }
+    )
+
+
+def _check(tmpdir, texts, queries):
+    corpus = _corpus(texts)
+    build_index(corpus, tmpdir, CFG)
+    reader = IndexReader(tmpdir)
+    ids = doc_ids_from_keys(corpus["repo"], corpus["path"], corpus["commit"])
+    oracle = OracleIndex(ids, texts)
+    for q in queries:
+        golden = oracle.score_query(q, 10)
+        got = score_taat(reader, q, 10)
+        assert [g[0] for g in golden] == [e[0] for e in got], q
+        assert all(abs(g[1] - e[1]) <= 1e-9 for g, e in zip(golden, got)), q
+        assert score_bmw(reader, q, 10) == got, q
+
+
+def test_all_identical_docs_tie_break(tmp_path):
+    """Every doc scores exactly equal -> pure doc_id-order ties."""
+    _check(
+        str(tmp_path / "i"),
+        ["alpha beta gamma"] * 25,
+        ["alpha", "beta gamma", "alpha alpha beta"],
+    )
+
+
+def test_empty_and_mixed_docs(tmp_path):
+    texts = ["", "  ", "solo", "alpha beta", "", "alpha alpha alpha", "beta"]
+    _check(str(tmp_path / "e"), texts, ["alpha", "beta", "solo", "missing"])
+
+
+def test_single_doc_corpus(tmp_path):
+    _check(str(tmp_path / "s"), ["just one document here"], ["one", "nope"])
+
+
+def test_all_empty_corpus(tmp_path):
+    """Zero tokens anywhere: build succeeds, every query is empty."""
+    d = str(tmp_path / "z")
+    build_index(_corpus(["", "  ", "\t"]), d, CFG)
+    reader = IndexReader(d)
+    assert reader.n_docs == 3 and reader.avgdl == 0.0
+    assert score_taat(reader, "anything", 10) == []
+    assert score_bmw(reader, "anything", 10) == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_small_corpora(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> heavy collisions
+    n = int(rng.integers(5, 35))
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(n)
+    ]
+    # force some duplicate texts
+    if n > 4:
+        texts[1] = texts[0]
+        texts[3] = texts[2]
+    queries = [
+        " ".join(rng.choice(vocab + ["zz_oov"], size=int(rng.integers(1, 4))))
+        for _ in range(8)
+    ]
+    _check(str(tmp_path / f"r{seed}"), texts, queries)
