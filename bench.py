@@ -99,6 +99,7 @@ def main() -> None:
             check_collisions=False,
             per_bucket_merge=False,  # single shuffle: buckets are seconds
             write_docmap=False,  # docmap columns served from tokenized/
+            posting_space="position",  # rank-gap postings (~3x smaller)
         ),
         resume=False,
     )

@@ -77,6 +77,14 @@ class IndexConfig:
     # live in tokenized/ (column-pruned reads serve the same data) —
     # one less full pass when the docmap isn't consumed separately.
     write_docmap: bool = True
+    # "docid": postings store raw 64-bit hashed doc_ids as gaps (simple,
+    # generation-appendable, ~9 B/posting: gaps ~2^64/df). "position":
+    # postings store the doc's RANK in the sorted docmap (gaps ~N/df,
+    # ~2-3 B/posting, and scorers skip a searchsorted). Positions are
+    # monotone in doc_id so every ordering/tie-break property carries
+    # over. Incremental generations require "docid" (positions shift
+    # when new docs interleave) until compaction learns to remap.
+    posting_space: str = "docid"
 
 
 # --------------------------------------------------------------------------
@@ -166,7 +174,9 @@ def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
     return explode
 
 
-def make_encode_group_fn(avgdl: float, bucket: int | None, n_buckets: int = 1):
+def make_encode_group_fn(
+    avgdl: float, bucket: int | None, n_buckets: int = 1, doc_sorted_ref=None
+):
     """Encode every term of one (grp, bucket) shuffle group.
 
     Fully vectorized across ALL terms in the group: one lexsort, ONE
@@ -204,6 +214,13 @@ def make_encode_group_fn(avgdl: float, bucket: int | None, n_buckets: int = 1):
 
         order = np.lexsort((doc, codes))
         codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
+        if doc_sorted_ref is not None:
+            # position space: replace doc_ids with their docmap ranks
+            # (monotone in doc_id -> sort order and tie-breaks unchanged)
+            import ray as _ray
+
+            doc_sorted = _ray.get(doc_sorted_ref)
+            doc = np.searchsorted(doc_sorted, doc).astype(np.uint64)
         n = codes.size
         starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1))
         starts_ext = np.concatenate((starts, [n]))  # T+1
@@ -420,6 +437,7 @@ def build_index(
             "total_tokens": int(total_tokens),
             "avgdl": (float(total_tokens) / n_docs) if n_docs else 0.0,
             "id_mode": "int" if cfg.id_col else "keys",
+            "posting_space": cfg.posting_space,
         }
         man.data["stats"] = stats
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
@@ -427,6 +445,29 @@ def build_index(
         man.mark_stage("docmap", wall_s=t.elapsed(), rows=int(n_docs))
 
     stats = man.data["stats"]
+
+    # position space: broadcast the sorted doc_id array once (this IS
+    # the docmap order the scorer uses) so encode tasks can rank-map
+    doc_sorted_ref = None
+    if cfg.posting_space == "position" and not man.stage_done("segments"):
+        import ray as _ray2
+
+        tok_files_all = sorted(
+            glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
+        )
+        import pyarrow.parquet as _pq2
+
+        ids = np.sort(
+            np.concatenate(
+                [
+                    _pq2.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
+                        zero_copy_only=False
+                    )
+                    for f in tok_files_all
+                ]
+            ).astype(np.uint64)
+        )
+        doc_sorted_ref = _ray2.put(ids)
 
     # ---- stage 3: merge into segments ----------------------------------
     if not man.stage_done("segments") and not cfg.per_bucket_merge:
@@ -444,7 +485,7 @@ def build_index(
         # blocks mean hundreds of near-empty reduce tasks + output files
         triples = triples.repartition(2 * ncpus)
         seg = triples.groupby("grp").map_groups(
-            make_encode_group_fn(stats["avgdl"], None, n_buckets),
+            make_encode_group_fn(stats["avgdl"], None, n_buckets, doc_sorted_ref),
             batch_format="pyarrow",
         )
         seg = seg.repartition(max(8, n_buckets))
@@ -473,7 +514,8 @@ def build_index(
                 2 * ncpus
             )
             seg = triples.groupby("grp").map_groups(
-                make_encode_group_fn(stats["avgdl"], b), batch_format="pyarrow"
+                make_encode_group_fn(stats["avgdl"], b, doc_sorted_ref=doc_sorted_ref),
+                batch_format="pyarrow",
             )
             seg = seg.repartition(4)
             _atomic_write(seg, seg_dir)
@@ -581,6 +623,11 @@ def build_incremental(
 
     man = Manifest(index_dir)
     cfg = IndexConfig(**{**man.data["config"]})
+    if getattr(cfg, "posting_space", "docid") == "position":
+        raise NotImplementedError(
+            "incremental generations require posting_space='docid' "
+            "(positions shift when new docs interleave; see NOTES.md)"
+        )
     gen_dir = os.path.join(index_dir, "generations", generation)
     build_index(delta_source, gen_dir, cfg, resume=True)
 
@@ -648,6 +695,11 @@ def compact_index(index_dir: str) -> dict:
 
     man = Manifest(index_dir)
     cfg = IndexConfig(**{**man.data["config"]})
+    if getattr(cfg, "posting_space", "docid") == "position":
+        raise NotImplementedError(
+            "compaction of position-space indexes needs rank remapping "
+            "(see NOTES.md); rebuild instead"
+        )
     stats = man.data["stats"]
     n_buckets = 1 << cfg.bucket_bits
     avgdl = float(stats["avgdl"])

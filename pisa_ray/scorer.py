@@ -60,6 +60,8 @@ class IndexReader:
         # ids are splitmix64(orig), a bijection — output (and tie-break)
         # uses the original id via the inverse mix.
         self.id_mode = self.stats.get("id_mode", "keys")
+        # "position": posting values are docmap ranks, not raw doc_ids
+        self.posting_space = self.stats.get("posting_space", "docid")
 
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "lexicon", "**", "*.parquet"), recursive=True)
@@ -255,7 +257,10 @@ class IndexReader:
         if docs.size == 0:
             out = (docs, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64))
         else:
-            pos = np.searchsorted(self.doc_sorted, docs).astype(np.int32)
+            if self.posting_space == "position":
+                pos = docs.astype(np.int64)  # decoded values ARE ranks
+            else:
+                pos = np.searchsorted(self.doc_sorted, docs).astype(np.int64)
             dl = self.len_sorted[pos]
             out = (docs, self.idf(term) * bm25_wnorm(tfs, dl, self.avgdl), pos)
         if len(self._contrib_cache) < 4096:
@@ -475,7 +480,14 @@ def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, fl
 
     def consider(doc: int, score: float) -> None:
         # tie-break on the user-visible id, matching TAAT/oracle
-        out = int(reader.out_ids(np.array([doc], dtype=np.uint64))[0])
+        # (position mode: positions are monotone in doc_id, so ordering
+        # arguments carry over; map rank -> doc_id at the boundary)
+        raw = (
+            reader.doc_sorted[doc]
+            if reader.posting_space == "position"
+            else np.uint64(doc)
+        )
+        out = int(reader.out_ids(np.array([raw], dtype=np.uint64))[0])
         nonlocal threshold
         if len(heap) < k:
             heapq.heappush(heap, (score, -out))
@@ -537,7 +549,10 @@ def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, fl
             # full evaluation — exact score, sorted-term summation order
             doc_cs = [c for c in live if int(c.cur) == pivot]
             doc_cs.sort(key=lambda c: c.term)
-            dl = reader.doc_lengths(np.array([pivot], dtype=np.uint64))
+            if reader.posting_space == "position":
+                dl = reader.len_sorted[np.array([pivot], dtype=np.int64)]
+            else:
+                dl = reader.doc_lengths(np.array([pivot], dtype=np.uint64))
             score = 0.0
             for c in doc_cs:
                 tf = np.array([c.tf_at_cur()], dtype=np.uint64)

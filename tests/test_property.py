@@ -88,3 +88,35 @@ def test_random_small_corpora(tmp_path, seed):
         for _ in range(8)
     ]
     _check(str(tmp_path / f"r{seed}"), texts, queries)
+
+
+def test_position_space_rank_identity_and_smaller(tmp_path):
+    """posting_space='position' must be rank-identical to docid mode
+    AND materially smaller (gaps ~N/df instead of ~2^64/df)."""
+    import json as _json
+    import os as _os
+
+    from pisa_ray.synth import make_corpus, make_queries
+
+    corpus = make_corpus(300, n_partitions=2)
+    qs = make_queries(60)
+    readers = {}
+    sizes = {}
+    for mode in ("docid", "position"):
+        d = str(tmp_path / mode)
+        build_index(
+            corpus,
+            d,
+            IndexConfig(
+                bucket_bits=2, term_parts=8, lineage_parts=1, posting_space=mode
+            ),
+        )
+        readers[mode] = IndexReader(d)
+        m = _json.load(open(_os.path.join(d, "manifest.json")))["index_metrics"]
+        sizes[mode] = m["doc_blob_bytes"] + m["tf_blob_bytes"]
+    for text in qs["text"].to_pylist():
+        a = score_taat(readers["docid"], text, 10)
+        b = score_taat(readers["position"], text, 10)
+        assert a == b, text
+        assert score_bmw(readers["position"], text, 10) == b, text
+    assert sizes["position"] < 0.45 * sizes["docid"], sizes
