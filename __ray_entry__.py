@@ -80,6 +80,7 @@ def _index_dir(sf_dir: str) -> str:
             meta_cols=("lang", "source"),
             bucket_bits=2,
             term_parts=16,
+            posting_space="position",  # rank-gap postings (4x smaller)
         ),
         resume=True,
     )
