@@ -116,18 +116,30 @@ def main() -> None:
     query_index(rd.from_arrow(qt.slice(0, 8)), idx_dir, k=10, concurrency=2).count()
     for method in ("taat", "auto"):
         t0 = time.perf_counter()
-        n_hits = query_index(
+        hits = query_index(
             rd.from_arrow(qt),
             idx_dir,
             k=10,
             method=method,
             concurrency=max(2, ncpu // 2),
             batch_size=32,
-        ).count()
+        ).to_pandas()
         dt = time.perf_counter() - t0
         results[f"bm25_{method}_sec"] = round(dt, 3)
         results[f"bm25_{method}_qps"] = round(N_QUERIES / dt, 1)
-        results[f"bm25_{method}_hits"] = n_hits
+        results[f"bm25_{method}_hits"] = len(hits)
+        # canonical digest: the scaling harness asserts N and 4N (and
+        # taat vs auto) return IDENTICAL top-k, not just similar times
+        import hashlib as _hl
+
+        canon = hits.sort_values(["query_id", "rank"])
+        payload = "|".join(
+            f"{q},{r},{d},{s:.9f}"
+            for q, r, d, s in zip(
+                canon["query_id"], canon["rank"], canon["doc_id"], canon["score"]
+            )
+        )
+        results[f"bm25_{method}_digest"] = _hl.md5(payload.encode()).hexdigest()
 
     # ---- relational + training-data pipelines ---------------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -195,6 +207,11 @@ def scaling() -> None:
     r_hi = run(hi)
     print(json.dumps({"low": r_lo, "high": r_hi}), file=sys.stderr)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    rank_identical = (
+        r_lo["queries"]["bm25_taat_digest"] == r_hi["queries"]["bm25_taat_digest"]
+        and r_lo["queries"]["bm25_auto_digest"] == r_hi["queries"]["bm25_auto_digest"]
+        and r_lo["queries"]["bm25_taat_digest"] == r_lo["queries"]["bm25_auto_digest"]
+    )
     print(
         json.dumps(
             {
@@ -209,6 +226,7 @@ def scaling() -> None:
                 "docs_per_s_high": r_hi["queries"]["index_build_docs_per_s"],
                 "qps_low": r_lo["queries"]["bm25_auto_qps"],
                 "qps_high": r_hi["queries"]["bm25_auto_qps"],
+                "rank_identical": rank_identical,
             }
         )
     )
