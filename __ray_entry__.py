@@ -838,10 +838,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             labeled AS (
                 SELECT user_id, ts,
-                       sum(new_sess) OVER (
+                       CAST(sum(new_sess) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING
-                       ) AS session_id
+                       ) AS BIGINT) AS session_id
                 FROM gaps
             )
             SELECT user_id, session_id, min(ts) AS session_start,

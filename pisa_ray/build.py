@@ -290,6 +290,11 @@ def make_encode_group_fn(
 # --------------------------------------------------------------------------
 
 
+def _norm_cfg_val(v: Any) -> Any:
+    """JSON round-trips tuples to lists; compare them equal."""
+    return list(v) if isinstance(v, tuple) else v
+
+
 def _atomic_write(ds: rd.Dataset, final_dir: str, **write_kwargs: Any) -> None:
     tmp = final_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -357,6 +362,29 @@ def build_index(
                 os.remove(p) if os.path.exists(p) else None
             )
     man = Manifest(index_dir)
+    stored_cfg = man.data.get("config")
+    if resume and stored_cfg and man.data.get("stages"):
+        # A partially-built index embeds its config in every completed
+        # stage (bucket hive dirs, docid space, ...). Resuming with a
+        # different config would silently mix layouts — e.g. a smaller
+        # bucket_bits makes the per-bucket merge glob skip high buckets,
+        # dropping postings while docmap/stats still count all docs.
+        critical = (
+            "bucket_bits", "term_parts", "key_cols", "id_col",
+            "posting_space", "content_col", "block_size", "per_bucket_merge",
+        )
+        new_cfg = asdict(cfg)
+        diffs = {
+            k: (stored_cfg.get(k), new_cfg.get(k))
+            for k in critical
+            if k in stored_cfg and _norm_cfg_val(stored_cfg.get(k)) != _norm_cfg_val(new_cfg.get(k))
+        }
+        if diffs:
+            raise ValueError(
+                f"resume=True but config differs from the stored manifest "
+                f"config for {index_dir}: {diffs}. Pass resume=False to "
+                f"rebuild, or reuse the original config."
+            )
     man.data["config"] = asdict(cfg)
     n_buckets = 1 << cfg.bucket_bits
     tok_dir = os.path.join(index_dir, "tokenized")
@@ -651,15 +679,19 @@ def build_incremental(
     )
     n_docs = dm.count()
     total = dm.sum("length") or 0
-    stats = {
-        "n_docs": int(n_docs),
-        "total_tokens": int(total),
-        "avgdl": (float(total) / n_docs) if n_docs else 0.0,
-        "id_mode": man.data["stats"].get("id_mode", "keys"),
-        "generations": sorted(
-            set(man.data["stats"].get("generations", []) + [generation])
-        ),
-    }
+    # update (not replace) the stored stats so keys a prior build
+    # recorded — posting_space, id_mode, future additions — survive
+    stats = dict(man.data["stats"])
+    stats.update(
+        {
+            "n_docs": int(n_docs),
+            "total_tokens": int(total),
+            "avgdl": (float(total) / n_docs) if n_docs else 0.0,
+            "generations": sorted(
+                set(man.data["stats"].get("generations", []) + [generation])
+            ),
+        }
+    )
     man.data["stats"] = stats
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         _json.dump(stats, f)
@@ -771,10 +803,16 @@ def compact_index(index_dir: str) -> dict:
     ).repartition(max(8, n_buckets))
     _atomic_write(seg, os.path.join(index_dir, "segments_compacted"))
 
-    # swap in atomically, drop generation links
+    # swap in atomically, drop generation links: park the old segments
+    # aside first so a crash between steps never leaves the index with
+    # no segments/ dir (which would read as an empty-but-valid index)
     old = os.path.join(index_dir, "segments")
-    shutil.rmtree(old, ignore_errors=True)
+    parked = os.path.join(index_dir, "segments.old")
+    shutil.rmtree(parked, ignore_errors=True)
+    if os.path.isdir(old):
+        os.rename(old, parked)
     os.rename(os.path.join(index_dir, "segments_compacted"), old)
+    shutil.rmtree(parked, ignore_errors=True)
     _write_lexicon(
         sorted(glob.glob(os.path.join(old, "**", "*.parquet"), recursive=True)),
         os.path.join(index_dir, "lexicon"),

@@ -60,7 +60,15 @@ def brute_knn(
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         out_q, out_v, out_s = [], [], []
         for qi in range(qm.shape[0]):
-            sel = part[qi]
+            # tie-break the LOCAL cut by (cosine desc, vec_id asc) too:
+            # argpartition alone keeps an arbitrary member of an
+            # exact-cosine tie on the kk boundary (e.g. duplicate
+            # embeddings), which would make the merged top-k depend on
+            # block boundaries / parallelism. Expand to ALL boundary
+            # ties, then cut under the same total order the merge uses.
+            kth = sims[qi, part[qi]].min()
+            cand = np.flatnonzero(sims[qi] >= kth)
+            sel = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:kk]
             out_q.append(np.full(kk, qids[qi], dtype=np.int64))
             out_v.append(ids[sel])
             out_s.append(sims[qi, sel])

@@ -77,6 +77,12 @@ class IndexReader:
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
         )
+        if not seg_files and self.n_docs > 0:
+            raise FileNotFoundError(
+                f"{index_dir}/segments has no parquet files but stats.json "
+                f"reports n_docs={self.n_docs} — corrupt index (e.g. a crash "
+                "mid-compaction). Rebuild or restore segments/."
+            )
         # FLAT columnar layout (what a real engine would mmap): a dozen
         # big numpy arrays + one term->run-range dict. Broadcasting this
         # through the object store serializes a handful of large buffers
@@ -166,16 +172,77 @@ class IndexReader:
                     recursive=True,
                 )
             )
-        dm = pa.concat_tables(
-            [pq.read_table(f, columns=["doc_id", "length"]) for f in dm_files]
+        # Shard-local docmap: a bucket-sharded reader keeps only ITS
+        # buckets' (doc_id, length) rows, so per-shard memory is ∝ 1/S
+        # of the corpus (files are streamed one at a time; the full
+        # table is never held). Position-space postings store GLOBAL
+        # docmap ranks, so the shard also records per-bucket global
+        # counts to translate global rank -> local array index (buckets
+        # are top-of-id-range, so global rank order is bucket-major).
+        bucket_bits = self._manifest_bucket_bits(index_dir)
+        owned = None
+        if buckets is not None and bucket_bits is not None:
+            owned = np.zeros(1 << bucket_bits, dtype=bool)
+            owned[list(buckets)] = True
+        bucket_counts = (
+            np.zeros(1 << bucket_bits, dtype=np.int64) if owned is not None else None
         )
-        docs = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        lens = dm["length"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_parts, len_parts = [], []
+        for f in dm_files:
+            t_dm = pq.read_table(f, columns=["doc_id", "length"])
+            d = t_dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            ln = t_dm["length"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if owned is not None:
+                from .docids import bucket_of
+
+                bk = bucket_of(d, bucket_bits)
+                np.add.at(bucket_counts, bk, 1)
+                keep = owned[bk]
+                d, ln = d[keep], ln[keep]
+            doc_parts.append(d)
+            len_parts.append(ln)
+        docs = (
+            np.concatenate(doc_parts) if doc_parts else np.empty(0, dtype=np.uint64)
+        )
+        lens = (
+            np.concatenate(len_parts) if len_parts else np.empty(0, dtype=np.uint64)
+        )
         order = np.argsort(docs, kind="stable")
         self.doc_sorted = docs[order]
         self.len_sorted = lens[order]
+        self.n_local = int(self.doc_sorted.size)
+        if owned is not None and self.posting_space == "position":
+            # local_index = global_rank + delta[bucket(global_rank)]
+            gstart = np.concatenate(([0], np.cumsum(bucket_counts)))
+            lstart = np.concatenate(
+                ([0], np.cumsum(np.where(owned, bucket_counts, 0)))
+            )
+            self._bucket_cum = gstart.astype(np.int64)
+            self._rank_delta = (lstart[:-1] - gstart[:-1]).astype(np.int64)
+        else:
+            self._bucket_cum = None
+            self._rank_delta = None
         self._contrib_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._bmw_safe: dict[str, bool] = {}
+
+    @staticmethod
+    def _manifest_bucket_bits(index_dir: str) -> int | None:
+        man_path = os.path.join(index_dir, "manifest.json")
+        if not os.path.exists(man_path):
+            return None
+        try:
+            with open(man_path) as f:
+                return json.load(f).get("config", {}).get("bucket_bits")
+        except (ValueError, OSError):
+            return None
+
+    def rank_to_local(self, g):
+        """Global docmap rank(s) -> index into this reader's (possibly
+        shard-local) doc_sorted/len_sorted. Identity when unsharded."""
+        if self._bucket_cum is None:
+            return g
+        b = np.searchsorted(self._bucket_cum, g, side="right") - 1
+        return g + self._rank_delta[b]
 
     # ------------------------------------------------------------------
     def has_term(self, term: str) -> bool:
@@ -258,7 +325,8 @@ class IndexReader:
             out = (docs, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64))
         else:
             if self.posting_space == "position":
-                pos = docs.astype(np.int64)  # decoded values ARE ranks
+                # decoded values ARE global ranks; map to local indices
+                pos = self.rank_to_local(docs.astype(np.int64))
             else:
                 pos = np.searchsorted(self.doc_sorted, docs).astype(np.int64)
             dl = self.len_sorted[pos]
@@ -320,12 +388,13 @@ def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
     ) or sorted(
         _glob.glob(os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True)
     )
+    import pyarrow.compute as pc
+
     dm = pa.concat_tables([pq.read_table(f, columns=["doc_id", col]) for f in dm_files])
     docs = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    vals = dm[col].to_pylist()
+    eq = pc.fill_null(pc.equal(dm[col], value), False)
     order = np.argsort(docs, kind="stable")
-    mask = np.array([v == value for v in vals], dtype=bool)[order]
-    return mask
+    return eq.to_numpy(zero_copy_only=False).astype(bool)[order]
 
 
 def score_taat(
@@ -343,7 +412,7 @@ def score_taat(
     over the (usually tiny) candidate set — exact ties all survive the
     threshold cut, so no tie is ever lost to partitioning."""
     terms = sorted(set(tokenize_py(text)))
-    scores = np.zeros(reader.n_docs, dtype=np.float64)
+    scores = np.zeros(reader.n_local, dtype=np.float64)
     any_hit = False
     for t in terms:
         docs, contrib, pos = reader.term_contributions(t)
@@ -352,8 +421,8 @@ def score_taat(
         # per-doc accumulation order is still sorted-term order either
         # way (positions are unique within a term); bincount is much
         # faster than add.at for dense terms, add.at for sparse ones
-        if pos.size * 16 > reader.n_docs:
-            scores += np.bincount(pos, weights=contrib, minlength=reader.n_docs)
+        if pos.size * 16 > reader.n_local:
+            scores += np.bincount(pos, weights=contrib, minlength=reader.n_local)
         else:
             np.add.at(scores, pos, contrib)
         any_hit = True
@@ -483,7 +552,7 @@ def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, fl
         # (position mode: positions are monotone in doc_id, so ordering
         # arguments carry over; map rank -> doc_id at the boundary)
         raw = (
-            reader.doc_sorted[doc]
+            reader.doc_sorted[reader.rank_to_local(doc)]
             if reader.posting_space == "position"
             else np.uint64(doc)
         )
@@ -539,6 +608,14 @@ def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, fl
             target = min_block_last + 1
             if p + 1 < len(live):
                 target = min(target, int(live[p + 1].cur))
+            if target > 0xFFFFFFFFFFFFFFFF:
+                # min_block_last was the max uint64 (possible in docid
+                # space where ids are 64-bit hashes): every prefix cursor
+                # is in its final block — exhaust them instead of
+                # overflowing np.uint64(2**64).
+                for c in live[: p + 1]:
+                    c._load_block(c.n_blocks)
+                continue
             target_u = np.uint64(target)
             for c in live[: p + 1]:
                 if c.cur < target_u:
@@ -550,7 +627,9 @@ def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, fl
             doc_cs = [c for c in live if int(c.cur) == pivot]
             doc_cs.sort(key=lambda c: c.term)
             if reader.posting_space == "position":
-                dl = reader.len_sorted[np.array([pivot], dtype=np.int64)]
+                dl = reader.len_sorted[
+                    np.array([reader.rank_to_local(pivot)], dtype=np.int64)
+                ]
             else:
                 dl = reader.doc_lengths(np.array([pivot], dtype=np.uint64))
             score = 0.0
@@ -606,6 +685,12 @@ class BM25Scorer:
         if doc_mask_ref is not None:
             import ray
 
+            if buckets is not None:
+                raise ValueError(
+                    "doc_mask is aligned with the GLOBAL docmap order; "
+                    "combine it with bucket-sharded readers by slicing "
+                    "the mask per shard first"
+                )
             self.doc_mask = ray.get(doc_mask_ref)
         else:
             self.doc_mask = None
