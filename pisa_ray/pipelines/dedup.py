@@ -206,6 +206,11 @@ def minhash_signatures(
 
 
 def _explode_bands(num_bands: int, rows_per_band: int):
+    """(doc_id, sig) -> num_bands NARROW (key, doc_id) rows — 16 bytes
+    each; the signature itself is NOT replicated into band rows (round-1
+    shipped the full num_perm signature in every band row, a shuffle
+    amplification of x num_bands)."""
+
     def fn(batch: pa.Table) -> pa.Table:
         sigs = batch["sig"]
         if isinstance(sigs, pa.ChunkedArray):
@@ -223,23 +228,10 @@ def _explode_bands(num_bands: int, rows_per_band: int):
             bands.append(np.full(n, b, dtype=np.int64))
             bhash.append(h)
             docs.append(doc)
-        band_cat = np.concatenate(bands)
-        bhash_cat = np.concatenate(bhash)
         # single int64 bucket key: band in the high bits, crc32 below
-        key = (band_cat << np.int64(33)) | bhash_cat
-        flat_sigs = np.concatenate([sig2.reshape(-1)] * num_bands)
-        width = num_bands * rows_per_band
-        offs = np.arange(0, (key.size + 1) * width, width, dtype=np.int64)
-        sig_arr = pa.LargeListArray.from_arrays(
-            pa.array(offs, type=pa.int64()),
-            pa.array(flat_sigs, type=pa.uint64()),
-        )
+        key = (np.concatenate(bands) << np.int64(33)) | np.concatenate(bhash)
         return pa.table(
-            {
-                "key": pa.array(key),
-                "doc_id": pa.array(np.concatenate(docs)),
-                "sig": sig_arr,
-            }
+            {"key": pa.array(key), "doc_id": pa.array(np.concatenate(docs))}
         )
 
     return fn
@@ -253,55 +245,98 @@ def minhash_lsh_dedup(
     concurrency: int = 4,
 ) -> rd.Dataset:
     """MinHash-LSH near-dup: returns (doc_id, dup_of) for docs whose
-    estimated Jaccard vs their bucket representative >= threshold.
-    Survivors = all docs minus returned doc_ids."""
+    estimated Jaccard (full-signature agreement) vs their bucket
+    representative >= threshold. Survivors = all docs minus returned
+    doc_ids.
+
+    Scale shape: ONE groupby over narrow (key, doc_id) band rows emits
+    candidate pairs directly — singleton buckets (the vast majority)
+    return empty from ``map_groups``; there is no occupancy pre-pass
+    and no driver-side bucket-key materialization. Verification then
+    runs as a vectorized ``map_batches`` over the candidate pairs
+    against a broadcast (ids, signature-matrix) lookup built from a
+    semi-join of the signature table down to candidate ids — the only
+    driver-sized object is the candidate set itself (LSH at a high
+    threshold keeps candidates ≪ corpus; same standing assumption as
+    ``verify_pairs_jaccard``)."""
+    import ray
+
     rows_per_band = num_perm // num_bands
-    sigs = minhash_signatures(ds, num_perm, concurrency=concurrency)
+    # signatures are consumed twice (banding + verification lookup):
+    # materialize to the object store (spills under pressure; never
+    # collected to the driver)
+    sigs = minhash_signatures(ds, num_perm, concurrency=concurrency).materialize()
     bands = sigs.map_batches(
         _explode_bands(num_bands, rows_per_band), batch_format="pyarrow"
     )
 
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"doc_id": [], "dup_of": []}).astype(
                 {"doc_id": "int64", "dup_of": "int64"}
             )
-        g = g.sort_values("doc_id", kind="mergesort")
-        rep_sig = np.asarray(list(g["sig"].iloc[0]), dtype=np.uint64)
-        rep_id = int(g["doc_id"].iloc[0])
-        out_doc, out_rep = [], []
-        for _, row in g.iloc[1:].iterrows():
-            sig = np.asarray(list(row["sig"]), dtype=np.uint64)
-            est = float((sig == rep_sig).mean())
-            if est >= threshold:
-                out_doc.append(int(row["doc_id"]))
-                out_rep.append(rep_id)
-        return pd.DataFrame({"doc_id": out_doc, "dup_of": out_rep}).astype(
-            {"doc_id": "int64", "dup_of": "int64"}
-        )
+        d = np.sort(g["doc_id"].to_numpy().astype(np.int64), kind="stable")
+        return pd.DataFrame({"doc_id": d[1:], "dup_of": np.full(d.size - 1, d[0])})
 
-    # Most buckets are singletons; routing every one through map_groups
-    # pays per-group overhead for nothing. Count bucket occupancy first
-    # (cheap shuffle of narrow rows), broadcast the multi-occupant key
-    # set, and only verify inside those buckets.
-    from ray.data.aggregate import Count
+    cand = bands.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    cand = cand.materialize()  # consumed twice (id set + verify)
+
+    def both_ids(b: pa.Table) -> pa.Table:
+        # per-batch local unique; the tiny distinct-id stream is the
+        # only thing collected to the driver
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b["doc_id"].to_numpy(zero_copy_only=False),
+                    b["dup_of"].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+            if b.num_rows
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table({"id": pa.array(ids, type=pa.int64())})
+
+    need = set(
+        cand.map_batches(both_ids, batch_format="pyarrow").to_pandas()["id"].tolist()
+    )
+    if not need:
+        return empty
 
     from .relational import broadcast_semi_join
 
-    bands = bands.materialize()  # consumed twice (occupancy count + verify)
-    sizes = bands.groupby("key").aggregate(Count(alias_name="n")).to_pandas()
-    hot = set(sizes.loc[sizes["n"] >= 2, "key"].tolist())
-    if not hot:
-        return rd.from_arrow(
-            pa.table(
-                {"doc_id": pa.array([], type=pa.int64()),
-                 "dup_of": pa.array([], type=pa.int64())}
-            )
+    cand_sigs = broadcast_semi_join(sigs, need, "doc_id").to_pandas()
+    ids_sorted = np.sort(cand_sigs["doc_id"].to_numpy().astype(np.int64))
+    sig_mat = np.stack(
+        [
+            np.asarray(list(s), dtype=np.uint64)
+            for s in cand_sigs.sort_values("doc_id")["sig"]
+        ]
+    )
+    lookup_ref = ray.put((ids_sorted, sig_mat))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_s, mat = ray.get(lookup_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["dup_of"].to_numpy(zero_copy_only=False).astype(np.int64)
+        est = (
+            mat[np.searchsorted(ids_s, d)] == mat[np.searchsorted(ids_s, r)]
+        ).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {"doc_id": pa.array(d[keep]), "dup_of": pa.array(r[keep])}
         )
-    cand = broadcast_semi_join(bands, hot, "key")
+
     return (
-        cand.groupby("key")
-        .map_groups(bucket_dups, batch_format="pandas")
+        cand.map_batches(verify, batch_format="pyarrow")
         .groupby("doc_id")
         .min("dup_of")
         .map_batches(
@@ -346,12 +381,50 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batch-vectorized: tokenize once via Arrow, aggregate tf per
+        # (doc, token-hash) with one np.unique over a packed key, then
+        # 64 per-bit bincount scatters — bit-identical to ``sim64``
+        # (which remains as the scalar reference used by tests)
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        out = np.array(
-            [self.sim64(s) for s in texts.to_pylist()], dtype=np.uint64
+        n = len(batch)
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        denc = flat.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        vocab_h = np.array(
+            [zlib.crc32(s.encode("utf-8")) for s in denc.dictionary.to_pylist()],
+            dtype=np.uint64,
         )
+        out = np.zeros(n, dtype=np.uint64)
+        if codes.size:
+            hs_all = vocab_h[codes]
+            # per-(doc, hash-value) tf — keyed on the HASH (not the
+            # token code) to match sim64's np.unique-over-hashes rule
+            # when distinct tokens collide on crc32
+            key = (parents.astype(np.uint64) << np.uint64(32)) | hs_all
+            ukey, tf = np.unique(key, return_counts=True)
+            e_parent = (ukey >> np.uint64(32)).astype(np.int64)
+            e_hash = ukey & np.uint64(0xFFFFFFFF)
+            with np.errstate(over="ignore"):
+                e_hash2 = (e_hash * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            total_tf = np.bincount(e_parent, weights=tf, minlength=n)
+            tf_f = tf.astype(np.float64)
+            sim = np.zeros(n, dtype=np.uint64)
+            for j in range(64):
+                src = e_hash if j < 32 else e_hash2
+                bit = ((src >> np.uint64(j % 32)) & np.uint64(1)).astype(np.float64)
+                w = np.bincount(e_parent, weights=tf_f * bit, minlength=n)
+                v = 2.0 * w - total_tf
+                sim |= (v > 0).astype(np.uint64) << np.uint64(j)
+            out = sim
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

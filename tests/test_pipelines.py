@@ -252,3 +252,58 @@ def test_multimodal_resize_and_frames():
     # resize -> decode chains (schema compatibility)
     chained = decode_features(resize_images(media, 16, 16)).to_pandas()
     assert len(chained) == 16
+
+
+# -- vectorized-kernel bit-identity vs scalar references ------------------
+
+
+def test_simhash_batch_identical_to_scalar():
+    from pisa_ray.pipelines.dedup import SimHasher
+
+    texts = [
+        "the quick brown fox the fox",
+        "",
+        "hello world hello",
+        "a b c a b c d",
+        "ünïcode tökens ünïcode mixed CASE Tokens",
+        "x" * 5,
+        "lorem ipsum dolor sit amet " * 20,
+    ]
+    sh = SimHasher()
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)}
+    )
+    vec = sh(batch)["simhash"].to_pylist()
+    assert vec == [sh.sim64(t) for t in texts]
+
+
+def test_fingerprint_batch_identical_to_scalar_fnv():
+    import re
+
+    from pisa_ray.pipelines.text import fingerprint64
+    from pisa_ray.tokenizer import TOKEN_SPLIT_RE
+
+    rx = re.compile(TOKEN_SPLIT_RE)
+
+    def scalar_fp(text: str) -> int:
+        h = np.uint64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):
+            for tok in rx.split(text.lower()):
+                if not tok:
+                    continue
+                for byt in tok.encode("utf-8"):
+                    h = (h ^ np.uint64(byt)) * np.uint64(0x100000001B3)
+                h = (h ^ np.uint64(32)) * np.uint64(0x100000001B3)
+        return int(h)
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "GAMMA", "delta_1", "x9", "Übung", "foo.bar", "qq"]
+    texts = ["", "x" * 7, "single"] + [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+        for _ in range(100)
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    )
+    out = fingerprint64(ds).to_pandas().sort_values("doc_id")
+    assert [int(x) for x in out["fingerprint"]] == [scalar_fp(t) for t in texts]
