@@ -597,16 +597,38 @@ def q_simhash(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
+    """SQL-checked via equivalence classes: the FNV-1a token-stream
+    fingerprint is whitespace/punctuation-insensitive and
+    order-sensitive, so grouping (documents ∪ separator-mangled twins)
+    by fingerprint must equal grouping by the normalized token string —
+    which DuckDB can compute directly. canon_id = min doc_id per class."""
+    import pyarrow.compute as pc
+
     from pisa_ray.pipelines.text import fingerprint64
 
-    def cast(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fingerprint"] = (
-            batch["fingerprint"].astype("uint64") & np.uint64((1 << 63) - 1)
-        ).astype("int64")
-        return batch
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
-    return fingerprint64(_docs(sf_dir, ["doc_id", "text"])).map_batches(
-        cast, batch_format="pandas"
+    def mangle(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], 1_000_000),
+                "text": pc.replace_substring(b["text"], " ", "  ;; "),
+            }
+        )
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "canon_id": np.int64(g["doc_id"].min()),
+            }
+        )
+
+    u = docs.union(docs.map_batches(mangle, batch_format="pyarrow"))
+    return (
+        fingerprint64(u)
+        .groupby("fingerprint")
+        .map_groups(canon, batch_format="pandas")
     )
 
 
@@ -683,15 +705,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
-        # rows-only (non-SQL-expressible: heuristics, hashes, stubs)
         "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        # rows-only (non-SQL-expressible: permutation hashing,
+        # similarity-preserving hashing, LSH recall<1, stubs)
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
-        "fingerprint": q_fingerprint,
         "lsh_knn": q_lsh_knn,
         "multimodal_decode": q_multimodal,
         "bm25_bmw": q_bm25_bmw,
     }
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of the stopword-voting LangId: per-language token
+    membership counts (latin) + per-character substring counts (CJK),
+    argmax with alphabetically-first tie-break, 'unknown' at zero votes.
+    Generated from the same STOPWORDS table the engine uses."""
+    from pisa_ray.pipelines.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    vote_cols, case_arms = [], []
+    for lang in langs:
+        latin = sorted(
+            w for w in STOPWORDS[lang] if not (len(w) == 1 and ord(w) > 0x2E7F)
+        )
+        cjk = sorted(
+            w for w in STOPWORDS[lang] if len(w) == 1 and ord(w) > 0x2E7F
+        )
+        parts = []
+        if latin:
+            in_list = ", ".join(f"'{w}'" for w in latin)
+            parts.append(
+                f"coalesce(sum(CASE WHEN tok IN ({in_list}) THEN 1 ELSE 0 END), 0)"
+            )
+        for ch in cjk:
+            parts.append(
+                f"any_value(length(text) - length(replace(text, '{ch}', '')))"
+            )
+        vote_cols.append(f"{' + '.join(parts)} AS v_{lang}")
+        case_arms.append(f"WHEN v_{lang} = g THEN '{lang}'")
+    g = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, text, unnest(
+                CASE WHEN len({_TOK}) = 0 THEN [''] ELSE {_TOK} END
+            ) AS tok
+            FROM documents
+        ),
+        v AS (
+            SELECT doc_id, {", ".join(vote_cols)}
+            FROM toks GROUP BY doc_id, text
+        ),
+        p AS (SELECT doc_id, {g} AS g, * FROM v)
+        SELECT d.doc_id, d.lang,
+               CASE WHEN g = 0 THEN 'unknown'
+                    {' '.join(case_arms)} END AS pred_lang
+        FROM documents d JOIN p USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -892,4 +963,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings e
             ) WHERE rank <= 5
         """,
+        # fingerprint is checked through its equivalence classes: the
+        # FNV-1a token-stream hash groups (docs ∪ separator-mangled
+        # twins) exactly as grouping by the normalized token string
+        # (whitespace-insensitive, order-sensitive) — which DuckDB can
+        # compute even though it cannot compute the hash itself
+        "fingerprint": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, replace(text, ' ', '  ;; ')
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, array_to_string({_TOK}, ' ') AS norm FROM u
+            )
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canon_id
+            FROM n
+        """,
+        "lang_id": _lang_id_sql(),
     }
