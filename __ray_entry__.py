@@ -646,6 +646,23 @@ def q_lsh_knn(sf_dir: str):
     return lsh_knn(emb, q, k=5)
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's over the embeddings table (rows-only:
+    iterative refinement is not SQL-expressible). Deterministic seeded
+    init + deterministic empty-cluster reinit, so rows are stable."""
+    from pisa_ray.pipelines.clustering import kmeans
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = kmeans(emb, k=8, seed=17)
+    return (
+        assign.groupby("cluster")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["cluster", "n"]), batch_format="pyarrow"
+        )
+    )
+
+
 def q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -712,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "lsh_knn": q_lsh_knn,
+        "kmeans_clusters": q_kmeans,
         "multimodal_decode": q_multimodal,
         "bm25_bmw": q_bm25_bmw,
     }

@@ -82,8 +82,11 @@ class IndexConfig:
     # postings store the doc's RANK in the sorted docmap (gaps ~N/df,
     # ~2-3 B/posting, and scorers skip a searchsorted). Positions are
     # monotone in doc_id so every ordering/tie-break property carries
-    # over. Incremental generations require "docid" (positions shift
-    # when new docs interleave) until compaction learns to remap.
+    # over. Incremental generation appends work in BOTH spaces: a
+    # position-space generation stores ranks into its own docmap and
+    # the reader translates them to global ranks at decode (BMW falls
+    # back to exhaustive until compact_index re-ranks into the merged
+    # docmap — same pruning-only degradation as docid-space appends).
     posting_space: str = "docid"
 
 
@@ -174,8 +177,64 @@ def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
     return explode
 
 
+def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
+    """Per-bucket sorted doc_id arrays (as plasma ObjectRefs) + global
+    rank offsets, built by Ray tasks — the DRIVER never holds the full
+    id array (round 1 ``np.sort``-ed every doc_id on the driver, ~8 TB
+    at 10^12 docs). Buckets are the top bits of the doc_id, so
+    bucket-major order IS global docmap order and
+    ``global_rank = offset[bucket] + rank_within_bucket``."""
+    import ray as _ray
+
+    n_buckets = 1 << bucket_bits
+
+    @_ray.remote
+    def sorted_ids(files: list[str]) -> np.ndarray:
+        import pyarrow.parquet as _pq
+
+        arrs = [
+            _pq.read_table(f, columns=["doc_id"])["doc_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            for f in files
+        ]
+        return np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+
+    @_ray.remote
+    def size_of(a: np.ndarray) -> int:
+        return int(a.size)
+
+    refs = []
+    for b in range(n_buckets):
+        bfiles = sorted(glob.glob(os.path.join(tok_dir, "*", f"bucket={b}", "*.parquet")))
+        refs.append(sorted_ids.remote(bfiles))
+    counts = _ray.get([size_of.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.uint64)
+    return offsets, refs
+
+
+def rank_map_from_sorted_ids(doc_sorted: np.ndarray, bucket_bits: int):
+    """Rank map from an already-loaded global sorted id array (used by
+    compaction, which holds the docmap anyway for length lookups)."""
+    import ray as _ray
+
+    n_buckets = 1 << bucket_bits
+    bounds = np.searchsorted(
+        doc_sorted,
+        (np.arange(n_buckets, dtype=np.uint64) << np.uint64(64 - bucket_bits))
+        if bucket_bits
+        else np.zeros(1, dtype=np.uint64),
+    )
+    offsets = bounds.astype(np.uint64)
+    ends = np.concatenate((bounds[1:], [doc_sorted.size]))
+    refs = [
+        _ray.put(doc_sorted[int(s) : int(e)]) for s, e in zip(bounds, ends)
+    ]
+    return offsets, refs
+
+
 def make_encode_group_fn(
-    avgdl: float, bucket: int | None, n_buckets: int = 1, doc_sorted_ref=None
+    avgdl: float, bucket: int | None, n_buckets: int = 1, rank_map=None
 ):
     """Encode every term of one (grp, bucket) shuffle group.
 
@@ -214,13 +273,16 @@ def make_encode_group_fn(
 
         order = np.lexsort((doc, codes))
         codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
-        if doc_sorted_ref is not None:
-            # position space: replace doc_ids with their docmap ranks
-            # (monotone in doc_id -> sort order and tie-breaks unchanged)
+        if rank_map is not None:
+            # position space: replace doc_ids with their GLOBAL docmap
+            # ranks (monotone in doc_id -> sort order and tie-breaks
+            # unchanged). Every shuffle group is single-bucket, so only
+            # that bucket's sorted-id slice is pulled from plasma.
             import ray as _ray
 
-            doc_sorted = _ray.get(doc_sorted_ref)
-            doc = np.searchsorted(doc_sorted, doc).astype(np.uint64)
+            offsets, refs = rank_map
+            ids_b = _ray.get(refs[bkt])
+            doc = (np.searchsorted(ids_b, doc).astype(np.uint64)) + offsets[bkt]
         n = codes.size
         starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1))
         starts_ext = np.concatenate((starts, [n]))  # T+1
@@ -417,9 +479,15 @@ def build_index(
                 tok_fn, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
             )
             part_dir = os.path.join(tok_dir, f"part_{gname}")
-            # hive-partition by bucket only when the merge will read
-            # per-bucket (avoids num_groups x num_buckets small files)
-            wkw = {"partition_cols": ["bucket"]} if cfg.per_bucket_merge else {}
+            # hive-partition by bucket only when something reads
+            # per-bucket — the per-bucket merge, or the position-space
+            # rank map (which sorts each bucket's ids in its own task)
+            # (avoids num_groups x num_buckets small files otherwise)
+            wkw = (
+                {"partition_cols": ["bucket"]}
+                if cfg.per_bucket_merge or cfg.posting_space == "position"
+                else {}
+            )
             _atomic_write(out, part_dir, **wkw)
             rows = pads.dataset(part_dir).count_rows()
             man.mark_partition("tokenized", gname, rows=rows, wall_s=t.elapsed())
@@ -474,28 +542,11 @@ def build_index(
 
     stats = man.data["stats"]
 
-    # position space: broadcast the sorted doc_id array once (this IS
-    # the docmap order the scorer uses) so encode tasks can rank-map
-    doc_sorted_ref = None
+    # position space: per-bucket sorted-id refs (rank map) built by Ray
+    # tasks — nothing id-sized ever lands on the driver
+    rank_map = None
     if cfg.posting_space == "position" and not man.stage_done("segments"):
-        import ray as _ray2
-
-        tok_files_all = sorted(
-            glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
-        )
-        import pyarrow.parquet as _pq2
-
-        ids = np.sort(
-            np.concatenate(
-                [
-                    _pq2.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
-                        zero_copy_only=False
-                    )
-                    for f in tok_files_all
-                ]
-            ).astype(np.uint64)
-        )
-        doc_sorted_ref = _ray2.put(ids)
+        rank_map = _bucket_rank_refs(tok_dir, cfg.bucket_bits)
 
     # ---- stage 3: merge into segments ----------------------------------
     if not man.stage_done("segments") and not cfg.per_bucket_merge:
@@ -513,7 +564,7 @@ def build_index(
         # blocks mean hundreds of near-empty reduce tasks + output files
         triples = triples.repartition(2 * ncpus)
         seg = triples.groupby("grp").map_groups(
-            make_encode_group_fn(stats["avgdl"], None, n_buckets, doc_sorted_ref),
+            make_encode_group_fn(stats["avgdl"], None, n_buckets, rank_map),
             batch_format="pyarrow",
         )
         seg = seg.repartition(max(8, n_buckets))
@@ -542,7 +593,7 @@ def build_index(
                 2 * ncpus
             )
             seg = triples.groupby("grp").map_groups(
-                make_encode_group_fn(stats["avgdl"], b, doc_sorted_ref=doc_sorted_ref),
+                make_encode_group_fn(stats["avgdl"], b, rank_map=rank_map),
                 batch_format="pyarrow",
             )
             seg = seg.repartition(4)
@@ -651,10 +702,10 @@ def build_incremental(
 
     man = Manifest(index_dir)
     cfg = IndexConfig(**{**man.data["config"]})
-    if getattr(cfg, "posting_space", "docid") == "position":
-        raise NotImplementedError(
-            "incremental generations require posting_space='docid' "
-            "(positions shift when new docs interleave; see NOTES.md)"
+    if not cfg.write_docmap:
+        raise ValueError(
+            "incremental generations need write_docmap=True (the global "
+            "docmap glob would miss the base corpus otherwise)"
         )
     gen_dir = os.path.join(index_dir, "generations", generation)
     build_index(delta_source, gen_dir, cfg, resume=True)
@@ -719,20 +770,23 @@ def compact_index(index_dir: str) -> dict:
     onto the exhaustive path until compaction; cf. segment-merge
     policies in log-structured engines).
 
-    Pipeline: read segment rows -> map_batches decode (postings back to
-    (grp, term, doc_id, tf, dl) triples; doc lengths looked up against
-    a broadcast docmap) -> the same groupby-encode merge as the build.
+    Pipeline: read segment rows (grouped by GENERATION, path-derived)
+    -> map_batches decode (postings back to (grp, term, doc_id, tf, dl)
+    triples; position-space values are generation-LOCAL docmap ranks
+    and are translated through that generation's broadcast docmap,
+    docid-space lengths are looked up against the global docmap) ->
+    the same groupby-encode merge as the build (position space
+    re-ranks into the MERGED docmap order via the per-bucket rank
+    map). Afterwards the docmap generation dirs are consolidated and
+    the generation list cleared — post-compaction ranks reference the
+    single merged space.
     """
     import ray
 
     man = Manifest(index_dir)
     cfg = IndexConfig(**{**man.data["config"]})
-    if getattr(cfg, "posting_space", "docid") == "position":
-        raise NotImplementedError(
-            "compaction of position-space indexes needs rank remapping "
-            "(see NOTES.md); rebuild instead"
-        )
     stats = man.data["stats"]
+    position = getattr(cfg, "posting_space", "docid") == "position"
     n_buckets = 1 << cfg.bucket_bits
     avgdl = float(stats["avgdl"])
     ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -742,64 +796,101 @@ def compact_index(index_dir: str) -> dict:
 
     reader = IndexReader(index_dir)
     dl_ref = ray.put((reader.doc_sorted, reader.len_sorted))
+    gen_ref = (
+        ray.put((reader.gen_ids, reader.gen_lens))
+        if position and reader.gens
+        else None
+    )
     n_parts = cfg.term_parts
 
-    def decode_rows(batch: pa.Table) -> pa.Table:
-        from .codec import decode_postings
+    def make_decode_rows(gen_idx: int):
+        def decode_rows(batch: pa.Table) -> pa.Table:
+            from .codec import decode_postings
 
-        doc_sorted, len_sorted = ray.get(dl_ref)
-        terms_out, docs_out, tfs_out = [], [], []
-        doc_blobs = batch["doc_blob"].to_pylist()
-        tf_blobs = batch["tf_blob"].to_pylist()
-        cnt_col = batch["block_count"]
-        if isinstance(cnt_col, pa.ChunkedArray):
-            cnt_col = cnt_col.combine_chunks()
-        cnt_vals = cnt_col.values.to_numpy(zero_copy_only=False)
-        cnt_offs = cnt_col.offsets.to_numpy()
-        terms = batch["term"].to_pylist()
-        for i in range(batch.num_rows):
-            cnts = cnt_vals[cnt_offs[i]:cnt_offs[i + 1]]
-            d, tf = decode_postings(doc_blobs[i], tf_blobs[i], cnts)
-            docs_out.append(d)
-            tfs_out.append(tf)
-            terms_out.append(np.full(d.size, i, dtype=np.int64))
-        if not docs_out:
+            terms_out, docs_out, tfs_out = [], [], []
+            doc_blobs = batch["doc_blob"].to_pylist()
+            tf_blobs = batch["tf_blob"].to_pylist()
+            cnt_col = batch["block_count"]
+            if isinstance(cnt_col, pa.ChunkedArray):
+                cnt_col = cnt_col.combine_chunks()
+            cnt_vals = cnt_col.values.to_numpy(zero_copy_only=False)
+            cnt_offs = cnt_col.offsets.to_numpy()
+            terms = batch["term"].to_pylist()
+            for i in range(batch.num_rows):
+                cnts = cnt_vals[cnt_offs[i]:cnt_offs[i + 1]]
+                d, tf = decode_postings(doc_blobs[i], tf_blobs[i], cnts)
+                docs_out.append(d)
+                tfs_out.append(tf)
+                terms_out.append(np.full(d.size, i, dtype=np.int64))
+            if not docs_out:
+                return pa.table(
+                    {
+                        "grp": pa.array([], type=pa.uint32()),
+                        "term": pa.array([], type=pa.string()),
+                        "doc_id": pa.array([], type=pa.uint64()),
+                        "tf": pa.array([], type=pa.uint32()),
+                        "dl": pa.array([], type=pa.uint32()),
+                    }
+                )
+            row_idx = np.concatenate(terms_out)
+            docs = np.concatenate(docs_out)
+            tfs = np.concatenate(tfs_out)
+            if position:
+                if gen_ref is not None:
+                    gi, gl = ray.get(gen_ref)
+                    ids_g, lens_g = gi[gen_idx], gl[gen_idx]
+                else:
+                    ids_g, lens_g = ray.get(dl_ref)
+                ranks = docs.astype(np.int64)
+                dl = lens_g[ranks]
+                docs = ids_g[ranks]
+            else:
+                doc_sorted, len_sorted = ray.get(dl_ref)
+                dl = len_sorted[np.searchsorted(doc_sorted, docs)]
+            term_arr = pa.array(terms, type=pa.string()).take(pa.array(row_idx))
+            th = term_group_hash(pa.array(terms, type=pa.string()), n_parts)
+            grp = th[row_idx] * np.uint32(n_buckets) + bucket_of(docs, cfg.bucket_bits)
             return pa.table(
                 {
-                    "grp": pa.array([], type=pa.uint32()),
-                    "term": pa.array([], type=pa.string()),
-                    "doc_id": pa.array([], type=pa.uint64()),
-                    "tf": pa.array([], type=pa.uint32()),
-                    "dl": pa.array([], type=pa.uint32()),
+                    "grp": pa.array(grp, type=pa.uint32()),
+                    "term": term_arr,
+                    "doc_id": pa.array(docs, type=pa.uint64()),
+                    "tf": pa.array(tfs.astype(np.uint32)),
+                    "dl": pa.array(dl.astype(np.uint32)),
                 }
             )
-        row_idx = np.concatenate(terms_out)
-        docs = np.concatenate(docs_out)
-        tfs = np.concatenate(tfs_out)
-        dl = len_sorted[np.searchsorted(doc_sorted, docs)]
-        term_arr = pa.array(terms, type=pa.string()).take(pa.array(row_idx))
-        th = term_group_hash(pa.array(terms, type=pa.string()), n_parts)
-        grp = th[row_idx] * np.uint32(n_buckets) + bucket_of(docs, cfg.bucket_bits)
-        return pa.table(
-            {
-                "grp": pa.array(grp, type=pa.uint32()),
-                "term": term_arr,
-                "doc_id": pa.array(docs, type=pa.uint64()),
-                "tf": pa.array(tfs.astype(np.uint32)),
-                "dl": pa.array(dl.astype(np.uint32)),
-            }
-        )
 
-    seg_files = sorted(
-        glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+        return decode_rows
+
+    seg_root = os.path.join(index_dir, "segments")
+    seg_files = sorted(glob.glob(os.path.join(seg_root, "**", "*.parquet"), recursive=True))
+    gen_names = sorted(stats.get("generations", []))
+
+    def gen_of(f: str) -> int:
+        top = os.path.relpath(f, seg_root).split(os.sep)[0]
+        if top.startswith("gen_"):
+            return 1 + gen_names.index(top[4:])
+        return 0
+
+    groups: dict[int, list[str]] = {}
+    for f in seg_files:
+        groups.setdefault(gen_of(f), []).append(f)
+    parts = [
+        rd.read_parquet(fs).map_batches(
+            make_decode_rows(g), batch_format="pyarrow", batch_size=64
+        )
+        for g, fs in sorted(groups.items())
+    ]
+    triples = (parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]).repartition(
+        2 * ncpus
     )
-    triples = (
-        rd.read_parquet(seg_files)
-        .map_batches(decode_rows, batch_format="pyarrow", batch_size=64)
-        .repartition(2 * ncpus)
+    rank_map = (
+        rank_map_from_sorted_ids(reader.doc_sorted, cfg.bucket_bits)
+        if position
+        else None
     )
     seg = triples.groupby("grp").map_groups(
-        make_encode_group_fn(avgdl, None, n_buckets), batch_format="pyarrow"
+        make_encode_group_fn(avgdl, None, n_buckets, rank_map), batch_format="pyarrow"
     ).repartition(max(8, n_buckets))
     _atomic_write(seg, os.path.join(index_dir, "segments_compacted"))
 
@@ -813,6 +904,20 @@ def compact_index(index_dir: str) -> dict:
         os.rename(old, parked)
     os.rename(os.path.join(index_dir, "segments_compacted"), old)
     shutil.rmtree(parked, ignore_errors=True)
+    # consolidate docmap generation dirs into one flat generation and
+    # clear the generation list — compacted postings reference the
+    # merged docmap space (identity for position ranks from here on)
+    if gen_names:
+        dm_files = sorted(
+            glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+        )
+        dm = rd.read_parquet(dm_files).repartition(max(8, ncpus))
+        _atomic_write(dm, os.path.join(index_dir, "docmap"))
+        stats2 = dict(man.data["stats"])
+        stats2["generations"] = []
+        man.data["stats"] = stats2
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats2, f)
     _write_lexicon(
         sorted(glob.glob(os.path.join(old, "**", "*.parquet"), recursive=True)),
         os.path.join(index_dir, "lexicon"),

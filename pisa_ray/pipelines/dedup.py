@@ -35,25 +35,44 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def dedup_exact(
-    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bytes: int = 8,
 ) -> rd.Dataset:
-    """Exact dedup: hash-partition on content sha256, keep min id per
-    group. Returns the surviving rows (id + hash). The groupby key is
-    the 64-bit hash prefix (int64-safe), so the shuffle moves 16-byte
-    rows, never the content."""
+    """Exact dedup: hash-partition on a sha256 PREFIX (int64-safe
+    shuffle key, 16-byte rows — the content never moves), then keep the
+    min id per FULL 32-byte digest within each group. Carrying the full
+    digest through the group makes the result collision-safe: at 10^10+
+    docs, 64-bit-prefix birthday collisions would otherwise silently
+    merge distinct texts. ``prefix_bytes`` narrows the shuffle key for
+    tests (forcing prefix collisions proves no false merge)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = np.empty(len(batch), dtype=np.int64)
+        n = len(batch)
+        hs = np.empty(n, dtype=np.int64)
+        digests: list[bytes] = []
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         for i, s in enumerate(texts.to_pylist()):
             d = hashlib.sha256(s.encode("utf-8")).digest()
-            hs[i] = int.from_bytes(d[:8], "big", signed=True)
-        return pa.table({id_col: batch[id_col], "content_hash": pa.array(hs)})
+            digests.append(d)
+            hs[i] = int.from_bytes(d[:prefix_bytes], "big", signed=True)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "content_hash": pa.array(hs),
+                "sha256": pa.array(digests, type=pa.binary(32)),
+            }
+        )
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+        # one survivor per distinct FULL digest in this prefix group
+        out = g.sort_values(id_col, kind="mergesort").groupby(
+            "sha256", sort=False
+        ).head(1)
+        return out[[id_col, "content_hash"]]
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")

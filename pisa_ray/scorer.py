@@ -62,6 +62,16 @@ class IndexReader:
         self.id_mode = self.stats.get("id_mode", "keys")
         # "position": posting values are docmap ranks, not raw doc_ids
         self.posting_space = self.stats.get("posting_space", "docid")
+        # incremental generations: a generation's position-space runs
+        # store ranks into ITS OWN docmap; the reader translates them to
+        # global ranks at decode (docid-space runs need no translation)
+        self.gens: list[str] = sorted(self.stats.get("generations", []) or [])
+        if buckets is not None and self.gens and self.posting_space == "position":
+            raise ValueError(
+                "bucket-sharded readers over an uncompacted position-space "
+                "multi-generation index are unsupported — compact_index() "
+                "first (generation-local ranks cannot be shard-localized)"
+            )
 
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "lexicon", "**", "*.parquet"), recursive=True)
@@ -77,17 +87,41 @@ class IndexReader:
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
         )
-        if not seg_files and self.n_docs > 0:
+        # empty-but-present segments/ is legitimate (e.g. all-empty
+        # docs); a MISSING dir with n_docs>0 means a crash ate it
+        if (
+            self.n_docs > 0
+            and not os.path.isdir(os.path.join(index_dir, "segments"))
+        ):
             raise FileNotFoundError(
-                f"{index_dir}/segments has no parquet files but stats.json "
-                f"reports n_docs={self.n_docs} — corrupt index (e.g. a crash "
+                f"{index_dir}/segments is missing but stats.json reports "
+                f"n_docs={self.n_docs} — corrupt index (e.g. a crash "
                 "mid-compaction). Rebuild or restore segments/."
             )
         # FLAT columnar layout (what a real engine would mmap): a dozen
         # big numpy arrays + one term->run-range dict. Broadcasting this
         # through the object store serializes a handful of large buffers
         # zero-copy — NOT hundreds of thousands of tiny per-run arrays.
-        tables = [t for f in seg_files for t in [pq.read_table(f)] if t.num_rows]
+        seg_root = os.path.join(index_dir, "segments")
+
+        def _gen_of(path: str) -> int:
+            top = os.path.relpath(path, seg_root).split(os.sep)[0]
+            if top.startswith("gen_") and top[4:] in self.gens:
+                return 1 + self.gens.index(top[4:])
+            return 0
+
+        tables = []
+        for f in seg_files:
+            tf_ = pq.read_table(f)
+            if tf_.num_rows:
+                tables.append(
+                    tf_.append_column(
+                        "gen",
+                        pa.array(
+                            np.full(tf_.num_rows, _gen_of(f), dtype=np.uint32)
+                        ),
+                    )
+                )
         if tables:
             t = pa.concat_tables(tables).combine_chunks()
             if buckets is not None:
@@ -142,6 +176,11 @@ class IndexReader:
         self.run_bucket = (
             t["bucket"].to_numpy(zero_copy_only=False) if R else np.empty(0, np.uint32)
         )
+        self.run_gen = (
+            t["gen"].to_numpy(zero_copy_only=False)
+            if R and "gen" in t.column_names
+            else np.zeros(R, dtype=np.uint32)
+        )
         # per-run build avgdl (older indexes lack the column: assume current)
         if R and "avgdl" in t.column_names:
             self.run_avgdl = t["avgdl"].to_numpy(zero_copy_only=False)
@@ -187,11 +226,28 @@ class IndexReader:
         bucket_counts = (
             np.zeros(1 << bucket_bits, dtype=np.int64) if owned is not None else None
         )
+        # per-generation docmaps (position space only): local-rank ->
+        # doc_id translation tables for uncompacted generation runs
+        want_gen_maps = bool(self.gens) and self.posting_space == "position"
+        dm_root = os.path.join(index_dir, "docmap")
+        gen_parts: list[list] = [[] for _ in range(len(self.gens) + 1)]
+
+        def _dm_gen_of(path: str) -> int:
+            try:
+                top = os.path.relpath(path, dm_root).split(os.sep)[0]
+            except ValueError:
+                return 0
+            if top.startswith("gen_") and top[4:] in self.gens:
+                return 1 + self.gens.index(top[4:])
+            return 0
+
         doc_parts, len_parts = [], []
         for f in dm_files:
             t_dm = pq.read_table(f, columns=["doc_id", "length"])
             d = t_dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             ln = t_dm["length"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if want_gen_maps:
+                gen_parts[_dm_gen_of(f)].append((d, ln))
             if owned is not None:
                 from .docids import bucket_of
 
@@ -201,6 +257,23 @@ class IndexReader:
                 d, ln = d[keep], ln[keep]
             doc_parts.append(d)
             len_parts.append(ln)
+        self.gen_ids: list[np.ndarray] = []
+        self.gen_lens: list[np.ndarray] = []
+        if want_gen_maps:
+            for parts in gen_parts:
+                gd = (
+                    np.concatenate([p[0] for p in parts])
+                    if parts
+                    else np.empty(0, dtype=np.uint64)
+                )
+                gl = (
+                    np.concatenate([p[1] for p in parts])
+                    if parts
+                    else np.empty(0, dtype=np.uint64)
+                )
+                o = np.argsort(gd, kind="stable")
+                self.gen_ids.append(gd[o])
+                self.gen_lens.append(gl[o])
         docs = (
             np.concatenate(doc_parts) if doc_parts else np.empty(0, dtype=np.uint64)
         )
@@ -265,6 +338,7 @@ class IndexReader:
             out.append(
                 {
                     "bucket": int(self.run_bucket[r]),
+                    "gen": int(self.run_gen[r]),
                     "doc_blob": self.doc_data[self.doc_offs[r]:self.doc_offs[r + 1]],
                     "tf_blob": self.tf_data[self.tf_offs[r]:self.tf_offs[r + 1]],
                     "last": self.blk_last[b0:b1],
@@ -280,7 +354,13 @@ class IndexReader:
         """Block-max WAND needs a term's runs to cover DISJOINT ascending
         docID ranges (true for a single build; incremental generations
         can interleave ranges until a compaction). Checked lazily from
-        each run's first doc (one varint) + last skip pointer."""
+        each run's first doc (one varint) + last skip pointer.
+
+        Position-space generation runs store generation-LOCAL ranks —
+        never comparable across runs — so they are categorically unsafe
+        until compaction re-ranks into the merged docmap."""
+        if self.gens and self.posting_space == "position":
+            return False
         cached = self._bmw_safe.get(term)
         if cached is not None:
             return cached
@@ -351,13 +431,24 @@ class IndexReader:
                 self.term_contributions(term)
 
     def decode_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full decode of a term's postings across all runs -> sorted."""
+        """Full decode of a term's postings across all runs -> sorted.
+
+        Position space with uncompacted generations: each run's values
+        are ranks into its OWN generation's docmap; translate through
+        that docmap to GLOBAL ranks (rank -> doc_id -> global position)
+        so downstream ordering/tie-breaks stay doc_id-consistent."""
         runs = self.runs_of(term)
         if not runs:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+        translate = bool(self.gens) and self.posting_space == "position"
         ds, ts = [], []
         for r in runs:
             d, t = decode_postings(r["doc_blob"], r["tf_blob"], r["cnt"])
+            if translate:
+                ids_g = self.gen_ids[r["gen"]]
+                d = np.searchsorted(
+                    self.doc_sorted, ids_g[d.astype(np.int64)]
+                ).astype(np.uint64)
             ds.append(d)
             ts.append(t)
         docs = np.concatenate(ds)
@@ -533,12 +624,28 @@ class _Cursor:
         return int(self.tfs[self.i])
 
 
-def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, float]]:
+def score_bmw(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    doc_mask: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Block-Max WAND, optionally under a docmap-position filter mask.
+
+    Filter-aware pruning: an UNFILTERED block-max bound is still a
+    valid upper bound for the filtered candidate set (filtering only
+    removes candidates), so all skip logic stays sound; the mask gates
+    only FULL EVALUATION — an excluded pivot advances its cursors
+    without scoring, and the top-k threshold (which drives the skips)
+    grows from allowed docs alone. Selective filtered queries therefore
+    keep ~unfiltered pruning instead of falling back to the exhaustive
+    kernel (reference analog: group-restricted evaluation,
+    /root/reference/src/Inference.py:85-156)."""
     terms = sorted(set(tokenize_py(text)))
     present = [t for t in terms if reader.has_term(t)]
     if any(not reader.term_bmw_safe(t) for t in present):
         # interleaved generation runs: exhaustive path (identical results)
-        return score_taat(reader, text, k)
+        return score_taat(reader, text, k, doc_mask=doc_mask)
     cursors = [_Cursor(reader, t) for t in present]
     if not cursors:
         return []
@@ -623,8 +730,20 @@ def score_bmw(reader: IndexReader, text: str, k: int = 10) -> list[tuple[int, fl
             continue
 
         if int(live[0].cur) == pivot:
-            # full evaluation — exact score, sorted-term summation order
             doc_cs = [c for c in live if int(c.cur) == pivot]
+            if doc_mask is not None:
+                pos = (
+                    reader.rank_to_local(pivot)
+                    if reader.posting_space == "position"
+                    else int(
+                        np.searchsorted(reader.doc_sorted, np.uint64(pivot))
+                    )
+                )
+                if not doc_mask[pos]:
+                    for c in doc_cs:
+                        c.advance()
+                    continue
+            # full evaluation — exact score, sorted-term summation order
             doc_cs.sort(key=lambda c: c.term)
             if reader.posting_space == "position":
                 dl = reader.len_sorted[
@@ -702,9 +821,9 @@ class BM25Scorer:
         every posting anyway, so the vectorized exhaustive TAAT kernel
         is strictly faster. Both paths are rank-identical (tested), so
         switching per query is purely a performance choice — the same
-        call real engines make between WAND and exhaustive SIMD scoring."""
-        if self.doc_mask is not None:
-            return score_taat
+        call real engines make between WAND and exhaustive SIMD scoring.
+        Filtered queries route through the same heuristic: both kernels
+        are filter-aware (score_bmw gates full evaluation on the mask)."""
         if self.method != "auto":
             return score_bmw if self.method == "bmw" else score_taat
         terms = [t for t in set(tokenize_py(text)) if t in self.reader.df]
@@ -724,10 +843,7 @@ class BM25Scorer:
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, text in zip(qids, texts):
             fn = self._pick(text)
-            if fn is score_taat and self.doc_mask is not None:
-                hits = fn(self.reader, text, self.k, doc_mask=self.doc_mask)
-            else:
-                hits = fn(self.reader, text, self.k)
+            hits = fn(self.reader, text, self.k, doc_mask=self.doc_mask)
             for rank, (doc, score) in enumerate(hits, start=1):
                 out_q.append(qid)
                 out_r.append(rank)

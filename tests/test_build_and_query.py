@@ -48,6 +48,21 @@ def test_bmw_identical_to_taat(tiny_index):
         assert score_bmw(reader, text, 10) == score_taat(reader, text, 10)
 
 
+def test_filtered_bmw_identical_to_filtered_taat(tiny_index):
+    """Filter-aware block-max pruning: the mask gates full evaluation
+    only, so filtered BMW must stay rank-identical to filtered TAAT
+    (which is itself oracle-identical) at any filter selectivity."""
+    reader = IndexReader(tiny_index)
+    rng = np.random.default_rng(5)
+    queries = make_queries(60)
+    for selectivity in (0.05, 0.3, 0.9):
+        mask = rng.random(reader.n_docs) < selectivity
+        for text in queries["text"].to_pylist():
+            assert score_bmw(reader, text, 10, doc_mask=mask) == score_taat(
+                reader, text, 10, doc_mask=mask
+            )
+
+
 def test_stats_match_oracle(tiny_index, tiny_oracle):
     reader = IndexReader(tiny_index)
     assert reader.n_docs == tiny_oracle.n_docs

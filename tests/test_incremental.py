@@ -10,12 +10,18 @@ from pisa_ray.scorer import IndexReader, score_bmw, score_taat
 from pisa_ray.synth import make_corpus, make_queries
 
 
-def test_incremental_generation_rank_identity(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("space", ["docid", "position"])
+def test_incremental_generation_rank_identity(tmp_path, space):
     corpus = make_corpus(240, n_partitions=2)
     base = corpus.slice(0, 150)
     delta = corpus.slice(150)
     d = str(tmp_path / "idx")
-    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    cfg = IndexConfig(
+        bucket_bits=2, term_parts=8, lineage_parts=1, posting_space=space
+    )
     build_index(base, d, cfg)
     build_incremental(delta, d, generation="g1")
 
@@ -52,12 +58,15 @@ def test_incremental_postings_sorted_after_merge(tmp_path):
         assert docs.size == int(reader.df[term])
 
 
-def test_compaction_restores_single_runs_and_identity(tmp_path):
+@pytest.mark.parametrize("space", ["docid", "position"])
+def test_compaction_restores_single_runs_and_identity(tmp_path, space):
     from pisa_ray.build import compact_index
 
     corpus = make_corpus(200, n_partitions=2)
     d = str(tmp_path / "idx")
-    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    cfg = IndexConfig(
+        bucket_bits=2, term_parts=8, lineage_parts=1, posting_space=space
+    )
     build_index(corpus.slice(0, 120), d, cfg)
     build_incremental(corpus.slice(120), d, generation="g1")
     compact_index(d)

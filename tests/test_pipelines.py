@@ -37,6 +37,19 @@ def test_dedup_exact_with_planted_dups(docs):
     assert set(out["doc_id"]) == set(base["doc_id"])
 
 
+def test_dedup_exact_no_false_merge_on_prefix_collision(docs):
+    """Narrowing the shuffle-key prefix to 1 byte forces many distinct
+    texts into the same prefix group; the full-digest check inside the
+    group must keep them all (no false merges)."""
+    from pisa_ray.pipelines.dedup import dedup_exact
+
+    base = docs.to_pandas()
+    ds = rd.from_pandas(base)
+    full = dedup_exact(ds).to_pandas()
+    narrow = dedup_exact(ds, prefix_bytes=1).to_pandas()
+    assert set(narrow["doc_id"]) == set(full["doc_id"])
+
+
 def test_minhash_detects_planted_near_dups(docs):
     from pisa_ray.pipelines.dedup import minhash_lsh_dedup
 
@@ -307,3 +320,49 @@ def test_fingerprint_batch_identical_to_scalar_fnv():
     )
     out = fingerprint64(ds).to_pandas().sort_values("doc_id")
     assert [int(x) for x in out["fingerprint"]] == [scalar_fp(t) for t in texts]
+
+
+# -- distributed k-means (SURVEY T5; reference PISA.py:91-134) ------------
+
+
+def test_kmeans_matches_numpy_oracle_at_two_parallelisms():
+    from pisa_ray.pipelines.clustering import kmeans, kmeans_oracle
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((4, 8)) * 6.0
+    X = np.concatenate(
+        [c + rng.standard_normal((60, 8)) for c in centers]
+    )
+    ids = np.arange(X.shape[0], dtype=np.int64)
+    C_gold, a_gold = kmeans_oracle(X, ids, k=4, seed=17)
+
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    for nblocks in (1, 8):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        C, assign = kmeans(ds, k=4, seed=17)
+        out = assign.to_pandas().sort_values("vec_id")
+        assert np.allclose(C, C_gold, atol=1e-8)
+        assert out["cluster"].to_numpy().tolist() == a_gold.tolist()
+
+
+def test_kmeans_empty_cluster_reinit_deterministic():
+    """k larger than the natural cluster count forces empty-cluster
+    reinitialization; results must still match the oracle and be
+    identical across parallelism levels."""
+    from pisa_ray.pipelines.clustering import kmeans, kmeans_oracle
+
+    rng = np.random.default_rng(5)
+    X = np.concatenate(
+        [np.zeros((50, 4)) + rng.standard_normal((50, 4)) * 0.01,
+         np.full((3, 4), 50.0) + rng.standard_normal((3, 4)) * 0.01]
+    )
+    ids = np.arange(X.shape[0], dtype=np.int64)
+    C_gold, a_gold = kmeans_oracle(X, ids, k=6, n_iter=8, seed=3)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    outs = []
+    for nblocks in (1, 4):
+        C, assign = kmeans(rd.from_pandas(df).repartition(nblocks),
+                           k=6, n_iter=8, seed=3)
+        outs.append(assign.to_pandas().sort_values("vec_id")["cluster"].tolist())
+        assert np.allclose(C, C_gold, atol=1e-8)
+    assert outs[0] == outs[1] == a_gold.tolist()

@@ -120,3 +120,32 @@ def test_position_space_rank_identity_and_smaller(tmp_path):
         assert a == b, text
         assert score_bmw(readers["position"], text, 10) == b, text
     assert sizes["position"] < 0.45 * sizes["docid"], sizes
+
+
+def test_position_space_parallelism_invariance(tmp_path):
+    """The per-bucket distributed rank map must yield identical
+    position-space results at different bucket/partition configs (the
+    sandbox analog of two cluster sizes) — and it never materializes
+    the full id array on the driver (ranks come from per-bucket Ray
+    tasks; see build._bucket_rank_refs)."""
+    from pisa_ray.synth import make_corpus, make_queries
+
+    corpus = make_corpus(260, n_partitions=3)
+    qs = make_queries(40)
+    results = []
+    for i, cfg in enumerate(
+        [
+            IndexConfig(bucket_bits=0, term_parts=2, lineage_parts=1,
+                        posting_space="position"),
+            IndexConfig(bucket_bits=3, term_parts=16, lineage_parts=2,
+                        tokenize_batch_size=64, posting_space="position",
+                        per_bucket_merge=False),
+        ]
+    ):
+        d = str(tmp_path / f"pidx{i}")
+        build_index(corpus, d, cfg)
+        reader = IndexReader(d)
+        results.append(
+            [score_taat(reader, t, 10) for t in qs["text"].to_pylist()]
+        )
+    assert results[0] == results[1]
