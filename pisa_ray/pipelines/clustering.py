@@ -169,6 +169,94 @@ def kmeans(
     return C, emb.map_batches(assign, batch_format="pyarrow")
 
 
+def jsd_softmax_weights(
+    prev: rd.Dataset,
+    cur: rd.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    temp: float = 1.0,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Two-sided lookup + elementwise kernel (SURVEY T6; reference
+    /root/reference/src/models/PISA.py:137-161): per id, the
+    Jensen-Shannon divergence between the softmax cluster-assignment
+    distributions of its PREV and CURRENT embeddings, then globally
+    mean-centered and squashed with a sigmoid into a (0,1) weight.
+
+    Ray shape: each side is one vectorized ``map_batches`` computing
+    softmax(-dist²/temp) against the broadcast centroids; the two-sided
+    join is a tagged union hash-partitioned on the id (``n_parts``
+    groups), with the per-partition pairing fully vectorized (sort +
+    searchsorted inside the group — never a per-id group). Ids present
+    on only one side are dropped (reference: ``torch.isin`` semi-join,
+    PISA.py:184-186). Returns (id, jsd, weight)."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def make_dists(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cent_ref)
+            x = _as_matrix(batch[vec_col])
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ cc.T)
+                + (cc * cc).sum(axis=1)[None, :]
+            )
+            z = -d2 / temp
+            z -= z.max(axis=1, keepdims=True)
+            p = np.exp(z)
+            p /= p.sum(axis=1, keepdims=True)
+            part = (splitmix64(ids.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "part": pa.array(part),
+                    id_col: pa.array(ids),
+                    "side": pa.array(np.full(ids.size, side, dtype=np.int32)),
+                    "p": pa.array(list(p), type=pa.large_list(pa.float64())),
+                }
+            )
+
+        return fn
+
+    u = prev.map_batches(make_dists(0), batch_format="pyarrow").union(
+        cur.map_batches(make_dists(1), batch_format="pyarrow")
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].sort_values(id_col, kind="mergesort")
+        b = g[g["side"] == 1].sort_values(id_col, kind="mergesort")
+        ia = a[id_col].to_numpy()
+        ib = b[id_col].to_numpy()
+        pos = np.searchsorted(ia, ib)
+        ok = (pos < ia.size) & (ia[np.minimum(pos, ia.size - 1)] == ib)
+        if not ok.any():
+            return pd.DataFrame({id_col: [], "jsd": []}).astype(
+                {id_col: "int64", "jsd": "float64"}
+            )
+        P = np.stack([np.asarray(v, dtype=np.float64) for v in a["p"]])[pos[ok]]
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in b["p"].iloc[np.flatnonzero(ok)]])
+        M = 0.5 * (P + Q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl_pm = np.where(P > 0, P * np.log(P / M), 0.0).sum(axis=1)
+            kl_qm = np.where(Q > 0, Q * np.log(Q / M), 0.0).sum(axis=1)
+        return pd.DataFrame(
+            {id_col: ib[ok].astype("int64"), "jsd": 0.5 * (kl_pm + kl_qm)}
+        )
+
+    j = u.groupby("part").map_groups(per_part, batch_format="pandas").materialize()
+    mean_jsd = float(j.mean("jsd") or 0.0)
+
+    def weight(batch: pa.Table) -> pa.Table:
+        v = batch["jsd"].to_numpy(zero_copy_only=False)
+        w = 1.0 / (1.0 + np.exp(-(v - mean_jsd)))
+        return batch.append_column("weight", pa.array(w))
+
+    return j.map_batches(weight, batch_format="pyarrow")
+
+
 def kmeans_oracle(
     X: np.ndarray, ids: np.ndarray, k: int, n_iter: int = 25, tol: float = 1e-9,
     seed: int = 17,

@@ -366,3 +366,50 @@ def test_kmeans_empty_cluster_reinit_deterministic():
         outs.append(assign.to_pandas().sort_values("vec_id")["cluster"].tolist())
         assert np.allclose(C, C_gold, atol=1e-8)
     assert outs[0] == outs[1] == a_gold.tolist()
+
+
+def test_jsd_softmax_weights_vs_numpy():
+    """T6 two-sided kernel: distributed JSD(prev, cur) must match a
+    numpy oracle and be identical at two parallelism levels; ids on
+    only one side are dropped (semi-join semantics)."""
+    from pisa_ray.pipelines.clustering import jsd_softmax_weights
+
+    rng = np.random.default_rng(9)
+    C = rng.standard_normal((5, 6)) * 3.0
+    n = 150
+    prev_X = rng.standard_normal((n, 6))
+    cur_X = prev_X + rng.standard_normal((n, 6)) * 0.3
+    ids = np.arange(n, dtype=np.int64)
+
+    def soft(X):
+        d2 = ((X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :])
+        z = -d2
+        z -= z.max(1, keepdims=True)
+        p = np.exp(z)
+        return p / p.sum(1, keepdims=True)
+
+    P, Q = soft(prev_X), soft(cur_X)
+    M = 0.5 * (P + Q)
+    gold = 0.5 * (
+        (P * np.log(P / M)).sum(1) + (Q * np.log(Q / M)).sum(1)
+    )
+    gold_w = 1.0 / (1.0 + np.exp(-(gold - gold.mean())))
+
+    prev_df = pd.DataFrame({"vec_id": ids, "embedding": list(prev_X)})
+    # drop a few ids from the current side: they must vanish from output
+    cur_df = pd.DataFrame({"vec_id": ids, "embedding": list(cur_X)}).iloc[5:]
+    for nblocks in (1, 6):
+        out = (
+            jsd_softmax_weights(
+                rd.from_pandas(prev_df).repartition(nblocks),
+                rd.from_pandas(cur_df).repartition(nblocks),
+                C,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert out["vec_id"].tolist() == ids[5:].tolist()
+        keep = gold[5:]
+        keep_w = 1.0 / (1.0 + np.exp(-(keep - keep.mean())))
+        assert np.allclose(out["jsd"].to_numpy(), keep, atol=1e-12)
+        assert np.allclose(out["weight"].to_numpy(), keep_w, atol=1e-9)
