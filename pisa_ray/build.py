@@ -128,11 +128,31 @@ def make_tokenize_fn(cfg: IndexConfig):
 
 
 def term_group_hash(vocab: pa.Array, n_parts: int) -> np.ndarray:
-    """Deterministic term -> group id (crc32 mod parts), per unique term."""
-    return np.array(
-        [zlib.crc32(s.encode("utf-8")) % n_parts for s in vocab.to_pylist()],
-        dtype=np.uint32,
+    """Deterministic term -> group id, per unique term. Vectorized
+    FNV-1a over the dictionary's flat byte buffer (was a per-term
+    Python crc32 loop — measured as a top cost of the explode stage).
+    Any fixed hash works here: the group id only routes a term's
+    postings to a shuffle partition; segment contents are per-term."""
+    from .pipelines.text import fnv1a_batch
+
+    if isinstance(vocab, pa.ChunkedArray):
+        vocab = vocab.combine_chunks()
+    arr = vocab.cast(pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint32)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)[offs[0] : offs[-1]]
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
     )
+    h = fnv1a_batch(data, offs - offs[0])
+    return (h % np.uint64(n_parts)).astype(np.uint32)
 
 
 def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
@@ -183,21 +203,31 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
     id array (round 1 ``np.sort``-ed every doc_id on the driver, ~8 TB
     at 10^12 docs). Buckets are the top bits of the doc_id, so
     bucket-major order IS global docmap order and
-    ``global_rank = offset[bucket] + rank_within_bucket``."""
+    ``global_rank = offset[bucket] + rank_within_bucket``.
+
+    Works on both tokenized layouts: hive ``bucket=`` dirs (per-bucket
+    merge) are read directly; the flat single-shuffle layout is read
+    fully per task with an in-task bucket filter (doc_id column only —
+    8 B/doc, far cheaper than forcing a 1000s-of-tiny-files hive
+    write just for this pass)."""
     import ray as _ray
 
     n_buckets = 1 << bucket_bits
 
     @_ray.remote
-    def sorted_ids(files: list[str]) -> np.ndarray:
+    def sorted_ids(files: list[str], b: int | None) -> np.ndarray:
         import pyarrow.parquet as _pq
 
-        arrs = [
-            _pq.read_table(f, columns=["doc_id"])["doc_id"]
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-            for f in files
-        ]
+        arrs = []
+        for f in files:
+            a = (
+                _pq.read_table(f, columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            if b is not None:
+                a = a[bucket_of(a, bucket_bits) == b]
+            arrs.append(a)
         return np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
 
     @_ray.remote
@@ -207,7 +237,13 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
     refs = []
     for b in range(n_buckets):
         bfiles = sorted(glob.glob(os.path.join(tok_dir, "*", f"bucket={b}", "*.parquet")))
-        refs.append(sorted_ids.remote(bfiles))
+        if bfiles:
+            refs.append(sorted_ids.remote(bfiles, None))
+        else:
+            allfiles = sorted(
+                glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
+            )
+            refs.append(sorted_ids.remote(allfiles, b))
     counts = _ray.get([size_of.remote(r) for r in refs])
     offsets = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.uint64)
     return offsets, refs
@@ -479,15 +515,13 @@ def build_index(
                 tok_fn, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
             )
             part_dir = os.path.join(tok_dir, f"part_{gname}")
-            # hive-partition by bucket only when something reads
-            # per-bucket — the per-bucket merge, or the position-space
-            # rank map (which sorts each bucket's ids in its own task)
-            # (avoids num_groups x num_buckets small files otherwise)
-            wkw = (
-                {"partition_cols": ["bucket"]}
-                if cfg.per_bucket_merge or cfg.posting_space == "position"
-                else {}
-            )
+            # hive-partition by bucket only when the merge reads
+            # per-bucket (avoids num_groups x num_buckets small files —
+            # measured: hive-partitioning the single-shuffle layout blew
+            # tokenized/ up to ~1800 tiny files and throttled the merge
+            # read to ~2 effective cores). The position-space rank map
+            # handles both layouts (bucket-filtering inside its tasks).
+            wkw = {"partition_cols": ["bucket"]} if cfg.per_bucket_merge else {}
             _atomic_write(out, part_dir, **wkw)
             rows = pads.dataset(part_dir).count_rows()
             man.mark_partition("tokenized", gname, rows=rows, wall_s=t.elapsed())
@@ -500,15 +534,23 @@ def build_index(
         all_cols = pads.dataset(tok_files[0]).schema.names
         dm_cols = [c for c in all_cols if c not in ("term", "tf")]
         if cfg.write_docmap:
-            dm = rd.read_parquet(tok_files, columns=dm_cols).repartition(max(8, ncpus))
+            dm = rd.read_parquet(
+                tok_files, columns=dm_cols, override_num_blocks=2 * ncpus
+            ).repartition(max(8, ncpus))
             _atomic_write(dm, os.path.join(index_dir, "docmap"))
             dm2 = rd.read_parquet(
                 os.path.join(index_dir, "docmap"), columns=["doc_id", "length"]
             )
         else:
-            dm2 = rd.read_parquet(tok_files, columns=["doc_id", "length"])
-        n_docs = dm2.count()
-        total_tokens = dm2.sum("length") or 0
+            dm2 = rd.read_parquet(
+                tok_files, columns=["doc_id", "length"], override_num_blocks=ncpus
+            )
+        # one pass for both global stats (two jobs = two full reads)
+        from ray.data.aggregate import Count, Sum
+
+        agg = dm2.aggregate(Count(), Sum("length"))
+        n_docs = int(agg.get("count()", 0) or 0)
+        total_tokens = int(agg.get("sum(length)", 0) or 0)
         if cfg.check_collisions and n_docs:
             # order-preserving uint64 -> int64 view: Ray's sort-based
             # groupby samples boundaries as int64; raw uint64 ids above
@@ -555,14 +597,20 @@ def build_index(
         tok_files = sorted(
             glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
         )
-        tk = rd.read_parquet(tok_files, columns=["doc_id", "length", "term", "tf"])
+        # right-size read tasks at the SOURCE: tokenized/ is many small
+        # files, and per-file read tasks are ~30ms each — scheduling
+        # overhead starves the cores (measured ~1.4 effective cores at
+        # 16). override_num_blocks also fixes the aggregate's
+        # reduce-partition count, replacing the old post-read
+        # repartition barrier (2x faster merge end-to-end).
+        tk = rd.read_parquet(
+            tok_files,
+            columns=["doc_id", "length", "term", "tf"],
+            override_num_blocks=2 * ncpus,
+        )
         triples = tk.map_batches(
             make_explode_fn(cfg, with_bucket=True), batch_format="pyarrow"
         )
-        # coalesce pre-shuffle blocks: the aggregate's reduce-partition
-        # count follows the input block count, and hundreds of tiny
-        # blocks mean hundreds of near-empty reduce tasks + output files
-        triples = triples.repartition(2 * ncpus)
         seg = triples.groupby("grp").map_groups(
             make_encode_group_fn(stats["avgdl"], None, n_buckets, rank_map),
             batch_format="pyarrow",
@@ -588,10 +636,12 @@ def build_index(
                 os.makedirs(seg_dir, exist_ok=True)
                 man.mark_partition("segments", pname, rows=0, wall_s=t.elapsed())
                 continue
-            tk = rd.read_parquet(bfiles, columns=["doc_id", "length", "term", "tf"])
-            triples = tk.map_batches(explode_fn, batch_format="pyarrow").repartition(
-                2 * ncpus
+            tk = rd.read_parquet(
+                bfiles,
+                columns=["doc_id", "length", "term", "tf"],
+                override_num_blocks=2 * ncpus,
             )
+            triples = tk.map_batches(explode_fn, batch_format="pyarrow")
             seg = triples.groupby("grp").map_groups(
                 make_encode_group_fn(stats["avgdl"], b, rank_map=rank_map),
                 batch_format="pyarrow",
@@ -627,8 +677,8 @@ def build_index(
             postings += int(
                 pc.sum(t2["df"]).as_py() or 0
             )
-            doc_bytes += sum(len(v) for v in t2["doc_blob"].to_pylist())
-            tf_bytes += sum(len(v) for v in t2["tf_blob"].to_pylist())
+            doc_bytes += int(pc.sum(pc.binary_length(t2["doc_blob"])).as_py() or 0)
+            tf_bytes += int(pc.sum(pc.binary_length(t2["tf_blob"])).as_py() or 0)
         man.data["index_metrics"] = {
             "segment_rows": n_terms,
             "postings": postings,

@@ -965,16 +965,19 @@ def query_index(
         kwargs["doc_mask_ref"] = ray.put(
             load_doc_filter(index_dir, doc_filter[0], doc_filter[1])
         )
+    # concurrency may be an int (fixed pool — best for a single burst;
+    # Ray Data's autoscaler ramps too slowly otherwise) or a (min, max)
+    # tuple (autoscaling pool — use when pools run back-to-back: a
+    # fixed full-size pool would stall ~20 s waiting for the previous
+    # pool's actors to be torn down)
+    n_hint = concurrency if isinstance(concurrency, int) else concurrency[1]
     if queries.count() > batch_size:
-        queries = queries.repartition(max(concurrency * 2, 4))
+        queries = queries.repartition(max(n_hint * 2, 4))
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        # fixed pool size: Ray Data's autoscaler ramps too slowly for a
-        # short query burst; the caller sizes concurrency < node CPUs so
-        # upstream stages never starve
         concurrency=concurrency,
         num_cpus=1,
     )
