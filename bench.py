@@ -146,6 +146,25 @@ def main() -> None:
         )
         results[f"bm25_{method}_digest"] = _hl.md5(payload.encode()).hexdigest()
 
+    # ---- filtered BM25 (filter-aware block-max pruning) -----------------
+    # a selective metadata filter (~1/6 of docs) must keep ~unfiltered
+    # QPS: score_bmw gates full evaluation on the mask instead of
+    # falling back to the exhaustive kernel
+    t0 = time.perf_counter()
+    fhits = query_index(
+        rd.from_arrow(qt),
+        idx_dir,
+        k=10,
+        method="auto",
+        concurrency=(2, ncpu),
+        batch_size=32,
+        doc_filter=("lang", "python"),
+    ).to_pandas()
+    dt = time.perf_counter() - t0
+    results["bm25_filtered_sec"] = round(dt, 3)
+    results["bm25_filtered_qps"] = round(N_QUERIES / dt, 1)
+    results["bm25_filtered_hits"] = len(fhits)
+
     # ---- relational + training-data pipelines ---------------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E

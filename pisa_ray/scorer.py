@@ -503,8 +503,15 @@ def score_taat(
     over the (usually tiny) candidate set — exact ties all survive the
     threshold cut, so no tie is ever lost to partitioning."""
     terms = sorted(set(tokenize_py(text)))
-    scores = np.zeros(reader.n_local, dtype=np.float64)
-    any_hit = False
+    # reuse one per-reader buffer: selective queries then cost O(Σdf)
+    # memory traffic (targeted scatter + targeted reset) instead of two
+    # full O(n_local) passes (zeroing + scan) per query
+    buf = getattr(reader, "_taat_buf", None)
+    if buf is None or buf.size != reader.n_local:
+        buf = reader._taat_buf = np.zeros(reader.n_local, dtype=np.float64)
+    touched: list[np.ndarray] = []
+    dense_used = False
+    total_df = 0
     for t in terms:
         docs, contrib, pos = reader.term_contributions(t)
         if docs.size == 0:
@@ -513,28 +520,45 @@ def score_taat(
         # way (positions are unique within a term); bincount is much
         # faster than add.at for dense terms, add.at for sparse ones
         if pos.size * 16 > reader.n_local:
-            scores += np.bincount(pos, weights=contrib, minlength=reader.n_local)
+            buf += np.bincount(pos, weights=contrib, minlength=reader.n_local)
+            dense_used = True
         else:
-            np.add.at(scores, pos, contrib)
-        any_hit = True
-    if not any_hit:
+            np.add.at(buf, pos, contrib)
+        touched.append(pos)
+        total_df += pos.size
+    if not touched:
         return []
+    # candidates: contributions are strictly positive, so the nonzero
+    # set IS the union of touched positions — a full-buffer scan only
+    # pays off when the union is itself buffer-sized
+    if dense_used or total_df * 4 > reader.n_local:
+        nz = np.flatnonzero(buf > 0.0)
+    else:
+        nz = np.unique(np.concatenate(touched))
     if doc_mask is not None:
         # restrict candidates (scores are per-doc independent, so
-        # masking after accumulation == scoring only allowed docs)
-        scores[~doc_mask] = 0.0
-    nz = np.flatnonzero(scores > 0.0)
-    if nz.size == 0:
-        return []
-    if nz.size > k:
-        s_k = np.partition(scores[nz], nz.size - k)[nz.size - k]
-        cand = nz[scores[nz] >= s_k]
-    else:
-        cand = nz
-    out = reader.out_ids(reader.doc_sorted[cand])
-    c_scores = scores[cand]
-    order = np.lexsort((out, -c_scores))[: min(k, cand.size)]
-    return [(int(out[i]), float(c_scores[i])) for i in order]
+        # masking candidates == scoring only allowed docs)
+        nz = nz[doc_mask[nz]]
+    try:
+        if nz.size == 0:
+            return []
+        if nz.size > k:
+            s_k = np.partition(buf[nz], nz.size - k)[nz.size - k]
+            cand = nz[buf[nz] >= s_k]
+        else:
+            cand = nz
+        out = reader.out_ids(reader.doc_sorted[cand])
+        c_scores = buf[cand]
+        order = np.lexsort((out, -c_scores))[: min(k, cand.size)]
+        return [(int(out[i]), float(c_scores[i])) for i in order]
+    finally:
+        # exact reset for the next query on this actor: only touched
+        # positions are nonzero
+        if dense_used:
+            buf[:] = 0.0
+        else:
+            for pos in touched:
+                buf[pos] = 0.0
 
 
 # --------------------------------------------------------------------------

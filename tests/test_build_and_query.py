@@ -215,6 +215,21 @@ def test_sharded_query_fanout_matches_broadcast(tiny_index, tiny_oracle):
     assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
 
 
+def test_sharded_reader_loads_shard_local_docmap(tiny_index):
+    """A bucket-sharded reader must hold only ITS buckets' docmap rows
+    (per-shard memory ∝ 1/S), while BM25 stats stay global."""
+    full = IndexReader(tiny_index)
+    half = IndexReader(tiny_index, buckets={0, 1})  # 2 of 4 buckets
+    assert half.n_docs == full.n_docs  # global stats unchanged
+    assert half.n_local < full.n_local
+    # hash-uniform ids -> each bucket holds ~n/4
+    assert abs(half.n_local - full.n_local / 2) < full.n_local * 0.25
+    # every doc the shard's segments reference resolves locally
+    for term in list(half.term_runs)[:30]:
+        docs, _ = half.decode_term(term)
+        assert np.isin(docs, half.doc_sorted).all()
+
+
 def test_csv_source_builds_identical_index(tmp_path, tiny_corpus):
     """CSV corpus ingest produces the same segments as Parquet."""
     import pyarrow.csv as pacsv
