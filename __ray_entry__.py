@@ -562,6 +562,12 @@ def q_knn_cosine(sf_dir: str):
 # ---- rows-only (no SQL oracle: heuristic / hash / stub semantics) --------
 
 
+def q_token_stats(sf_dir: str):
+    from pisa_ray.pipelines.text import token_stats
+
+    return token_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_lang_id(sf_dir: str):
     from pisa_ray.pipelines.text import lang_id
 
@@ -722,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
+        "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         # rows-only (non-SQL-expressible: permutation hashing,
@@ -1000,4 +1007,16 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "lang_id": _lang_id_sql(),
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_distinct({_TOK})) AS n_distinct,
+                   CASE WHEN len({_TOK}) = 0 THEN 0.0
+                        ELSE round(
+                            list_sum(list_transform({_TOK}, x -> length(x)))
+                            / len({_TOK}), 4)
+                   END AS avg_token_len
+            FROM documents
+        """,
     }

@@ -49,13 +49,16 @@ def token_stats(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         terms, _, _ = doc_term_counts(batch[text_col])
         n_distinct = np.diff(terms.offsets.to_numpy(zero_copy_only=False))
         avg = np.where(n_tokens > 0, sum_len / np.maximum(n_tokens, 1), 0.0)
+        # half-up at 4 decimals (np.round is half-even; DuckDB/SQL
+        # oracles round half-up — .5 boundaries hit often with /2^k)
+        avg = np.floor(avg * 1e4 + 0.5) / 1e4
         return pa.table(
             {
                 id_col: batch[id_col],
                 "n_tokens": pa.array(n_tokens),
                 "n_chars": pc.utf8_length(batch[text_col]).cast(pa.int64()),
                 "n_distinct": pa.array(n_distinct.astype(np.int64)),
-                "avg_token_len": pa.array(np.round(avg, 4)),
+                "avg_token_len": pa.array(avg),
             }
         )
 
