@@ -110,23 +110,35 @@ def main() -> None:
     # ---- BM25 query QPS (rare/common/multi/stop/OOV mix) ----------------
     from pisa_ray.synth import make_queries
 
+    def wait_cpus_free(n: int, timeout_s: float = 30.0) -> None:
+        """Untimed barrier between pools (best-effort): most of a
+        finished pool's actors release within ~1 s."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < timeout_s:
+            if ray.available_resources().get("CPU", 0) >= n:
+                return
+            time.sleep(0.25)
+
+    # HALF the node, proportionally at every level: Ray Data retains a
+    # few finished-pool actors for lineage reconstruction (ray#53727),
+    # so a pool sized near the full node stalls ~20 s waiting for CPUs
+    # that never free until shutdown; autoscaling pools dodge the stall
+    # but never ramp during a short burst (measured 550 vs 1000+ QPS).
+    # Half-node fixed pools always fit and keep the N:4N ratio exact.
+    pool = max(2, ncpu // 2)
     qt = make_queries(N_QUERIES)
     # untimed warmup: load + precompute + broadcast the reader once (an
     # index server is pre-warmed; QPS measures steady-state throughput)
     query_index(rd.from_arrow(qt.slice(0, 8)), idx_dir, k=10, concurrency=2).count()
     for method in ("taat", "auto"):
+        wait_cpus_free(pool)
         t0 = time.perf_counter()
         hits = query_index(
             rd.from_arrow(qt),
             idx_dir,
             k=10,
             method=method,
-            # autoscaling pool up to the full node: previous pools'
-            # actors release lazily, so a fixed full-size pool stalls
-            # ~20 s waiting for teardown, while the autoscaler starts
-            # at 2 and grows into cores as they free (half-size fixed
-            # pools idled half the box at BOTH scaling levels)
-            concurrency=(2, ncpu),
+            concurrency=pool,
             batch_size=32,
         ).to_pandas()
         dt = time.perf_counter() - t0
@@ -150,13 +162,14 @@ def main() -> None:
     # a selective metadata filter (~1/6 of docs) must keep ~unfiltered
     # QPS: score_bmw gates full evaluation on the mask instead of
     # falling back to the exhaustive kernel
+    wait_cpus_free(pool)
     t0 = time.perf_counter()
     fhits = query_index(
         rd.from_arrow(qt),
         idx_dir,
         k=10,
         method="auto",
-        concurrency=(2, ncpu),
+        concurrency=pool,
         batch_size=32,
         doc_filter=("lang", "python"),
     ).to_pandas()
