@@ -222,7 +222,10 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "300000"),
-            BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "8000"),
+            # enough queries that the ~2 s actor-pool spin-up (spawn +
+            # first-batch latency; the reader itself is zero-copy from
+            # plasma) amortizes at the 4N level too
+            BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "24000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

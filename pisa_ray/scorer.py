@@ -296,6 +296,7 @@ class IndexReader:
             self._bucket_cum = None
             self._rank_delta = None
         self._contrib_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._dense_cache: dict[str, np.ndarray] = {}
         self._bmw_safe: dict[str, bool] = {}
 
     @staticmethod
@@ -426,9 +427,38 @@ class IndexReader:
         costs more than it saves. At 10^12-doc scale this is
         per-bucket-shard, not global."""
         min_df = max(1, int(min_df_fraction * self.n_docs))
-        for term, df in self.df.items():
-            if int(df) >= min_df and self.has_term(term):
+        # df-descending so the capped dense cache keeps the terms whose
+        # per-query bincount cost is largest
+        hot = sorted(
+            ((int(df), t) for t, df in self.df.items() if int(df) >= min_df),
+            reverse=True,
+        )
+        for _, term in hot:
+            if self.has_term(term):
                 self.term_contributions(term)
+                self.dense_contrib(term)
+
+    def dense_contrib(self, term: str) -> np.ndarray | None:
+        """DENSE per-position contribution vector for very-high-df
+        terms (df*16 > n_local — the same cutoff where bincount beats
+        add.at). One precomputed vector turns the per-query cost of a
+        stop term into a single SIMD streaming add (2 passes) instead
+        of bincount's gather+alloc+sum+add (~4 passes) — the dominant
+        memory traffic of dense TAAT queries. Bit-identical: the vector
+        IS the bincount result, computed once."""
+        cache = self._dense_cache
+        dv = cache.get(term)
+        if dv is not None:
+            return dv
+        df = int(self.df.get(term, 0))
+        if df * 16 <= self.n_local or len(cache) >= 64:
+            return None
+        docs, contrib, pos = self.term_contributions(term)
+        if docs.size == 0:
+            return None
+        dv = np.bincount(pos, weights=contrib, minlength=self.n_local)
+        cache[term] = dv
+        return dv
 
     def decode_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Full decode of a term's postings across all runs -> sorted.
@@ -511,42 +541,67 @@ def score_taat(
         buf = reader._taat_buf = np.zeros(reader.n_local, dtype=np.float64)
     touched: list[np.ndarray] = []
     dense_used = False
+    any_hit = False
     total_df = 0
     for t in terms:
+        # per-doc accumulation order is sorted-term order on every
+        # path (positions are unique within a term), so scores are
+        # bit-identical across them. Cost ladder per term:
+        # precomputed dense vector (1 SIMD add) > bincount (dense,
+        # uncached) > add.at (sparse).
+        dv = reader.dense_contrib(t)
+        if dv is not None:
+            buf += dv
+            dense_used = True
+            any_hit = True
+            total_df += int(reader.df.get(t, 0))
+            continue
         docs, contrib, pos = reader.term_contributions(t)
         if docs.size == 0:
             continue
-        # per-doc accumulation order is still sorted-term order either
-        # way (positions are unique within a term); bincount is much
-        # faster than add.at for dense terms, add.at for sparse ones
         if pos.size * 16 > reader.n_local:
             buf += np.bincount(pos, weights=contrib, minlength=reader.n_local)
             dense_used = True
         else:
             np.add.at(buf, pos, contrib)
-        touched.append(pos)
+            touched.append(pos)
+        any_hit = True
         total_df += pos.size
-    if not touched:
+    if not any_hit:
         return []
-    # candidates: contributions are strictly positive, so the nonzero
-    # set IS the union of touched positions — a full-buffer scan only
-    # pays off when the union is itself buffer-sized
-    if dense_used or total_df * 4 > reader.n_local:
-        nz = np.flatnonzero(buf > 0.0)
-    else:
-        nz = np.unique(np.concatenate(touched))
-    if doc_mask is not None:
-        # restrict candidates (scores are per-doc independent, so
-        # masking candidates == scoring only allowed docs)
-        nz = nz[doc_mask[nz]]
+    dense_sel = dense_used or total_df * 4 > reader.n_local
     try:
-        if nz.size == 0:
-            return []
-        if nz.size > k:
-            s_k = np.partition(buf[nz], nz.size - k)[nz.size - k]
-            cand = nz[buf[nz] >= s_k]
+        # contributions are strictly positive, so the nonzero set IS
+        # the union of touched positions; for dense queries select on
+        # the buffer DIRECTLY (one partition, no nonzero+gather pass)
+        if dense_sel and doc_mask is None:
+            n = reader.n_local
+            s_k = (
+                float(np.partition(buf, n - k)[n - k]) if n > k else 0.0
+            )
+            if s_k > 0.0:
+                cand = np.flatnonzero(buf >= s_k)
+            else:  # fewer than k positive docs
+                cand = np.flatnonzero(buf > 0.0)
         else:
-            cand = nz
+            nz = (
+                np.flatnonzero(buf > 0.0)
+                if dense_sel
+                else np.unique(np.concatenate(touched))
+            )
+            if doc_mask is not None:
+                # restrict candidates (scores are per-doc independent,
+                # so masking candidates == scoring only allowed docs)
+                nz = nz[doc_mask[nz]]
+            if nz.size == 0:
+                return []
+            if nz.size > k:
+                s_k = np.partition(buf[nz], nz.size - k)[nz.size - k]
+                cand = nz[buf[nz] >= s_k]
+            else:
+                cand = nz
+        if cand.size == 0:
+            return []
         out = reader.out_ids(reader.doc_sorted[cand])
         c_scores = buf[cand]
         order = np.lexsort((out, -c_scores))[: min(k, cand.size)]
@@ -853,13 +908,17 @@ class BM25Scorer:
         terms = [t for t in set(tokenize_py(text)) if t in self.reader.df]
         if not terms:
             return score_taat
-        # DAAT-with-pruning beats the dense vectorized kernel only when
-        # total candidate work is genuinely small; any stop-word term in
-        # the query makes the per-posting Python walk lose to numpy.
-        # (At 10^12-doc scale the dense buffer is per doc-range shard —
-        # ~1e8 docs — so this threshold stays meaningful.)
+        # Measured on a 300k-doc index (contributions cached): TAAT
+        # 1.0/0.6/2.8/5.5 ms vs BMW 5/76/166/290 ms at total df
+        # ~1e2/1e3/1e4/1e5 — the per-posting Python walk loses to the
+        # vectorized kernel at every selectivity once term
+        # contributions are actor-resident, so DAAT pruning only pays
+        # for near-singleton candidate sets (or when the index is
+        # disk-resident — not this serving shape). At 10^12-doc scale
+        # the dense buffer is per doc-range shard (~1e8 docs), so the
+        # threshold stays meaningful rather than vanishing.
         total = sum(int(self.reader.df[t]) for t in terms)
-        return score_bmw if total < max(1024, self.reader.n_docs // 50) else score_taat
+        return score_bmw if total < max(128, self.reader.n_local // 2000) else score_taat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
