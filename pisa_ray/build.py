@@ -46,7 +46,7 @@ import ray.data as rd
 
 from .checkpoint import Manifest, StageTimer
 from .codec import encode_postings
-from .docids import bucket_of, doc_ids_from_int, doc_ids_from_keys
+from .docids import bucket_of, doc_ids_from_int, doc_ids_from_keys, splitmix64
 from .tokenizer import doc_term_counts, sha256_column
 
 
@@ -67,7 +67,18 @@ class IndexConfig:
     id_col: str | None = None     # pre-existing unique int64 key column
     content_col: str = "content"
     meta_cols: tuple[str, ...] = ("lang",)
-    check_collisions: bool = True  # exact docID-collision groupby (skip at 100TB)
+    # exact docID-collision detection + DETERMINISTIC RESOLUTION: a
+    # narrow (doc_id, sha256) groupby finds ids shared by distinct
+    # contents; colliding docs (all but the sha-smallest per id) are
+    # rehashed and the tokenized store rewritten, iterating until
+    # clean. 64-bit sha-prefix ids WILL collide at 10^10+ docs
+    # (~n²/2^65 pairs); resolution keeps the 64-bit codec/scorer
+    # format while removing the silent-merge failure mode.
+    check_collisions: bool = True
+    # Simulation knob: keep only the top ``id_bits`` of each docID so
+    # toy corpora exercise the collision-resolution path for real
+    # (id_bits=64 in production; keys-derived ids only).
+    id_bits: int = 64
     # True: one merge job per docID bucket (finest resume granularity —
     # the 100TB setting, where each bucket is hours of work). False: ONE
     # groupby over (term-hash, bucket) — identical output, one shuffle,
@@ -100,12 +111,20 @@ def make_tokenize_fn(cfg: IndexConfig):
     carry = [c for c in (*key_cols, *cfg.meta_cols)]
     id_col, content_col, bucket_bits = cfg.id_col, cfg.content_col, cfg.bucket_bits
 
+    id_bits = cfg.id_bits
+    if id_bits < 64 and cfg.id_col is not None:
+        raise ValueError("id_bits<64 requires keys-derived docIDs")
+
     def tokenize(batch: pa.Table) -> pa.Table:
         content = batch[content_col]
         if id_col is not None:
             doc = doc_ids_from_int(batch[id_col])
         else:
             doc = doc_ids_from_keys(*[batch[c] for c in key_cols])
+        if id_bits < 64:
+            doc = doc & np.uint64(
+                (~((1 << (64 - id_bits)) - 1)) & 0xFFFFFFFFFFFFFFFF
+            )
         terms, tfs, dl = doc_term_counts(content)
         sha = sha256_column(content)
         # NOTE: when id_col is set, the engine doc_id is splitmix64(orig id)
@@ -236,7 +255,12 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
 
     refs = []
     for b in range(n_buckets):
-        bfiles = sorted(glob.glob(os.path.join(tok_dir, "*", f"bucket={b}", "*.parquet")))
+        bfiles = sorted(
+            glob.glob(
+                os.path.join(tok_dir, "**", f"bucket={b}", "*.parquet"),
+                recursive=True,
+            )
+        )
         if bfiles:
             refs.append(sorted_ids.remote(bfiles, None))
         else:
@@ -388,6 +412,141 @@ def make_encode_group_fn(
 # --------------------------------------------------------------------------
 
 
+def _resolve_doc_collisions(tok_dir: str, cfg: IndexConfig, ncpus: int) -> int:
+    """Detect docID collisions (one id, >1 distinct content) and
+    resolve them DETERMINISTICALLY, keeping 64-bit ids end to end.
+
+    Detection is scale-safe: a narrow (doc_id, sha256) groupby whose
+    ``map_groups`` emits rows ONLY from multi-occupant groups — the
+    driver sees just the colliding docs (expected ~n²/2^65; ~27k rows
+    at 10^12 docs), never the id table. Resolution: within a colliding
+    id, docs sort by sha256; the smallest keeps the id, the rest get
+    ``splitmix64(old ^ sha64 ^ round) & id_mask`` and the tokenized
+    store is rewritten (one proportional pass, only in the rare rounds
+    where collisions exist). Iterates until clean — the mapping is a
+    pure function of the colliding (id, sha) set, so results are
+    identical at any parallelism. Two rows with the SAME (id, sha)
+    mean duplicate input keys and raise.
+
+    Returns the number of remapped docs. In ``id_col`` mode ids come
+    from a bijective mix of unique int keys, so any collision IS a
+    duplicate input key (always raises)."""
+    import ray as _ray
+
+    import pandas as pd
+
+    id_mask = np.uint64((~((1 << (64 - cfg.id_bits)) - 1)) & 0xFFFFFFFFFFFFFFFF)
+    total_fixed = 0
+    for round_i in range(8):
+        tok_files = sorted(
+            glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
+        )
+
+        def narrow(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {
+                    # order-preserving u64 -> i64 view for the sort-based
+                    # groupby (raw u64 > 2^63 breaks boundary sampling)
+                    "doc_key": pa.array(
+                        (d ^ np.uint64(1 << 63)).view(np.int64), type=pa.int64()
+                    ),
+                    "sha": b["content_sha256"],
+                }
+            )
+
+        # detection: vectorized count aggregate over the narrow id
+        # stream (no per-group Python), then only rows of COLLIDING ids
+        # (broadcast the tiny dup-key set) reach the driver
+        ids_ds = rd.read_parquet(
+            tok_files,
+            columns=["doc_id", "content_sha256"],
+            override_num_blocks=2 * ncpus,
+        )
+        counts = (
+            ids_ds.map_batches(
+                lambda b: narrow(b).select(["doc_key"]), batch_format="pyarrow"
+            )
+            .groupby("doc_key")
+            .count()
+        )
+        dup_df = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        # an all-filtered-out dataset collapses to a zero-column frame
+        dup_keys = (
+            set(dup_df["doc_key"].tolist()) if "doc_key" in dup_df.columns else set()
+        )
+        if not dup_keys:
+            return total_fixed
+        dup_ref = _ray.put(pa.array(sorted(dup_keys), type=pa.int64()))
+
+        def only_dups(b: pa.Table) -> pa.Table:
+            t = narrow(b)
+            keep = pc.is_in(t["doc_key"], value_set=_ray.get(dup_ref))
+            return t.filter(keep)
+
+        coll = ids_ds.map_batches(only_dups, batch_format="pyarrow").to_pandas()
+        if cfg.id_col is not None:
+            raise ValueError(
+                "duplicate values in the id column (bijective ids cannot "
+                "collide otherwise) — deduplicate the corpus keys"
+            )
+        mapping: dict[tuple[int, bytes], int] = {}
+        for doc_key, grp in coll.groupby("doc_key", sort=True):
+            shas = sorted(grp["sha"])
+            if len(shas) != len(set(shas)):
+                raise ValueError(
+                    "duplicate (repo, path, commit) keys in the corpus — "
+                    "deduplicate before indexing"
+                )
+            old = np.uint64(np.int64(doc_key)) ^ np.uint64(1 << 63)
+            for sha in shas[1:]:  # smallest sha keeps the id
+                sha64 = np.frombuffer(sha[:8], dtype=">u8")[0].astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    new = (
+                        splitmix64(
+                            np.array(
+                                [old ^ sha64 ^ np.uint64(round_i + 1)],
+                                dtype=np.uint64,
+                            )
+                        )[0]
+                        & id_mask
+                    )
+                mapping[(int(old), bytes(sha))] = int(new)
+        map_ref = _ray.put(mapping)
+
+        def rewrite(b: pa.Table) -> pa.Table:
+            m = _ray.get(map_ref)
+            d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64).copy()
+            shas = b["content_sha256"].to_pylist()
+            for i, (di, si) in enumerate(zip(d.tolist(), shas)):
+                nd = m.get((di, si))
+                if nd is not None:
+                    d[i] = nd
+            # always (re)build doc_id AND bucket: hive-layout reads of a
+            # file LIST lose the bucket partition column, so recomputing
+            # keeps the output schema identical across layouts
+            cols = {c: b[c] for c in b.column_names}
+            cols["doc_id"] = pa.array(d, type=pa.uint64())
+            cols["bucket"] = pa.array(bucket_of(d, cfg.bucket_bits), type=pa.uint32())
+            return pa.table(cols)
+
+        wkw = {"partition_cols": ["bucket"]} if cfg.per_bucket_merge else {}
+        fixed = rd.read_parquet(tok_files, override_num_blocks=2 * ncpus).map_batches(
+            rewrite, batch_format="pyarrow"
+        )
+        _atomic_write(fixed, tok_dir + ".rewrite", **wkw)
+        shutil.rmtree(tok_dir)
+        os.rename(tok_dir + ".rewrite", tok_dir)
+        total_fixed += len(mapping)
+    raise RuntimeError(
+        "docID collision resolution did not converge in 8 rounds — "
+        "id space too small for this corpus (raise id_bits)"
+    )
+
+
 def _norm_cfg_val(v: Any) -> Any:
     """JSON round-trips tuples to lists; compare them equal."""
     return list(v) if isinstance(v, tuple) else v
@@ -527,6 +686,12 @@ def build_index(
             man.mark_partition("tokenized", gname, rows=rows, wall_s=t.elapsed())
         man.mark_stage("tokenized")
 
+    # ---- stage 1.5: docID collision detect + resolve -------------------
+    if cfg.check_collisions and not man.stage_done("collisions"):
+        t = StageTimer()
+        n_fixed = _resolve_doc_collisions(tok_dir, cfg, ncpus)
+        man.mark_stage("collisions", rows=n_fixed, wall_s=t.elapsed())
+
     # ---- stage 2: docmap + stats ---------------------------------------
     if not man.stage_done("docmap"):
         t = StageTimer()
@@ -551,25 +716,8 @@ def build_index(
         agg = dm2.aggregate(Count(), Sum("length"))
         n_docs = int(agg.get("count()", 0) or 0)
         total_tokens = int(agg.get("sum(length)", 0) or 0)
-        if cfg.check_collisions and n_docs:
-            # order-preserving uint64 -> int64 view: Ray's sort-based
-            # groupby samples boundaries as int64; raw uint64 ids above
-            # 2^63 would force a pickled-python fallback.
-            def _i64_key(b: pa.Table) -> pa.Table:
-                d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                key = (d ^ np.uint64(1 << 63)).view(np.int64)
-                return pa.table({"doc_key": pa.array(key, type=pa.int64())})
-
-            dup = (
-                dm2.map_batches(_i64_key, batch_format="pyarrow")
-                .groupby("doc_key")
-                .count()
-                .max("count()")
-            )
-            if dup and dup > 1:
-                raise ValueError(
-                    "docID collision detected — use wider ids or distinct keys"
-                )
+        # (docID uniqueness is guaranteed by the collision-resolution
+        # stage above when check_collisions=True)
         stats = {
             "n_docs": int(n_docs),
             "total_tokens": int(total_tokens),
@@ -626,9 +774,12 @@ def build_index(
             if man.partition_done("segments", pname):
                 continue
             t = StageTimer()
+            # both layouts: part_g*/bucket=b (fresh tokenize) and
+            # bucket=b at the top (post-collision-rewrite)
             bfiles = sorted(
                 glob.glob(
-                    os.path.join(tok_dir, "*", f"bucket={b}", "*.parquet")
+                    os.path.join(tok_dir, "**", f"bucket={b}", "*.parquet"),
+                    recursive=True,
                 )
             )
             seg_dir = os.path.join(index_dir, "segments", pname)

@@ -282,3 +282,51 @@ def test_index_metrics_in_manifest(tiny_index):
     m = man["index_metrics"]
     assert m["postings"] > 0
     assert 1.0 < m["bytes_per_posting"] < 12.0  # varint gaps + tfs
+
+
+def test_docid_collision_resolution_rank_identity(tmp_path):
+    """id_bits=12 (4096 id slots for 300 docs) forces real docID
+    collisions; the build must detect + deterministically resolve them
+    (no silent tf merge), keep every doc, preserve the sha invariant,
+    stay rank-identical to a content-aligned oracle, and produce the
+    SAME ids at any parallelism."""
+    import hashlib
+
+    from pisa_ray.oracle import OracleIndex
+
+    corpus = make_corpus(300, n_partitions=2)
+    text_of = {
+        hashlib.sha256(c.encode()).digest(): c
+        for c in corpus["content"].to_pylist()
+    }
+    docmaps = []
+    for i, cfg in enumerate(
+        [
+            IndexConfig(bucket_bits=2, term_parts=4, lineage_parts=1, id_bits=12),
+            IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=2,
+                        tokenize_batch_size=64, id_bits=12),
+        ]
+    ):
+        d = str(tmp_path / f"cidx{i}")
+        man = build_index(corpus, d, cfg)
+        assert man["stages"]["collisions"]["rows"] > 0  # collisions happened
+        dm_files = sorted(
+            glob.glob(os.path.join(d, "docmap", "**", "*.parquet"), recursive=True)
+        )
+        dm = pa.concat_tables(
+            [pq.read_table(f, columns=["doc_id", "content_sha256"]) for f in dm_files]
+        )
+        ids = np.asarray(dm["doc_id"].to_pylist(), dtype=np.uint64)
+        shas = dm["content_sha256"].to_pylist()
+        assert ids.size == 300 and np.unique(ids).size == 300  # no merges
+        docmaps.append(sorted(zip(ids.tolist(), shas)))
+        # rank identity vs an oracle built over the RESOLVED ids
+        oracle = OracleIndex(ids, [text_of[bytes(s)] for s in shas])
+        reader = IndexReader(d)
+        for text in make_queries(40)["text"].to_pylist():
+            golden = oracle.score_query(text, 10)
+            got = score_taat(reader, text, 10)
+            assert [g[0] for g in golden] == [e[0] for e in got]
+            assert all(abs(g[1] - e[1]) <= 1e-9 for g, e in zip(golden, got))
+            assert score_bmw(reader, text, 10) == got
+    assert docmaps[0] == docmaps[1]  # deterministic at any parallelism
