@@ -532,9 +532,11 @@ def verify_pairs_jaccard(
     docs: rd.Dataset, pairs: rd.Dataset, threshold: float, text_col: str = "text"
 ) -> pd.DataFrame:
     """Exact n-gram-Jaccard verification of candidate (doc_id, dup_of)
-    pairs. The candidate set is small (LSH output), so texts for just
-    those ids are gathered via a broadcast semi-join and verified on
-    the driver."""
+    pairs. The candidate TEXTS are gathered via a broadcast semi-join
+    (candidates ≪ corpus — the standing LSH assumption), pre-shingled
+    ONCE per candidate doc, and the per-pair set intersections run as a
+    distributed ``map_batches`` over the pairs — the driver only holds
+    the candidate id set and the final verified pairs."""
     import ray
 
     pdf = pairs.to_pandas()
@@ -544,12 +546,30 @@ def verify_pairs_jaccard(
     from .relational import broadcast_semi_join
 
     texts = broadcast_semi_join(docs, need, "doc_id").to_pandas()
-    lookup = dict(zip(texts["doc_id"], texts[text_col]))
-    jac = [
-        ngram_jaccard(lookup[d], lookup[r]) for d, r in zip(pdf["doc_id"], pdf["dup_of"])
-    ]
-    pdf["jaccard"] = np.round(jac, 6)
-    return pdf[pdf["jaccard"] >= threshold].reset_index(drop=True)
+    rx = re.compile(TOKEN_SPLIT_RE)
+    # shingle each candidate once (sets reused by every pair it is in)
+    shingles = {
+        int(i): frozenset(_token_shingle_hashes(t, rx).tolist())
+        for i, t in zip(texts["doc_id"], texts[text_col])
+    }
+    sh_ref = ray.put(shingles)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        sh = ray.get(sh_ref)
+        jac = np.empty(len(b), dtype=np.float64)
+        for i, (d, r) in enumerate(zip(b["doc_id"], b["dup_of"])):
+            sa, sb = sh[int(d)], sh[int(r)]
+            u = len(sa | sb)
+            jac[i] = (len(sa & sb) / u) if u else 1.0
+        b = b.copy()
+        b["jaccard"] = np.round(jac, 6)
+        return b[b["jaccard"] >= threshold]
+
+    return (
+        pairs.map_batches(verify, batch_format="pandas")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
 
 
 # --------------------------------------------------------------------------
