@@ -538,8 +538,12 @@ def _resolve_doc_collisions(tok_dir: str, cfg: IndexConfig, ncpus: int) -> int:
             rewrite, batch_format="pyarrow"
         )
         _atomic_write(fixed, tok_dir + ".rewrite", **wkw)
-        shutil.rmtree(tok_dir)
+        # park-then-swap so a crash never leaves tokenized/ missing
+        parked = tok_dir + ".old"
+        shutil.rmtree(parked, ignore_errors=True)
+        os.rename(tok_dir, parked)
         os.rename(tok_dir + ".rewrite", tok_dir)
+        shutil.rmtree(parked, ignore_errors=True)
         total_fixed += len(mapping)
     raise RuntimeError(
         "docID collision resolution did not converge in 8 rounds — "
@@ -629,6 +633,7 @@ def build_index(
         critical = (
             "bucket_bits", "term_parts", "key_cols", "id_col",
             "posting_space", "content_col", "block_size", "per_bucket_merge",
+            "id_bits", "check_collisions",
         )
         new_cfg = asdict(cfg)
         diffs = {
