@@ -330,3 +330,37 @@ def test_docid_collision_resolution_rank_identity(tmp_path):
             assert all(abs(g[1] - e[1]) <= 1e-9 for g, e in zip(golden, got))
             assert score_bmw(reader, text, 10) == got
     assert docmaps[0] == docmaps[1]  # deterministic at any parallelism
+
+
+def test_sharded_query_position_space(tmp_path, tiny_corpus):
+    """Bucket-sharded serving over a position-space index exercises the
+    global-rank -> shard-local translation (rank_to_local): fan-out
+    results must equal the broadcast pool's exactly."""
+    from pisa_ray.scorer import query_index, query_index_sharded
+
+    d = str(tmp_path / "pos_idx")
+    build_index(
+        tiny_corpus,
+        d,
+        IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1,
+                    posting_space="position"),
+    )
+    q = make_queries(25)
+    a = (
+        query_index(rd.from_arrow(q), d, k=10, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        query_index_sharded(
+            rd.from_arrow(q), d, shards=[{0, 1}, {2, 3}], k=10
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["query_id", "rank", "doc_id"]].equals(
+        b[["query_id", "rank", "doc_id"]]
+    )
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
