@@ -900,9 +900,11 @@ def build_incremental(
     (``IndexReader.decode_term`` handles this already — tested).
 
     Requires delta doc keys to be disjoint from the base corpus
-    (collision check applies within each generation; cross-generation
-    dup keys are the caller's contract, as in the reference's
-    non-overlapping row ranges).
+    (collision resolution applies within each generation; a
+    cross-generation duplicate cannot be auto-remapped because the
+    base postings are already encoded, so it is DETECTED here — a
+    scale-safe (doc_id)-only groupby across all docmaps — and raises
+    before the delta is linked, leaving the base index untouched).
     """
     import json as _json
 
@@ -915,6 +917,60 @@ def build_incremental(
         )
     gen_dir = os.path.join(index_dir, "generations", generation)
     build_index(delta_source, gen_dir, cfg, resume=True)
+
+    # guard: delta doc_ids must be disjoint from every generation
+    # already linked. Narrow 8-byte id shuffle only; the driver sees
+    # just the (expected-empty) duplicate set.
+    if cfg.check_collisions:
+        base_files = sorted(
+            glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+        )
+        gen_files = sorted(
+            glob.glob(os.path.join(gen_dir, "docmap", "**", "*.parquet"), recursive=True)
+        )
+        if base_files and gen_files:
+
+            def _keyed(files: list[str]) -> rd.Dataset:
+                def to_key(b: pa.Table) -> pa.Table:
+                    d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    return pa.table(
+                        {
+                            "doc_key": pa.array(
+                                (d ^ np.uint64(1 << 63)).view(np.int64),
+                                type=pa.int64(),
+                            )
+                        }
+                    )
+
+                return rd.read_parquet(files, columns=["doc_id"]).map_batches(
+                    to_key, batch_format="pyarrow"
+                )
+
+            dups = (
+                _keyed(base_files)
+                .union(_keyed(gen_files))
+                .groupby("doc_key")
+                .count()
+                .map_batches(
+                    lambda t: t.filter(pc.greater(t["count()"], 1)),
+                    batch_format="pyarrow",
+                )
+                .take(5)
+            )
+            if dups:
+                sample = [
+                    (int(r["doc_key"]) & 0xFFFFFFFFFFFFFFFF) ^ (1 << 63)
+                    for r in dups
+                ]
+                # drop the unlinked build so a corrected retry does not
+                # resume from this delta's stale manifest
+                shutil.rmtree(gen_dir, ignore_errors=True)
+                raise ValueError(
+                    f"generation {generation!r} shares doc ids with the "
+                    f"existing index (sample: {sample}); cross-generation "
+                    "duplicates cannot be remapped after base postings are "
+                    "encoded — dedup the delta or rebuild with compact_index"
+                )
 
     # link the generation's segments + docmap into the main index
     seg_link = os.path.join(index_dir, "segments", f"gen_{generation}")

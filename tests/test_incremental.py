@@ -58,6 +58,32 @@ def test_incremental_postings_sorted_after_merge(tmp_path):
         assert docs.size == int(reader.df[term])
 
 
+def test_incremental_rejects_cross_generation_duplicate_ids(tmp_path):
+    """A delta sharing doc keys with the base raises BEFORE linking and
+    leaves the base index fully queryable (cross-generation collisions
+    cannot be remapped once base postings are encoded)."""
+    import os
+
+    corpus = make_corpus(120, n_partitions=1)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(bucket_bits=1, term_parts=4, lineage_parts=1)
+    build_index(corpus.slice(0, 80), d, cfg)
+    base_reader = IndexReader(d)
+    base_n = base_reader.n_docs
+    # delta overlaps the base on 20 docs
+    with pytest.raises(ValueError, match="shares doc ids"):
+        build_incremental(corpus.slice(60, 40), d, generation="bad")
+    # unlinked + cleaned: no gen dirs, no stale delta manifest, stats intact
+    assert not os.path.exists(os.path.join(d, "generations", "bad"))
+    assert not os.path.exists(os.path.join(d, "segments", "gen_bad"))
+    assert not os.path.exists(os.path.join(d, "docmap", "gen_bad"))
+    reader = IndexReader(d)
+    assert reader.n_docs == base_n
+    # a disjoint retry under the same generation name still works
+    build_incremental(corpus.slice(80), d, generation="bad")
+    assert IndexReader(d).n_docs == 120
+
+
 @pytest.mark.parametrize("space", ["docid", "position"])
 def test_compaction_restores_single_runs_and_identity(tmp_path, space):
     from pisa_ray.build import compact_index
