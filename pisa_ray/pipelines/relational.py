@@ -146,25 +146,84 @@ def sessionize(
     """Session windows: per key, a new session starts when the gap to
     the previous event exceeds ``gap_seconds``. Batch-engine shape of
     the streaming semantic (the reference simulates streams with static
-    slicing the same way, /root/reference/src/helpers/Reader.py:148-178):
-    one groupby(key), sessions derived inside the sorted group.
+    slicing the same way, /root/reference/src/helpers/Reader.py:148-178).
+
+    Two stages, pre-aggregated before the shuffle:
+
+    1. per-block LOCAL sessionization (vectorized) collapses each
+       block's events into session PARTIALS (key, first_ts, last_ts,
+       n_events) — any partitioning of the input is fine;
+    2. ``groupby(key)`` over the partials merges them exactly.
+
+    The merge is exact at any parallelism: a local maximal run can
+    never straddle a global session boundary (the boundary gap > T
+    contains no events anywhere, so a run crossing it would need an
+    internal gap > T), and within one global session the partial whose
+    ``first_ts`` is smallest among the unmerged ones always starts
+    within T of the running-max ``last_ts`` of the merged ones (its
+    global predecessor event is already merged). So merging
+    first_ts-sorted partials whenever ``first_ts - runmax(last_ts) <=
+    T`` reconstructs the global sessions.
+
+    Versus a groupby over raw events this shuffles only O(sessions)
+    rows, and a hot key (one bot user with millions of events) costs
+    its per-block share in stage 1 and only its session count in
+    stage 2 — the skew-safe shape for the 100-TB setting.
 
     Returns one row per session: (key, session_id, session_start,
     n_events) with session_id numbered 1.. per key in time order.
     """
+    gap_us = int(gap_seconds) * 1_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(order_cols), kind="mergesort")
-        ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds().fillna(float("inf"))
-        sess = (gap > gap_seconds).cumsum()
-        out = g.groupby(sess).agg(
-            session_start=(ts_col, "first"), n_events=(ts_col, "size")
+    def local_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=batch[key_col].dtype),
+                    "first_ts": pd.Series([], dtype="datetime64[us]"),
+                    "last_ts": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        b = batch.sort_values([key_col, *order_cols], kind="mergesort")
+        keys = b[key_col].to_numpy()
+        ts = b[ts_col].astype("datetime64[us]").to_numpy()
+        tsi = ts.view("i8")
+        new = np.ones(len(b), dtype=bool)
+        if len(b) > 1:
+            new[1:] = (keys[1:] != keys[:-1]) | ((tsi[1:] - tsi[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(b)] - 1
+        return pd.DataFrame(
+            {
+                key_col: keys[starts],
+                "first_ts": ts[starts],
+                "last_ts": ts[ends],
+                "n_events": (ends - starts + 1).astype(np.int64),
+            }
         )
-        out = out.reset_index(drop=True)
-        out.insert(0, key_col, g[key_col].iloc[0])
-        out.insert(1, "session_id", np.arange(1, len(out) + 1, dtype=np.int64))
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["first_ts", "last_ts"], kind="mergesort")
+        f = g["first_ts"].to_numpy().view("i8")
+        last = g["last_ts"].to_numpy().view("i8")
+        runmax = np.maximum.accumulate(last)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (f[1:] - runmax[:-1]) > gap_us
+        grp = np.cumsum(new) - 1
+        n = int(grp[-1]) + 1
+        n_events = np.zeros(n, dtype=np.int64)
+        np.add.at(n_events, grp, g["n_events"].to_numpy())
+        starts = np.flatnonzero(new)
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(g[key_col].to_numpy()[:1], n),
+                "session_id": np.arange(1, n + 1, dtype=np.int64),
+                "session_start": g["first_ts"].to_numpy()[starts],
+                "n_events": n_events,
+            }
+        )
+
+    parts = ds.map_batches(local_partials, batch_format="pandas", batch_size=None)
+    return parts.groupby(key_col).map_groups(merge_key, batch_format="pandas")

@@ -413,3 +413,58 @@ def test_jsd_softmax_weights_vs_numpy():
         keep_w = 1.0 / (1.0 + np.exp(-(keep - keep.mean())))
         assert np.allclose(out["jsd"].to_numpy(), keep, atol=1e-12)
         assert np.allclose(out["weight"].to_numpy(), keep_w, atol=1e-9)
+
+
+def test_sessionize_matches_pandas_oracle_at_any_parallelism():
+    """Two-stage sessionize (local partials -> per-key merge) is exact
+    and partition-invariant, including a hot key whose events are
+    sprayed across many tiny blocks (the skew case the single-groupby
+    shape chokes on)."""
+    from pisa_ray.pipelines.relational import sessionize
+
+    rng = np.random.default_rng(7)
+    gap = 1800
+    base = np.int64(1_700_000_000_000_000)  # us epoch
+    rows = []
+    eid = 0
+    for user in range(1, 9):
+        t = base + np.int64(rng.integers(0, 3600 * 1_000_000))
+        for _ in range(int(rng.integers(3, 40))):
+            t += np.int64(rng.integers(1, 2 * gap) * 1_000_000)
+            rows.append((user, t, eid))
+            eid += 1
+    # hot key: 3000 events, mixed tiny and huge gaps
+    t = base
+    for _ in range(3000):
+        t += np.int64(rng.integers(1, 3 * gap) * 1_000_000)
+        rows.append((999, t, eid))
+        eid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    # oracle: plain sorted scan per user
+    want = []
+    for user, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        tsec = g["ts"].to_numpy().view("i8") // 1_000_000
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = np.diff(tsec) > gap
+        sess = np.cumsum(new) - 1
+        for s in range(sess[-1] + 1):
+            m = sess == s
+            want.append((user, s + 1, g["ts"].to_numpy()[m][0], int(m.sum())))
+    want = (
+        pd.DataFrame(want, columns=["user_id", "session_id", "session_start", "n_events"])
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    # shuffle rows so blocks interleave users/time, then run at 1 and 37 blocks
+    shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    for nblocks in (1, 37):
+        ds = rd.from_pandas(shuf).repartition(nblocks)
+        got = (
+            sessionize(ds, gap_seconds=gap)
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        got["session_start"] = got["session_start"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
