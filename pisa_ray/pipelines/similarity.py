@@ -127,16 +127,28 @@ def lsh_knn(
     n_planes: int = 10,
     seed: int = 29,
     concurrency: int = 4,
+    n_probes: int = 0,
 ) -> pd.DataFrame:
-    """Bucketed ANN: queries probe only their own hyperplane bucket
-    (single-probe; recall < 1 by design — the exact path is
-    ``brute_knn``). Scale path: bucket count 2^n_planes spreads the
-    corpus; each query touches ~N/2^n_planes docs."""
+    """Bucketed ANN. Each query probes its home hyperplane bucket plus
+    ``n_probes`` Hamming-distance-1 neighbors — the bits flipped are
+    those with the smallest |q . plane| margin, i.e. the buckets a true
+    neighbor most likely fell into (classic multi-probe LSH). Recall
+    rises with ``n_probes`` at cost ~(1+n_probes)/2^n_planes of the
+    corpus per query; ``n_probes=0`` is the original single-probe
+    sketch, ``brute_knn`` the exact path.
+
+    Scale shape: docs shuffle ONCE by their own bucket; probing
+    replicates only the tiny query table (one row per (query, probed
+    bucket)), never the corpus, and each doc lives in exactly one
+    bucket so multi-probe hits need no dedup."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
     if dim is None:
         dim = q.shape[1]
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-    qkeys = ((q @ planes) > 0) @ (1 << np.arange(n_planes, dtype=np.int64))
+    proj = q @ planes  # (Q, P)
+    bitvals = 1 << np.arange(n_planes, dtype=np.int64)
+    qkeys = (proj > 0) @ bitvals
+    n_probes = min(int(n_probes), n_planes)
 
     bucketed = emb.map_batches(
         LshIndexer,
@@ -145,17 +157,25 @@ def lsh_knn(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+    # one probe row per (query, bucket): home bucket first, then the
+    # n_probes lowest-margin bit flips
+    probe_qid = [np.arange(q.shape[0], dtype=np.int64)]
+    probe_key = [qkeys.astype(np.int64)]
+    if n_probes > 0:
+        flip_order = np.argsort(np.abs(proj), axis=1)[:, :n_probes]  # (Q, n_probes)
+        for j in range(n_probes):
+            probe_qid.append(np.arange(q.shape[0], dtype=np.int64))
+            probe_key.append((qkeys ^ bitvals[flip_order[:, j]]).astype(np.int64))
     qdf = pd.DataFrame(
         {
-            "query_id": np.arange(q.shape[0], dtype=np.int64),
-            "bhash": qkeys.astype(np.int64),
-            "qvec": list(q),
+            "query_id": np.concatenate(probe_qid),
+            "bhash": np.concatenate(probe_key),
         }
     )
-    qref = ray.put(qdf)
+    qref = ray.put((qdf, q))
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
-        qs = ray.get(qref)
+        qs, qmat = ray.get(qref)
         sub = qs[qs.bhash == g["bhash"].iloc[0]]
         if sub.empty:
             return pd.DataFrame(
@@ -163,21 +183,27 @@ def lsh_knn(
             ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
         m = np.asarray([np.asarray(v) for v in g["vec"]])
         ids = g["vec_id"].to_numpy().astype(np.int64)
-        out = []
-        for _, row in sub.iterrows():
-            sims = m @ np.asarray(row["qvec"])
-            kk = min(k, len(ids))
-            sel = np.argpartition(-sims, kk - 1)[:kk]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(kk, row["query_id"], dtype=np.int64),
-                        "vec_id": ids[sel],
-                        "cosine": np.round(sims[sel], 6),
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        sub_qids = sub["query_id"].to_numpy()
+        sims = qmat[sub_qids] @ m.T  # (nq, B)
+        kk = min(k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(sub_qids)):
+            # expand boundary ties then cut under (cosine desc, vec_id
+            # asc) so the bucket-local cut is partition-invariant (same
+            # fix as brute_knn's local top-k)
+            kth = np.partition(-sims[qi], kk - 1)[kk - 1]
+            cand = np.flatnonzero(sims[qi] >= -kth)
+            sel = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:kk]
+            out_q.append(np.full(sel.size, sub_qids[qi], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(np.round(sims[qi, sel], 6))
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cosine": np.concatenate(out_s),
+            }
+        )
 
     res = (
         bucketed.groupby("bhash")

@@ -468,3 +468,33 @@ def test_sessionize_matches_pandas_oracle_at_any_parallelism():
         )
         got["session_start"] = got["session_start"].astype("datetime64[us]")
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lsh_knn_multiprobe_recall(emb):
+    """Distance-1 multi-probe (lowest-margin bit flips) strictly
+    improves recall vs single-probe against the exact brute-force
+    top-k, and stays deterministic."""
+    from pisa_ray.pipelines.similarity import brute_knn, lsh_knn
+
+    pdf = emb.to_pandas().head(12)
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    exact = brute_knn(emb, q, k=5)
+
+    def recall(got):
+        hits = 0
+        for qi in range(len(q)):
+            want = set(exact[exact.query_id == qi]["vec_id"])
+            have = set(got[got.query_id == qi]["vec_id"])
+            hits += len(want & have)
+        return hits / (len(q) * 5)
+
+    # 6 planes so buckets hold ~8 of the 500 vectors (at 10 planes the
+    # toy corpus is all singleton buckets and recall is floor-limited)
+    single = lsh_knn(emb, q, k=5, n_planes=6, n_probes=0)
+    multi = lsh_knn(emb, q, k=5, n_planes=6, n_probes=6)
+    r0, r6 = recall(single), recall(multi)
+    assert r6 > r0  # measured 0.417 vs 0.233 on the seeded fixture
+    assert r6 >= 0.4
+    # deterministic across runs
+    again = lsh_knn(emb, q, k=5, n_planes=6, n_probes=6)
+    pd.testing.assert_frame_equal(multi, again)
