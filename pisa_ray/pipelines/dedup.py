@@ -297,8 +297,6 @@ def minhash_lsh_dedup(
         d = np.sort(g["doc_id"].to_numpy().astype(np.int64), kind="stable")
         return pd.DataFrame({"doc_id": d[1:], "dup_of": np.full(d.size - 1, d[0])})
 
-    cand = bands.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
-
     empty = rd.from_arrow(
         pa.table(
             {
@@ -307,28 +305,27 @@ def minhash_lsh_dedup(
             }
         )
     )
-    cand = cand.materialize()  # consumed twice (id set + verify)
-
-    def both_ids(b: pa.Table) -> pa.Table:
-        # per-batch local unique; the tiny distinct-id stream is the
-        # only thing collected to the driver
-        ids = np.unique(
-            np.concatenate(
-                [
-                    b["doc_id"].to_numpy(zero_copy_only=False),
-                    b["dup_of"].to_numpy(zero_copy_only=False),
-                ]
-            ).astype(np.int64)
-            if b.num_rows
-            else np.empty(0, dtype=np.int64)
-        )
-        return pa.table({"id": pa.array(ids, type=pa.int64())})
-
-    need = set(
-        cand.map_batches(both_ids, batch_format="pyarrow").to_pandas()["id"].tolist()
+    # ONE collect of the candidate pairs (the declared driver-sized
+    # object): the id set for the signature semi-join falls out locally
+    # instead of costing a second pass + materialize over cand
+    cand_pdf = (
+        bands.groupby("key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
     )
-    if not need:
+    if cand_pdf.empty:
         return empty
+    need = np.unique(
+        np.concatenate(
+            [
+                cand_pdf["doc_id"].to_numpy(),
+                cand_pdf["dup_of"].to_numpy(),
+            ]
+        ).astype(np.int64)
+    )
+    cand = rd.from_pandas(cand_pdf)
+    if len(cand_pdf) > 4096:
+        cand = cand.repartition(max(4, concurrency * 2))
 
     from .relational import broadcast_semi_join
 
