@@ -13,6 +13,7 @@ caller (driver, bench.py, tests' conftest) owns the Ray session.
 INDEX_FORMAT_VERSION = 4
 
 from .build import IndexConfig, build_incremental, build_index, compact_index
+from .serve import BM25Service
 from .scorer import (
     BM25Scorer,
     IndexReader,
@@ -29,6 +30,7 @@ __all__ = [
     "build_incremental",
     "compact_index",
     "BM25Scorer",
+    "BM25Service",
     "IndexReader",
     "query_index",
     "query_index_sharded",

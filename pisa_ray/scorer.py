@@ -523,6 +523,7 @@ def score_taat(
     text: str,
     k: int = 10,
     doc_mask: np.ndarray | None = None,
+    terms: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Exhaustive term-at-a-time over a dense per-shard score buffer.
 
@@ -532,7 +533,8 @@ def score_taat(
     exact kth-score threshold, then tie-break (score desc, out_id asc)
     over the (usually tiny) candidate set — exact ties all survive the
     threshold cut, so no tie is ever lost to partitioning."""
-    terms = sorted(set(tokenize_py(text)))
+    if terms is None:
+        terms = sorted(set(tokenize_py(text)))
     # reuse one per-reader buffer: selective queries then cost O(Σdf)
     # memory traffic (targeted scatter + targeted reset) instead of two
     # full O(n_local) passes (zeroing + scan) per query
@@ -708,6 +710,7 @@ def score_bmw(
     text: str,
     k: int = 10,
     doc_mask: np.ndarray | None = None,
+    terms: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Block-Max WAND, optionally under a docmap-position filter mask.
 
@@ -720,11 +723,12 @@ def score_bmw(
     keep ~unfiltered pruning instead of falling back to the exhaustive
     kernel (reference analog: group-restricted evaluation,
     /root/reference/src/Inference.py:85-156)."""
-    terms = sorted(set(tokenize_py(text)))
+    if terms is None:
+        terms = sorted(set(tokenize_py(text)))
     present = [t for t in terms if reader.has_term(t)]
     if any(not reader.term_bmw_safe(t) for t in present):
         # interleaved generation runs: exhaustive path (identical results)
-        return score_taat(reader, text, k, doc_mask=doc_mask)
+        return score_taat(reader, text, k, doc_mask=doc_mask, terms=terms)
     cursors = [_Cursor(reader, t) for t in present]
     if not cursors:
         return []
@@ -892,8 +896,17 @@ class BM25Scorer:
             self.doc_mask = ray.get(doc_mask_ref)
         else:
             self.doc_mask = None
+        # query-result cache: real query mixes are Zipf-duplicated, and
+        # the most-repeated queries (single common terms) are exactly
+        # the expensive dense-TAAT ones. Keyed by the canonical term
+        # tuple alone — k/method/mask are fixed per actor instance.
+        # Bounded; cleared wholesale when full (cheaper than LRU
+        # bookkeeping on the hot path). Purely a cache: results are a
+        # pure function of the key, so hits are bit-identical.
+        self._result_memo: dict[tuple[str, ...], list[tuple[int, float]]] = {}
+        self._memo_cap = 1 << 16
 
-    def _pick(self, text: str):
+    def _pick(self, terms: list[str]):
         """``auto``: Block-Max WAND pays off when pruning can actually
         skip blocks — selective queries. When every term is stop-word
         dense (candidate set ~ the whole corpus) the DAAT loop visits
@@ -905,7 +918,7 @@ class BM25Scorer:
         are filter-aware (score_bmw gates full evaluation on the mask)."""
         if self.method != "auto":
             return score_bmw if self.method == "bmw" else score_taat
-        terms = [t for t in set(tokenize_py(text)) if t in self.reader.df]
+        terms = [t for t in terms if t in self.reader.df]
         if not terms:
             return score_taat
         # Measured on a 300k-doc index (contributions cached): TAAT
@@ -925,8 +938,17 @@ class BM25Scorer:
         texts = batch["text"].to_pylist()
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, text in zip(qids, texts):
-            fn = self._pick(text)
-            hits = fn(self.reader, text, self.k, doc_mask=self.doc_mask)
+            canon = tuple(sorted(set(tokenize_py(text))))
+            hits = self._result_memo.get(canon)
+            if hits is None:
+                terms = list(canon)
+                fn = self._pick(terms)
+                hits = fn(
+                    self.reader, text, self.k, doc_mask=self.doc_mask, terms=terms
+                )
+                if len(self._result_memo) >= self._memo_cap:
+                    self._result_memo.clear()
+                self._result_memo[canon] = hits
             for rank, (doc, score) in enumerate(hits, start=1):
                 out_q.append(qid)
                 out_r.append(rank)

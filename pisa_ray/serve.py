@@ -1,0 +1,133 @@
+"""Persistent BM25 serving tier.
+
+``query_index`` (scorer.py) is the batch-pipeline shape: a Ray Data
+``map_batches`` actor pool that is created for the job and torn down
+after — right for indexing-time evaluation sweeps, wasteful for
+serving, where pool construction (~1-2 s per job on a warm cluster)
+dwarfs the scoring work of any single query burst.
+
+``BM25Service`` is the serving shape the north star names ("top-k BM25
+queries ... on stateful actor-pool scorers"): N scorer actors created
+ONCE — each maps the broadcast index zero-copy from plasma — and
+reused for every ``query()`` call. This is one of the few places the
+repo drops below the Dataset API on purpose: a Dataset pool cannot
+persist across jobs, and a serving tier's defining property is exactly
+that persistence. Results are produced by the same ``BM25Scorer``
+batch kernel the Dataset path uses, so the two paths are
+bit-identical (tested).
+
+On a multi-node cluster, create one service per node group with
+``query_index_sharded``-style bucket subsets (``buckets=``) to hold
+1/S of the index per actor; the per-batch hit tables merge the same
+way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .scorer import BM25Scorer, _broadcast_reader, load_doc_filter
+
+
+class _ServeScorer(BM25Scorer):
+    """Actor wrapper. Two impedance fixes vs the Dataset-pool class:
+    an explicit method name (ActorHandle attribute lookup does not
+    reliably expose dunder ``__call__``), and list-boxed object refs
+    (Ray auto-resolves bare ``ObjectRef`` arguments of remote calls;
+    boxing defers the plasma map-in to ``BM25Scorer.__init__``'s own
+    zero-copy ``ray.get``, matching the Dataset path)."""
+
+    def __init__(self, ref_box=None, mask_box=None, **kw):
+        if ref_box is not None:
+            kw["reader_ref"] = ref_box[0]
+        if mask_box is not None:
+            kw["doc_mask_ref"] = mask_box[0]
+        super().__init__(**kw)
+
+    def score_batch(self, batch: pa.Table) -> pa.Table:
+        return self(batch)
+
+
+class BM25Service:
+    """N persistent scorer actors over one broadcast index.
+
+    ``query(texts)`` fans batches out round-robin and concatenates the
+    per-batch hit tables (each query's rows live wholly in one batch,
+    so no cross-batch merge is needed). Deterministic: batch order and
+    actor assignment are functions of the input order only.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        method: str = "auto",
+        num_actors: int = 4,
+        buckets: set[int] | None = None,
+        doc_filter: tuple[str, object] | None = None,
+    ):
+        kwargs: dict = {"k": k, "method": method}
+        if buckets is not None:
+            kwargs.update({"index_dir": index_dir, "buckets": set(buckets)})
+        else:
+            kwargs["ref_box"] = [_broadcast_reader(index_dir)]
+        if doc_filter is not None:
+            kwargs["mask_box"] = [
+                ray.put(load_doc_filter(index_dir, doc_filter[0], doc_filter[1]))
+            ]
+        actor_cls = ray.remote(num_cpus=1)(_ServeScorer)
+        self.actors = [actor_cls.remote(**kwargs) for _ in range(num_actors)]
+        # one no-op round so __init__ (index map-in) finishes before the
+        # first timed query sees it
+        ray.get(
+            [
+                a.score_batch.remote(
+                    pa.table(
+                        {
+                            "query_id": pa.array([], type=pa.int64()),
+                            "text": pa.array([], type=pa.string()),
+                        }
+                    )
+                )
+                for a in self.actors
+            ]
+        )
+
+    def query(self, queries, batch_size: int = 32) -> pa.Table:
+        """queries: pyarrow Table / pandas DataFrame with (query_id,
+        text) -> hits Table (query_id, rank, doc_id, score)."""
+        if not isinstance(queries, pa.Table):
+            queries = pa.Table.from_pandas(queries, preserve_index=False)
+        futs = []
+        for i, off in enumerate(range(0, queries.num_rows, batch_size)):
+            sl = queries.slice(off, batch_size)
+            futs.append(self.actors[i % len(self.actors)].score_batch.remote(sl))
+        parts = ray.get(futs)
+        return pa.concat_tables(parts) if parts else pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def query_texts(self, texts: list[str], batch_size: int = 32) -> pa.Table:
+        return self.query(
+            pa.table(
+                {
+                    "query_id": pa.array(
+                        np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            batch_size=batch_size,
+        )
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -364,3 +364,39 @@ def test_sharded_query_position_space(tmp_path, tiny_corpus):
         b[["query_id", "rank", "doc_id"]]
     )
     assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+
+
+def test_serve_tier_identical_to_dataset_path(tiny_index):
+    """BM25Service (persistent actor pool) returns bit-identical hits
+    to the per-job Dataset pool, across repeats (result-memo path) and
+    with a doc filter."""
+    import pandas as pd
+
+    from pisa_ray import BM25Service, query_index
+
+    qt = make_queries(60)
+    svc = BM25Service(tiny_index, k=10, method="auto", num_actors=2)
+    try:
+        a = (
+            svc.query(qt, batch_size=16)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            query_index(rd.from_arrow(qt), tiny_index, k=10, method="auto", concurrency=2)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # repeat: memo hits must be identical
+        a2 = (
+            svc.query(qt, batch_size=16)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, a2)
+    finally:
+        svc.shutdown()
