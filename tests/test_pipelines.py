@@ -498,3 +498,17 @@ def test_lsh_knn_multiprobe_recall(emb):
     # deterministic across runs
     again = lsh_knn(emb, q, k=5, n_planes=6, n_probes=6)
     pd.testing.assert_frame_equal(multi, again)
+
+
+def test_seeded_shuffle_and_sampling(docs):
+    """K3/K4 (SURVEY §2.6): seeded random_shuffle is deterministic at
+    fixed parallelism; random_sample returns a plausible uniform
+    fraction without replacement."""
+    ids = lambda ds: ds.to_pandas()["doc_id"].tolist()
+    a = ids(docs.random_shuffle(seed=11))
+    b = ids(docs.random_shuffle(seed=11))
+    assert a == b and sorted(a) == sorted(ids(docs))
+    n = docs.count()
+    s = docs.random_sample(0.3, seed=5).to_pandas()
+    assert 0.1 * n < len(s) < 0.5 * n
+    assert s["doc_id"].is_unique
