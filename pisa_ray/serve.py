@@ -7,8 +7,10 @@ serving, where pool construction (~1-2 s per job on a warm cluster)
 dwarfs the scoring work of any single query burst.
 
 ``BM25Service`` is the serving shape the north star names ("top-k BM25
-queries ... on stateful actor-pool scorers"): N scorer actors created
-ONCE — each maps the broadcast index zero-copy from plasma — and
+queries ... on stateful actor-pool scorers") — the reference's analog
+is the state-resident model held across the whole evaluation loop
+(/root/reference/src/Inference.py:85-156, one propagated state reused
+for every batch): N scorer actors created ONCE — each maps the broadcast index zero-copy from plasma — and
 reused for every ``query()`` call. This is one of the few places the
 repo drops below the Dataset API on purpose: a Dataset pool cannot
 persist across jobs, and a serving tier's defining property is exactly
