@@ -60,3 +60,57 @@ def test_sha256_column():
     got = sha256_column(col)
     for i, s in enumerate(["hello", "", "ünïcode"]):
         assert got[i].as_py() == hashlib.sha256(s.encode("utf-8")).digest()
+
+
+def test_tokenize_flat_matches_regex_rule():
+    """Byte-vectorized flat tokenizer is bit-identical to regex-splitting
+    utf8_lower on TOKEN_SPLIT_RE and dropping empties — including nulls,
+    leading/trailing empty docs (boundary forcing), all-separator and
+    all-empty batches, multibyte UTF-8, sliced (nonzero offset) and
+    chunked inputs, both string widths."""
+    import pyarrow.compute as pc
+
+    from pisa_ray.tokenizer import tokenize_column, tokenize_flat
+
+    def regex_ref(content):
+        toks = tokenize_column(content)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        return flat.filter(keep).to_pylist(), parents[keep_np]
+
+    cases = [
+        ["hello world", "Foo_Bar123 baz"],
+        ["", "a", "", ""],
+        ["", "", "lead"],
+        [None, "x y", None],
+        ["", None, ""],
+        ["!!!", "   ", "..."],
+        ["ünïcödé tökens", "日本語 text mix"],
+        ["tail_token", ""],
+        ["", "y"],
+        ["A-B_c.d", "e"],
+        [],
+    ]
+    rng = np.random.default_rng(7)
+    words = ["foo", "BAR", "b_z", "123", "ünï", "日本", "x!y", "", " ", "a" * 40]
+    for _ in range(40):
+        cases.append([
+            None if rng.random() < 0.15
+            else " ".join(rng.choice(words, size=rng.integers(0, 8)))
+            for _ in range(rng.integers(0, 20))
+        ])
+
+    for case in cases:
+        for typ in (pa.string(), pa.large_string()):
+            arr = pa.array(case, type=typ)
+            variants = [arr, pa.chunked_array([arr, arr])]
+            if len(arr) > 2:
+                variants.append(arr.slice(1, len(arr) - 2))
+            for a in variants:
+                flat, parents, n_docs = tokenize_flat(a)
+                want_flat, want_parents = regex_ref(a)
+                assert flat.to_pylist() == want_flat, case
+                assert np.array_equal(parents, want_parents), case
+                assert n_docs == len(a)
