@@ -174,11 +174,14 @@ def term_group_hash(vocab: pa.Array, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.uint32)
 
 
-def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
-    """Tokenized rows -> (grp, term, doc_id, tf, dl) triples.
+def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False, emit_dl: bool = True):
+    """Tokenized rows -> (grp, term, doc_id, tf[, dl]) triples.
 
     ``with_bucket=True`` folds the docID-range bucket into the group key
-    (grp = term_hash * n_buckets + bucket) for the single-shuffle merge."""
+    (grp = term_hash * n_buckets + bucket) for the single-shuffle merge.
+    ``emit_dl=False`` drops the per-posting doc-length column from the
+    shuffle payload (~14% of row bytes); the encode stage then looks dl
+    up in the broadcast per-bucket length map instead."""
     n_parts = cfg.term_parts
     n_buckets = 1 << cfg.bucket_bits
     bucket_bits = cfg.bucket_bits
@@ -194,7 +197,6 @@ def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
         parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
         flat_tf = pc.list_flatten(tfs)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)[parents]
-        dl = batch["length"].to_numpy(zero_copy_only=False)[parents]
         denc = flat_t.dictionary_encode()
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
@@ -203,26 +205,29 @@ def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False):
         if with_bucket:
             bkt = bucket_of(doc, bucket_bits)
             grp = grp * np.uint32(n_buckets) + bkt
-        return pa.table(
-            {
-                "grp": pa.array(grp, type=pa.uint32()),
-                "term": flat_t.cast(pa.string()),
-                "doc_id": pa.array(doc, type=pa.uint64()),
-                "tf": flat_tf.cast(pa.uint32()),
-                "dl": pa.array(dl.astype(np.uint32)),
-            }
-        )
+        cols = {
+            "grp": pa.array(grp, type=pa.uint32()),
+            "term": flat_t.cast(pa.string()),
+            "doc_id": pa.array(doc, type=pa.uint64()),
+            "tf": flat_tf.cast(pa.uint32()),
+        }
+        if emit_dl:
+            dl = batch["length"].to_numpy(zero_copy_only=False)[parents]
+            cols["dl"] = pa.array(dl.astype(np.uint32))
+        return pa.table(cols)
 
     return explode
 
 
 def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
-    """Per-bucket sorted doc_id arrays (as plasma ObjectRefs) + global
-    rank offsets, built by Ray tasks — the DRIVER never holds the full
-    id array (round 1 ``np.sort``-ed every doc_id on the driver, ~8 TB
-    at 10^12 docs). Buckets are the top bits of the doc_id, so
-    bucket-major order IS global docmap order and
-    ``global_rank = offset[bucket] + rank_within_bucket``.
+    """Per-bucket (sorted doc_id, aligned doc length) arrays (as plasma
+    ObjectRefs) + global rank offsets, built by Ray tasks — the DRIVER
+    never holds the full id array (round 1 ``np.sort``-ed every doc_id
+    on the driver, ~8 TB at 10^12 docs). Buckets are the top bits of
+    the doc_id, so bucket-major order IS global docmap order and
+    ``global_rank = offset[bucket] + rank_within_bucket``. Lengths ride
+    along so the merge shuffle can drop its per-posting ``dl`` column
+    (encode looks dl up bucket-locally instead).
 
     Works on both tokenized layouts: hive ``bucket=`` dirs (per-bucket
     merge) are read directly; the flat single-shuffle layout is read
@@ -234,24 +239,28 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
     n_buckets = 1 << bucket_bits
 
     @_ray.remote
-    def sorted_ids(files: list[str], b: int | None) -> np.ndarray:
+    def sorted_ids(files: list[str], b: int | None):
         import pyarrow.parquet as _pq
 
-        arrs = []
+        ids, lens = [], []
         for f in files:
-            a = (
-                _pq.read_table(f, columns=["doc_id"])["doc_id"]
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64)
-            )
+            t = _pq.read_table(f, columns=["doc_id", "length"])
+            a = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            ln = t["length"].to_numpy(zero_copy_only=False).astype(np.uint32)
             if b is not None:
-                a = a[bucket_of(a, bucket_bits) == b]
-            arrs.append(a)
-        return np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+                keep = bucket_of(a, bucket_bits) == b
+                a, ln = a[keep], ln[keep]
+            ids.append(a)
+            lens.append(ln)
+        if not ids:
+            return np.empty(0, np.uint64), np.empty(0, np.uint32)
+        a = np.concatenate(ids)
+        order = np.argsort(a)
+        return a[order], np.concatenate(lens)[order]
 
     @_ray.remote
-    def size_of(a: np.ndarray) -> int:
-        return int(a.size)
+    def size_of(pair) -> tuple[int, int]:
+        return int(pair[0].size), int(pair[1].sum())
 
     refs = []
     for b in range(n_buckets):
@@ -268,14 +277,17 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
                 glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
             )
             refs.append(sorted_ids.remote(allfiles, b))
-    counts = _ray.get([size_of.remote(r) for r in refs])
+    sizes = _ray.get([size_of.remote(r) for r in refs])
+    counts = [s for s, _ in sizes]
+    total_tokens = sum(t for _, t in sizes)
     offsets = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.uint64)
-    return offsets, refs
+    return offsets, refs, (int(sum(counts)), int(total_tokens))
 
 
 def rank_map_from_sorted_ids(doc_sorted: np.ndarray, bucket_bits: int):
     """Rank map from an already-loaded global sorted id array (used by
-    compaction, which holds the docmap anyway for length lookups)."""
+    compaction, which holds the docmap anyway for length lookups —
+    its decode emits a ``dl`` column, so the length slot is None)."""
     import ray as _ray
 
     n_buckets = 1 << bucket_bits
@@ -288,13 +300,18 @@ def rank_map_from_sorted_ids(doc_sorted: np.ndarray, bucket_bits: int):
     offsets = bounds.astype(np.uint64)
     ends = np.concatenate((bounds[1:], [doc_sorted.size]))
     refs = [
-        _ray.put(doc_sorted[int(s) : int(e)]) for s, e in zip(bounds, ends)
+        _ray.put((doc_sorted[int(s) : int(e)], None))
+        for s, e in zip(bounds, ends)
     ]
     return offsets, refs
 
 
 def make_encode_group_fn(
-    avgdl: float, bucket: int | None, n_buckets: int = 1, rank_map=None
+    avgdl: float,
+    bucket: int | None,
+    n_buckets: int = 1,
+    rank_map=None,
+    use_ranks: bool | None = None,
 ):
     """Encode every term of one (grp, bucket) shuffle group.
 
@@ -305,7 +322,14 @@ def make_encode_group_fn(
     Python loop over terms — a ds.stats() audit showed 240k per-term
     codec calls costing ~0.5ms of fixed overhead each (~110s CPU per
     200k-doc build) before this.
+
+    ``rank_map`` is ``(offsets, refs)`` with each ref a per-bucket
+    ``(sorted_ids, lengths | None)`` pair. ``use_ranks`` controls the
+    position-space doc->rank remap (default: rank_map present). When
+    the input has no ``dl`` column, doc lengths come from the bucket's
+    length array (saves shipping dl per posting through the shuffle).
     """
+    remap = use_ranks if use_ranks is not None else (rank_map is not None)
 
     def encode_group(tbl: pa.Table) -> pa.Table:
         from .codec import BLOCK_SIZE, bm25_wnorm, varint_encode, varint_lengths
@@ -329,20 +353,36 @@ def make_encode_group_fn(
         vocab = denc.dictionary
         doc = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        dl = tbl["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        has_dl = "dl" in tbl.column_names
+        dl = (
+            tbl["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if has_dl
+            else None
+        )
 
         order = np.lexsort((doc, codes))
-        codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
-        if rank_map is not None:
-            # position space: replace doc_ids with their GLOBAL docmap
-            # ranks (monotone in doc_id -> sort order and tie-breaks
-            # unchanged). Every shuffle group is single-bucket, so only
-            # that bucket's sorted-id slice is pulled from plasma.
+        codes, doc, tf = codes[order], doc[order], tf[order]
+        if dl is not None:
+            dl = dl[order]
+        if rank_map is not None and (remap or dl is None):
+            # Every shuffle group is single-bucket, so only that
+            # bucket's slice is pulled from plasma. The searchsorted
+            # index serves both the position-space doc->GLOBAL-rank
+            # remap (monotone in doc_id -> sort order and tie-breaks
+            # unchanged) and the dl lookup.
             import ray as _ray
 
             offsets, refs = rank_map
-            ids_b = _ray.get(refs[bkt])
-            doc = (np.searchsorted(ids_b, doc).astype(np.uint64)) + offsets[bkt]
+            ids_b, lens_b = _ray.get(refs[bkt])
+            pos_b = np.searchsorted(ids_b, doc)
+            if dl is None:
+                dl = lens_b[pos_b].astype(np.uint64)
+            if remap:
+                doc = pos_b.astype(np.uint64) + offsets[bkt]
+        if dl is None:
+            raise ValueError(
+                "encode_group needs a dl column or a rank_map with lengths"
+            )
         n = codes.size
         starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1))
         starts_ext = np.concatenate((starts, [n]))  # T+1
@@ -665,30 +705,56 @@ def build_index(
     # ---- stage 1: tokenize ---------------------------------------------
     if not man.stage_done("tokenized"):
         tok_fn = make_tokenize_fn(cfg)
-        for gname, ginput in _input_groups(source, cfg.lineage_parts):
-            if man.partition_done("tokenized", gname):
-                continue
-            t = StageTimer()
+        # hive-partition by bucket only when the merge reads
+        # per-bucket (avoids num_groups x num_buckets small files —
+        # measured: hive-partitioning the single-shuffle layout blew
+        # tokenized/ up to ~1800 tiny files and throttled the merge
+        # read to ~2 effective cores). The position-space rank map
+        # handles both layouts (bucket-filtering inside its tasks).
+        wkw = {"partition_cols": ["bucket"]} if cfg.per_bucket_merge else {}
+
+        def prepare_group(ginput) -> rd.Dataset:
             if isinstance(ginput, list):
                 ds = _read_files(ginput, read_cols)
             elif isinstance(ginput, pa.Table):
                 ds = rd.from_arrow(ginput.select([c for c in read_cols if c in ginput.column_names]))
             else:
                 ds = ginput
-            out = ds.map_batches(
+            return ds.map_batches(
                 tok_fn, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
             )
+
+        def run_group(gname, out: rd.Dataset) -> None:
+            t = StageTimer()
             part_dir = os.path.join(tok_dir, f"part_{gname}")
-            # hive-partition by bucket only when the merge reads
-            # per-bucket (avoids num_groups x num_buckets small files —
-            # measured: hive-partitioning the single-shuffle layout blew
-            # tokenized/ up to ~1800 tiny files and throttled the merge
-            # read to ~2 effective cores). The position-space rank map
-            # handles both layouts (bucket-filtering inside its tasks).
-            wkw = {"partition_cols": ["bucket"]} if cfg.per_bucket_merge else {}
             _atomic_write(out, part_dir, **wkw)
             rows = pads.dataset(part_dir).count_rows()
             man.mark_partition("tokenized", gname, rows=rows, wall_s=t.elapsed())
+
+        # groups run CONCURRENTLY (each is its own streaming job; Ray
+        # schedules their tasks on one pool, so a group's ramp-up/tail
+        # overlaps the others' steady state — sequential jobs left
+        # ~2 s/group of the node idle). Lineage-partition resume is
+        # preserved: each group still marks its own manifest partition.
+        # Dataset CREATION stays on this thread: read_parquet's lazy
+        # fsspec import is not thread-safe (concurrent first-imports
+        # observe a partially-initialized module); only execution (the
+        # write) fans out.
+        pending = [
+            (g, prepare_group(gi))
+            for g, gi in _input_groups(source, cfg.lineage_parts)
+            if not man.partition_done("tokenized", g)
+        ]
+        if len(pending) <= 1:
+            for gname, out in pending:
+                run_group(gname, out)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(pending)) as pool:
+                futs = [pool.submit(run_group, g, out) for g, out in pending]
+                for f in futs:
+                    f.result()
         man.mark_stage("tokenized")
 
     # ---- stage 1.5: docID collision detect + resolve -------------------
@@ -696,6 +762,19 @@ def build_index(
         t = StageTimer()
         n_fixed = _resolve_doc_collisions(tok_dir, cfg, ncpus)
         man.mark_stage("collisions", rows=n_fixed, wall_s=t.elapsed())
+
+    # per-bucket (sorted-id, length) refs built by Ray tasks — nothing
+    # id-sized ever lands on the driver. Both posting spaces use the
+    # length map (so the merge shuffle carries no per-posting dl);
+    # position space additionally remaps doc -> global rank through it.
+    # Built before stage 2: its per-bucket (count, token-sum) totals ARE
+    # the global stats, so the docmap-skipping path needs no extra pass.
+    rank_map = None
+    rank_totals = None
+    use_ranks = cfg.posting_space == "position"
+    if not man.stage_done("segments"):
+        offsets_r, refs_r, rank_totals = _bucket_rank_refs(tok_dir, cfg.bucket_bits)
+        rank_map = (offsets_r, refs_r)
 
     # ---- stage 2: docmap + stats ---------------------------------------
     if not man.stage_done("docmap"):
@@ -708,19 +787,19 @@ def build_index(
                 tok_files, columns=dm_cols, override_num_blocks=2 * ncpus
             ).repartition(max(8, ncpus))
             _atomic_write(dm, os.path.join(index_dir, "docmap"))
-            dm2 = rd.read_parquet(
-                os.path.join(index_dir, "docmap"), columns=["doc_id", "length"]
-            )
+        if rank_totals is not None:
+            n_docs, total_tokens = rank_totals
         else:
+            # resume corner: docmap unfinished but segments done — the
+            # rank map wasn't built, so aggregate the stats directly
+            from ray.data.aggregate import Count, Sum
+
             dm2 = rd.read_parquet(
                 tok_files, columns=["doc_id", "length"], override_num_blocks=ncpus
             )
-        # one pass for both global stats (two jobs = two full reads)
-        from ray.data.aggregate import Count, Sum
-
-        agg = dm2.aggregate(Count(), Sum("length"))
-        n_docs = int(agg.get("count()", 0) or 0)
-        total_tokens = int(agg.get("sum(length)", 0) or 0)
+            agg = dm2.aggregate(Count(), Sum("length"))
+            n_docs = int(agg.get("count()", 0) or 0)
+            total_tokens = int(agg.get("sum(length)", 0) or 0)
         # (docID uniqueness is guaranteed by the collision-resolution
         # stage above when check_collisions=True)
         stats = {
@@ -736,12 +815,6 @@ def build_index(
         man.mark_stage("docmap", wall_s=t.elapsed(), rows=int(n_docs))
 
     stats = man.data["stats"]
-
-    # position space: per-bucket sorted-id refs (rank map) built by Ray
-    # tasks — nothing id-sized ever lands on the driver
-    rank_map = None
-    if cfg.posting_space == "position" and not man.stage_done("segments"):
-        rank_map = _bucket_rank_refs(tok_dir, cfg.bucket_bits)
 
     # ---- stage 3: merge into segments ----------------------------------
     if not man.stage_done("segments") and not cfg.per_bucket_merge:
@@ -762,18 +835,23 @@ def build_index(
             override_num_blocks=2 * ncpus,
         )
         triples = tk.map_batches(
-            make_explode_fn(cfg, with_bucket=True), batch_format="pyarrow"
-        )
-        seg = triples.groupby("grp").map_groups(
-            make_encode_group_fn(stats["avgdl"], None, n_buckets, rank_map),
+            make_explode_fn(cfg, with_bucket=True, emit_dl=False),
             batch_format="pyarrow",
         )
-        seg = seg.repartition(max(8, n_buckets))
+        seg = triples.groupby("grp").map_groups(
+            make_encode_group_fn(
+                stats["avgdl"], None, n_buckets, rank_map, use_ranks=use_ranks
+            ),
+            batch_format="pyarrow",
+        )
+        # no repartition: the groupby already yields ~2*ncpus blocks and
+        # a post-groupby repartition re-copies every encoded blob (~17 s
+        # remote CPU on a 300k-doc merge) just to change the file count
         _atomic_write(seg, os.path.join(index_dir, "segments", "all"))
         man.mark_stage("segments", wall_s=t.elapsed())
 
     if not man.stage_done("segments"):
-        explode_fn = make_explode_fn(cfg)
+        explode_fn = make_explode_fn(cfg, emit_dl=False)
         for b in range(n_buckets):
             pname = f"bucket_{b}"
             if man.partition_done("segments", pname):
@@ -799,7 +877,9 @@ def build_index(
             )
             triples = tk.map_batches(explode_fn, batch_format="pyarrow")
             seg = triples.groupby("grp").map_groups(
-                make_encode_group_fn(stats["avgdl"], b, rank_map=rank_map),
+                make_encode_group_fn(
+                    stats["avgdl"], b, rank_map=rank_map, use_ranks=use_ranks
+                ),
                 batch_format="pyarrow",
             )
             seg = seg.repartition(4)
@@ -1153,7 +1233,7 @@ def compact_index(index_dir: str) -> dict:
     )
     seg = triples.groupby("grp").map_groups(
         make_encode_group_fn(avgdl, None, n_buckets, rank_map), batch_format="pyarrow"
-    ).repartition(max(8, n_buckets))
+    )
     _atomic_write(seg, os.path.join(index_dir, "segments_compacted"))
 
     # swap in atomically, drop generation links: park the old segments

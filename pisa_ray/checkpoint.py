@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any
 
@@ -27,6 +28,9 @@ class Manifest:
         self.index_dir = index_dir
         self.path = os.path.join(index_dir, "manifest.json")
         self.data: dict[str, Any] = {"stages": {}, "config": {}, "stats": {}}
+        # concurrent lineage-group jobs mark partitions from threads;
+        # serialize mutate+persist so the tmp-file swap never races
+        self._lock = threading.Lock()
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.data = json.load(f)
@@ -38,18 +42,20 @@ class Manifest:
         ).get("status") == "done"
 
     def mark_partition(self, stage: str, part: str, **metrics: Any) -> None:
-        st = self.data["stages"].setdefault(stage, {"partitions": {}})
-        st["partitions"][part] = {"status": "done", **metrics}
-        self.save()
+        with self._lock:
+            st = self.data["stages"].setdefault(stage, {"partitions": {}})
+            st["partitions"][part] = {"status": "done", **metrics}
+            self.save()
 
     def stage_done(self, stage: str) -> bool:
         return self.data["stages"].get(stage, {}).get("status") == "done"
 
     def mark_stage(self, stage: str, **metrics: Any) -> None:
-        st = self.data["stages"].setdefault(stage, {"partitions": {}})
-        st["status"] = "done"
-        st.update(metrics)
-        self.save()
+        with self._lock:
+            st = self.data["stages"].setdefault(stage, {"partitions": {}})
+            st["status"] = "done"
+            st.update(metrics)
+            self.save()
 
     # -- persistence -----------------------------------------------------
     def save(self) -> None:
