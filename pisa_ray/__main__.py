@@ -68,6 +68,26 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", default=None, help="output parquet dir (default: stdout)")
     q.add_argument("--filter", default=None, help="col=value metadata predicate")
 
+    s = sub.add_parser(
+        "serve",
+        help="persistent scorer pool: answer a query burst (optionally "
+        "bucket-sharded pools, the multi-node serving shape)",
+    )
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True, help="parquet with (query_id, text)")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--method", default="auto", choices=["auto", "taat", "bmw"])
+    s.add_argument("--actors", type=int, default=4, help="scorer actors (per shard)")
+    s.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        help="split the index's docID buckets across this many shard pools",
+    )
+    s.add_argument("--filter", default=None, help="col=value metadata predicate")
+    s.add_argument("--repeat", type=int, default=1, help="re-run the burst N times (warm-pool QPS)")
+    s.add_argument("--out", default=None, help="output parquet dir (default: summary to stdout)")
+
     args = p.parse_args(argv)
     _ensure_ray()
     from ray.data import DataContext
@@ -122,6 +142,62 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for row in hits.to_pandas().itertuples(index=False):
                 print(json.dumps(row._asdict()))
+    elif args.cmd == "serve":
+        import time
+
+        import pyarrow.parquet as pq
+
+        from pisa_ray.serve import BM25Service, ShardedBM25Service
+
+        doc_filter = None
+        if args.filter:
+            col, _, val = args.filter.partition("=")
+            doc_filter = (col, val)
+        queries = pq.read_table(args.queries)
+        if args.shards > 1:
+            with open(os.path.join(args.index, "manifest.json")) as f:
+                bucket_bits = json.load(f)["config"].get("bucket_bits", 3)
+            n_buckets = 1 << bucket_bits
+            n_shards = min(args.shards, n_buckets)
+            shards = [
+                {b for b in range(n_buckets) if b % n_shards == s}
+                for s in range(n_shards)
+            ]
+            svc = ShardedBM25Service(
+                args.index,
+                shards,
+                k=args.k,
+                method=args.method,
+                actors_per_shard=args.actors,
+                doc_filter=doc_filter,
+            )
+        else:
+            svc = BM25Service(
+                args.index,
+                k=args.k,
+                method=args.method,
+                num_actors=args.actors,
+                doc_filter=doc_filter,
+            )
+        t0 = time.perf_counter()
+        for _ in range(args.repeat):
+            hits = svc.query(queries)
+        dt = (time.perf_counter() - t0) / max(1, args.repeat)
+        svc.shutdown()
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(hits, os.path.join(args.out, "hits.parquet"))
+        print(
+            json.dumps(
+                {
+                    "queries": queries.num_rows,
+                    "hits": hits.num_rows,
+                    "burst_sec": round(dt, 4),
+                    "qps": round(queries.num_rows / dt, 1) if dt else None,
+                    **({"out": args.out} if args.out else {}),
+                }
+            )
+        )
     return 0
 
 

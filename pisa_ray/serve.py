@@ -97,24 +97,23 @@ class BM25Service:
             ]
         )
 
-    def query(self, queries, batch_size: int = 32) -> pa.Table:
-        """queries: pyarrow Table / pandas DataFrame with (query_id,
-        text) -> hits Table (query_id, rank, doc_id, score)."""
+    def submit(self, queries, batch_size: int = 32) -> list:
+        """Fan batches out round-robin; return the in-flight ObjectRefs
+        (``ShardedBM25Service`` uses this to keep every shard busy
+        before any blocking ``ray.get``)."""
         if not isinstance(queries, pa.Table):
             queries = pa.Table.from_pandas(queries, preserve_index=False)
         futs = []
         for i, off in enumerate(range(0, queries.num_rows, batch_size)):
             sl = queries.slice(off, batch_size)
             futs.append(self.actors[i % len(self.actors)].score_batch.remote(sl))
-        parts = ray.get(futs)
-        return pa.concat_tables(parts) if parts else pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "rank": pa.array([], type=pa.int32()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "score": pa.array([], type=pa.float64()),
-            }
-        )
+        return futs
+
+    def query(self, queries, batch_size: int = 32) -> pa.Table:
+        """queries: pyarrow Table / pandas DataFrame with (query_id,
+        text) -> hits Table (query_id, rank, doc_id, score)."""
+        parts = ray.get(self.submit(queries, batch_size=batch_size))
+        return pa.concat_tables(parts) if parts else _empty_hits()
 
     def query_texts(self, texts: list[str], batch_size: int = 32) -> pa.Table:
         return self.query(
@@ -133,3 +132,105 @@ class BM25Service:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+def _empty_hits() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int32()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def merge_shard_hits(parts: list[pa.Table], k: int) -> pa.Table:
+    """Exact global top-k from per-shard top-k hit tables, vectorized.
+
+    Every doc lives in exactly one shard and BM25 stats (N, avgdl, df)
+    are global, so the global top-k is a subset of the union of
+    per-shard top-ks; ties break (score desc, doc_id asc) — the same
+    rule as ``query_index_sharded``'s per-group merge and the scorer's
+    own k-cut, so results are deterministic at any shard count.
+    """
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return _empty_hits()
+    allhits = pa.concat_tables(parts).combine_chunks()
+    qid = allhits["query_id"].to_numpy(zero_copy_only=False)
+    doc = allhits["doc_id"].to_numpy(zero_copy_only=False)
+    score = allhits["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, -score, qid))
+    qs = qid[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(qs)) + 1))
+    counts = np.diff(np.concatenate((starts, [qs.size])))
+    idx_in_q = np.arange(qs.size, dtype=np.int64) - np.repeat(starts, counts)
+    keep = idx_in_q < k
+    kept = order[keep]
+    return pa.table(
+        {
+            "query_id": allhits["query_id"].take(pa.array(kept)),
+            "rank": pa.array((idx_in_q[keep] + 1).astype(np.int32)),
+            "doc_id": allhits["doc_id"].take(pa.array(kept)),
+            "score": allhits["score"].take(pa.array(kept)),
+        }
+    )
+
+
+class ShardedBM25Service:
+    """S persistent shard pools, each holding ONLY its docID-range
+    buckets — the multi-node serving shape (one pool per node group,
+    1/S of the index resident per actor; ``BM25Scorer``'s shard path
+    also loads only the shard's docmap slice). Queries fan out to
+    every shard concurrently; per-shard top-k tables merge exactly via
+    ``merge_shard_hits``. This is the persistent-pool mirror of the
+    per-job ``query_index_sharded`` (scorer.py), digest-identical to
+    it and to the broadcast ``BM25Service`` (tested).
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        shards: list[set[int]],
+        k: int = 10,
+        method: str = "auto",
+        actors_per_shard: int = 2,
+        doc_filter: tuple[str, object] | None = None,
+    ):
+        self.k = k
+        self.services = [
+            BM25Service(
+                index_dir,
+                k=k,
+                method=method,
+                num_actors=actors_per_shard,
+                buckets=set(s),
+                doc_filter=doc_filter,
+            )
+            for s in shards
+        ]
+
+    def query(self, queries, batch_size: int = 32) -> pa.Table:
+        futs = []
+        for svc in self.services:
+            futs.extend(svc.submit(queries, batch_size=batch_size))
+        return merge_shard_hits(ray.get(futs), self.k)
+
+    def query_texts(self, texts: list[str], batch_size: int = 32) -> pa.Table:
+        return self.query(
+            pa.table(
+                {
+                    "query_id": pa.array(
+                        np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            batch_size=batch_size,
+        )
+
+    def shutdown(self) -> None:
+        for svc in self.services:
+            svc.shutdown()
+        self.services = []

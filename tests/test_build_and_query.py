@@ -400,3 +400,49 @@ def test_serve_tier_identical_to_dataset_path(tiny_index):
         pd.testing.assert_frame_equal(a, a2)
     finally:
         svc.shutdown()
+
+
+def test_sharded_serve_tier_identical_to_broadcast(tiny_index):
+    """ShardedBM25Service (persistent per-shard pools + vectorized
+    global merge) matches the broadcast BM25Service and the per-job
+    query_index_sharded exactly."""
+    import pandas as pd
+
+    from pisa_ray import BM25Service
+    from pisa_ray.serve import ShardedBM25Service
+    from pisa_ray.scorer import query_index_sharded
+
+    qt = make_queries(40)
+    shards = [{0, 1}, {2, 3}]
+    # Persistent pools hold 1 CPU each; run them sequentially and shut
+    # each down before the next job so the 4-CPU test session never
+    # deadlocks on actor placement.
+    svc = ShardedBM25Service(tiny_index, shards, k=10, actors_per_shard=1)
+    try:
+        a = (
+            svc.query(qt, batch_size=16)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        svc.shutdown()
+    bsvc = BM25Service(tiny_index, k=10, num_actors=2)
+    try:
+        b = (
+            bsvc.query(qt, batch_size=16)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        bsvc.shutdown()
+    pd.testing.assert_frame_equal(a, b)
+    c = (
+        query_index_sharded(rd.from_arrow(qt), tiny_index, shards=shards, k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)[a.columns.tolist()]
+        .astype({col: a[col].dtype for col in a.columns})
+    )
+    pd.testing.assert_frame_equal(a, c)
