@@ -170,7 +170,8 @@ class MinHasher:
         sh_parent = parents[: max(0, hs.size - k + 1)][valid] if hs.size >= k else np.empty(0, dtype=np.int64)
         return sh, sh_parent, tok_counts
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _signatures(self, batch: pa.Table) -> np.ndarray:
+        """-> (n, num_perm) uint64 signature matrix for the batch."""
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -204,6 +205,11 @@ class MinHasher:
                         self.a,
                         self.b,
                     )
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = self._signatures(batch)
+        n = len(batch)
         offs = np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int64)
         sig_arr = pa.LargeListArray.from_arrays(
             pa.array(offs, type=pa.int64()),
@@ -224,36 +230,56 @@ def minhash_signatures(
     )
 
 
-def _explode_bands(num_bands: int, rows_per_band: int):
-    """(doc_id, sig) -> num_bands NARROW (key, doc_id) rows — 16 bytes
-    each; the signature itself is NOT replicated into band rows (round-1
-    shipped the full num_perm signature in every band row, a shuffle
-    amplification of x num_bands)."""
+def _band_keys(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, num_perm) signature matrix -> (num_bands, n) int64 bucket keys.
 
-    def fn(batch: pa.Table) -> pa.Table:
-        sigs = batch["sig"]
-        if isinstance(sigs, pa.ChunkedArray):
-            sigs = sigs.combine_chunks()
-        flat = pc.list_flatten(sigs).to_numpy(zero_copy_only=False)
-        n = len(batch)
-        sig2 = flat.reshape(n, num_bands * rows_per_band)
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bands, bhash, docs = [], [], []
-        for b in range(num_bands):
-            chunk = sig2[:, b * rows_per_band : (b + 1) * rows_per_band]
-            h = np.array(
-                [zlib.crc32(chunk[i].tobytes()) for i in range(n)], dtype=np.int64
-            )
-            bands.append(np.full(n, b, dtype=np.int64))
-            bhash.append(h)
-            docs.append(doc)
-        # single int64 bucket key: band in the high bits, crc32 below
-        key = (np.concatenate(bands) << np.int64(33)) | np.concatenate(bhash)
+    Vectorized FNV-1a fold over each band's columns (one multiply+xor
+    pass per signature row of the band, across the whole batch at once
+    — replaces the round-1 per-document ``zlib.crc32`` Python loop).
+    The band index occupies the top 6 bits so distinct bands can never
+    share a bucket (for num_bands <= 64; beyond that bands fold
+    together, which only adds verify-gated false candidates)."""
+    n = sigs.shape[0]
+    view = sigs.reshape(n, num_bands, rows_per_band)
+    h = np.full((num_bands, n), 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows_per_band):
+            h ^= view[:, :, r].T
+            h *= np.uint64(0x100000001B3)
+    band = np.arange(num_bands, dtype=np.uint64)[:, None] % np.uint64(64)
+    key = (band << np.uint64(58)) | (h >> np.uint64(6))
+    return key.view(np.int64)
+
+
+class MinHashBander(MinHasher):
+    """Fused signature+banding stage: text -> num_bands NARROW
+    (key, doc_id) rows, 16 bytes each, in ONE pass. Full signatures are
+    never materialized corpus-wide — ``minhash_lsh_dedup`` recomputes
+    them for the (tiny) candidate set only, so the object-store
+    footprint of the LSH stage is the band rows, not
+    ``num_perm * 8`` bytes per document."""
+
+    def __init__(
+        self,
+        num_perm: int = 64,
+        shingle_k: int = 3,
+        seed: int = 7,
+        num_bands: int = 8,
+    ):
+        super().__init__(num_perm, shingle_k, seed)
+        self.num_bands = num_bands
+        self.rows_per_band = num_perm // num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = self._signatures(batch)
+        keys = _band_keys(sigs, self.num_bands, self.rows_per_band)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"key": pa.array(key), "doc_id": pa.array(np.concatenate(docs))}
+            {
+                "key": pa.array(keys.reshape(-1)),
+                "doc_id": pa.array(np.tile(doc, self.num_bands)),
+            }
         )
-
-    return fn
 
 
 def minhash_lsh_dedup(
@@ -268,25 +294,33 @@ def minhash_lsh_dedup(
     representative >= threshold. Survivors = all docs minus returned
     doc_ids.
 
-    Scale shape: ONE groupby over narrow (key, doc_id) band rows emits
+    Scale shape: the fused ``MinHashBander`` stage turns text directly
+    into narrow (key, doc_id) band rows — signatures are NOT
+    materialized corpus-wide (that was a ``num_perm * 8``-bytes-per-doc
+    object-store footprint). ONE groupby over the band rows emits
     candidate pairs directly — singleton buckets (the vast majority)
     return empty from ``map_groups``; there is no occupancy pre-pass
     and no driver-side bucket-key materialization. Verification then
-    runs as a vectorized ``map_batches`` over the candidate pairs
-    against a broadcast (ids, signature-matrix) lookup built from a
-    semi-join of the signature table down to candidate ids — the only
+    recomputes signatures for the candidate ids only (deterministic —
+    same seed/params as banding) via a semi-join over the source docs,
+    and runs as a vectorized ``map_batches`` over the candidate pairs
+    against the broadcast (ids, signature-matrix) lookup — the only
     driver-sized object is the candidate set itself (LSH at a high
     threshold keeps candidates ≪ corpus; same standing assumption as
-    ``verify_pairs_jaccard``)."""
+    ``verify_pairs_jaccard``). Three Ray jobs total (band+pair collect,
+    candidate re-signature, verify), down from round-2's four plus a
+    corpus-wide materialize."""
     import ray
 
-    rows_per_band = num_perm // num_bands
-    # signatures are consumed twice (banding + verification lookup):
-    # materialize to the object store (spills under pressure; never
-    # collected to the driver)
-    sigs = minhash_signatures(ds, num_perm, concurrency=concurrency).materialize()
-    bands = sigs.map_batches(
-        _explode_bands(num_bands, rows_per_band), batch_format="pyarrow"
+    bands = ds.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "num_bands": num_bands,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -329,7 +363,9 @@ def minhash_lsh_dedup(
 
     from .relational import broadcast_semi_join
 
-    cand_sigs = broadcast_semi_join(sigs, need, "doc_id").to_pandas()
+    cand_sigs = minhash_signatures(
+        broadcast_semi_join(ds, need, "doc_id"), num_perm, concurrency=concurrency
+    ).to_pandas()
     ids_sorted = np.sort(cand_sigs["doc_id"].to_numpy().astype(np.int64))
     sig_mat = np.stack(
         [
