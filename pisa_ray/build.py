@@ -591,6 +591,32 @@ def _resolve_doc_collisions(tok_dir: str, cfg: IndexConfig, ncpus: int) -> int:
     )
 
 
+def _settle_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable before write
+    threads fan out. write_parquet's path resolution imports it on
+    EVERY call (Ray catches ModuleNotFoundError); with aiohttp absent
+    the import fails and is retried each time, and two threads racing
+    the same failing first-import observe a partially-initialized
+    module — a plain ImportError that escapes Ray's catch and kills a
+    tokenize group. Registering an inert stub (its HTTPFileSystem
+    matches no real filesystem) makes later imports deterministic and
+    keeps Ray's ``_is_http_filesystem`` returning False, exactly as
+    the ModuleNotFoundError path would."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        import sys as _sys
+        import types as _types
+
+        stub = _types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only — never instantiated
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = stub
+
+
 def _norm_cfg_val(v: Any) -> Any:
     """JSON round-trips tuples to lists; compare them equal."""
     return list(v) if isinstance(v, tuple) else v
@@ -749,6 +775,7 @@ def build_index(
             for gname, out in pending:
                 run_group(gname, out)
         else:
+            _settle_fsspec_http()
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=len(pending)) as pool:
