@@ -184,25 +184,25 @@ def q_docmap(sf_dir: str):
     return dm.map_batches(fn, batch_format="pyarrow")
 
 
-def q_bm25_topk(sf_dir: str):
-    import ray.data as rd
-
-    from pisa_ray.scorer import query_index
-
-    idx = _index_dir(sf_dir)
-    qt = pa.table(
+def _bm25_query_table() -> pa.Table:
+    return pa.table(
         {
             "query_id": pa.array([q[0] for q in BM25_QUERIES], type=pa.int64()),
             "text": pa.array([q[1] for q in BM25_QUERIES], type=pa.string()),
         }
     )
-    hits = query_index(rd.from_arrow(qt), idx, k=50, concurrency=2).to_pandas()
+
+
+def _canon_topk(hits: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize k=50 hits to the SQL oracle's shape: rank over
+    ROUNDED score (+ doc_id tie-break) exactly as the SQL does, cut to
+    top-10."""
     if hits.empty:
         return pd.DataFrame(
             {"query_id": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64"),
              "doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
-    # rank over ROUNDED score (+ doc_id tie-break) exactly as the SQL does
+    hits = hits.copy()
     hits["score"] = np.round(hits["score"].to_numpy(), 4)
     hits = hits.sort_values(
         ["query_id", "score", "doc_id"], ascending=[True, False, True],
@@ -213,6 +213,18 @@ def q_bm25_topk(sf_dir: str):
     return hits[["query_id", "rank", "doc_id", "score"]].astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64"}
     )
+
+
+def q_bm25_topk(sf_dir: str):
+    import ray.data as rd
+
+    from pisa_ray.scorer import query_index
+
+    idx = _index_dir(sf_dir)
+    hits = query_index(
+        rd.from_arrow(_bm25_query_table()), idx, k=50, concurrency=2
+    ).to_pandas()
+    return _canon_topk(hits)
 
 
 def q_bm25_filtered(sf_dir: str):
@@ -224,30 +236,14 @@ def q_bm25_filtered(sf_dir: str):
     from pisa_ray.scorer import query_index
 
     idx = _index_dir(sf_dir)
-    qt = pa.table(
-        {
-            "query_id": pa.array([q[0] for q in BM25_QUERIES], type=pa.int64()),
-            "text": pa.array([q[1] for q in BM25_QUERIES], type=pa.string()),
-        }
-    )
     hits = query_index(
-        rd.from_arrow(qt), idx, k=50, concurrency=2, doc_filter=("lang", "en")
+        rd.from_arrow(_bm25_query_table()),
+        idx,
+        k=50,
+        concurrency=2,
+        doc_filter=("lang", "en"),
     ).to_pandas()
-    if hits.empty:
-        return pd.DataFrame(
-            {"query_id": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64"),
-             "doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
-        )
-    hits["score"] = np.round(hits["score"].to_numpy(), 4)
-    hits = hits.sort_values(
-        ["query_id", "score", "doc_id"], ascending=[True, False, True],
-        kind="mergesort",
-    )
-    hits["rank"] = hits.groupby("query_id").cumcount() + 1
-    hits = hits[hits["rank"] <= 10].reset_index(drop=True)
-    return hits[["query_id", "rank", "doc_id", "score"]].astype(
-        {"query_id": "int64", "rank": "int64", "doc_id": "int64"}
-    )
+    return _canon_topk(hits)
 
 
 # --------------------------------------------------------------------------
@@ -410,6 +406,50 @@ def q_sessions(sf_dir: str):
         gap_seconds=1800,
     ).to_pandas()
     return out.astype({"user_id": "int64", "session_id": "int64", "n_events": "int64"})
+
+
+def q_asof_last_error(sf_dir: str):
+    """As-of join: every purchase event picks up the user's most recent
+    error event at-or-before it (hash-partitioned by user, per-group
+    merge_asof) — DuckDB's ASOF LEFT JOIN is the oracle."""
+    from pisa_ray.pipelines.relational import asof_join
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    )
+    right = ev.filter(expr="event_type == 'error'").select_columns(
+        ["ts", "user_id", "value"]
+    )
+    out = asof_join(left, right, "user_id", "ts", ["value"]).to_pandas()
+    out["value"] = np.round(out["value"].to_numpy(), 2)
+    out["value_right"] = np.round(out["value_right"].to_numpy(), 2)
+    return out.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def q_price_bands(sf_dir: str):
+    """Broadcast range join (lo <= value < hi) of lineitem prices onto
+    a band table, aggregated per band."""
+    from pisa_ray.pipelines.relational import range_join
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    bands = pd.DataFrame(
+        {
+            "band": ["low", "mid", "high", "lux"],
+            "lo": [0.0, 20000.0, 40000.0, 60000.0],
+            "hi": [20000.0, 40000.0, 60000.0, 1e18],
+        }
+    )
+    joined = range_join(li, bands, "l_extendedprice")
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.groupby("band")
+        .aggregate(Count(alias_name="n"), Sum("l_extendedprice", alias_name="rev"))
+        .to_pandas()
+    )
+    out["rev"] = np.round(out["rev"].to_numpy(), 2)
+    return out.astype({"n": "int64"})
 
 
 def q_user_top_events(sf_dir: str):
@@ -680,20 +720,19 @@ def q_multimodal(sf_dir: str):
 
 
 def q_bm25_bmw(sf_dir: str):
-    """Same top-k via the block-max WAND path (rows-only; its
-    rank-identity to TAAT is pytest-enforced)."""
+    """Same top-k via the block-max WAND path — SQL-checked against the
+    same exhaustive-BM25 oracle as bm25_topk, so the driver proves the
+    pruned scorer rank-identical to DuckDB (pytest additionally pins
+    BMW ≡ TAAT per query)."""
     import ray.data as rd
 
     from pisa_ray.scorer import query_index
 
     idx = _index_dir(sf_dir)
-    qt = pa.table(
-        {
-            "query_id": pa.array([q[0] for q in BM25_QUERIES], type=pa.int64()),
-            "text": pa.array([q[1] for q in BM25_QUERIES], type=pa.string()),
-        }
-    )
-    return query_index(rd.from_arrow(qt), idx, k=10, method="bmw", concurrency=2)
+    hits = query_index(
+        rd.from_arrow(_bm25_query_table()), idx, k=50, method="bmw", concurrency=2
+    ).to_pandas()
+    return _canon_topk(hits)
 
 
 # --------------------------------------------------------------------------
@@ -725,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "snapshot_counts": q_snapshot_counts,
         "sessions": q_sessions,
+        "asof_last_error": q_asof_last_error,
+        "price_bands": q_price_bands,
         "user_top_events": q_user_top_events,
         "nation_region": q_nation_region,
         "dedup_exact": q_dedup_exact,
@@ -733,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "bm25_bmw": q_bm25_bmw,
         # rows-only (non-SQL-expressible: permutation hashing,
         # similarity-preserving hashing, LSH recall<1, stubs)
         "minhash_dedup": q_minhash_dedup,
@@ -740,7 +782,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": q_lsh_knn,
         "kmeans_clusters": q_kmeans,
         "multimodal_decode": q_multimodal,
-        "bm25_bmw": q_bm25_bmw,
     }
 
 
@@ -797,27 +838,7 @@ def oracle_sql() -> dict[str, str]:
     bm25_values = ", ".join(
         f"({qid}, '{t}')" for qid, text in BM25_QUERIES for t in sorted(set(text.split()))
     )
-    return {
-        "term_df": f"""
-            SELECT term, count(*) AS df
-            FROM (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
-            GROUP BY term
-        """,
-        "term_tf": f"""
-            SELECT term, count(*) AS tf FROM ({tok_docs}) GROUP BY term
-        """,
-        "doc_lengths": f"""
-            SELECT doc_id, len({_TOK}) AS length FROM documents
-        """,
-        "index_lexicon": f"""
-            SELECT term, count(*) AS df
-            FROM (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
-            GROUP BY term
-        """,
-        "index_docmap": f"""
-            SELECT doc_id, len({_TOK}) AS length FROM documents
-        """,
-        "bm25_topk": f"""
+    bm25_topk_sql = f"""
             WITH tok AS ({tok_docs}),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
             dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
@@ -841,9 +862,33 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY sc.query_id
                            ORDER BY round(sc.score, 4) DESC, sc.doc_id
                        ) AS rank
-                FROM scores sc {{filter_join}}
+                FROM scores sc
             ) WHERE rank <= 10
-        """.format(filter_join=""),
+        """
+    return {
+        "term_df": f"""
+            SELECT term, count(*) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
+            GROUP BY term
+        """,
+        "term_tf": f"""
+            SELECT term, count(*) AS tf FROM ({tok_docs}) GROUP BY term
+        """,
+        "doc_lengths": f"""
+            SELECT doc_id, len({_TOK}) AS length FROM documents
+        """,
+        "index_lexicon": f"""
+            SELECT term, count(*) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
+            GROUP BY term
+        """,
+        "index_docmap": f"""
+            SELECT doc_id, len({_TOK}) AS length FROM documents
+        """,
+        "bm25_topk": bm25_topk_sql,
+        # block-max WAND must be rank-identical to exhaustive BM25 —
+        # the oracle is literally the same exhaustive-scoring SQL
+        "bm25_bmw": bm25_topk_sql,
         "bm25_filtered": f"""
             WITH tok AS ({tok_docs}),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
@@ -945,6 +990,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, min(ts) AS session_start,
                    count(*) AS n_events
             FROM labeled GROUP BY user_id, session_id
+        """,
+        "asof_last_error": """
+            SELECT l.event_id, l.ts, l.user_id, round(l.value, 2) AS value,
+                   r.ts AS ts_right, round(r.value, 2) AS value_right
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "price_bands": """
+            SELECT b.band, count(*) AS n, round(sum(l.l_extendedprice), 2) AS rev
+            FROM lineitem l
+            JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 40000.0),
+                         ('high', 40000.0, 60000.0), ('lux', 60000.0, 1e18))
+                 b(band, lo, hi)
+              ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+            GROUP BY b.band
         """,
         "user_top_events": """
             SELECT user_id, event_type, n, rank FROM (

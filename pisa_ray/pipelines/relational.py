@@ -108,6 +108,193 @@ def snapshot_blocks(
     return s.split_at_indices(bounds[:-1])
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> rd.Dataset:
+    """As-of join: for every left row, attach the right row with the
+    greatest right ``ts_col`` <= left ``ts_col`` (direction="backward";
+    "forward" = smallest >=) sharing ``key_col``. Left rows with no
+    match keep nulls. Right value columns are emitted as
+    ``<col><suffix>`` (plus ``<ts_col><suffix>`` for the matched time).
+
+    Ray-Data-first shape: NO sorted-merge machinery and no broadcast —
+    both sides are tagged, schema-aligned and unioned, then ONE
+    ``groupby(key)`` co-locates each key's rows and a vectorized
+    per-group ``pd.merge_asof`` does the time matching. The single
+    shuffle moves only the join keys' rows (prune both sides to the
+    needed columns before calling at scale).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    one key's rows must fit a worker. For a hot key at 100 TB, salt by
+    a coarse time bucket and carry each bucket's LAST right row into
+    the next bucket's group (one extra row per bucket) — the merge
+    stays exact because only the latest-before-boundary right row can
+    match across it.
+
+    Ties on equal right ts: the row latest in (ts, original right
+    order) wins — made deterministic by sorting the right side with a
+    stable mergesort before the asof scan.
+
+    Reference analog: the left-outer lookup-with-default of
+    /root/reference/src/Inference.py:216-221, upgraded with a time
+    predicate.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_value_cols = [c for c in right_value_cols if c != key_col]
+
+    def _arrow_types(ds: rd.Dataset) -> dict:
+        base = ds.schema().base_schema
+        if hasattr(base, "field"):  # Arrow-block dataset
+            return {n: base.field(n).type for n in base.names}
+        # pandas-block dataset: numpy dtypes -> Arrow
+        out = {}
+        for n, t in zip(base.names, base.types):
+            try:
+                out[n] = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, pa.ArrowTypeError, TypeError):
+                out[n] = pa.string()
+        return out
+
+    l_types = _arrow_types(left)
+    l_names = list(l_types)
+    r_keep = [key_col, ts_col, *[c for c in right_value_cols if c != ts_col]]
+    right = right.select_columns(r_keep)
+
+    out_ts = f"{ts_col}{suffix}"
+    r_renamed = {ts_col: out_ts, **{c: f"{c}{suffix}" for c in right_value_cols}}
+    r_out_names = [r_renamed[c] for c in [ts_col, *right_value_cols]]
+
+    # align schemas: union needs identical columns; each side fills the
+    # other's columns with typed nulls and carries a __side tag
+    r_types_raw = _arrow_types(right)
+    r_types = {r_renamed[n]: r_types_raw[n] for n in r_keep if n != key_col}
+    all_names = l_names + r_out_names
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in l_names}
+        for n in r_out_names:
+            cols[n] = pa.nulls(b.num_rows, type=r_types[n])
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {}
+        for n in all_names:
+            if n == key_col:
+                cols[n] = b[key_col]
+            elif n in r_out_names:
+                src = [k for k, v in r_renamed.items() if v == n][0]
+                cols[n] = b[src]
+            else:
+                cols[n] = pa.nulls(b.num_rows, type=l_types[n])
+        cols["__side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0]
+        rg = g[g["__side"] == 1]
+        lg = lg[l_names].sort_values(ts_col, kind="mergesort")
+        rg = rg[[key_col, *r_out_names]].sort_values(out_ts, kind="mergesort")
+        out = pd.merge_asof(
+            lg,
+            rg.drop(columns=[key_col]),
+            left_on=ts_col,
+            right_on=out_ts,
+            direction=direction,
+        )
+        return out[l_names + r_out_names]
+
+    return unioned.groupby(key_col).map_groups(join_group, batch_format="pandas")
+
+
+def range_join(
+    big: rd.Dataset,
+    ranges: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> rd.Dataset:
+    """Range (interval) join: each big-side row matches every range row
+    with ``lo <= value < hi``. The range table is broadcast once
+    (``ray.put``); the big side streams — no shuffle.
+
+    Two vectorized paths, picked per call:
+
+    - ranges sorted by ``lo`` with non-overlapping intervals (the
+      common banding case): ONE ``np.searchsorted`` per batch — each
+      value matches at most one band;
+    - overlapping intervals: a chunked |batch| x |ranges| containment
+      mask (exact, still vectorized) — right only for broadcast-sized
+      range tables; an all-to-all interval join at 100 TB should
+      instead bucket both sides by an interval-aligned grid key.
+
+    ``how="inner"`` drops non-matching rows; ``how="left"`` keeps them
+    with null range columns (single-band path only, where output rows
+    stay 1:1).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    r = ranges.reset_index(drop=True).sort_values(lo_col, kind="mergesort")
+    los = r[lo_col].to_numpy()
+    his = r[hi_col].to_numpy()
+    disjoint = bool(np.all(his[:-1] <= los[1:])) if len(r) > 1 else True
+    if how == "left" and not disjoint:
+        raise ValueError("how='left' needs non-overlapping ranges (1:N otherwise)")
+    ref = ray.put(r)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rr = ray.get(ref)
+        v = batch[value_col].to_numpy()
+        if disjoint:
+            idx = np.searchsorted(los, v, side="right") - 1
+            ok = (idx >= 0) & (v < his[np.clip(idx, 0, len(his) - 1)])
+            if how == "left":
+                out = batch.reset_index(drop=True).copy()
+                matched = rr.iloc[np.where(ok, idx, 0)].reset_index(drop=True)
+                oks = pd.Series(ok)
+                for c in rr.columns:
+                    # .where null-fills misses (ints upcast to float64,
+                    # consistently across batches)
+                    out[c] = matched[c].astype("float64").where(oks) if matched[
+                        c
+                    ].dtype.kind in "iu" else matched[c].where(oks)
+                return out
+            out = batch.reset_index(drop=True)[ok].reset_index(drop=True)
+            return pd.concat(
+                [out, rr.iloc[idx[ok]].reset_index(drop=True)], axis=1
+            )
+        rows, cols = [], []
+        for s in range(0, len(v), 4096):
+            vv = v[s : s + 4096]
+            m = (vv[:, None] >= los[None, :]) & (vv[:, None] < his[None, :])
+            ri, ci = np.nonzero(m)
+            rows.append(ri + s)
+            cols.append(ci)
+        ri = np.concatenate(rows) if rows else np.empty(0, np.int64)
+        ci = np.concatenate(cols) if cols else np.empty(0, np.int64)
+        return pd.concat(
+            [
+                batch.reset_index(drop=True).iloc[ri].reset_index(drop=True),
+                rr.iloc[ci].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+
+    return big.map_batches(fn, batch_format="pandas")
+
+
 def tumbling_window_agg(
     ds: rd.Dataset,
     ts_col: str,

@@ -512,3 +512,116 @@ def test_seeded_shuffle_and_sampling(docs):
     s = docs.random_sample(0.3, seed=5).to_pandas()
     assert 0.1 * n < len(s) < 0.5 * n
     assert s["doc_id"].is_unique
+
+
+def test_asof_join_matches_pandas_oracle_at_any_parallelism():
+    """Hash-partitioned as-of join (union + one groupby(key) +
+    per-group merge_asof) equals a global pd.merge_asof(by=key) at
+    every block layout, both directions, including keys with no right
+    rows (null fill) and right-only keys (no output)."""
+    from pisa_ray.pipelines.relational import asof_join
+
+    rng = np.random.default_rng(11)
+    base = np.int64(1_700_000_000_000_000)
+    lrows, rrows = [], []
+    for key in range(1, 8):
+        for i in range(int(rng.integers(3, 25))):
+            lrows.append((key, base + np.int64(rng.integers(0, 10**9)), len(lrows)))
+        if key != 3:  # key 3 has no right rows at all
+            for i in range(int(rng.integers(1, 20))):
+                rrows.append((key, base + np.int64(rng.integers(0, 10**9)), float(len(rrows))))
+    rrows.append((42, base, -1.0))  # right-only key: must not appear
+    lf = pd.DataFrame(lrows, columns=["key", "ts", "lid"])
+    rf = pd.DataFrame(rrows, columns=["key", "ts", "rv"])
+    for c in (lf, rf):
+        c["ts"] = c["ts"].astype("datetime64[us]")
+
+    for direction in ("backward", "forward"):
+        want = pd.merge_asof(
+            lf.sort_values("ts", kind="mergesort"),
+            rf.sort_values("ts", kind="mergesort").rename(
+                columns={"ts": "ts_right", "rv": "rv_right"}
+            ),
+            left_on="ts",
+            right_on="ts_right",
+            by="key",
+            direction=direction,
+        ).sort_values("lid").reset_index(drop=True)
+        for nblocks in (1, 13):
+            got = (
+                asof_join(
+                    rd.from_pandas(lf).repartition(nblocks),
+                    rd.from_pandas(rf).repartition(nblocks),
+                    "key",
+                    "ts",
+                    ["rv"],
+                    direction=direction,
+                )
+                .to_pandas()
+                .sort_values("lid")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[want.columns.tolist()], want, check_dtype=False
+            )
+    # key 3 rows survive with nulls
+    assert want[want["key"] == 3]["rv_right"].isna().all()
+    assert (want["key"] != 42).all()
+
+
+def test_range_join_disjoint_and_overlapping():
+    """Broadcast range join: searchsorted fast path on disjoint bands
+    (inner + left), dense containment-mask path on overlapping ranges;
+    both equal a brute-force per-row scan."""
+    from pisa_ray.pipelines.relational import range_join
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"rid": np.arange(500), "v": np.round(rng.uniform(-10, 110, 500), 3)}
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    bands = pd.DataFrame(
+        {"band": ["a", "b", "c"], "lo": [0.0, 25.0, 70.0], "hi": [25.0, 50.0, 100.0]}
+    )
+
+    def brute(ranges):
+        rows = []
+        for _, r in df.iterrows():
+            for _, b in ranges.iterrows():
+                if b["lo"] <= r["v"] < b["hi"]:
+                    rows.append((r["rid"], r["v"], b["band"], b["lo"], b["hi"]))
+        return (
+            pd.DataFrame(rows, columns=["rid", "v", "band", "lo", "hi"])
+            .sort_values(["rid", "band"])
+            .reset_index(drop=True)
+        )
+
+    got = (
+        range_join(ds, bands, "v")
+        .to_pandas()
+        .sort_values(["rid", "band"])
+        .reset_index(drop=True)
+    )
+    got["rid"] = got["rid"].astype("int64")
+    pd.testing.assert_frame_equal(got, brute(bands), check_dtype=False)
+
+    left = range_join(ds, bands, "v", how="left").to_pandas()
+    assert len(left) == len(df)
+    miss = left["band"].isna()
+    vv = df.sort_values("rid")["v"].to_numpy()
+    want_miss = (vv < 0) | (vv >= 100) | ((vv >= 50) & (vv < 70))  # inter-band gap
+    assert int(want_miss.sum()) == int(miss.sum())
+
+    overl = pd.DataFrame(
+        {"band": ["x", "y"], "lo": [0.0, 20.0], "hi": [60.0, 100.0]}
+    )
+    got2 = (
+        range_join(ds, overl, "v")
+        .to_pandas()
+        .sort_values(["rid", "band"])
+        .reset_index(drop=True)
+    )
+    got2["rid"] = got2["rid"].astype("int64")
+    pd.testing.assert_frame_equal(got2, brute(overl), check_dtype=False)
+    with pytest.raises(ValueError):
+        range_join(ds, overl, "v", how="left")
