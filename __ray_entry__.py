@@ -452,6 +452,40 @@ def q_price_bands(sf_dir: str):
     return out.astype({"n": "int64"})
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping windows (size 2h, hop 1h) per event type — each event
+    fans out to its 2 covering windows inside map_batches, one groupby."""
+    from pisa_ray.pipelines.relational import hopping_window_agg
+
+    out = hopping_window_agg(
+        _tbl(sf_dir, "events", ["ts", "event_type", "value"]),
+        "ts",
+        "event_type",
+        "value",
+        size_seconds=7200,
+        hop_seconds=3600,
+    ).to_pandas()
+    out["sum_value"] = np.round(out["sum_value"].to_numpy(), 2)
+    out["window"] = out["window"].astype("datetime64[us]")
+    return out.astype({"n_events": "int64"})
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 events per type, picked by a
+    SQL-replayable seeded hash rank — same rows at any parallelism."""
+    from pisa_ray.pipelines.relational import stratified_sample
+
+    out = stratified_sample(
+        _tbl(sf_dir, "events", ["event_id", "event_type", "user_id"]),
+        "event_type",
+        5,
+        "event_id",
+    ).to_pandas()
+    return out.astype({"event_id": "int64", "user_id": "int64"})[
+        ["event_id", "event_type", "user_id"]
+    ]
+
+
 def q_user_top_events(sf_dir: str):
     """Per-user top-3 event types (reference per-user top-k,
     /root/reference/src/Inference.py:240), rank ties by event_type."""
@@ -766,6 +800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "asof_last_error": q_asof_last_error,
         "price_bands": q_price_bands,
+        "events_hopping": q_events_hopping,
+        "stratified_sample": q_stratified_sample,
         "user_top_events": q_user_top_events,
         "nation_region": q_nation_region,
         "dedup_exact": q_dedup_exact,
@@ -1006,6 +1042,28 @@ def oracle_sql() -> dict[str, str]:
                  b(band, lo, hi)
               ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
             GROUP BY b.band
+        """,
+        "events_hopping": """
+            -- size 2h / hop 1h: every event covers exactly 2 windows.
+            -- epoch_us (not epoch(..)::BIGINT, which ROUNDS sub-second
+            -- fractions) so hour bucketing floors exactly like the engine
+            SELECT make_timestamp((epoch_us(ts) // 3600000000 - k)
+                                  * 3600000000) AS "window",
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events, (VALUES (0), (1)) t(k)
+            GROUP BY 1, 2
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type, user_id FROM (
+                SELECT event_id, event_type, user_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ((event_id % 2147483648) * 2654435761)
+                                    % 4294967296, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 5
         """,
         "user_top_events": """
             SELECT user_id, event_type, n, rank FROM (

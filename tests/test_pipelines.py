@@ -625,3 +625,84 @@ def test_range_join_disjoint_and_overlapping():
     pd.testing.assert_frame_equal(got2, brute(overl), check_dtype=False)
     with pytest.raises(ValueError):
         range_join(ds, overl, "v", how="left")
+
+
+def test_hopping_window_matches_brute_force():
+    """size/hop fan-out inside map_batches + one groupby equals a
+    per-event brute-force window enumeration, at two block layouts."""
+    from pisa_ray.pipelines.relational import hopping_window_agg
+
+    rng = np.random.default_rng(3)
+    n = 700
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 6 * 3600 * 1_000_000, n)
+    df = pd.DataFrame(
+        {
+            "ts": ts.astype("datetime64[us]"),
+            "k": rng.choice(["a", "b"], n),
+            "v": np.round(rng.uniform(0, 10, n), 3),
+        }
+    )
+    size, hop = 3 * 3600, 3600
+    rows = []
+    for _, r in df.iterrows():
+        t = int(pd.Timestamp(r["ts"]).value // 1000)  # us
+        last = (t // (hop * 1_000_000)) * hop * 1_000_000
+        s = last
+        while s > t - size * 1_000_000:
+            rows.append((np.datetime64(s, "us"), r["k"], r["v"]))
+            s -= hop * 1_000_000
+    want = (
+        pd.DataFrame(rows, columns=["window", "k", "v"])
+        .groupby(["window", "k"], as_index=False)
+        .agg(n_events=("v", "size"), sum_value=("v", "sum"))
+        .sort_values(["window", "k"])
+        .reset_index(drop=True)
+    )
+    for nblocks in (1, 9):
+        got = (
+            hopping_window_agg(
+                rd.from_pandas(df).repartition(nblocks), "ts", "k", "v", size, hop
+            )
+            .to_pandas()
+            .sort_values(["window", "k"])
+            .reset_index(drop=True)
+        )
+        got["window"] = got["window"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stratified_sample_deterministic_and_bounded():
+    from pisa_ray.pipelines.relational import stratified_sample
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(1000, dtype=np.int64),
+            "key": rng.choice(["x", "y", "z", "rare"], 1000, p=[0.5, 0.3, 0.198, 0.002]),
+        }
+    )
+    outs = []
+    for nblocks in (1, 17):
+        out = (
+            stratified_sample(
+                rd.from_pandas(df).repartition(nblocks), "key", 7, "id"
+            )
+            .to_pandas()
+            .sort_values(["key", "id"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    cnt = outs[0].groupby("key").size()
+    full = df.groupby("key").size()
+    for k in full.index:
+        assert cnt.get(k, 0) == min(7, full[k])  # rare keys keep all rows
+    # a different seed picks a different subset
+    other = (
+        stratified_sample(rd.from_pandas(df), "key", 7, "id", seed=123)
+        .to_pandas()
+        .sort_values(["key", "id"])
+        .reset_index(drop=True)
+    )
+    assert not other["id"].equals(outs[0]["id"])
