@@ -712,6 +712,19 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (shingle-inverted-index
+    self-join, no LSH) — finds the planted near-dup pairs; DuckDB
+    replays the identical shingle/intersection arithmetic."""
+    from pisa_ray.pipelines.dedup import jaccard_pairs
+
+    out = jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
+    ).to_pandas()
+    out["jaccard"] = np.round(out["jaccard"].to_numpy(), 4)
+    return out.astype({"id_a": "int64", "id_b": "int64"})
+
+
 def q_lsh_knn(sf_dir: str):
     from pisa_ray.pipelines.similarity import lsh_knn
 
@@ -805,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_events": q_user_top_events,
         "nation_region": q_nation_region,
         "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
@@ -1082,6 +1096,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "jaccard_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM toks),
+            sh AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM idx),
+            sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*)::BIGINT AS c
+                FROM sh a
+                JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c::DOUBLE / (sa.s + sb.s - c), 4) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+                       JOIN sizes sb ON sb.doc_id = pairs.id_b
+            WHERE c::DOUBLE / (sa.s + sb.s - c) >= 0.5
         """,
         "quality_counts": f"""
             SELECT doc_id,

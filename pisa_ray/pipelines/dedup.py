@@ -605,6 +605,126 @@ def verify_pairs_jaccard(
     )
 
 
+class _ShingleExploder(MinHasher):
+    """Per-doc DISTINCT shingle rows (shingle_key, doc_id, set size) —
+    the vectorized MinHasher shingle kernel, deduped per doc. The
+    uint64 shingle hash is xor-shifted into an order-preserving int64
+    key (raw u64 > 2^63 breaks sort-based groupby boundary sampling)."""
+
+    def __init__(self, id_col: str = "doc_id", shingle_k: int = 3):
+        super().__init__(num_perm=1, shingle_k=shingle_k)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sh, par, _ = self._batch_shingles(texts)
+        if sh.size:
+            order = np.lexsort((sh, par))
+            sh, par = sh[order], par[order]
+            first = np.ones(sh.size, dtype=bool)
+            first[1:] = (sh[1:] != sh[:-1]) | (par[1:] != par[:-1])
+            sh, par = sh[first], par[first]
+        sizes = np.zeros(len(batch), dtype=np.int64)
+        if par.size:
+            np.add.at(sizes, par, 1)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sh_key": pa.array(
+                    (sh ^ np.uint64(1 << 63)).view(np.int64), type=pa.int64()
+                ),
+                "id": pa.array(ids[par] if par.size else ids[:0]),
+                "s": pa.array(sizes[par] if par.size else sizes[:0]),
+            }
+        )
+
+
+def jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard similarity join — no LSH, no candidate
+    misses: every doc pair sharing at least one shingle is scored.
+
+    Distributed shape (a shingle-inverted-index self-join):
+
+    1. per-doc distinct shingles -> (shingle, doc_id, set_size) rows
+       (vectorized actor pool);
+    2. ``groupby(shingle)`` emits co-occurring (id_a < id_b) pairs per
+       shingle group — the intersection count is the number of shingle
+       groups emitting a pair;
+    3. ``groupby(id_a, id_b)`` counts -> |A∩B|; Jaccard =
+       c / (|A| + |B| - c), filtered at ``threshold``.
+
+    Exact but quadratic in shingle df: a shingle shared by g docs emits
+    g(g-1)/2 pair rows. ``max_df`` caps that (groups above it are
+    skipped -> becomes approximate: misses pairs whose ONLY shared
+    shingles are ubiquitous ones — which are far below any useful
+    threshold anyway at 100 TB). Returns (id_a, id_b, jaccard).
+    """
+    from ray.data.aggregate import Count, Max
+
+    sh = docs.map_batches(
+        _ShingleExploder,
+        fn_constructor_kwargs={"id_col": id_col, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+    def pair_emit(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "sa": pd.Series(dtype="int64"),
+                "sb": pd.Series(dtype="int64"),
+            }
+        )
+        if n < 2 or (max_df is not None and n > max_df):
+            return empty
+        order = np.argsort(g["id"].to_numpy(), kind="stable")
+        ids = g["id"].to_numpy()[order]
+        ss = g["s"].to_numpy()[order]
+        iu, ju = np.triu_indices(n, 1)
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu].astype(np.int64),
+                "id_b": ids[ju].astype(np.int64),
+                "sa": ss[iu].astype(np.int64),
+                "sb": ss[ju].astype(np.int64),
+            }
+        )
+
+    pairs = sh.groupby("sh_key").map_groups(pair_emit, batch_format="pandas")
+    counted = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="c"), Max("sa", alias_name="sa"), Max("sb", alias_name="sb")
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = b["sa"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = b["sb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = c / (sa + sb - c)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": b["id_a"].filter(pa.array(keep)),
+                "id_b": b["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return counted.map_batches(score, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------

@@ -706,3 +706,40 @@ def test_stratified_sample_deterministic_and_bounded():
         .reset_index(drop=True)
     )
     assert not other["id"].equals(outs[0]["id"])
+
+
+def test_jaccard_pairs_exact_join(docs):
+    """Exact shingle-inverted-index Jaccard join: planted exact dups
+    score 1.0, a lightly-mangled twin scores high, unrelated docs never
+    cross the threshold; identical output at two parallelism levels."""
+    from pisa_ray.pipelines.dedup import jaccard_pairs, ngram_jaccard
+
+    base = docs.to_pandas()[["doc_id", "text"]].head(60)
+    twin = base.head(4).copy()
+    twin["doc_id"] = twin["doc_id"] + 100_000  # exact dups -> jaccard 1.0
+    near = base.iloc[[5]].copy()
+    near["doc_id"] = near["doc_id"] + 200_000
+    near["text"] = near["text"] + " zzz qqq"  # near-dup, jaccard < 1
+    df = pd.concat([base, twin, near], ignore_index=True)
+    outs = []
+    for nblocks in (1, 11):
+        out = (
+            jaccard_pairs(rd.from_pandas(df).repartition(nblocks), threshold=0.5)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = {(a, b): j for a, b, j in outs[0].itertuples(index=False)}
+    for _, r in twin.iterrows():
+        assert got.get((r["doc_id"] - 100_000, r["doc_id"])) == 1.0
+    near_key = (near["doc_id"].iloc[0] - 200_000, near["doc_id"].iloc[0])
+    want_j = ngram_jaccard(base.iloc[5]["text"], near["text"].iloc[0])
+    assert abs(got[near_key] - want_j) < 1e-9
+    # max_df skips ubiquitous shingles -> subset of the exact result
+    capped = (
+        jaccard_pairs(rd.from_pandas(df), threshold=0.5, max_df=3)
+        .to_pandas()
+    )
+    assert set(zip(capped["id_a"], capped["id_b"])) <= set(got)
