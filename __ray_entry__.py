@@ -486,6 +486,20 @@ def q_stratified_sample(sf_dir: str):
     ]
 
 
+def q_quantiles(sf_dir: str):
+    """Exact discrete quantiles WITHOUT a global sort: shared binary
+    search over the value bit-pattern domain, one distributed count
+    pass per round (<=64 total for all quantiles)."""
+    from pisa_ray.pipelines.relational import quantile_disc
+
+    out = quantile_disc(
+        _tbl(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice",
+        [0.01, 0.25, 0.5, 0.75, 0.99],
+    )
+    return out
+
+
 def q_user_top_events(sf_dir: str):
     """Per-user top-3 event types (reference per-user top-k,
     /root/reference/src/Inference.py:240), rank ties by event_type."""
@@ -815,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_bands": q_price_bands,
         "events_hopping": q_events_hopping,
         "stratified_sample": q_stratified_sample,
+        "quantiles": q_quantiles,
         "user_top_events": q_user_top_events,
         "nation_region": q_nation_region,
         "dedup_exact": q_dedup_exact,
@@ -1067,6 +1082,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events, (VALUES (0), (1)) t(k)
             GROUP BY 1, 2
+        """,
+        "quantiles": """
+            SELECT q, quantile_disc(l_extendedprice, q) AS l_extendedprice
+            FROM lineitem,
+                 (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) t(q)
+            GROUP BY q
         """,
         "stratified_sample": """
             SELECT event_id, event_type, user_id FROM (

@@ -258,8 +258,19 @@ def scaling() -> None:
             # plasma) amortizes at the 4N level too
             BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "24000"),
         )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # PIN the leg to exactly its core count. ray.init(num_cpus=N)
+        # only caps the SCHEDULER's accounting; the OS still spreads
+        # Ray's worker/system processes over every physical core, so an
+        # unpinned 4-CPU leg borrows idle cores (measured: up to 1.6x
+        # its fair throughput) and the N:4N ratio under-reads — on a
+        # real fixed-size cluster each job owns exactly its nodes'
+        # cores, which is what the affinity mask reproduces. Children
+        # (raylet, workers, plasma) inherit the mask.
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

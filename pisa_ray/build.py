@@ -915,59 +915,64 @@ def build_index(
             man.mark_partition("segments", pname, rows=rows, wall_s=t.elapsed())
         man.mark_stage("segments")
 
-    # ---- stage 4: lexicon (global df) ----------------------------------
-    if not man.stage_done("lexicon"):
+    # ---- stage 4: lexicon (global df) + size metrics, ONE file pass -----
+    if not man.stage_done("lexicon") or "index_metrics" not in man.data:
         t = StageTimer()
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
         )
-        _write_lexicon(seg_files, os.path.join(index_dir, "lexicon"))
-        man.mark_stage("lexicon", wall_s=t.elapsed())
-
-    # ---- index size / compression metrics ------------------------------
-    if "index_metrics" not in man.data:
-        import pyarrow.parquet as _pq
-
-        seg_files = sorted(
-            glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+        metrics = _write_lexicon(
+            seg_files, os.path.join(index_dir, "lexicon"), with_metrics=True
         )
-        doc_bytes = tf_bytes = postings = n_terms = 0
-        for f in seg_files:
-            t2 = _pq.read_table(f, columns=["df", "doc_blob", "tf_blob"])
-            if t2.num_rows == 0:
-                continue
-            n_terms += t2.num_rows
-            postings += int(
-                pc.sum(t2["df"]).as_py() or 0
-            )
-            doc_bytes += int(pc.sum(pc.binary_length(t2["doc_blob"])).as_py() or 0)
-            tf_bytes += int(pc.sum(pc.binary_length(t2["tf_blob"])).as_py() or 0)
-        man.data["index_metrics"] = {
-            "segment_rows": n_terms,
-            "postings": postings,
-            "doc_blob_bytes": doc_bytes,
-            "tf_blob_bytes": tf_bytes,
-            "bytes_per_posting": round((doc_bytes + tf_bytes) / max(1, postings), 3),
-            "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
-        }
-        man.save()
+        man.data["index_metrics"] = metrics
+        man.mark_stage("lexicon", wall_s=t.elapsed())
 
     return man.data
 
 
-def _write_lexicon(seg_files: list[str], lex_dir: str) -> None:
-    """Aggregate per-run df -> global df. Segment-row counts are
-    vocab x buckets — small relative to the corpus — so below ~5M rows
-    a single pyarrow group_by on the driver beats a distributed
-    groupby's fixed costs by seconds; past that, the Ray path runs."""
+def _write_lexicon(
+    seg_files: list[str], lex_dir: str, with_metrics: bool = False
+) -> dict | None:
+    """Aggregate per-run df -> global df; optionally compute the index
+    size metrics from the SAME single pass over the segment files
+    (separate count/lexicon/metrics passes were ~2 s of fixed wall per
+    build). Segment-row counts are vocab x buckets — small relative to
+    the corpus — so below ~5M rows a single pyarrow group_by on the
+    driver beats a distributed groupby's fixed costs by seconds; past
+    that, the Ray path runs."""
     import pyarrow.parquet as pq
 
     n_rows = sum(pads.dataset(f).count_rows() for f in seg_files)
+    metrics = None
     if n_rows <= 5_000_000:
         from .schema import LEXICON
 
-        tables = [pq.read_table(f, columns=["term", "df"]) for f in seg_files]
-        t = pa.concat_tables(tables) if tables else LEXICON.empty_table()
+        cols = ["term", "df"] + (["doc_blob", "tf_blob"] if with_metrics else [])
+        tables = [pq.read_table(f, columns=cols) for f in seg_files]
+        t = (
+            pa.concat_tables(tables)
+            if tables
+            else (LEXICON.empty_table() if not with_metrics else None)
+        )
+        if with_metrics:
+            if t is None:
+                from .schema import SEGMENT
+
+                t = SEGMENT.empty_table()
+            doc_bytes = int(pc.sum(pc.binary_length(t["doc_blob"])).as_py() or 0)
+            tf_bytes = int(pc.sum(pc.binary_length(t["tf_blob"])).as_py() or 0)
+            postings = int(pc.sum(t["df"]).as_py() or 0)
+            metrics = {
+                "segment_rows": t.num_rows,
+                "postings": postings,
+                "doc_blob_bytes": doc_bytes,
+                "tf_blob_bytes": tf_bytes,
+                "bytes_per_posting": round(
+                    (doc_bytes + tf_bytes) / max(1, postings), 3
+                ),
+                "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
+            }
+            t = t.select(["term", "df"])
         lex = t.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
         tmp = lex_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -975,7 +980,7 @@ def _write_lexicon(seg_files: list[str], lex_dir: str) -> None:
         pq.write_table(lex, os.path.join(tmp, "lexicon.parquet"))
         shutil.rmtree(lex_dir, ignore_errors=True)
         os.rename(tmp, lex_dir)
-        return
+        return metrics
     from ray.data.aggregate import Sum
 
     lex = (
@@ -984,6 +989,43 @@ def _write_lexicon(seg_files: list[str], lex_dir: str) -> None:
         .aggregate(Sum("df", alias_name="df"))
     )
     _atomic_write(lex, lex_dir)
+    if with_metrics:
+        # distributed single pass for the metrics sums
+        def sizes(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "rows": pa.array([b.num_rows], type=pa.int64()),
+                    "postings": pa.array(
+                        [int(pc.sum(b["df"]).as_py() or 0)], type=pa.int64()
+                    ),
+                    "doc_b": pa.array(
+                        [int(pc.sum(pc.binary_length(b["doc_blob"])).as_py() or 0)],
+                        type=pa.int64(),
+                    ),
+                    "tf_b": pa.array(
+                        [int(pc.sum(pc.binary_length(b["tf_blob"])).as_py() or 0)],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        agg = (
+            rd.read_parquet(seg_files, columns=["df", "doc_blob", "tf_blob"])
+            .map_batches(sizes, batch_format="pyarrow")
+            .to_pandas()
+            .sum()
+        )
+        metrics = {
+            "segment_rows": int(agg["rows"]),
+            "postings": int(agg["postings"]),
+            "doc_blob_bytes": int(agg["doc_b"]),
+            "tf_blob_bytes": int(agg["tf_b"]),
+            "bytes_per_posting": round(
+                (int(agg["doc_b"]) + int(agg["tf_b"])) / max(1, int(agg["postings"])), 3
+            ),
+            "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
+        }
+    return metrics
 
 
 def build_incremental(

@@ -323,6 +323,71 @@ def tumbling_window_agg(
     )
 
 
+def quantile_disc(
+    ds: rd.Dataset, col: str, qs: Sequence[float], max_rounds: int = 64
+) -> pd.DataFrame:
+    """EXACT discrete quantiles (the value at index ``floor((n-1)*q)``
+    of the sorted column — SQL ``quantile_disc`` semantics) without a
+    global sort and without materializing the column anywhere: an
+    iterative binary search over the VALUE domain, each round one
+    distributed count-below-pivot pass (reference analog: the quantile
+    threshold cut at /root/reference/src/models/PISA.py:244-248).
+
+    <=64 count passes total for ALL requested quantiles together (every
+    target bisects in the same pass); each pass streams the column and
+    ships back one integer per target. The bisection runs in an
+    order-preserving uint64 view of the float bit pattern (IEEE-754
+    total order), so it lands on the exact data value — no epsilon.
+    The 100-TB shape: a sort-based quantile would be an all-to-all
+    shuffle of every row.
+    """
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), col: [None] * len(qs)})
+    tgt = np.asarray([min(n - 1, int(np.floor((n - 1) * q))) for q in qs])
+
+    def f2u(x: np.ndarray) -> np.ndarray:
+        b = np.asarray(x, dtype=np.float64).view(np.int64)
+        return np.where(
+            b >= 0, b.view(np.uint64) + np.uint64(1 << 63), ~b.view(np.uint64)
+        )
+
+    def u2f(u: np.ndarray) -> np.ndarray:
+        u = np.asarray(u, dtype=np.uint64)
+        b = np.where(u < np.uint64(1 << 63), ~u, u - np.uint64(1 << 63))
+        return b.view(np.float64)
+
+    def count_le(pivots: np.ndarray) -> np.ndarray:
+        """One streaming pass: for each pivot, #rows with value <= pivot."""
+        piv_ref = ray.put(np.asarray(pivots, dtype=np.float64))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            p = ray.get(piv_ref)
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = np.sort(v)
+            return pa.table(
+                {"c": pa.array(np.searchsorted(v, p, side="right").astype(np.int64))}
+            )
+
+        parts = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+        m = parts["c"].to_numpy().reshape(-1, len(pivots))
+        return m.sum(axis=0)
+
+    vmin, vmax = float(ds.min(col)), float(ds.max(col))
+    lo_u = np.full(len(qs), f2u(np.array([vmin]))[0], dtype=np.uint64)
+    hi_u = np.full(len(qs), f2u(np.array([vmax]))[0], dtype=np.uint64)
+    for _ in range(max_rounds):
+        if np.all(lo_u >= hi_u):
+            break
+        mid_u = lo_u + (hi_u - lo_u) // np.uint64(2)
+        c = count_le(u2f(mid_u))
+        # answer = smallest data value v with count_le(v) >= tgt+1
+        go_right = c < tgt + 1
+        lo_u = np.where(go_right, mid_u + np.uint64(1), lo_u)
+        hi_u = np.where(go_right, hi_u, mid_u)
+    return pd.DataFrame({"q": list(qs), col: u2f(hi_u)})
+
+
 def hopping_window_agg(
     ds: rd.Dataset,
     ts_col: str,

@@ -743,3 +743,30 @@ def test_jaccard_pairs_exact_join(docs):
         .to_pandas()
     )
     assert set(zip(capped["id_a"], capped["id_b"])) <= set(got)
+
+
+def test_quantile_disc_exact_vs_numpy():
+    """Bit-pattern bisection quantiles equal the sorted-array element at
+    floor((n-1)*q), including negatives, duplicates and exact-float
+    landings, at two block layouts."""
+    from pisa_ray.pipelines.relational import quantile_disc
+
+    rng = np.random.default_rng(2)
+    v = np.concatenate(
+        [
+            rng.normal(-50, 400, 3000).round(2),
+            np.repeat([7.25, -1.5], 200),  # heavy duplicates
+            [-0.0, 0.0],
+        ]
+    )
+    df = pd.DataFrame({"x": v})
+    s = np.sort(v)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    want = [s[min(len(s) - 1, int(np.floor((len(s) - 1) * q)))] for q in qs]
+    for nblocks in (1, 9):
+        out = quantile_disc(rd.from_pandas(df).repartition(nblocks), "x", qs)
+        assert out["q"].tolist() == qs
+        assert np.array_equal(out["x"].to_numpy(), np.asarray(want)), (
+            out["x"].tolist(),
+            want,
+        )
