@@ -1084,10 +1084,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "quantiles": """
-            SELECT q, quantile_disc(l_extendedprice, q) AS l_extendedprice
-            FROM lineitem,
-                 (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) t(q)
-            GROUP BY q
+            -- quantile params must be constants: list form + unnest
+            WITH ql AS (SELECT quantile_disc(l_extendedprice,
+                            [0.01, 0.25, 0.5, 0.75, 0.99]) AS v
+                        FROM lineitem)
+            SELECT t.q::DOUBLE AS q, v[t.i] AS l_extendedprice
+            FROM ql, (VALUES (1, 0.01), (2, 0.25), (3, 0.5),
+                             (4, 0.75), (5, 0.99)) t(i, q)
         """,
         "stratified_sample": """
             SELECT event_id, event_type, user_id FROM (
