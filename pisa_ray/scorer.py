@@ -444,8 +444,12 @@ class IndexReader:
         add.at). One precomputed vector turns the per-query cost of a
         stop term into a single SIMD streaming add (2 passes) instead
         of bincount's gather+alloc+sum+add (~4 passes) — the dominant
-        memory traffic of dense TAAT queries. Bit-identical: the vector
-        IS the bincount result, computed once."""
+        memory traffic of dense TAAT queries. Stored FLOAT32: dense
+        TAAT is DRAM-bandwidth-bound, and halving the bytes streamed
+        per (query, stop-term) is a direct ~2x on that traffic. Scores
+        stay EXACT — the f32 buffer only SELECTS candidates (with a
+        provable error margin); ``score_taat`` re-scores them in
+        float64 sorted-term order, bit-identical to the oracle."""
         cache = self._dense_cache
         dv = cache.get(term)
         if dv is not None:
@@ -456,7 +460,9 @@ class IndexReader:
         docs, contrib, pos = self.term_contributions(term)
         if docs.size == 0:
             return None
-        dv = np.bincount(pos, weights=contrib, minlength=self.n_local)
+        dv = np.bincount(pos, weights=contrib, minlength=self.n_local).astype(
+            np.float32
+        )
         cache[term] = dv
         return dv
 
@@ -525,14 +531,17 @@ def score_taat(
     doc_mask: np.ndarray | None = None,
     terms: list[str] | None = None,
 ) -> list[tuple[int, float]]:
-    """Exhaustive term-at-a-time over a dense per-shard score buffer.
+    """Exhaustive term-at-a-time: FLOAT32 select, FLOAT64 re-score.
 
-    ``np.add.at`` scatters each term's cached contribution vector into a
-    float64 buffer indexed by docmap position — accumulation order per
-    doc is sorted-term order (deterministic, oracle-identical). Top-k:
-    exact kth-score threshold, then tie-break (score desc, out_id asc)
-    over the (usually tiny) candidate set — exact ties all survive the
-    threshold cut, so no tie is ever lost to partitioning."""
+    Dense TAAT is DRAM-bandwidth-bound (each stop term streams an
+    n_local-sized contribution vector through the score buffer), so the
+    accumulate/select passes run in float32 — half the bytes. Scores
+    stay EXACT: candidates are cut with a provable error margin (sum of
+    T nonneg f32 terms errs by < T*2^-24 relative; the cut keeps
+    everything within 16x that of the f32 kth score), then re-scored in
+    float64 in sorted-term order — bit-identical to the all-f64 kernel
+    and the oracle (pytest-pinned). Tie-break (score desc, out_id asc)
+    over the exact scores; exact ties all survive the margin cut."""
     if terms is None:
         terms = sorted(set(tokenize_py(text)))
     # reuse one per-reader buffer: selective queries then cost O(Σdf)
@@ -540,50 +549,72 @@ def score_taat(
     # full O(n_local) passes (zeroing + scan) per query
     buf = getattr(reader, "_taat_buf", None)
     if buf is None or buf.size != reader.n_local:
-        buf = reader._taat_buf = np.zeros(reader.n_local, dtype=np.float64)
+        buf = reader._taat_buf = np.zeros(reader.n_local, dtype=np.float32)
     touched: list[np.ndarray] = []
+    live: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, f64 contrib) per term
     dense_used = False
-    any_hit = False
     total_df = 0
     for t in terms:
-        # per-doc accumulation order is sorted-term order on every
-        # path (positions are unique within a term), so scores are
-        # bit-identical across them. Cost ladder per term:
-        # precomputed dense vector (1 SIMD add) > bincount (dense,
-        # uncached) > add.at (sparse).
+        # Cost ladder per term: precomputed dense f32 vector (1 SIMD
+        # add) > bincount (dense, uncached) > add.at (sparse).
         dv = reader.dense_contrib(t)
         if dv is not None:
             buf += dv
             dense_used = True
-            any_hit = True
-            total_df += int(reader.df.get(t, 0))
+            docs, contrib, pos = reader.term_contributions(t)
+            live.append((pos, contrib))
+            total_df += pos.size
             continue
         docs, contrib, pos = reader.term_contributions(t)
         if docs.size == 0:
             continue
         if pos.size * 16 > reader.n_local:
-            buf += np.bincount(pos, weights=contrib, minlength=reader.n_local)
+            buf += np.bincount(
+                pos, weights=contrib, minlength=reader.n_local
+            ).astype(np.float32)
             dense_used = True
         else:
-            np.add.at(buf, pos, contrib)
+            np.add.at(buf, pos, contrib.astype(np.float32))
             touched.append(pos)
-        any_hit = True
+        live.append((pos, contrib))
         total_df += pos.size
-    if not any_hit:
+    if not live:
         return []
+    # margin: T nonneg f32 adds err < T*2^-24 relative; use 16x slack
+    margin_rel = len(live) * 2.0 ** -20
     dense_sel = dense_used or total_df * 4 > reader.n_local
     try:
         # contributions are strictly positive, so the nonzero set IS
         # the union of touched positions; for dense queries select on
         # the buffer DIRECTLY (one partition, no nonzero+gather pass)
         if dense_sel and doc_mask is None:
+            # full-buffer np.partition measured 4.4 ms of a 5.4 ms
+            # stop-word query at n=300k — replace it with a strided-
+            # sample threshold: the k largest SAMPLE values are real
+            # buffer values, so >=k real values are >= t_s and the
+            # true top-k all score >= true-kth >= t_s. One cheap
+            # partition over ~8k samples + one full compare/scan
+            # (which the old path also paid), then an exact partition
+            # over the ~n*k/8k survivors.
             n = reader.n_local
-            s_k = (
-                float(np.partition(buf, n - k)[n - k]) if n > k else 0.0
-            )
-            if s_k > 0.0:
-                cand = np.flatnonzero(buf >= s_k)
-            else:  # fewer than k positive docs
+            if n > k:
+                sample = buf[:: max(1, n // 8192)]
+                t_s = (
+                    float(np.partition(sample, sample.size - k)[sample.size - k])
+                    if sample.size > k
+                    else 0.0
+                )
+                cand0 = np.flatnonzero(buf >= t_s) if t_s > 0.0 else np.flatnonzero(
+                    buf > 0.0
+                )
+                if cand0.size > k:
+                    s_k = float(
+                        np.partition(buf[cand0], cand0.size - k)[cand0.size - k]
+                    )
+                    cand = cand0[buf[cand0] >= s_k * (1.0 - margin_rel)]
+                else:
+                    cand = cand0
+            else:
                 cand = np.flatnonzero(buf > 0.0)
         else:
             nz = (
@@ -598,16 +629,23 @@ def score_taat(
             if nz.size == 0:
                 return []
             if nz.size > k:
-                s_k = np.partition(buf[nz], nz.size - k)[nz.size - k]
-                cand = nz[buf[nz] >= s_k]
+                s_k = float(np.partition(buf[nz], nz.size - k)[nz.size - k])
+                cand = nz[buf[nz] >= s_k * (1.0 - margin_rel)]
             else:
                 cand = nz
         if cand.size == 0:
             return []
+        # EXACT float64 re-score of the candidate set, sorted-term
+        # accumulation order (identical to the oracle's summation)
+        exact = np.zeros(cand.size, dtype=np.float64)
+        for pos, contrib in live:
+            idx = np.searchsorted(pos, cand)
+            idx_c = np.minimum(idx, pos.size - 1)
+            hit = pos[idx_c] == cand
+            exact[hit] += contrib[idx_c[hit]]
         out = reader.out_ids(reader.doc_sorted[cand])
-        c_scores = buf[cand]
-        order = np.lexsort((out, -c_scores))[: min(k, cand.size)]
-        return [(int(out[i]), float(c_scores[i])) for i in order]
+        order = np.lexsort((out, -exact))[: min(k, cand.size)]
+        return [(int(out[i]), float(exact[i])) for i in order]
     finally:
         # exact reset for the next query on this actor: only touched
         # positions are nonzero
