@@ -796,6 +796,40 @@ def q_bm25_bmw(sf_dir: str):
     return _canon_topk(hits)
 
 
+def q_bm25_conjunctive(sf_dir: str):
+    """Conjunctive (AND) BM25: only docs containing EVERY query term,
+    ranked by the same BM25 sum — the high-precision query mode
+    (scorer.score_conj; intersection cost bounded by the rarest term).
+    Query 7 contains an absent token, so its conjunction is empty."""
+    import ray.data as rd
+
+    from pisa_ray.scorer import query_index
+
+    idx = _index_dir(sf_dir)
+    hits = query_index(
+        rd.from_arrow(_bm25_query_table()), idx, k=50, method="conj", concurrency=2
+    ).to_pandas()
+    return _canon_topk(hits)
+
+
+def q_ivf_knn(sf_dir: str):
+    """IVF-Flat ANN: k-means coarse quantizer (distributed Lloyd's),
+    exact cosine inside the n_probe nearest clusters per query —
+    the data-adaptive counterpart of lsh_knn (rows-only: approximate
+    recall is seed-deterministic but not SQL-expressible)."""
+    from pisa_ray.pipelines.similarity import ivf_knn
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr="vec_id < 5")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
+    return ivf_knn(emb, q, k=5, n_clusters=8, n_probe=3)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -840,6 +874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "bm25_bmw": q_bm25_bmw,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "ivf_knn": q_ivf_knn,
         # rows-only (non-SQL-expressible: permutation hashing,
         # similarity-preserving hashing, LSH recall<1, stubs)
         "minhash_dedup": q_minhash_dedup,
@@ -954,6 +990,38 @@ def oracle_sql() -> dict[str, str]:
         # block-max WAND must be rank-identical to exhaustive BM25 —
         # the oracle is literally the same exhaustive-scoring SQL
         "bm25_bmw": bm25_topk_sql,
+        # conjunctive = same scores, docs matching ALL the query's
+        # terms (n_match == the query's distinct-term count)
+        "bm25_conjunctive": f"""
+            WITH tok AS ({tok_docs}),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            q(query_id, term) AS (VALUES {bm25_values}),
+            qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+            scores AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+                            * (tf.tf * 1.9 / (tf.tf + 0.9*(1 - 0.4 + 0.4 * dl.dl / s.avgdl))) ) AS score,
+                       count(*) AS n_match
+                FROM q
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score,
+                       row_number() OVER (
+                           PARTITION BY sc.query_id
+                           ORDER BY round(sc.score, 4) DESC, sc.doc_id
+                       ) AS rank
+                FROM scores sc
+                JOIN qn ON qn.query_id = sc.query_id AND sc.n_match = qn.n_terms
+            ) WHERE rank <= 10
+        """,
         "bm25_filtered": f"""
             WITH tok AS ({tok_docs}),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),

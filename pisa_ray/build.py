@@ -731,8 +731,10 @@ def _merge_task_fns():
 
         live = [s for s in shards if s.num_rows]
         if not live:
+            from .schema import LEXICON
+
             _pq.write_table(SEGMENT.empty_table(), out_path)
-            return 0
+            return (0, LEXICON.empty_table(), 0, 0, 0)
         # shards arrive grp-sorted (map sorts by grp), so each grp's
         # rows are one contiguous run per shard: searchsorted + slice
         # assembles every group zero-copy — no reduce-side sort/gather
@@ -752,7 +754,24 @@ def _merge_task_fns():
             outs.append(encode(pa.concat_tables(pieces)))
         seg = pa.concat_tables(outs)
         _pq.write_table(seg, out_path)
-        return seg.num_rows
+        # fold the lexicon/metrics pass into the reduce: each reducer
+        # returns its (term, df) partial + size sums, so the build
+        # never re-reads the segment files in a separate driver stage
+        # (that pass was ~1-2 s of CONSTANT wall — pure Amdahl loss at
+        # the high-parallelism leg)
+        lex = (
+            seg.select(["term", "df"])
+            .group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+        )
+        return (
+            seg.num_rows,
+            lex,
+            int(pc.sum(seg["df"]).as_py() or 0),
+            int(pc.sum(pc.binary_length(seg["doc_blob"])).as_py() or 0),
+            int(pc.sum(pc.binary_length(seg["tf_blob"])).as_py() or 0),
+        )
 
     _MERGE_TASKS = (merge_map, merge_reduce)
     return _MERGE_TASKS
@@ -766,7 +785,8 @@ def _fused_shuffle_merge(
     use_ranks: bool,
     final_dir: str,
     ncpus: int,
-) -> int:
+    lex_dir: str | None = None,
+) -> tuple[int, dict | None]:
     """Single-shuffle merge as a fused map-side-partition exchange.
 
     Semantically identical to ``triples.groupby("grp").map_groups(
@@ -814,10 +834,44 @@ def _fused_shuffle_merge(
         )
         for p in range(n_red)
     ]
-    rows = sum(_ray.get(red_refs))
+    results = _ray.get(red_refs)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(tmp, final_dir)
-    return rows
+    rows = sum(r[0] for r in results)
+    metrics = None
+    if lex_dir is not None:
+        import pyarrow.parquet as pq
+
+        # each reducer covers a disjoint grp range but a term's buckets
+        # can straddle a reducer boundary, so re-sum the (tiny,
+        # vocab-sized) partials on the driver before writing
+        lex = (
+            pa.concat_tables([r[1] for r in results])
+            .group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+        )
+        ltmp = lex_dir + ".tmp"
+        shutil.rmtree(ltmp, ignore_errors=True)
+        os.makedirs(ltmp)
+        pq.write_table(lex, os.path.join(ltmp, "lexicon.parquet"))
+        shutil.rmtree(lex_dir, ignore_errors=True)
+        os.rename(ltmp, lex_dir)
+        postings = sum(r[2] for r in results)
+        doc_bytes = sum(r[3] for r in results)
+        tf_bytes = sum(r[4] for r in results)
+        seg_files = glob.glob(os.path.join(final_dir, "*.parquet"))
+        metrics = {
+            "segment_rows": rows,
+            "postings": postings,
+            "doc_blob_bytes": doc_bytes,
+            "tf_blob_bytes": tf_bytes,
+            "bytes_per_posting": round(
+                (doc_bytes + tf_bytes) / max(1, postings), 3
+            ),
+            "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
+        }
+    return rows, metrics
 
 
 def build_index(
@@ -1000,7 +1054,7 @@ def build_index(
         tok_files = sorted(
             glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
         )
-        _fused_shuffle_merge(
+        _, fused_metrics = _fused_shuffle_merge(
             tok_files,
             cfg,
             stats["avgdl"],
@@ -1008,8 +1062,12 @@ def build_index(
             use_ranks,
             os.path.join(index_dir, "segments", "all"),
             ncpus,
+            lex_dir=os.path.join(index_dir, "lexicon"),
         )
         man.mark_stage("segments", wall_s=t.elapsed())
+        # lexicon + metrics came out of the SAME reduce pass
+        man.data["index_metrics"] = fused_metrics
+        man.mark_stage("lexicon", wall_s=0.0)
 
     if not man.stage_done("segments"):
         explode_fn = make_explode_fn(cfg, emit_dl=False)

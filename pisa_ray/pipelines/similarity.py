@@ -217,3 +217,117 @@ def lsh_knn(
     )
     res["rank"] = res.groupby("query_id").cumcount() + 1
     return res[res["rank"] <= k].reset_index(drop=True)
+
+
+def ivf_knn(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    kmeans_iter: int = 10,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF ANN: k-means coarse quantizer, exact scoring inside the
+    ``n_probe`` clusters nearest each query (the FAISS IVF-Flat shape,
+    data-adaptive where ``lsh_knn``'s hyperplanes are oblivious).
+
+    1. ``clustering.kmeans`` (distributed combiner partials) learns
+       ``n_clusters`` centroids over the NORMALIZED vectors, so
+       euclidean argmin == cosine argmax.
+    2. One ``map_batches`` re-assigns each vector to its centroid and
+       the corpus shuffles ONCE by cluster id (each doc lives in
+       exactly one cluster — probe hits need no dedup).
+    3. Queries rank centroids by cosine and probe the top ``n_probe``
+       lists; the tiny (query, cluster) probe table broadcasts, the
+       corpus never re-shuffles per query.
+
+    Recall→1 as n_probe→n_clusters (== brute). Deterministic at any
+    parallelism: the cluster-local cut expands boundary ties then cuts
+    under (cosine desc, vec_id asc), like ``brute_knn``.
+    """
+    from .clustering import kmeans
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    norm = emb.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                vec_col: pa.array(
+                    list(_normalize(_as_matrix(b[vec_col]))),
+                    type=pa.large_list(pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    C, _ = kmeans(norm, n_clusters, n_iter=kmeans_iter, seed=seed,
+                  id_col=id_col, vec_col=vec_col)
+    n_probe = min(int(n_probe), C.shape[0])
+    # queries -> their n_probe nearest centroids by cosine
+    qsims = q @ C.T  # (Q, K)
+    probe_cl = np.argsort(-qsims, axis=1, kind="stable")[:, :n_probe]
+    qdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(np.arange(q.shape[0], dtype=np.int64), n_probe),
+            "cluster": probe_cl.reshape(-1).astype(np.int64),
+        }
+    )
+    qref = ray.put((qdf, q))
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        a = np.argmax(m @ cc.T, axis=1)  # cosine argmax == euclid argmin
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": batch[id_col],
+                "vec": pa.array(list(m), type=pa.large_list(pa.float64())),
+            }
+        )
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        qs, qmat = ray.get(qref)
+        sub = qs[qs.cluster == g["cluster"].iloc[0]]
+        if sub.empty:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
+        m = np.asarray([np.asarray(v) for v in g["vec"]])
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        sub_qids = sub["query_id"].to_numpy()
+        sims = qmat[sub_qids] @ m.T
+        kk = min(k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(sub_qids)):
+            kth = np.partition(-sims[qi], kk - 1)[kk - 1]
+            cand = np.flatnonzero(sims[qi] >= -kth)
+            sel = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:kk]
+            out_q.append(np.full(sel.size, sub_qids[qi], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(np.round(sims[qi, sel], 6))
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+    res = (
+        emb.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(probe, batch_format="pandas")
+        .to_pandas()
+    )
+    if res.empty:
+        return res
+    res = res.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return res[res["rank"] <= k].reset_index(drop=True)

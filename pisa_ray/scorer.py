@@ -616,12 +616,41 @@ def score_taat(
                     cand = cand0
             else:
                 cand = np.flatnonzero(buf > 0.0)
+        elif dense_sel:
+            # masked dense query: gather the allowed positions' scores
+            # once (O(n_masked)) and run the same sampled-threshold cut
+            # on them — replaces the full-buffer nonzero scan + mask
+            # gather (the old path made filtered QPS scale at ~1.3x
+            # where unfiltered hit ~3.4x). The allowed-position index
+            # is a pure function of the mask -> cached per actor.
+            mc = getattr(reader, "_mask_cache", None)
+            if mc is None or mc[0] is not doc_mask:
+                midx = np.flatnonzero(doc_mask)
+                reader._mask_cache = (doc_mask, midx)
+            else:
+                midx = mc[1]
+            if midx.size == 0:
+                return []
+            vals = buf[midx]
+            if midx.size > k:
+                sample = vals[:: max(1, vals.size // 8192)]
+                t_s = (
+                    float(np.partition(sample, sample.size - k)[sample.size - k])
+                    if sample.size > k
+                    else 0.0
+                )
+                cand0 = midx[vals >= t_s] if t_s > 0.0 else midx[vals > 0.0]
+                if cand0.size > k:
+                    s_k = float(
+                        np.partition(buf[cand0], cand0.size - k)[cand0.size - k]
+                    )
+                    cand = cand0[buf[cand0] >= s_k * (1.0 - margin_rel)]
+                else:
+                    cand = cand0
+            else:
+                cand = midx[vals > 0.0]
         else:
-            nz = (
-                np.flatnonzero(buf > 0.0)
-                if dense_sel
-                else np.unique(np.concatenate(touched))
-            )
+            nz = np.unique(np.concatenate(touched))
             if doc_mask is not None:
                 # restrict candidates (scores are per-doc independent,
                 # so masking candidates == scoring only allowed docs)
@@ -654,6 +683,61 @@ def score_taat(
         else:
             for pos in touched:
                 buf[pos] = 0.0
+
+
+def score_conj(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    doc_mask: np.ndarray | None = None,
+    terms: list[str] | None = None,
+) -> list[tuple[int, float]]:
+    """Conjunctive (AND) BM25: only documents containing EVERY query
+    term are candidates; ranking among them uses the same float64
+    sorted-term BM25 sum and (score desc, id asc) tie-break as
+    ``score_taat``, so a conjunctive hit's score equals its
+    disjunctive score (SQL-checkable with HAVING count(distinct
+    term) = n_terms). An OOV term makes the result empty.
+
+    Cost is bounded by the RAREST term's postings: the intersection
+    starts from the smallest-df list and each step is one searchsorted
+    into the next list — never a corpus-sized buffer. This is the
+    classic conjunctive fast path real engines use for high-precision
+    queries."""
+    if terms is None:
+        terms = sorted(set(tokenize_py(text)))
+    if not terms:
+        return []
+    lists: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, contrib), term order
+    for t in terms:
+        _, contrib, pos = reader.term_contributions(t)
+        if pos.size == 0:
+            return []  # a required term matches nothing
+        lists.append((pos, contrib))
+    # intersect smallest-first (positions are sorted ascending)
+    cand = None
+    for pos, _ in sorted(lists, key=lambda x: x[0].size):
+        if cand is None:
+            cand = pos
+        else:
+            idx = np.searchsorted(pos, cand)
+            idx_c = np.minimum(idx, pos.size - 1)
+            cand = cand[pos[idx_c] == cand]
+        if cand.size == 0:
+            return []
+    if doc_mask is not None:
+        cand = cand[doc_mask[cand]]
+        if cand.size == 0:
+            return []
+    # exact float64 score, sorted-term accumulation order (bit-identical
+    # to score_taat's re-score of the same docs)
+    exact = np.zeros(cand.size, dtype=np.float64)
+    for pos, contrib in lists:
+        idx = np.searchsorted(pos, cand)
+        exact += contrib[idx]  # every cand is in every list
+    out = reader.out_ids(reader.doc_sorted[cand])
+    order = np.lexsort((out, -exact))[: min(k, cand.size)]
+    return [(int(out[i]), float(exact[i])) for i in order]
 
 
 # --------------------------------------------------------------------------
@@ -954,6 +1038,8 @@ class BM25Scorer:
         call real engines make between WAND and exhaustive SIMD scoring.
         Filtered queries route through the same heuristic: both kernels
         are filter-aware (score_bmw gates full evaluation on the mask)."""
+        if self.method == "conj":
+            return score_conj
         if self.method != "auto":
             return score_bmw if self.method == "bmw" else score_taat
         terms = [t for t in terms if t in self.reader.df]

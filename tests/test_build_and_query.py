@@ -48,6 +48,46 @@ def test_bmw_identical_to_taat(tiny_index):
         assert score_bmw(reader, text, 10) == score_taat(reader, text, 10)
 
 
+def test_conjunctive_is_taat_restricted_to_all_term_docs(tiny_index):
+    """score_conj == score_taat restricted to docs containing EVERY
+    query term, scores bit-identical (same float64 sorted-term sum);
+    any OOV term empties the result."""
+    from pisa_ray.scorer import score_conj
+    from pisa_ray.tokenizer import tokenize_py
+
+    reader = IndexReader(tiny_index)
+    queries = make_queries(80)
+    checked_nonempty = 0
+    for text in queries["text"].to_pylist():
+        terms = sorted(set(tokenize_py(text)))
+        got = score_conj(reader, text, 10)
+        # oracle: intersect the per-term position sets, score via a
+        # huge-k taat run filtered to the intersection
+        pos_sets = []
+        for t in terms:
+            _, _, pos = reader.term_contributions(t)
+            pos_sets.append(set(pos.tolist()))
+        if not pos_sets or any(not s for s in pos_sets):
+            assert got == []
+            continue
+        inter = set.intersection(*pos_sets)
+        if not inter:
+            assert got == []
+            continue
+        full = score_taat(reader, text, reader.n_docs)
+        allowed = set(
+            int(i)
+            for i in reader.out_ids(
+                reader.doc_sorted[np.array(sorted(inter), dtype=np.int64)]
+            )
+        )
+        want = [(d, s) for d, s in full if d in allowed][:10]
+        assert got == want
+        if want:
+            checked_nonempty += 1
+    assert checked_nonempty > 5  # the mix must actually exercise hits
+
+
 def test_filtered_bmw_identical_to_filtered_taat(tiny_index):
     """Filter-aware block-max pruning: the mask gates full evaluation
     only, so filtered BMW must stay rank-identical to filtered TAAT

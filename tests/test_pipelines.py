@@ -500,6 +500,32 @@ def test_lsh_knn_multiprobe_recall(emb):
     pd.testing.assert_frame_equal(multi, again)
 
 
+def test_ivf_knn_exact_at_full_probe_and_self_hit(emb):
+    """IVF-Flat: probing EVERY cluster scores every doc exactly once
+    (each doc lives in one cluster), so n_probe == n_clusters must
+    reproduce brute_knn exactly; at partial probe the query's own
+    vector is in its home (first-probed) cluster -> rank-1 self hit.
+    Deterministic across runs (seeded k-means init/reinit)."""
+    from pisa_ray.pipelines.similarity import brute_knn, ivf_knn
+
+    pdf = emb.to_pandas().head(8)
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+
+    exact = brute_knn(emb, q, k=5)
+    full = ivf_knn(emb, q, k=5, n_clusters=8, n_probe=8)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True), check_dtype=False
+    )
+
+    part = ivf_knn(emb, q, k=5, n_clusters=8, n_probe=2)
+    for qi, vid in enumerate(pdf["vec_id"]):
+        sub = part[(part.query_id == qi) & (part["rank"] == 1)]
+        assert len(sub) == 1 and int(sub["vec_id"].iloc[0]) == int(vid)
+
+    again = ivf_knn(emb, q, k=5, n_clusters=8, n_probe=2)
+    pd.testing.assert_frame_equal(part, again)
+
+
 def test_seeded_shuffle_and_sampling(docs):
     """K3/K4 (SURVEY §2.6): seeded random_shuffle is deterministic at
     fixed parallelism; random_sample returns a plausible uniform
