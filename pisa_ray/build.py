@@ -398,10 +398,12 @@ def make_encode_group_fn(
         prev[1:] = doc[:-1]
         vals = np.where(block_start, doc, doc - prev)
 
-        doc_bytes = varint_encode(vals)
-        tf_bytes = varint_encode(tf)
-        doc_cum = np.concatenate(([0], np.cumsum(varint_lengths(vals))))
-        tf_cum = np.concatenate(([0], np.cumsum(varint_lengths(tf))))
+        dlen = varint_lengths(vals)
+        tlen = varint_lengths(tf)
+        doc_bytes = varint_encode(vals, _nbytes=dlen)
+        tf_bytes = varint_encode(tf, _nbytes=tlen)
+        doc_cum = np.concatenate(([0], np.cumsum(dlen)))
+        tf_cum = np.concatenate(([0], np.cumsum(tlen)))
 
         bpos = np.flatnonzero(block_start)
         bend = np.concatenate((bpos[1:], [n]))
