@@ -40,6 +40,12 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (7, "zz_absent_token partition"),
 ]
 
+# conjunctive runs the same mix PLUS a rare-term conjunction ("dup"
+# df≈25/500 at sf0.01) so the AND restriction provably bites — without
+# it every common-term top-10 happens to contain all query terms and
+# the HAVING oracle would be vacuous
+CONJ_QUERIES: list[tuple[int, str]] = BM25_QUERIES + [(8, "dup value fast")]
+
 
 # --------------------------------------------------------------------------
 # helpers
@@ -806,8 +812,14 @@ def q_bm25_conjunctive(sf_dir: str):
     from pisa_ray.scorer import query_index
 
     idx = _index_dir(sf_dir)
+    qt = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in CONJ_QUERIES], type=pa.int64()),
+            "text": pa.array([q[1] for q in CONJ_QUERIES], type=pa.string()),
+        }
+    )
     hits = query_index(
-        rd.from_arrow(_bm25_query_table()), idx, k=50, method="conj", concurrency=2
+        rd.from_arrow(qt), idx, k=50, method="conj", concurrency=2
     ).to_pandas()
     return _canon_topk(hits)
 
@@ -939,6 +951,9 @@ def oracle_sql() -> dict[str, str]:
     bm25_values = ", ".join(
         f"({qid}, '{t}')" for qid, text in BM25_QUERIES for t in sorted(set(text.split()))
     )
+    conj_values = ", ".join(
+        f"({qid}, '{t}')" for qid, text in CONJ_QUERIES for t in sorted(set(text.split()))
+    )
     bm25_topk_sql = f"""
             WITH tok AS ({tok_docs}),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
@@ -998,7 +1013,7 @@ def oracle_sql() -> dict[str, str]:
             dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
             stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
             df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-            q(query_id, term) AS (VALUES {bm25_values}),
+            q(query_id, term) AS (VALUES {conj_values}),
             qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
             scores AS (
                 SELECT q.query_id, tf.doc_id,

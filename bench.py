@@ -252,7 +252,13 @@ def scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "300000"),
+            # 600k docs: the engine got ~2x faster in round 2, so at
+            # 300k the 4N leg was ~30% per-phase fixed cost (pool/job
+            # construction + the box's episodic hypervisor-steal
+            # spikes) — pure Amdahl noise, not engine behavior. Work
+            # per leg must grow with engine speed for the ratio to
+            # measure scaling rather than constants.
+            BENCH_SYNTH_DOCS=os.environ.get("BENCH_SYNTH_DOCS", "600000"),
             # enough queries that the ~2 s actor-pool spin-up (spawn +
             # first-batch latency; the reader itself is zero-copy from
             # plasma) amortizes at the 4N level too
