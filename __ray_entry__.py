@@ -363,6 +363,9 @@ def q_events_hourly(sf_dir: str):
         window="hour",
     ).to_pandas()
     out["sum_value"] = np.round(out["sum_value"], 2)
+    # DuckDB timestamps are microsecond; floor_temporal kept the input
+    # second unit — same values, align the dtype for the driver hash
+    out["window"] = out["window"].astype("datetime64[us]")
     return out
 
 
@@ -662,6 +665,12 @@ def q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_repetition(sf_dir: str):
+    from pisa_ray.pipelines.text import repetition_stats
+
+    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_lang_id(sf_dir: str):
     from pisa_ray.pipelines.text import lang_id
 
@@ -883,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "bm25_bmw": q_bm25_bmw,
@@ -948,11 +958,18 @@ def _lang_id_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     tok_docs = f"SELECT doc_id, unnest({_TOK}) AS term FROM documents"
+    # literal ::BIGINT so DuckDB types query_id int64 like the engine
+    # (bare small-int literals infer INT32; the driver hash is
+    # dtype-sensitive — round 1's `sessions` red cell was exactly this)
     bm25_values = ", ".join(
-        f"({qid}, '{t}')" for qid, text in BM25_QUERIES for t in sorted(set(text.split()))
+        f"({qid}::BIGINT, '{t}')"
+        for qid, text in BM25_QUERIES
+        for t in sorted(set(text.split()))
     )
     conj_values = ", ".join(
-        f"({qid}, '{t}')" for qid, text in CONJ_QUERIES for t in sorted(set(text.split()))
+        f"({qid}::BIGINT, '{t}')"
+        for qid, text in CONJ_QUERIES
+        for t in sorted(set(text.split()))
     )
     bm25_topk_sql = f"""
             WITH tok AS ({tok_docs}),
@@ -1270,6 +1287,38 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "lang_id": _lang_id_sql(),
+        "repetition": f"""
+            WITH tk AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            flat AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS i
+                FROM tk
+            ),
+            tops AS (
+                SELECT doc_id, max(c) AS top FROM (
+                    SELECT doc_id, tok, count(*) AS c
+                    FROM flat GROUP BY doc_id, tok
+                ) GROUP BY doc_id
+            ),
+            bia AS (
+                SELECT a.doc_id, count(*) AS n2,
+                       count(DISTINCT a.tok || chr(1) || b.tok) AS d2
+                FROM flat a JOIN flat b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY a.doc_id
+            )
+            SELECT tk.doc_id,
+                   len(toks) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE round(tops.top::DOUBLE / len(toks), 4)
+                   END AS top_token_frac,
+                   CASE WHEN coalesce(bia.n2, 0) = 0 THEN 0.0
+                        ELSE round(1.0 - bia.d2::DOUBLE / bia.n2, 4)
+                   END AS dup_2gram_frac
+            FROM tk
+            LEFT JOIN tops USING (doc_id)
+            LEFT JOIN bia USING (doc_id)
+        """,
         "token_stats": f"""
             SELECT doc_id,
                    len({_TOK}) AS n_tokens,

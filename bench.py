@@ -220,13 +220,18 @@ def main() -> None:
             out.count()
         results[name] = round(time.perf_counter() - t0, 3)
 
-    timed("pricing_summary_sec", E.q_pricing_summary)
-    timed("events_hourly_sec", E.q_events_hourly)
-    timed("user_top_events_sec", E.q_user_top_events)
-    timed("dedup_exact_sec", E.q_dedup_exact)
-    timed("minhash_dedup_sec", E.q_minhash_dedup)
-    timed("knn_cosine_sec", E.q_knn_cosine)
-    timed("quality_counts_sec", E.q_quality_counts)
+    # the scaling protocol's legs skip these: they are not part of the
+    # headline metric (index_build_sec + bm25_taat_sec) and at sf0.1
+    # they are fixed-job-overhead-dominated at any CPU count, so they
+    # only add wall time and box-state exposure to each leg
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        timed("pricing_summary_sec", E.q_pricing_summary)
+        timed("events_hourly_sec", E.q_events_hourly)
+        timed("user_top_events_sec", E.q_user_top_events)
+        timed("dedup_exact_sec", E.q_dedup_exact)
+        timed("minhash_dedup_sec", E.q_minhash_dedup)
+        timed("knn_cosine_sec", E.q_knn_cosine)
+        timed("quality_counts_sec", E.q_quality_counts)
 
     headline = results["index_build_sec"] + results["bm25_taat_sec"]
     print(
@@ -263,6 +268,10 @@ def scaling() -> None:
             # first-batch latency; the reader itself is zero-copy from
             # plasma) amortizes at the 4N level too
             BENCH_QUERIES=os.environ.get("BENCH_QUERIES", "24000"),
+            # headline = build + taat only; the sf0.1 side pipelines are
+            # fixed-overhead-dominated at toy scale and just lengthen
+            # each leg's exposure to box-state noise
+            BENCH_HEADLINE_ONLY="1",
         )
         cmd = [sys.executable, os.path.abspath(__file__)]
         # PIN the leg to exactly its core count. ray.init(num_cpus=N)

@@ -157,6 +157,86 @@ def quality_score(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_stats(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Gopher-style repetition quality features, one vectorized pass:
+
+    - ``top_token_frac``: count of the most frequent token / n_tokens
+      (ties irrelevant — only the max count matters)
+    - ``dup_2gram_frac``: 1 - distinct word-2grams / total word-2grams
+      (2-grams never cross document boundaries)
+
+    Repetition filters are a standard LLM-training-data curation stage
+    (boilerplate / spam removal); both features are exact, deterministic
+    and DuckDB-checkable. Zero Python-per-row: tokens come from the
+    shared flatten path, 2-grams are integer code pairs counted with
+    the same radix sort-unique used by the tokenizer. Analog of the
+    reference's per-user interaction-degree features
+    (/root/reference/src/helpers/Reader.py:188 groupby-count shape).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..tokenizer import doc_term_counts
+
+        n = len(batch)
+        # per-doc (term, tf) lists give n_tokens and the max tf directly
+        terms, tfs, dl = doc_term_counts(batch[text_col])
+        toffs = tfs.offsets.to_numpy(zero_copy_only=False)
+        tf_flat = tfs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if tf_flat.size:
+            # segmented max over each doc's tf run (docs with no tokens
+            # keep 0): maximum.reduceat needs non-empty segments
+            nonempty = np.flatnonzero(np.diff(toffs) > 0)
+            if nonempty.size:
+                top[nonempty] = np.maximum.reduceat(tf_flat, toffs[nonempty])
+        n_tokens = dl.astype(np.int64)
+
+        # word-2grams: dictionary-encode the flat token stream once,
+        # pair adjacent codes within a doc, count distinct pairs per doc
+        from ..tokenizer import tokenize_flat
+
+        flat, parents, _ = tokenize_flat(batch[text_col])
+        n2 = np.maximum(n_tokens - 1, 0)
+        dup2 = np.zeros(n, dtype=np.float64)
+        if len(flat) > 1:
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+            same_doc = parents[1:] == parents[:-1]
+            V = np.uint64(len(denc.dictionary))
+            pair = codes[:-1] * V + codes[1:]
+            pair = pair[same_doc]
+            gpar = parents[:-1][same_doc]
+            # distinct (doc, pair) count via sort + run-length, exactly
+            # the doc_term_counts counting kernel
+            key = gpar.astype(np.uint64) * (V * V) + pair
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            first = np.ones(skey.size, dtype=bool)
+            np.not_equal(skey[1:], skey[:-1], out=first[1:])
+            n_distinct2 = np.zeros(n, dtype=np.int64)
+            np.add.at(n_distinct2, gpar[order[first]], 1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dup2 = np.where(
+                    n2 > 0, 1.0 - n_distinct2 / np.maximum(n2, 1), 0.0
+                )
+        denom = np.maximum(n_tokens, 1)
+        # half-up rounding at 4 decimals (SQL oracles round half-up)
+        top_frac = np.floor((top / denom) * 1e4 + 0.5) / 1e4
+        dup2 = np.floor(dup2 * 1e4 + 0.5) / 1e4
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tokens),
+                "top_token_frac": pa.array(top_frac),
+                "dup_2gram_frac": pa.array(dup2),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 _FNV_BASIS = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 

@@ -149,6 +149,46 @@ def test_token_stats_and_quality(docs):
     assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
 
 
+def test_repetition_stats_vs_python_oracle(docs):
+    from pisa_ray.pipelines.text import repetition_stats
+    from pisa_ray.tokenizer import tokenize_py
+
+    got = repetition_stats(docs).to_pandas().set_index("doc_id")
+    pdf = docs.to_pandas()
+    # include synthetic edge docs alongside real ones
+    import pandas as pd
+
+    extra = pd.DataFrame(
+        {
+            "doc_id": [990001, 990002, 990003, 990004],
+            "text": ["", "word", "a a a a", "x y x y x y"],
+        }
+    )
+    got2 = (
+        repetition_stats(rd.from_pandas(extra)).to_pandas().set_index("doc_id")
+    )
+    for df_in, df_out in ((pdf.head(30), got), (extra, got2)):
+        for _, row in df_in.iterrows():
+            toks = tokenize_py(row["text"])
+            r = df_out.loc[row["doc_id"]]
+            assert r["n_tokens"] == len(toks)
+            if toks:
+                from collections import Counter
+
+                top = Counter(toks).most_common(1)[0][1]
+                exp_top = np.floor(top / len(toks) * 1e4 + 0.5) / 1e4
+                assert r["top_token_frac"] == exp_top
+            else:
+                assert r["top_token_frac"] == 0.0
+            grams = list(zip(toks, toks[1:]))
+            if grams:
+                exp = 1.0 - len(set(grams)) / len(grams)
+                exp = np.floor(exp * 1e4 + 0.5) / 1e4
+                assert r["dup_2gram_frac"] == exp
+            else:
+                assert r["dup_2gram_frac"] == 0.0
+
+
 def test_lang_id_on_multilingual_texts():
     """documents.lang is random metadata (texts are English-ish), so
     test the heuristic on purpose-built per-language texts."""
