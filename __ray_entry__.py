@@ -671,6 +671,12 @@ def q_repetition(sf_dir: str):
     return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_tfidf_keywords(sf_dir: str):
+    from pisa_ray.pipelines.text import tfidf_keywords
+
+    return tfidf_keywords(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
 def q_lang_id(sf_dir: str):
     from pisa_ray.pipelines.text import lang_id
 
@@ -893,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
         "repetition": q_repetition,
+        "tfidf_keywords": q_tfidf_keywords,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "bm25_bmw": q_bm25_bmw,
@@ -1287,6 +1294,36 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "lang_id": _lang_id_sql(),
+        "tfidf_keywords": f"""
+            WITH tk AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            flat AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM flat GROUP BY doc_id, tok
+            ),
+            df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM flat GROUP BY tok
+            ),
+            nn AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+                -- round half-up at 4 decimals BEFORE ranking (the
+                -- engine ranks on the rounded score too, so the top-k
+                -- cut is identical)
+                SELECT tf.doc_id, tf.tok AS keyword,
+                       round(tf.tf * ln((nn.n + 1.0) / (df.df + 1.0)), 4)
+                           AS score
+                FROM tf JOIN df USING (tok), nn
+            )
+            SELECT doc_id, keyword, kw_rank, score FROM (
+                SELECT doc_id, keyword, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, keyword
+                       ) AS kw_rank
+                FROM sc
+            ) WHERE kw_rank <= 3
+        """,
         "repetition": f"""
             WITH tk AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             flat AS (

@@ -237,6 +237,114 @@ def repetition_stats(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def tfidf_keywords(
+    ds: rd.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Top-k tf-idf keywords per document.
+
+    Two stages, the broadcast-small-side shape:
+    1. one distributed pass builds the (vocab-sized) global df table,
+       which is broadcast via ``ray.put`` — never re-shipped per batch;
+    2. a ``map_batches`` pass scores every (doc, term) as
+       ``tf * ln((N + 1) / (df + 1))`` and keeps each doc's top ``k``
+       (score desc, term asc tie-break; score rounded half-up at 4
+       decimals BEFORE ranking so the cut is SQL-replayable).
+
+    At 100 TB the df table is vocab-sized (millions of rows, not
+    corpus-sized) — small enough to broadcast; if vocab outgrew memory
+    the same pipeline re-expresses as an explode + shuffle join on
+    term. Reference analog: the global user/item degree statistics
+    loaded once and reused across batches
+    (/root/reference/src/helpers/Reader.py:188).
+    """
+    import ray
+
+    from ..tokenizer import doc_term_counts
+
+    # ---- stage 1: global df + N (one pre-aggregated shuffle) ------------
+    def partial_df(batch: pa.Table) -> pa.Table:
+        terms, _, _ = doc_term_counts(batch[text_col])
+        flat = terms.values
+        # per-doc term lists are already unique -> df partial = count
+        return pa.table(
+            {
+                "term": flat.cast(pa.string()),
+                "df": pa.array(np.ones(len(flat), dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    # lexicographic vocab order: index_in positions then double as the
+    # integer tie-break key (int lexsort, no object-dtype compares)
+    df_tbl = df_tbl.sort_values("term").reset_index(drop=True)
+    n_docs = ds.count()
+    df_ref = ray.put(
+        (
+            pa.array(df_tbl["term"].to_numpy(), type=pa.string()),
+            df_tbl["df"].to_numpy().astype(np.int64),
+        )
+    )
+
+    # ---- stage 2: per-doc top-k against the broadcast df ----------------
+    def topk(batch: pa.Table) -> pa.Table:
+        terms_ls, tfs_ls, _ = doc_term_counts(batch[text_col])
+        flat_terms = terms_ls.values
+        offs = terms_ls.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(
+            np.arange(len(batch), dtype=np.int64), np.diff(offs)
+        )
+        tf = tfs_ls.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        vocab, dfv = ray.get(df_ref)
+        pos = pc.index_in(flat_terms, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        # every term of every doc is in the global vocab by construction
+        df = dfv[pos.astype(np.int64)]
+        score = tf * np.log((n_docs + 1.0) / (df + 1.0))
+        score = np.floor(score * 1e4 + 0.5) / 1e4  # half-up, pre-rank
+        if score.size == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col].slice(0, 0),
+                    "keyword": pa.array([], type=pa.string()),
+                    "kw_rank": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        # rank within doc by (-score, term): terms are unique per doc so
+        # the order is total; vocab is term-sorted, so pos IS the
+        # lexicographic tie-break key
+        order = np.lexsort((pos.astype(np.int64), -score, parents))
+        boundaries = np.flatnonzero(
+            np.diff(parents[order], prepend=-1)
+        )
+        ranks = np.arange(order.size, dtype=np.int64)
+        ranks -= np.repeat(ranks[boundaries], np.diff(np.append(boundaries, order.size)))
+        keep = ranks < k
+        sel = order[keep]
+        doc_idx = parents[sel]
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(doc_idx)),
+                "keyword": flat_terms.take(pa.array(sel)).cast(pa.string()),
+                "kw_rank": pa.array(ranks[keep] + 1),
+                "score": pa.array(score[sel]),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
 _FNV_BASIS = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 

@@ -189,6 +189,44 @@ def test_repetition_stats_vs_python_oracle(docs):
                 assert r["dup_2gram_frac"] == 0.0
 
 
+def test_tfidf_keywords_vs_python_oracle(docs):
+    import math
+    from collections import Counter
+
+    from pisa_ray.pipelines.text import tfidf_keywords
+    from pisa_ray.tokenizer import tokenize_py
+
+    k = 3
+    got = tfidf_keywords(docs, k=k).to_pandas()
+    pdf = docs.to_pandas()
+    n = len(pdf)
+    df: Counter = Counter()
+    toks_by_doc = {}
+    for _, row in pdf.iterrows():
+        toks = tokenize_py(row["text"])
+        toks_by_doc[row["doc_id"]] = toks
+        df.update(set(toks))
+    by_doc = {d: g for d, g in got.groupby("doc_id")}
+    for doc_id, toks in list(toks_by_doc.items())[:40]:
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        tf = Counter(toks)
+        scored = sorted(
+            (
+                (
+                    -(math.floor(c * math.log((n + 1) / (df[t] + 1)) * 1e4 + 0.5) / 1e4),
+                    t,
+                )
+                for t, c in tf.items()
+            ),
+        )[:k]
+        g = by_doc[doc_id].sort_values("kw_rank")
+        assert list(g["keyword"]) == [t for _, t in scored]
+        assert list(g["score"]) == [-s for s, _ in scored]
+        assert list(g["kw_rank"]) == list(range(1, len(scored) + 1))
+
+
 def test_lang_id_on_multilingual_texts():
     """documents.lang is random metadata (texts are English-ish), so
     test the heuristic on purpose-built per-language texts."""
