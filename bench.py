@@ -126,6 +126,12 @@ def main() -> None:
     # but never ramp during a short burst (measured 550 vs 1000+ QPS).
     # Half-node fixed pools always fit and keep the N:4N ratio exact.
     pool = max(2, ncpu // 2)
+    # BENCH_NO_MEMO=1 (scaling legs): per-actor result memos off, so
+    # QPS measures scoring compute. A Zipf burst self-hits the memo at
+    # a rate that FALLS as the pool grows (fewer repeats per actor), so
+    # memo-on QPS anti-scales with parallelism by construction — it
+    # benchmarks the workload's repeat structure, not the engine.
+    use_memo = not os.environ.get("BENCH_NO_MEMO")
     qt = make_queries(N_QUERIES)
     # untimed warmup: load + precompute + broadcast the reader once (an
     # index server is pre-warmed; QPS measures steady-state throughput)
@@ -140,6 +146,7 @@ def main() -> None:
             method=method,
             concurrency=pool,
             batch_size=32,
+            memo=use_memo,
         ).to_pandas()
         dt = time.perf_counter() - t0
         results[f"bm25_{method}_sec"] = round(dt, 3)
@@ -172,6 +179,7 @@ def main() -> None:
         concurrency=pool,
         batch_size=32,
         doc_filter=("lang", "python"),
+        memo=use_memo,
     ).to_pandas()
     dt = time.perf_counter() - t0
     results["bm25_filtered_sec"] = round(dt, 3)
@@ -186,7 +194,7 @@ def main() -> None:
     from pisa_ray.serve import BM25Service
 
     wait_cpus_free(pool)
-    svc = BM25Service(idx_dir, k=10, method="taat", num_actors=pool)
+    svc = BM25Service(idx_dir, k=10, method="taat", num_actors=pool, memo=use_memo)
     t0 = time.perf_counter()
     shits = svc.query(qt, batch_size=32).to_pandas()
     dt = time.perf_counter() - t0
@@ -272,6 +280,9 @@ def scaling() -> None:
             # fixed-overhead-dominated at toy scale and just lengthen
             # each leg's exposure to box-state noise
             BENCH_HEADLINE_ONLY="1",
+            # memo off in the legs: see main() — memo-on QPS tracks the
+            # per-actor repeat rate, which anti-scales with pool size
+            BENCH_NO_MEMO="1",
         )
         cmd = [sys.executable, os.path.abspath(__file__)]
         # PIN the leg to exactly its core count. ray.init(num_cpus=N)

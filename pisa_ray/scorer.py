@@ -991,6 +991,7 @@ class BM25Scorer:
         buckets: set[int] | None = None,
         reader_ref=None,
         doc_mask_ref=None,
+        memo: bool = True,
     ):
         if reader_ref is not None:
             # broadcast path: the driver loaded the index ONCE and
@@ -1025,8 +1026,12 @@ class BM25Scorer:
         # Bounded; cleared wholesale when full (cheaper than LRU
         # bookkeeping on the hot path). Purely a cache: results are a
         # pure function of the key, so hits are bit-identical.
+        # ``memo=False`` turns the cache off (throughput benchmarking:
+        # a Zipf burst self-hits the memo, so measured QPS would track
+        # per-actor repeat rate — which FALLS as the pool grows — not
+        # scoring compute)
         self._result_memo: dict[tuple[str, ...], list[tuple[int, float]]] = {}
-        self._memo_cap = 1 << 16
+        self._memo_cap = (1 << 16) if memo else 0
 
     def _pick(self, terms: list[str]):
         """``auto``: Block-Max WAND pays off when pruning can actually
@@ -1070,9 +1075,10 @@ class BM25Scorer:
                 hits = fn(
                     self.reader, text, self.k, doc_mask=self.doc_mask, terms=terms
                 )
-                if len(self._result_memo) >= self._memo_cap:
-                    self._result_memo.clear()
-                self._result_memo[canon] = hits
+                if self._memo_cap:
+                    if len(self._result_memo) >= self._memo_cap:
+                        self._result_memo.clear()
+                    self._result_memo[canon] = hits
             for rank, (doc, score) in enumerate(hits, start=1):
                 out_q.append(qid)
                 out_r.append(rank)
@@ -1171,6 +1177,7 @@ def query_index(
     batch_size: int = 64,
     broadcast: bool = True,
     doc_filter: tuple[str, object] | None = None,
+    memo: bool = True,
 ):
     """queries Dataset (query_id, text) -> hits Dataset via actor pool.
 
@@ -1187,7 +1194,7 @@ def query_index(
         kwargs: dict = {"reader_ref": _broadcast_reader(index_dir)}
     else:
         kwargs = {"index_dir": index_dir}
-    kwargs.update({"k": k, "method": method})
+    kwargs.update({"k": k, "method": method, "memo": memo})
     if doc_filter is not None:
         import ray
 

@@ -69,8 +69,9 @@ class BM25Service:
         num_actors: int = 4,
         buckets: set[int] | None = None,
         doc_filter: tuple[str, object] | None = None,
+        memo: bool = True,
     ):
-        kwargs: dict = {"k": k, "method": method}
+        kwargs: dict = {"k": k, "method": method, "memo": memo}
         if buckets is not None:
             kwargs.update({"index_dir": index_dir, "buckets": set(buckets)})
         else:
@@ -197,6 +198,7 @@ class ShardedBM25Service:
         method: str = "auto",
         actors_per_shard: int = 2,
         doc_filter: tuple[str, object] | None = None,
+        memo: bool = True,
     ):
         self.k = k
         self.services = [
@@ -207,6 +209,7 @@ class ShardedBM25Service:
                 num_actors=actors_per_shard,
                 buckets=set(s),
                 doc_filter=doc_filter,
+                memo=memo,
             )
             for s in shards
         ]
