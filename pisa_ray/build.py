@@ -230,39 +230,76 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
     (encode looks dl up bucket-locally instead).
 
     Works on both tokenized layouts: hive ``bucket=`` dirs (per-bucket
-    merge) are read directly; the flat single-shuffle layout is read
-    fully per task with an in-task bucket filter (doc_id column only —
-    8 B/doc, far cheaper than forcing a 1000s-of-tiny-files hive
-    write just for this pass)."""
+    merge) are read directly; the flat single-shuffle layout gets a
+    ONE-pass map/reduce — map tasks each read a file subset once and
+    radix-partition (doc_id, length) by bucket, reduce tasks concat +
+    sort per bucket (the old shape re-read every file once PER bucket:
+    2^bucket_bits-fold read amplification of the id/length columns)."""
     import ray as _ray
 
     n_buckets = 1 << bucket_bits
 
     @_ray.remote
-    def sorted_ids(files: list[str], b: int | None):
+    def sorted_ids(files: list[str]):
         import pyarrow.parquet as _pq
 
         ids, lens = [], []
         for f in files:
             t = _pq.read_table(f, columns=["doc_id", "length"])
-            a = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            ln = t["length"].to_numpy(zero_copy_only=False).astype(np.uint32)
-            if b is not None:
-                keep = bucket_of(a, bucket_bits) == b
-                a, ln = a[keep], ln[keep]
-            ids.append(a)
-            lens.append(ln)
-        if not ids:
-            return np.empty(0, np.uint64), np.empty(0, np.uint32)
+            ids.append(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            lens.append(t["length"].to_numpy(zero_copy_only=False).astype(np.uint32))
         a = np.concatenate(ids)
         order = np.argsort(a)
         return a[order], np.concatenate(lens)[order]
+
+    @_ray.remote
+    def partition_ids(files: list[str]):
+        """one read of this file subset -> per-bucket (ids, lens) shards
+        (bucket is the TOP id bits, so an id sort is bucket-major; one
+        argsort serves both the partition and the final order)."""
+        import pyarrow.parquet as _pq
+
+        ids, lens = [], []
+        for f in files:
+            t = _pq.read_table(f, columns=["doc_id", "length"])
+            ids.append(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            lens.append(t["length"].to_numpy(zero_copy_only=False).astype(np.uint32))
+        a = np.concatenate(ids)
+        ln = np.concatenate(lens)
+        order = np.argsort(a)
+        a, ln = a[order], ln[order]
+        bounds = np.searchsorted(
+            a,
+            (np.arange(n_buckets + 1, dtype=np.uint64) << np.uint64(64 - bucket_bits))
+            if bucket_bits
+            else np.array([0, 1 << 63], dtype=np.uint64),
+        )
+        bounds[-1] = a.size
+        return tuple(
+            (a[int(s) : int(e)], ln[int(s) : int(e)])
+            for s, e in zip(bounds[:-1], bounds[1:])
+        )
+
+    @_ray.remote
+    def merge_bucket(*shards):
+        """k-way merge of already-sorted per-map shards (mergesort on
+        pre-sorted runs beats a fresh argsort)."""
+        live = [s for s in shards if s[0].size]
+        if not live:
+            return np.empty(0, np.uint64), np.empty(0, np.uint32)
+        if len(live) == 1:
+            return live[0]
+        a = np.concatenate([s[0] for s in live])
+        ln = np.concatenate([s[1] for s in live])
+        order = np.argsort(a, kind="stable")
+        return a[order], ln[order]
 
     @_ray.remote
     def size_of(pair) -> tuple[int, int]:
         return int(pair[0].size), int(pair[1].sum())
 
     refs = []
+    hive_ok = True
     for b in range(n_buckets):
         bfiles = sorted(
             glob.glob(
@@ -271,12 +308,29 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
             )
         )
         if bfiles:
-            refs.append(sorted_ids.remote(bfiles, None))
+            refs.append(sorted_ids.remote(bfiles))
         else:
-            allfiles = sorted(
-                glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
-            )
-            refs.append(sorted_ids.remote(allfiles, b))
+            hive_ok = False
+            break
+    if not hive_ok:
+        # flat layout: one-pass partition + per-bucket merge
+        allfiles = sorted(
+            glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
+        )
+        if n_buckets == 1:
+            refs = [sorted_ids.remote(allfiles)]
+        else:
+            ncpus = int(_ray.cluster_resources().get("CPU", 8))
+            n_map = max(2, min(2 * ncpus, len(allfiles)))
+            groups = [g for g in (allfiles[i::n_map] for i in range(n_map)) if g]
+            shard_lists = [
+                partition_ids.options(num_returns=n_buckets).remote(g)
+                for g in groups
+            ]
+            refs = [
+                merge_bucket.remote(*[sl[b] for sl in shard_lists])
+                for b in range(n_buckets)
+            ]
     sizes = _ray.get([size_of.remote(r) for r in refs])
     counts = [s for s, _ in sizes]
     total_tokens = sum(t for _, t in sizes)
