@@ -857,6 +857,110 @@ def q_ivf_knn(sf_dir: str):
     return ivf_knn(emb, q, k=5, n_clusters=8, n_probe=3)
 
 
+# fixed phrase-query benchmark set (contiguous token sequences from the
+# documents vocab, a selective 3-gram, and an absent phrase)
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "merge join"),
+    (1, "table scan"),
+    (2, "scan merge part"),
+    (3, "group order data"),
+    (4, "zz_absent_token window"),
+]
+
+DECONTAM_K = 3  # token k-gram width (3 keeps the 26-word synthetic vocab discriminative: ~1/3 of sf0.01 docs overlap the eval split)
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact phrase (contiguous token sequence) matching: conjunctive
+    index prune + vectorized corpus verify (pipelines/phrase.py)."""
+    from pisa_ray.pipelines.phrase import phrase_search
+
+    idx = _index_dir(sf_dir)
+    return phrase_search(
+        PHRASE_QUERIES, idx, _docs(sf_dir, ["doc_id", "text"])
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/test decontamination: docs sharing any token k-gram with
+    the benchmark split (doc_id % 97 == 0 — the deterministic stand-in
+    for an eval set). Benchmark k-gram set broadcast once via ray.put;
+    one vectorized membership pass over the training split."""
+    import ray.data as rd
+
+    from pisa_ray.pipelines.dedup import benchmark_kgrams, decontaminate
+
+    def split(want_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 == 0) if want_bench else (ids % 97 != 0)
+            return batch.filter(pa.array(mask))
+
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    grams = benchmark_kgrams(split(True), k=DECONTAM_K)
+    return decontaminate(split(False), grams, k=DECONTAM_K)
+
+
+def _pii_augment(sf_dir: str):
+    """documents with deterministic PII planted by doc_id residue (the
+    synthetic corpus has none) — identical expression in the oracle SQL
+    so the regex stages provably fire."""
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(ids, pa.string())
+
+        def when(mod: int, pieces) -> pa.Array:
+            cond = pa.array(ids_np % mod == 0)
+            s = pc.binary_join_element_wise(*pieces, "")
+            return pc.if_else(cond, s, "")
+
+        s7 = when(7, [" contact user", ids_s, "@example.com now"])
+        s11 = when(11, [" host 10.1.2.3 port", ids_s])
+        s13 = when(13, [" call +491511234567 asap", ""])
+        s17 = when(17, [" ssn 123-45-6789 end", ""])
+        aug = pc.binary_join_element_wise(batch["text"], s7, s11, s13, s17, "")
+        return pa.table({"doc_id": ids, "text": aug})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+_PII_AUG_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' host 10.1.2.3 port' || doc_id ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' call +491511234567 asap' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-6789 end' ELSE '' END
+               AS text
+        FROM documents
+"""
+
+
+def q_pii_counts(sf_dir: str):
+    """Per-doc PII match counts over the planted corpus — pyarrow and
+    DuckDB both run RE2, so counts match exactly."""
+    from pisa_ray.pipelines.text import pii_stats
+
+    return pii_stats(_pii_augment(sf_dir))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (every match replaced by its placeholder) — the
+    full redacted strings are value-compared against DuckDB's nested
+    regexp_replace, the strongest possible check of the rewrite."""
+    from pisa_ray.pipelines.text import pii_redact
+
+    return pii_redact(_pii_augment(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -902,6 +1006,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": q_tfidf_keywords,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "phrase_search": q_phrase_search,
+        "decontaminate": q_decontaminate,
+        "pii_counts": q_pii_counts,
+        "pii_redact": q_pii_redact,
         "bm25_bmw": q_bm25_bmw,
         "bm25_conjunctive": q_bm25_conjunctive,
         "ivf_knn": q_ivf_knn,
@@ -961,6 +1069,41 @@ def _lang_id_sql() -> str:
                     {' '.join(case_arms)} END AS pred_lang
         FROM documents d JOIN p USING (doc_id)
     """
+
+
+def _phrase_values() -> str:
+    from pisa_ray.pipelines.phrase import normalize_phrase
+
+    return ", ".join(
+        f"({qid}::BIGINT, '{normalize_phrase(text)}')"
+        for qid, text in PHRASE_QUERIES
+    )
+
+
+def _pii_count_cols() -> str:
+    from pisa_ray.pipelines.text import PII_PATTERNS
+
+    return ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+
+
+def _pii_count_sum() -> str:
+    from pisa_ray.pipelines.text import PII_PATTERNS
+
+    return " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+
+
+def _pii_redact_expr() -> str:
+    from pisa_ray.pipelines.text import PII_PATTERNS
+
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1294,6 +1437,50 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "lang_id": _lang_id_sql(),
+        # exact phrase match = the normalized phrase as a contiguous
+        # token subsequence = substring of the space-joined token
+        # stream (space sentinels keep probes token-aligned)
+        "phrase_search": f"""
+            WITH j AS (
+                SELECT doc_id, ' ' || array_to_string({_TOK}, ' ') || ' ' AS s
+                FROM documents
+            ),
+            q(query_id, phrase) AS (VALUES {_phrase_values()})
+            SELECT q.query_id, j.doc_id
+            FROM q JOIN j ON contains(j.s, ' ' || q.phrase || ' ')
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(t) - {DECONTAM_K} + 2),
+                    i -> array_to_string(list_slice(t, i, i + {DECONTAM_K} - 1), ' ')
+                ))) AS gram
+                FROM toks WHERE len(t) >= {DECONTAM_K}
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            ov AS (
+                SELECT doc_id, count(*) AS n_overlap
+                FROM g JOIN bench USING (gram)
+                WHERE doc_id % 97 <> 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   coalesce(ov.n_overlap, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN ov USING (doc_id)
+        """,
+        "pii_counts": f"""
+            WITH aug AS ({_PII_AUG_SQL})
+            SELECT doc_id,
+                   {_pii_count_cols()},
+                   ({_pii_count_sum()}) > 0 AS has_pii
+            FROM aug
+        """,
+        "pii_redact": f"""
+            WITH aug AS ({_PII_AUG_SQL})
+            SELECT doc_id, {_pii_redact_expr()} AS redacted FROM aug
+        """,
         "tfidf_keywords": f"""
             WITH tk AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             flat AS (SELECT doc_id, unnest(toks) AS tok FROM tk),

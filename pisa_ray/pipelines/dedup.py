@@ -786,3 +786,103 @@ def embedding_dedup(
         .groupby("bhash")
         .map_groups(bucket_dups, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (train/test overlap)
+# --------------------------------------------------------------------------
+
+
+def _kgram_strings(texts, k: int):
+    """-> (flat space-joined k-gram strings, parent doc indices).
+
+    Token k-grams as STRINGS (not hashes) so the result is exactly
+    reproducible by a SQL oracle; at 100 TB you would hash them
+    (``_token_shingle_hashes``) — the overlap semantics are identical
+    up to 64-bit collisions."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = parents[keep]
+    n = len(flat)
+    if n < k:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    valid = parents[: n - k + 1] == parents[k - 1 :]
+    # windowed join: k zero-copy shifted slices of the flat token array
+    parts = [flat.slice(i, n - k + 1) for i in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return grams.filter(pa.array(valid)), parents[: n - k + 1][valid]
+
+
+def benchmark_kgrams(benchmark: rd.Dataset, k: int = 8, text_col: str = "text") -> pa.Array:
+    """Distinct token k-grams of the (small) benchmark/eval corpus —
+    the contamination reference set. Computed distributed, collected
+    once (eval sets are tiny next to the training corpus), meant to be
+    ``ray.put`` once and shared by every ``decontaminate`` task."""
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        g, _ = _kgram_strings(texts, k)
+        return pa.table({"gram": pc.unique(g)})
+
+    parts = benchmark.map_batches(grams, batch_format="pyarrow").take_all()
+    allg = pa.array([r["gram"] for r in parts], type=pa.string())
+    return pc.unique(allg)
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    benchmark_grams,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Flag training docs sharing any token k-gram with a benchmark set
+    (train/test decontamination, the GPT-3/PaLM-style n-gram rule).
+
+    ``benchmark_grams``: the ``benchmark_kgrams`` result — pass the
+    ``ray.put`` ObjectRef on a cluster so the set ships once per node,
+    not once per batch. Output: (id, n_overlap = DISTINCT overlapping
+    k-grams, contaminated). One vectorized membership pass per batch;
+    the training corpus is never shuffled or materialized."""
+    import ray
+
+    ref = (
+        benchmark_grams
+        if isinstance(benchmark_grams, ray.ObjectRef)
+        else ray.put(benchmark_grams)
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        grams, parents = _kgram_strings(texts, k)
+        n = len(batch)
+        n_overlap = np.zeros(n, dtype=np.int64)
+        if len(grams):
+            hit = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+            if hit.any():
+                # distinct (doc, gram) among hits: dictionary codes
+                denc = grams.dictionary_encode()
+                codes = denc.indices.to_numpy(zero_copy_only=False)[hit]
+                par = parents[hit]
+                key = par.astype(np.uint64) * np.uint64(len(denc.dictionary)) + codes.astype(np.uint64)
+                uniq_par = par[np.unique(key, return_index=True)[1]]
+                np.add.at(n_overlap, uniq_par, 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_overlap": pa.array(n_overlap),
+                "contaminated": pa.array(n_overlap > 0),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")

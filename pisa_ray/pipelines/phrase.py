@@ -1,0 +1,154 @@
+"""Phrase search: exact contiguous-token-sequence matching, composed
+from the inverted index (prune) + a corpus verify pass.
+
+The index stores no token positions (posting payloads are docID gaps +
+tf), so phrase matching is the classic two-stage composition real
+engines use when positions are absent:
+
+1. **Prune on the index**: a doc matching the phrase necessarily
+   contains every phrase term, so the conjunctive candidate set
+   (``score_conj`` — intersection driven by the rarest term's postings)
+   is a superset of the answer. This is the cheap, index-resident step.
+2. **Verify on the corpus**: only candidate rows are re-tokenized; the
+   normalized token stream is space-joined and the phrase becomes a
+   plain substring probe (`` tok1 tok2 tok3 `` inside `` ...tokens... ``)
+   — one vectorized RE2-free Arrow pass per batch.
+
+Partitioning assumption (documented per the custom-operator rule): the
+candidate (query_id, doc_id) table fits in the object store — true for
+real phrase queries, whose rarest term bounds the candidate count. A
+stop-word-only phrase degenerates to the full corpus; at that point a
+positional posting format is the right tool, not this composition. The
+verify pass streams the corpus (column-pruned to (id, text)) and
+evaluates the join only on candidate rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..scorer import IndexReader, score_conj
+from ..tokenizer import TOKEN_SPLIT_RE, tokenize_py
+
+
+def normalize_phrase(text: str) -> str:
+    """The phrase in index-token space: lowercase tokens joined by one
+    space (the same normalization the verify pass applies to docs)."""
+    return " ".join(tokenize_py(text))
+
+
+def _conj_candidates(
+    queries: list[tuple[int, str]], index_dir: str, concurrency: int = 4
+) -> pa.Table:
+    """All docs containing every phrase term, per query — distributed
+    over the query axis (each task holds the broadcast reader and
+    intersects postings for its query slice)."""
+    from ..scorer import _broadcast_reader
+
+    reader_ref = _broadcast_reader(index_dir)
+
+    @ray.remote(num_cpus=1)
+    def part(qs: list[tuple[int, str]], ref) -> pa.Table:
+        reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
+        qids, docs = [], []
+        for qid, text in qs:
+            hits = score_conj(reader, text, k=reader.n_docs)
+            qids.extend([qid] * len(hits))
+            docs.extend(d for d, _ in hits)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "doc_id": pa.array(np.asarray(docs, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+    n = max(1, min(concurrency, len(queries)))
+    chunks = [queries[i::n] for i in range(n)]
+    parts = ray.get([part.remote(c, reader_ref) for c in chunks if c])
+    return pa.concat_tables(parts)
+
+
+def phrase_search(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    corpus: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """-> (query_id, doc_id) rows for every doc whose token stream
+    contains the query phrase contiguously; deterministic order
+    (query_id, doc_id). ``corpus`` must be the same table the index
+    was built over (column-pruned by the caller to (id, text))."""
+    phrases = [(qid, normalize_phrase(text)) for qid, text in queries]
+    phrases = [(qid, p) for qid, p in phrases if p]
+    if not phrases:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64")})
+
+    cand = _conj_candidates(phrases, index_dir, concurrency=concurrency)
+    cand_ids = pc.unique(cand["doc_id"])
+    if len(cand_ids) == 0:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64")})
+    ids_ref = ray.put(cand_ids)
+    # a phrase match implies conjunctive candidacy, so probing every
+    # candidate doc against every phrase is exact — no per-query
+    # candidate bookkeeping needed in the verify pass
+    needles = [(qid, f" {p} ") for qid, p in phrases]
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[id_col], value_set=ray.get(ids_ref))
+        batch = batch.filter(keep)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = parents[nonempty]
+        counts = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(counts, parents, 1)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        lists = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), flat)
+        joined = pc.binary_join(lists, " ")
+        # sentinel spaces so substring probes are token-aligned
+        joined = pc.binary_join_element_wise(" ", joined, " ", "")
+        out_q, out_d = [], []
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        for qid, needle in needles:
+            hit = pc.match_substring(joined, needle).to_numpy(zero_copy_only=False)
+            if hit.any():
+                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+                out_d.append(ids[hit])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d).astype(np.int64)),
+            }
+        )
+
+    hits = corpus.select_columns([id_col, text_col]).map_batches(
+        verify, batch_format="pyarrow"
+    )
+    df = hits.to_pandas()
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )

@@ -431,3 +431,57 @@ def fingerprint64(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# RE2 patterns (pyarrow.compute and DuckDB both run RE2, so the engine
+# and the SQL oracle match EXACTLY — same matches, same non-overlap
+# semantics). Order matters for redaction: EMAIL first (an address
+# contains dot-runs an IPv4 pattern could otherwise claim).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def pii_stats(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Per-doc PII match counts (non-overlapping, per category) plus a
+    ``has_pii`` flag — the detect side of a C4/RefinedWeb-style PII
+    policy stage. One vectorized RE2 pass per category."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols: dict = {id_col: batch[id_col]}
+        any_hit = np.zeros(len(batch), dtype=bool)
+        for name, pat, _ in PII_PATTERNS:
+            cnt = pc.count_substring_regex(batch[text_col], pat)
+            cnt = cnt.cast(pa.int64())
+            cols[f"n_{name}"] = cnt
+            any_hit |= cnt.to_numpy(zero_copy_only=False) > 0
+        cols["has_pii"] = pa.array(any_hit)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pii_redact(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Replace every PII match with its placeholder token, in the fixed
+    ``PII_PATTERNS`` order. Returns (id, redacted) — the transform side
+    of the policy stage; zero-copy Arrow in, one RE2 rewrite pass per
+    category."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        red = batch[text_col]
+        for _, pat, repl in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, repl)
+        return pa.table({id_col: batch[id_col], "redacted": red})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

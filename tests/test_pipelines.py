@@ -874,3 +874,120 @@ def test_quantile_disc_exact_vs_numpy():
             out["x"].tolist(),
             want,
         )
+
+
+# -- PII ---------------------------------------------------------------------
+
+
+def test_pii_stats_and_redact():
+    from pisa_ray.pipelines.text import pii_redact, pii_stats
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "mail a@b.co and x.y+z@q.org twice",
+                    "server 10.0.0.1 then call +4915112345678 ok",
+                    "ssn 123-45-6789 here",
+                    "clean text with no pii at all",
+                ],
+            }
+        )
+    )
+    st = pii_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert st["n_email"].tolist() == [2, 0, 0, 0]
+    assert st["n_ipv4"].tolist() == [0, 1, 0, 0]
+    assert st["n_phone"].tolist() == [0, 1, 0, 0]
+    assert st["n_ssn"].tolist() == [0, 0, 1, 0]
+    assert st["has_pii"].tolist() == [True, True, True, False]
+    red = pii_redact(ds).to_pandas().sort_values("doc_id")["redacted"].tolist()
+    assert red[0] == "mail <EMAIL> and <EMAIL> twice"
+    assert red[1] == "server <IP> then call <PHONE> ok"
+    assert red[2] == "ssn <SSN> here"
+    assert red[3] == "clean text with no pii at all"
+
+
+# -- decontamination ---------------------------------------------------------
+
+
+def test_decontaminate_planted_overlap_any_parallelism():
+    import ray
+
+    from pisa_ray.pipelines.dedup import benchmark_kgrams, decontaminate
+
+    bench = rd.from_pandas(
+        pd.DataFrame({"text": ["the quick brown fox jumps over", "alpha beta gamma delta"]})
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "we saw the quick brown fox jumps high today",  # 3 overlapping 3-grams
+                "completely disjoint text with no shared grams",
+                "ends with alpha beta gamma",  # 1 overlapping 3-gram
+                "short",  # < k tokens
+            ],
+        }
+    )
+    grams = benchmark_kgrams(bench, k=3)
+    ref = ray.put(grams)
+    for parts in (1, 4):
+        out = (
+            decontaminate(rd.from_pandas(train).repartition(parts), ref, k=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_overlap"].tolist() == [3, 0, 1, 0]
+        assert out["contaminated"].tolist() == [True, False, True, False]
+
+
+# -- phrase search -----------------------------------------------------------
+
+
+def test_phrase_search_vs_naive_oracle(tmp_path):
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.pipelines.phrase import normalize_phrase, phrase_search
+    from pisa_ray.tokenizer import tokenize_py
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "fast merge join over sorted runs",
+                "merge join and hash join compared",
+                "a merge then a join but not adjacent",
+                "MERGE;;JOIN punctuation still matches",  # normalizes to "merge join"
+                "hash join only here",
+                "join merge reversed order",
+                "fast merge join fast merge join twice",
+                "unrelated content entirely",
+            ],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        pa.Table.from_pandas(docs),
+        idx,
+        IndexConfig(
+            id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+            bucket_bits=1, term_parts=4, lineage_parts=1,
+        ),
+    )
+    queries = [(0, "merge join"), (1, "fast merge join"), (2, "absent phrase")]
+    out = phrase_search(queries, idx, rd.from_pandas(docs))
+
+    def naive(phrase: str) -> list[int]:
+        p = normalize_phrase(phrase)
+        hits = []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            s = " " + " ".join(tokenize_py(text)) + " "
+            if f" {p} " in s:
+                hits.append(int(did))
+        return sorted(hits)
+
+    for qid, phrase in queries:
+        got = out[out["query_id"] == qid]["doc_id"].tolist()
+        assert got == naive(phrase), (qid, phrase)
+    assert naive("merge join") == [0, 1, 3, 6]  # the fixture bites
