@@ -219,7 +219,7 @@ def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False, emit_dl: bool =
     return explode
 
 
-def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
+def _bucket_rank_refs(tok_dir: str, bucket_bits: int, lazy: bool = False):
     """Per-bucket (sorted doc_id, aligned doc length) arrays (as plasma
     ObjectRefs) + global rank offsets, built by Ray tasks — the DRIVER
     never holds the full id array (round 1 ``np.sort``-ed every doc_id
@@ -331,11 +331,24 @@ def _bucket_rank_refs(tok_dir: str, bucket_bits: int):
                 merge_bucket.remote(*[sl[b] for sl in shard_lists])
                 for b in range(n_buckets)
             ]
-    sizes = _ray.get([size_of.remote(r) for r in refs])
-    counts = [s for s, _ in sizes]
-    total_tokens = sum(t for _, t in sizes)
-    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.uint64)
-    return offsets, refs, (int(sum(counts)), int(total_tokens))
+    size_refs = [size_of.remote(r) for r in refs]
+
+    def finalize():
+        """Block on the per-bucket sizes -> (offsets, (n_docs, tokens)).
+        Deferred so the single-shuffle merge can launch its map tasks
+        WHILE the rank map builds (the maps don't read it; only the
+        reducers do) — the old eager get was a ~3-4 s serial barrier
+        between tokenize and merge at 300k docs."""
+        sizes = _ray.get(size_refs)
+        counts = [s for s, _ in sizes]
+        total_tokens = sum(t for _, t in sizes)
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.uint64)
+        return offsets, (int(sum(counts)), int(total_tokens))
+
+    if lazy:
+        return refs, finalize
+    offsets, totals = finalize()
+    return offsets, refs, totals
 
 
 def rank_map_from_sorted_ids(doc_sorted: np.ndarray, bucket_bits: int):
@@ -833,6 +846,20 @@ def _merge_task_fns():
     return _MERGE_TASKS
 
 
+def _fused_merge_launch_maps(tok_files: list[str], cfg: IndexConfig, ncpus: int):
+    """Launch the fused merge's map side (read+explode+partition) and
+    return the in-flight per-reducer shard ObjectRef lists. Split out so
+    ``build_index`` can start the maps while the rank map builds."""
+    merge_map, _ = _merge_task_fns()
+    n_red = max(4, 2 * ncpus)
+    n_map = max(4, 2 * ncpus)
+    groups = [g for g in (tok_files[i::n_map] for i in range(n_map)) if g]
+    shard_lists = [
+        merge_map.options(num_returns=n_red).remote(g, cfg, n_red) for g in groups
+    ]
+    return shard_lists, n_red
+
+
 def _fused_shuffle_merge(
     tok_files: list[str],
     cfg: IndexConfig,
@@ -842,6 +869,7 @@ def _fused_shuffle_merge(
     final_dir: str,
     ncpus: int,
     lex_dir: str | None = None,
+    prelaunch=None,
 ) -> tuple[int, dict | None]:
     """Single-shuffle merge as a fused map-side-partition exchange.
 
@@ -869,16 +897,15 @@ def _fused_shuffle_merge(
     """
     import ray as _ray
 
-    merge_map, merge_reduce = _merge_task_fns()
-    n_red = max(4, 2 * ncpus)
-    n_map = max(4, 2 * ncpus)
-    groups = [g for g in (tok_files[i::n_map] for i in range(n_map)) if g]
+    _, merge_reduce = _merge_task_fns()
+    shard_lists, n_red = (
+        prelaunch
+        if prelaunch is not None
+        else _fused_merge_launch_maps(tok_files, cfg, ncpus)
+    )
     tmp = final_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    shard_lists = [
-        merge_map.options(num_returns=n_red).remote(g, cfg, n_red) for g in groups
-    ]
     red_refs = [
         merge_reduce.remote(
             os.path.join(tmp, f"part-{p:05d}.parquet"),
@@ -1059,8 +1086,19 @@ def build_index(
     rank_map = None
     rank_totals = None
     use_ranks = cfg.posting_space == "position"
+    fused_prelaunch = None
     if not man.stage_done("segments"):
-        offsets_r, refs_r, rank_totals = _bucket_rank_refs(tok_dir, cfg.bucket_bits)
+        refs_r, finalize_r = _bucket_rank_refs(tok_dir, cfg.bucket_bits, lazy=True)
+        if not cfg.per_bucket_merge:
+            # overlap: the fused merge's map tasks don't touch the rank
+            # map (only reducers do) — launch them NOW so they run
+            # concurrently with the rank-map tasks instead of after a
+            # driver-side get barrier
+            fused_tok_files = sorted(
+                glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True)
+            )
+            fused_prelaunch = _fused_merge_launch_maps(fused_tok_files, cfg, ncpus)
+        offsets_r, rank_totals = finalize_r()
         rank_map = (offsets_r, refs_r)
 
     # ---- stage 2: docmap + stats ---------------------------------------
@@ -1119,6 +1157,7 @@ def build_index(
             os.path.join(index_dir, "segments", "all"),
             ncpus,
             lex_dir=os.path.join(index_dir, "lexicon"),
+            prelaunch=fused_prelaunch,
         )
         man.mark_stage("segments", wall_s=t.elapsed())
         # lexicon + metrics came out of the SAME reduce pass
