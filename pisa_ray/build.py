@@ -700,13 +700,21 @@ def _atomic_write(ds: rd.Dataset, final_dir: str, **write_kwargs: Any) -> None:
     os.rename(tmp, final_dir)
 
 
-def _read_files(files: list[str], columns: list[str]) -> rd.Dataset:
+def _read_files(
+    files: list[str], columns: list[str], num_blocks: int | None = None
+) -> rd.Dataset:
     """Format-dispatched source read (reference reads TSV logs,
     /root/reference/src/helpers/Reader.py:180-183; Parquet is the
-    native format — CSV/TSV/JSONL are convenience ingests)."""
+    native format — CSV/TSV/JSONL are convenience ingests).
+
+    ``num_blocks`` right-sizes parquet read tasks at the source: the
+    default splitting yields per-file ~30 ms tasks whose scheduling
+    overhead dominates (measured 2.5-4.8 s vs 0.7 s at 32 blocks for a
+    64-file/387 MB corpus at 16 CPUs) — same fix the merge read got."""
     ext = os.path.splitext(files[0])[1].lower()
     if ext == ".parquet":
-        return rd.read_parquet(files, columns=columns)
+        kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+        return rd.read_parquet(files, columns=columns, **kw)
     if ext in (".csv", ".tsv"):
         from pyarrow import csv as pacsv
 
@@ -1028,7 +1036,15 @@ def build_index(
 
         def prepare_group(ginput) -> rd.Dataset:
             if isinstance(ginput, list):
-                ds = _read_files(ginput, read_cols)
+                # per-group blocks: groups run concurrently, so the
+                # groups TOGETHER target ~2 tasks/core
+                ds = _read_files(
+                    ginput,
+                    read_cols,
+                    num_blocks=max(
+                        4, (2 * ncpus) // max(1, cfg.lineage_parts)
+                    ),
+                )
             elif isinstance(ginput, pa.Table):
                 ds = rd.from_arrow(ginput.select([c for c in read_cols if c in ginput.column_names]))
             else:
