@@ -302,13 +302,13 @@ def minhash_lsh_dedup(
     return empty from ``map_groups``; there is no occupancy pre-pass
     and no driver-side bucket-key materialization. Verification then
     recomputes signatures for the candidate ids only (deterministic —
-    same seed/params as banding) via a semi-join over the source docs,
-    and runs as a vectorized ``map_batches`` over the candidate pairs
-    against the broadcast (ids, signature-matrix) lookup — the only
-    driver-sized object is the candidate set itself (LSH at a high
-    threshold keeps candidates ≪ corpus; same standing assumption as
-    ``verify_pairs_jaccard``). Three Ray jobs total (band+pair collect,
-    candidate re-signature, verify), down from round-2's four plus a
+    same seed/params as banding) via a semi-join over the source docs;
+    the final full-signature agreement check is ONE vectorized numpy
+    pass on the driver — the pair list and candidate signature matrix
+    are the declared driver-sized objects (LSH at a high threshold
+    keeps candidates ≪ corpus; same standing assumption as
+    ``verify_pairs_jaccard``). TWO Ray jobs total (band+pair collect,
+    candidate re-signature), down from round-2's four plus a
     corpus-wide materialize."""
     import ray
 
@@ -357,10 +357,6 @@ def minhash_lsh_dedup(
             ]
         ).astype(np.int64)
     )
-    cand = rd.from_pandas(cand_pdf)
-    if len(cand_pdf) > 4096:
-        cand = cand.repartition(max(4, concurrency * 2))
-
     from .relational import broadcast_semi_join
 
     cand_sigs = minhash_signatures(
@@ -373,28 +369,24 @@ def minhash_lsh_dedup(
             for s in cand_sigs.sort_values("doc_id")["sig"]
         ]
     )
-    lookup_ref = ray.put((ids_sorted, sig_mat))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ids_s, mat = ray.get(lookup_ref)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        r = batch["dup_of"].to_numpy(zero_copy_only=False).astype(np.int64)
-        est = (
-            mat[np.searchsorted(ids_s, d)] == mat[np.searchsorted(ids_s, r)]
-        ).mean(axis=1)
-        keep = est >= threshold
-        return pa.table(
-            {"doc_id": pa.array(d[keep]), "dup_of": pa.array(r[keep])}
-        )
-
-    return (
-        cand.map_batches(verify, batch_format="pyarrow")
-        .groupby("doc_id")
-        .min("dup_of")
-        .map_batches(
-            lambda t: t.rename_columns(["doc_id", "dup_of"]), batch_format="pyarrow"
-        )
+    # verify ON THE DRIVER: the pair list and the candidate signature
+    # matrix are both already driver-held (the declared driver-sized
+    # objects), so the final agreement check is one vectorized numpy
+    # pass — spinning a third Ray job (map_batches + a sort-exchange
+    # groupby) over a candidate-sized table only added fixed job wall
+    d = cand_pdf["doc_id"].to_numpy().astype(np.int64)
+    r = cand_pdf["dup_of"].to_numpy().astype(np.int64)
+    est = (
+        sig_mat[np.searchsorted(ids_sorted, d)]
+        == sig_mat[np.searchsorted(ids_sorted, r)]
+    ).mean(axis=1)
+    keep = est >= threshold
+    out = (
+        pd.DataFrame({"doc_id": d[keep], "dup_of": r[keep]})
+        .groupby("doc_id", as_index=False)["dup_of"]
+        .min()
     )
+    return rd.from_pandas(out) if len(out) else empty
 
 
 # --------------------------------------------------------------------------
