@@ -70,7 +70,12 @@ def per_group_topk(
 ) -> rd.Dataset:
     """Per-group top-k with explicit tie-break columns
     (reference: per-user ``torch.topk`` at
-    /root/reference/src/Inference.py:240)."""
+    /root/reference/src/Inference.py:240).
+
+    Integer group keys route through the hash exchange with ONE pandas
+    sort + cumcount per reducer shard (no per-group UDF); other key
+    types fall back to ``groupby().map_groups``."""
+    from ..shuffle import hash_group_apply, int_keyed
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(sort_cols), ascending=list(ascending), kind="mergesort")
@@ -78,7 +83,22 @@ def per_group_topk(
         g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return ds.groupby(group_col).map_groups(topk, batch_format="pandas")
+    if not int_keyed(ds, group_col):
+        return ds.groupby(group_col).map_groups(topk, batch_format="pandas")
+
+    def topk_shard(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g = g.sort_values(
+            [group_col, *sort_cols],
+            ascending=[True, *ascending],
+            kind="mergesort",
+        )
+        rank = g.groupby(group_col, sort=False).cumcount().to_numpy() + 1
+        g = g[rank <= k].copy()
+        g[rank_col] = rank[rank <= k].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return hash_group_apply(ds, group_col, topk_shard)
 
 
 def snapshot_boundaries(n_rows: int, train_ratio: float, n_snapshots: int) -> list[int]:
@@ -215,7 +235,34 @@ def asof_join(
         )
         return out[l_names + r_out_names]
 
-    return unioned.groupby(key_col).map_groups(join_group, batch_format="pandas")
+    from ..shuffle import hash_group_apply, int_keyed
+
+    if not int_keyed(left, key_col):
+        return unioned.groupby(key_col).map_groups(
+            join_group, batch_format="pandas"
+        )
+
+    def join_shard(t: pa.Table) -> pa.Table:
+        # whole-shard reducer: merge_asof(by=key) matches every key in
+        # the shard in one C pass — no per-group UDF
+        g = t.to_pandas()
+        lg = g[g["__side"] == 0][l_names].sort_values(ts_col, kind="mergesort")
+        rg = g[g["__side"] == 1][[key_col, *r_out_names]].sort_values(
+            out_ts, kind="mergesort"
+        )
+        out = pd.merge_asof(
+            lg,
+            rg,
+            left_on=ts_col,
+            right_on=out_ts,
+            by=key_col,
+            direction=direction,
+        )
+        return pa.Table.from_pandas(
+            out[l_names + r_out_names], preserve_index=False
+        )
+
+    return hash_group_apply(unioned, key_col, join_shard)
 
 
 def range_join(
@@ -479,11 +526,21 @@ def stratified_sample(
             g = g.sort_values(["__h", id_col], kind="mergesort").head(n_per_key)
         return g.drop(columns="__h")
 
-    return (
-        ds.map_batches(add_h, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(cut, batch_format="pandas")
-    )
+    from ..shuffle import hash_group_apply, int_keyed
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow")
+    if not int_keyed(ds, key_col):
+        return hashed.groupby(key_col).map_groups(cut, batch_format="pandas")
+
+    def cut_shard(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g = g.sort_values([key_col, "__h", id_col], kind="mergesort")
+        keep = g.groupby(key_col, sort=False).cumcount().to_numpy() < n_per_key
+        return pa.Table.from_pandas(
+            g[keep].drop(columns="__h"), preserve_index=False
+        )
+
+    return hash_group_apply(hashed, key_col, cut_shard)
 
 
 def sessionize(
@@ -553,27 +610,64 @@ def sessionize(
             }
         )
 
-    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["first_ts", "last_ts"], kind="mergesort")
+    def merge_shard(t: pa.Table) -> pa.Table:
+        # whole-shard merge, vectorized across keys: sort by (key,
+        # first_ts, last_ts); the within-key running max of last_ts is
+        # a pandas groupby.cummax (C-speed across all groups at once)
+        g = t.to_pandas().sort_values(
+            [key_col, "first_ts", "last_ts"], kind="mergesort"
+        )
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=pa.int64()),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.timestamp("us")),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        keys = g[key_col].to_numpy()
         f = g["first_ts"].to_numpy().view("i8")
-        last = g["last_ts"].to_numpy().view("i8")
-        runmax = np.maximum.accumulate(last)
-        new = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new[1:] = (f[1:] - runmax[:-1]) > gap_us
-        grp = np.cumsum(new) - 1
-        n = int(grp[-1]) + 1
-        n_events = np.zeros(n, dtype=np.int64)
+        last_cm = (
+            g.groupby(key_col, sort=False)["last_ts"]
+            .cummax()
+            .to_numpy()
+            .view("i8")
+        )
+        key_start = np.ones(n, dtype=bool)
+        key_start[1:] = keys[1:] != keys[:-1]
+        new = key_start.copy()
+        if n > 1:
+            new[1:] |= (f[1:] - last_cm[:-1]) > gap_us
+        snum = np.cumsum(new)  # global session counter
+        base = snum[key_start]  # counter value at each key's first session
+        run_id = np.cumsum(key_start) - 1
+        sid = snum - base[run_id] + 1
+        grp = snum - 1
+        n_sess = int(snum[-1])
+        n_events = np.zeros(n_sess, dtype=np.int64)
         np.add.at(n_events, grp, g["n_events"].to_numpy())
         starts = np.flatnonzero(new)
-        return pd.DataFrame(
-            {
-                key_col: np.repeat(g[key_col].to_numpy()[:1], n),
-                "session_id": np.arange(1, n + 1, dtype=np.int64),
-                "session_start": g["first_ts"].to_numpy()[starts],
-                "n_events": n_events,
-            }
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    key_col: keys[starts],
+                    "session_id": sid[starts].astype(np.int64),
+                    "session_start": g["first_ts"].to_numpy()[starts],
+                    "n_events": n_events,
+                }
+            ),
+            preserve_index=False,
         )
 
+    from ..shuffle import hash_group_apply, int_keyed
+
     parts = ds.map_batches(local_partials, batch_format="pandas", batch_size=None)
-    return parts.groupby(key_col).map_groups(merge_key, batch_format="pandas")
+    if not int_keyed(ds, key_col):
+        # merge_shard is key-generic; per-group invocation is the
+        # fallback for non-integer keys the exchange can't route
+        return parts.groupby(key_col).map_groups(
+            merge_shard, batch_format="pyarrow"
+        )
+    return hash_group_apply(parts, key_col, merge_shard)

@@ -70,7 +70,15 @@ def _task_fns():
         return _TASKS
 
     @ray.remote
-    def hp_map(key_col: str, n_red: int, *blocks: pa.Table):
+    def hp_map(key_col: str, n_red: int, *blocks):
+        # upstream pandas-block stages yield DataFrame blocks; the
+        # exchange runs on Arrow
+        blocks = [
+            b
+            if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in blocks
+        ]
         live = [b for b in blocks if b.num_rows]
         if not live:
             empty = blocks[0].slice(0, 0)
@@ -147,6 +155,21 @@ def hash_group_apply(
     if not refs:
         return ds  # empty input: 0-row dataset passes through unchanged
     return rd.from_arrow_refs(refs)
+
+
+def int_keyed(ds: rd.Dataset, key_col: str) -> bool:
+    """True when ``key_col`` is an integer column — the exchange's key
+    requirement. Callers keep a ``map_groups`` fallback for string or
+    temporal keys."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if hasattr(base, "field"):
+        return pa.types.is_integer(base.field(key_col).type)
+    try:
+        i = list(base.names).index(key_col)
+        return np.issubdtype(np.dtype(base.types[i]), np.integer)
+    except (ValueError, TypeError):
+        return False
 
 
 def run_starts(*sorted_keys: np.ndarray) -> np.ndarray:
