@@ -380,16 +380,20 @@ def minhash_lsh_dedup(
     corpus-wide materialize."""
     import ray
 
-    bands = ds.map_batches(
-        MinHashBander,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "num_bands": num_bands,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, _auto_conc(concurrency)),
-        num_cpus=1,
-    )
+    # text -> band rows FUSED into the exchange map tasks (map_fn):
+    # band rows never round-trip through the object store as their own
+    # stage, and no actor pool has to spin up for the banding pass. The
+    # materialized source doubles as the verify stage's input, so the
+    # corpus is read exactly once.
+    mat = ds.materialize()
+    _bander_holder: dict = {}
+
+    def band_map(block: pa.Table) -> pa.Table:
+        if "b" not in _bander_holder:
+            _bander_holder["b"] = MinHashBander(
+                num_perm=num_perm, num_bands=num_bands
+            )
+        return _bander_holder["b"](block)
 
     empty = rd.from_arrow(
         pa.table(
@@ -407,7 +411,7 @@ def minhash_lsh_dedup(
     # pandas UDF that dominated this stage (6.2 s -> ~0.3 s on 40k
     # band rows; singleton buckets cost one mask element, not a UDF
     # call).
-    pair_refs = hash_group_exchange(bands, "key", _band_pair_reduce)
+    pair_refs = hash_group_exchange(mat, "key", _band_pair_reduce, map_fn=band_map)
     cand_pdf = (
         pa.concat_tables(ray.get(pair_refs)).to_pandas()
         if pair_refs
@@ -426,7 +430,7 @@ def minhash_lsh_dedup(
     from .relational import broadcast_semi_join
 
     cand_sigs = minhash_signatures(
-        broadcast_semi_join(ds, need, "doc_id"), num_perm, concurrency=concurrency
+        broadcast_semi_join(mat, need, "doc_id"), num_perm, concurrency=concurrency
     ).to_pandas()
     ids_sorted = np.sort(cand_sigs["doc_id"].to_numpy().astype(np.int64))
     sig_mat = np.stack(
@@ -553,10 +557,14 @@ def simhash_dedup(
     ds: rd.Dataset, max_hamming: int = 3, concurrency: int | None = None
 ) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets, verify hamming distance
-    vs bucket representative. Returns (doc_id, dup_of)."""
-    sigs = simhash_signatures(ds, concurrency)
+    vs bucket representative. Returns (doc_id, dup_of). Signature +
+    band explode are fused into the exchange map tasks (``map_fn``)."""
+    _hasher_holder: dict = {}
 
     def explode(batch: pa.Table) -> pa.Table:
+        if "h" not in _hasher_holder:
+            _hasher_holder["h"] = SimHasher()
+        batch = _hasher_holder["h"](batch)
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         key, docs, hh = [], [], []
@@ -599,9 +607,7 @@ def simhash_dedup(
         )
 
     return (
-        hash_group_apply(
-            sigs.map_batches(explode, batch_format="pyarrow"), "bkey", bucket_dups
-        )
+        hash_group_apply(ds, "bkey", bucket_dups, map_fn=explode)
         .groupby("doc_id")
         .min("dup_of")
         .map_batches(
@@ -731,13 +737,16 @@ def jaccard_pairs(
     shingles are ubiquitous ones — which are far below any useful
     threshold anyway at 100 TB). Returns (id_a, id_b, jaccard).
     """
-    sh = docs.map_batches(
-        _ShingleExploder,
-        fn_constructor_kwargs={"id_col": id_col, "shingle_k": shingle_k},
-        batch_format="pyarrow",
-        concurrency=(1, _auto_conc(concurrency)),
-        num_cpus=1,
-    )
+    _exploder_holder: dict = {}
+
+    def shingle_map(block: pa.Table) -> pa.Table:
+        # fused into the exchange map tasks: the (shingle, id, size)
+        # rows never materialize as their own stage
+        if "e" not in _exploder_holder:
+            _exploder_holder["e"] = _ShingleExploder(
+                id_col=id_col, shingle_k=shingle_k
+            )
+        return _exploder_holder["e"](block)
 
     def pair_emit(t: pa.Table) -> pa.Table:
         # whole-shard reducer: triu pairs for every multi-occupant
@@ -793,7 +802,7 @@ def jaccard_pairs(
             }
         )
 
-    pairs = hash_group_apply(sh, "sh_key", pair_emit)
+    pairs = hash_group_apply(docs, "sh_key", pair_emit, map_fn=shingle_map)
     return hash_group_apply(pairs, "id_a", count_score)
 
 

@@ -70,7 +70,7 @@ def _task_fns():
         return _TASKS
 
     @ray.remote
-    def hp_map(key_col: str, n_red: int, *blocks):
+    def hp_map(key_col: str, n_red: int, map_fn, *blocks):
         # upstream pandas-block stages yield DataFrame blocks; the
         # exchange runs on Arrow
         blocks = [
@@ -79,6 +79,8 @@ def _task_fns():
             else pa.Table.from_pandas(b, preserve_index=False)
             for b in blocks
         ]
+        if map_fn is not None:
+            blocks = [map_fn(b) for b in blocks]
         live = [b for b in blocks if b.num_rows]
         if not live:
             empty = blocks[0].slice(0, 0)
@@ -107,12 +109,20 @@ def hash_group_exchange(
     key_col: str,
     reduce_fn: Callable[[pa.Table], pa.Table],
     n_red: int | None = None,
+    map_fn: Callable[[pa.Table], pa.Table] | None = None,
 ) -> list:
     """Run the exchange; return the reducers' output-table ObjectRefs.
 
     ``reduce_fn(table) -> table`` receives every row of each key
     assigned to that reducer (all rows of a key value together, keys
     in no particular order) and must handle the empty table.
+
+    ``map_fn(block) -> table``, when given, runs INSIDE each map task
+    before partitioning — fusing a per-block transform (e.g. text ->
+    LSH band rows) into the exchange so its output never round-trips
+    through the object store as a separate stage. ``key_col`` refers
+    to the map_fn OUTPUT. When sizing reducers automatically, the
+    input's bytes stand in for the map output's.
     """
     hp_map, hp_reduce = _task_fns()
     mat = ds.materialize()
@@ -134,7 +144,8 @@ def hash_group_exchange(
     n_map = max(4, 2 * ncpu)
     groups = [g for g in (refs[i::n_map] for i in range(n_map)) if g]
     shard_lists = [
-        hp_map.options(num_returns=n_red).remote(key_col, n_red, *g) for g in groups
+        hp_map.options(num_returns=n_red).remote(key_col, n_red, map_fn, *g)
+        for g in groups
     ]
     return [
         hp_reduce.remote(reduce_fn, *[sl[p] for sl in shard_lists])
@@ -147,11 +158,12 @@ def hash_group_apply(
     key_col: str,
     reduce_fn: Callable[[pa.Table], pa.Table],
     n_red: int | None = None,
+    map_fn: Callable[[pa.Table], pa.Table] | None = None,
 ) -> rd.Dataset:
     """Dataset-in, Dataset-out form of :func:`hash_group_exchange` —
     the drop-in replacement for ``groupby(key).map_groups(per_group)``
     with a whole-shard vectorized reducer."""
-    refs = hash_group_exchange(ds, key_col, reduce_fn, n_red)
+    refs = hash_group_exchange(ds, key_col, reduce_fn, n_red, map_fn)
     if not refs:
         return ds  # empty input: 0-row dataset passes through unchanged
     return rd.from_arrow_refs(refs)
