@@ -665,6 +665,35 @@ def q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_unigram_nll(sf_dir: str):
+    """CCNet-style LM-perplexity quality score: per-doc mean unigram
+    negative log-likelihood under a corpus-trained unigram model
+    (pisa_ray.pipelines.text.unigram_nll, self-scored)."""
+    from pisa_ray.pipelines.text import unigram_nll
+
+    return unigram_nll(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means clusters over embeddings + exact in-cluster
+    pairwise cosine (rows-only: the iterative k-means quantizer is not
+    SQL-expressible). The synthetic embeddings have no near-dups, so —
+    like the ``fingerprint`` entry's mangled twins — the input is
+    augmented with deterministic exact-duplicate vectors (vec_id +
+    100000) that the operator must flag against their originals."""
+    import ray.data as rd
+
+    from pisa_ray.pipelines.dedup import semantic_dedup
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    twins = emb.sort_values("vec_id").head(10).copy()
+    twins["vec_id"] = twins["vec_id"] + 100_000
+    both = rd.from_pandas(
+        pd.concat([emb, twins], ignore_index=True)
+    )
+    return semantic_dedup(both, n_clusters=8, threshold=0.999, seed=17)
+
+
 def q_repetition(sf_dir: str):
     from pisa_ray.pipelines.text import repetition_stats
 
@@ -1002,6 +1031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
+        "unigram_nll": q_unigram_nll,
+        "semantic_dedup": q_semantic_dedup,
         "repetition": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "lang_id": q_lang_id,
@@ -1554,5 +1585,19 @@ def oracle_sql() -> dict[str, str]:
                             / len({_TOK}), 4)
                    END AS avg_token_len
             FROM documents
+        """,
+        "unigram_nll": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT term, count(*)::DOUBLE AS tf FROM tok GROUP BY term
+            ),
+            tot AS (SELECT sum(tf) AS total FROM tf)
+            SELECT tok.doc_id,
+                   count(*) AS n_tokens,
+                   round(-avg(ln(tf.tf / (SELECT total FROM tot))), 6) AS nll
+            FROM tok JOIN tf USING (term)
+            GROUP BY tok.doc_id
         """,
     }

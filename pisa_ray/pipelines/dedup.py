@@ -869,6 +869,117 @@ def embedding_dedup(
     )
 
 
+def semantic_dedup(
+    emb: rd.Dataset,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    kmeans_iter: int = 10,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication: k-means clusters the
+    embedding space, then EXACT pairwise cosine within each cluster
+    flags near-duplicates (Abbas et al. 2023 shape — pairwise
+    similarity is only computed inside a cluster, never across the
+    corpus).
+
+    1. ``clustering.kmeans`` (distributed combiner partials) learns
+       centroids over the NORMALIZED vectors;
+    2. one ``map_batches`` assigns each vector to its centroid and the
+       corpus moves ONCE through the hash exchange keyed on cluster id;
+    3. the per-shard reducer runs one m x m matmul per cluster; every
+       pair (a < b) with cosine >= threshold marks b a duplicate of a;
+       a doc's ``dup_of`` is its smallest such partner.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    one cluster's vectors fit a worker — size ``n_clusters`` ~
+    corpus/worker_mem; at 100 TB shard giant clusters by a secondary
+    LSH key (the in-cluster check then misses only cross-shard pairs
+    of an already-oversized cluster). Unlike ``embedding_dedup``'s
+    rep-only check, this is all-pairs within the cluster. Returns
+    (id, dup_of, cosine) — cosine vs the kept partner, rounded 1e-6."""
+    from .clustering import kmeans
+    from .similarity import _as_matrix, _normalize
+
+    norm = emb.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                vec_col: pa.array(
+                    list(_normalize(_as_matrix(b[vec_col]))),
+                    type=pa.large_list(pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    C, _ = kmeans(
+        norm, n_clusters, n_iter=kmeans_iter, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    import ray
+
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        a = np.argmax(m @ cc.T, axis=1)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                id_col: batch[id_col],
+                "vec": pa.array(list(m), type=pa.large_list(pa.float64())),
+            }
+        )
+
+    def cluster_dups(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        out_id, out_dup, out_cos = [], [], []
+        for c in np.unique(cl):
+            sel = np.flatnonzero(cl == c)
+            if sel.size < 2:
+                continue
+            sel = sel[np.argsort(ids[sel], kind="stable")]
+            m = np.asarray(
+                [np.asarray(v) for v in t["vec"].take(pa.array(sel)).to_pylist()]
+            )
+            sims = m @ m.T
+            iu, ju = np.triu_indices(sel.size, 1)
+            hit = sims[iu, ju] >= threshold
+            if not hit.any():
+                continue
+            ai, bi = iu[hit], ju[hit]
+            # per b: smallest partner a (ids sorted => smallest index)
+            order = np.lexsort((ai, bi))
+            bi_s, ai_s = bi[order], ai[order]
+            first = run_starts(bi_s)
+            out_id.append(ids[sel][bi_s[first]])
+            out_dup.append(ids[sel][ai_s[first]])
+            out_cos.append(
+                np.round(sims[ai_s[first], bi_s[first]], 6)
+            )
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "dup_of": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "dup_of": pa.array(np.concatenate(out_dup)),
+                "cosine": pa.array(np.concatenate(out_cos), type=pa.float64()),
+            }
+        )
+
+    assigned = norm.map_batches(assign, batch_format="pyarrow")
+    return hash_group_apply(assigned, "cluster", cluster_dups)
+
+
 # --------------------------------------------------------------------------
 # benchmark decontamination (train/test overlap)
 # --------------------------------------------------------------------------

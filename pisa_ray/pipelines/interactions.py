@@ -17,6 +17,7 @@ from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -42,7 +43,40 @@ def clicked_sets(
             items = sorted(pd.unique(g[item_col]).tolist())
         return pd.DataFrame({user_col: [g[user_col].iloc[0]], "items": [items]})
 
-    return ds.groupby(user_col).map_groups(uniq, batch_format="pandas")
+    from ..shuffle import hash_group_apply, int_keyed, run_starts
+
+    if not int_keyed(ds, user_col):
+        return ds.groupby(user_col).map_groups(uniq, batch_format="pandas")
+
+    def uniq_shard(t: pa.Table) -> pa.Table:
+        # whole-shard reducer: one sort + drop_duplicates picks every
+        # user's first-occurrence (or sorted) distinct item rows, then
+        # the per-user lists are zero-copy ListArray offsets over an
+        # Arrow take (keeps the original item/user types exactly)
+        sort_by = (
+            [user_col, order_col] if order_col is not None else [user_col, item_col]
+        )
+        g = t.select(list(dict.fromkeys([user_col, item_col, *sort_by]))).to_pandas()
+        g["__i"] = np.arange(len(g), dtype=np.int64)
+        g = g.sort_values(sort_by, kind="mergesort")
+        g = g.drop_duplicates([user_col, item_col], keep="first")
+        kept = g["__i"].to_numpy()
+        users_np = g[user_col].to_numpy()
+        starts = run_starts(users_np)
+        first_idx = np.flatnonzero(starts)
+        offsets = np.append(first_idx, len(g)).astype(np.int64)
+        items = pa.LargeListArray.from_arrays(
+            pa.array(offsets),
+            t[item_col].take(pa.array(kept)).combine_chunks(),
+        )
+        return pa.table(
+            {
+                user_col: t[user_col].take(pa.array(kept[starts])),
+                "items": items,
+            }
+        )
+
+    return hash_group_apply(ds, user_col, uniq_shard)
 
 
 def topk_excluding(

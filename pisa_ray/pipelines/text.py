@@ -65,6 +65,111 @@ def token_stats(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def unigram_model(ds: rd.Dataset, text_col: str = "text") -> pa.Table:
+    """Corpus unigram LM: (term, logp) with p = tf / total over the
+    whole corpus — the model side of CCNet-style LM-perplexity quality
+    filtering.
+
+    Distributed shape: per-batch (term, tf) partials (pre-aggregated
+    inside ``map_batches``, so the shuffle moves vocab-sized rows, not
+    tokens) -> one ``groupby(term).sum`` -> collected ONCE (the model
+    is the declared driver-sized object: vocab ≪ corpus; at 100 TB cap
+    it to a top-V vocabulary + OOV bucket before broadcasting)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "term": vc.field("values").cast(pa.string()),
+                "tf": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("tf")
+        .to_pandas()
+    )
+    tf = counts["sum(tf)"].to_numpy().astype(np.float64)
+    total = tf.sum()
+    return pa.table(
+        {
+            "term": pa.array(counts["term"], type=pa.string()),
+            "logp": pa.array(np.log(tf / total)),
+        }
+    )
+
+
+def unigram_nll(
+    ds: rd.Dataset,
+    model: pa.Table | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-doc mean unigram negative log-likelihood — the LM-perplexity
+    quality score of CCNet/CC-pipeline filtering (low = stereotypical
+    text, high = rare-token soup; both tails get filtered).
+
+    ``model``: a ``unigram_model`` table; defaults to self-scoring
+    (model built on ``ds`` itself, so there are no OOV terms). The
+    model broadcasts once via ``ray.put``; scoring is one vectorized
+    pass per batch (dictionary-encode the batch's tokens, ONE
+    ``pc.index_in`` per batch vocabulary, gather + segmented sum).
+    Unseen terms (external model) score at the model's minimum logp.
+    Docs with zero tokens are omitted (mean undefined — matches the
+    SQL oracle's GROUP BY). Output: (id, n_tokens, nll) with nll
+    rounded to 6 decimals."""
+    import ray
+
+    if model is None:
+        model = unigram_model(ds, text_col)
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        terms = m["term"]
+        logp = m["logp"].to_numpy(zero_copy_only=False)
+        floor = float(logp.min()) if len(logp) else 0.0
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        n = len(batch)
+        denc = flat.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        pos = pc.index_in(denc.dictionary, value_set=terms)
+        pos_np = pos.to_numpy(zero_copy_only=False).astype(np.float64)
+        vocab_logp = np.where(
+            np.isnan(pos_np), floor, logp[np.nan_to_num(pos_np).astype(np.int64)]
+        )
+        n_tokens = np.zeros(n, dtype=np.int64)
+        nll_sum = np.zeros(n, dtype=np.float64)
+        if codes.size:
+            np.add.at(n_tokens, parents, 1)
+            np.add.at(nll_sum, parents, -vocab_logp[codes])
+        has = n_tokens > 0
+        nll = np.round(nll_sum[has] / n_tokens[has], 6)
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(has)),
+                "n_tokens": pa.array(n_tokens[has]),
+                "nll": pa.array(nll),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 class LangId:
     """Stopword-voting language identifier (actor-pool stage).
 

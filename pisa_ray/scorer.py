@@ -1137,15 +1137,57 @@ def query_index_sharded(
         )
     allhits = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
+    from .shuffle import hash_group_apply
 
-    return allhits.groupby("query_id").map_groups(merge, batch_format="pandas")
+    def merge(t: pa.Table) -> pa.Table:
+        return merge_shard_hits([t], k)
+
+    return hash_group_apply(allhits, "query_id", merge)
+
+
+def _empty_hits() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int32()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def merge_shard_hits(parts: list, k: int) -> pa.Table:
+    """Exact global top-k from per-shard top-k hit tables, vectorized
+    across every query at once (one lexsort + run scan).
+
+    Every doc lives in exactly one shard and BM25 stats (N, avgdl, df)
+    are global, so the global top-k is a subset of the union of
+    per-shard top-ks; ties break (score desc, doc_id asc) — the same
+    rule as the scorer's own k-cut, so results are deterministic at
+    any shard count. Shared by ``query_index_sharded``'s exchange
+    reducer and the persistent ``serve.ShardedBM25Service``."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return _empty_hits()
+    allhits = pa.concat_tables(parts).combine_chunks()
+    qid = allhits["query_id"].to_numpy(zero_copy_only=False)
+    doc = allhits["doc_id"].to_numpy(zero_copy_only=False)
+    score = allhits["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, -score, qid))
+    qs = qid[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(qs)) + 1))
+    counts = np.diff(np.concatenate((starts, [qs.size])))
+    idx_in_q = np.arange(qs.size, dtype=np.int64) - np.repeat(starts, counts)
+    keep = idx_in_q < k
+    kept = order[keep]
+    return pa.table(
+        {
+            "query_id": allhits["query_id"].take(pa.array(kept)),
+            "rank": pa.array((idx_in_q[keep] + 1).astype(np.int32)),
+            "doc_id": allhits["doc_id"].take(pa.array(kept)),
+            "score": allhits["score"].take(pa.array(kept)),
+        }
+    )
 
 
 # driver-side broadcast cache: one load + one plasma put per (index,

@@ -30,7 +30,13 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .scorer import BM25Scorer, _broadcast_reader, load_doc_filter
+from .scorer import (
+    BM25Scorer,
+    _broadcast_reader,
+    _empty_hits,
+    load_doc_filter,
+    merge_shard_hits,
+)
 
 
 class _ServeScorer(BM25Scorer):
@@ -135,48 +141,8 @@ class BM25Service:
         self.actors = []
 
 
-def _empty_hits() -> pa.Table:
-    return pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            "rank": pa.array([], type=pa.int32()),
-            "doc_id": pa.array([], type=pa.int64()),
-            "score": pa.array([], type=pa.float64()),
-        }
-    )
-
-
-def merge_shard_hits(parts: list[pa.Table], k: int) -> pa.Table:
-    """Exact global top-k from per-shard top-k hit tables, vectorized.
-
-    Every doc lives in exactly one shard and BM25 stats (N, avgdl, df)
-    are global, so the global top-k is a subset of the union of
-    per-shard top-ks; ties break (score desc, doc_id asc) — the same
-    rule as ``query_index_sharded``'s per-group merge and the scorer's
-    own k-cut, so results are deterministic at any shard count.
-    """
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
-        return _empty_hits()
-    allhits = pa.concat_tables(parts).combine_chunks()
-    qid = allhits["query_id"].to_numpy(zero_copy_only=False)
-    doc = allhits["doc_id"].to_numpy(zero_copy_only=False)
-    score = allhits["score"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc, -score, qid))
-    qs = qid[order]
-    starts = np.concatenate(([0], np.flatnonzero(np.diff(qs)) + 1))
-    counts = np.diff(np.concatenate((starts, [qs.size])))
-    idx_in_q = np.arange(qs.size, dtype=np.int64) - np.repeat(starts, counts)
-    keep = idx_in_q < k
-    kept = order[keep]
-    return pa.table(
-        {
-            "query_id": allhits["query_id"].take(pa.array(kept)),
-            "rank": pa.array((idx_in_q[keep] + 1).astype(np.int32)),
-            "doc_id": allhits["doc_id"].take(pa.array(kept)),
-            "score": allhits["score"].take(pa.array(kept)),
-        }
-    )
+# _empty_hits / merge_shard_hits live in scorer.py (shared with
+# query_index_sharded's exchange reducer) and are re-exported here.
 
 
 class ShardedBM25Service:

@@ -46,7 +46,8 @@ def test_clicked_sets_matches_pandas(interactions):
     want = interactions.groupby("user_id")["item_id"].unique().to_dict()
     assert len(got) == len(want)
     for _, row in got.iterrows():
-        assert row["items"] == want[row["user_id"]].tolist()
+        # Arrow list columns surface as np.ndarray in pandas; compare content
+        assert list(row["items"]) == want[row["user_id"]].tolist()
 
 
 def test_topk_excluding_matches_oracle(interactions):

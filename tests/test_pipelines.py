@@ -991,3 +991,78 @@ def test_phrase_search_vs_naive_oracle(tmp_path):
         got = out[out["query_id"] == qid]["doc_id"].tolist()
         assert got == naive(phrase), (qid, phrase)
     assert naive("merge join") == [0, 1, 3, 6]  # the fixture bites
+
+
+def test_unigram_nll_vs_pandas_oracle(docs):
+    from collections import Counter
+
+    from pisa_ray.pipelines.text import unigram_nll
+    from pisa_ray.tokenizer import tokenize_py
+
+    out = unigram_nll(docs).to_pandas().set_index("doc_id")
+    pdf = docs.to_pandas()
+    tf = Counter()
+    toks = {int(r.doc_id): tokenize_py(r.text) for r in pdf.itertuples()}
+    for ts in toks.values():
+        tf.update(ts)
+    total = sum(tf.values())
+    for did, ts in toks.items():
+        if not ts:
+            assert did not in out.index
+            continue
+        nll = -np.mean([np.log(tf[t] / total) for t in ts])
+        assert out.loc[did, "n_tokens"] == len(ts)
+        assert abs(out.loc[did, "nll"] - round(nll, 6)) <= 1e-6
+
+
+def test_unigram_nll_external_model_oov_floor():
+    from pisa_ray.pipelines.text import unigram_model, unigram_nll
+
+    train = rd.from_items(
+        [{"doc_id": 0, "text": "alpha beta beta"}, {"doc_id": 1, "text": "alpha"}]
+    )
+    model = unigram_model(train)
+    score = unigram_nll(
+        rd.from_items([{"doc_id": 7, "text": "zzz_unseen alpha"}]), model=model
+    ).to_pandas()
+    # alpha: ln(2/4); OOV floors at the model minimum ln(1/4)... beta has
+    # tf 2 too, min logp is alpha/beta at ln(2/4)? no: vocab tfs are
+    # alpha=2, beta=2 -> min logp = ln(0.5); OOV scores ln(0.5)
+    exp = -(np.log(2 / 4) + np.log(2 / 4)) / 2
+    assert abs(score["nll"][0] - round(exp, 6)) <= 1e-6
+
+
+def test_semantic_dedup_planted(emb):
+    from pisa_ray.pipelines.dedup import semantic_dedup
+
+    base = emb.to_pandas()
+    twins = base.head(4).copy()
+    twins["vec_id"] = twins["vec_id"] + 50_000  # identical vectors, later ids
+    ds = rd.from_pandas(pd.concat([base, twins], ignore_index=True))
+    out = semantic_dedup(ds, n_clusters=4, threshold=0.999).to_pandas()
+    planted = out[out["vec_id"] >= 50_000]
+    # every planted twin is flagged against its original
+    assert set(planted["vec_id"]) == set(twins["vec_id"])
+    got = dict(zip(planted["vec_id"], planted["dup_of"]))
+    for vid in twins["vec_id"]:
+        assert got[vid] == vid - 50_000
+    assert (planted["cosine"] >= 0.999).all()
+
+
+def test_semantic_dedup_parallelism_invariant(emb):
+    from pisa_ray.pipelines.dedup import semantic_dedup
+
+    base = emb.to_pandas()
+    twins = base.head(3).copy()
+    twins["vec_id"] = twins["vec_id"] + 50_000
+    both = pd.concat([base, twins], ignore_index=True)
+    outs = []
+    for nparts in (1, 7):
+        ds = rd.from_pandas(both).repartition(nparts)
+        outs.append(
+            semantic_dedup(ds, n_clusters=4, threshold=0.999)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
