@@ -65,7 +65,9 @@ def token_stats(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def unigram_model(ds: rd.Dataset, text_col: str = "text") -> pa.Table:
+def unigram_model(
+    ds: rd.Dataset, text_col: str = "text", top_v: int | None = None
+) -> pa.Table:
     """Corpus unigram LM: (term, logp) with p = tf / total over the
     whole corpus — the model side of CCNet-style LM-perplexity quality
     filtering.
@@ -73,8 +75,12 @@ def unigram_model(ds: rd.Dataset, text_col: str = "text") -> pa.Table:
     Distributed shape: per-batch (term, tf) partials (pre-aggregated
     inside ``map_batches``, so the shuffle moves vocab-sized rows, not
     tokens) -> one ``groupby(term).sum`` -> collected ONCE (the model
-    is the declared driver-sized object: vocab ≪ corpus; at 100 TB cap
-    it to a top-V vocabulary + OOV bucket before broadcasting)."""
+    is the declared driver-sized object). ``top_v`` is the 100-TB
+    knob: the vocabulary is cut to the V most frequent terms by a
+    DISTRIBUTED sort+limit before anything reaches the driver;
+    probabilities stay calibrated against the full-corpus token total
+    (computed pre-cut), and scoring floors unseen terms at the kept
+    vocabulary's minimum logp."""
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
@@ -90,14 +96,21 @@ def unigram_model(ds: rd.Dataset, text_col: str = "text") -> pa.Table:
             }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("tf")
-        .to_pandas()
+    counts_ds = ds.map_batches(partial, batch_format="pyarrow").groupby("term").sum(
+        "tf"
     )
+    if top_v is not None:
+        counts_ds = counts_ds.materialize()
+        total = float(counts_ds.sum("sum(tf)"))
+        counts = (
+            counts_ds.sort(["sum(tf)", "term"], descending=[True, False])
+            .limit(top_v)
+            .to_pandas()
+        )
+    else:
+        counts = counts_ds.to_pandas()
+        total = float(counts["sum(tf)"].sum())
     tf = counts["sum(tf)"].to_numpy().astype(np.float64)
-    total = tf.sum()
     return pa.table(
         {
             "term": pa.array(counts["term"], type=pa.string()),

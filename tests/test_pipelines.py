@@ -1066,3 +1066,24 @@ def test_semantic_dedup_parallelism_invariant(emb):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_unigram_model_top_v_cap():
+    from pisa_ray.pipelines.text import unigram_model, unigram_nll
+
+    train = rd.from_items(
+        [
+            {"doc_id": 0, "text": "aa aa aa bb bb cc"},  # tfs: aa=3 bb=2 cc=1
+        ]
+    )
+    m = unigram_model(train, top_v=2).to_pandas().set_index("term")
+    assert set(m.index) == {"aa", "bb"}
+    # probabilities stay calibrated against the FULL total (6 tokens)
+    assert abs(m.loc["aa", "logp"] - np.log(3 / 6)) < 1e-12
+    assert abs(m.loc["bb", "logp"] - np.log(2 / 6)) < 1e-12
+    # cc is now OOV -> floors at the kept vocab's min logp (bb's)
+    s = unigram_nll(
+        rd.from_items([{"doc_id": 1, "text": "cc"}]),
+        model=unigram_model(train, top_v=2),
+    ).to_pandas()
+    assert abs(s["nll"][0] - round(-np.log(2 / 6), 6)) <= 1e-6
