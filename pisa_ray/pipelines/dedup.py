@@ -553,9 +553,7 @@ def simhash_signatures(ds: rd.Dataset, concurrency: int | None = None) -> rd.Dat
     )
 
 
-def simhash_dedup(
-    ds: rd.Dataset, max_hamming: int = 3, concurrency: int | None = None
-) -> rd.Dataset:
+def simhash_dedup(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets, verify hamming distance
     vs bucket representative. Returns (doc_id, dup_of). Signature +
     band explode are fused into the exchange map tasks (``map_fn``)."""
@@ -716,7 +714,6 @@ def jaccard_pairs(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     max_df: int | None = None,
-    concurrency: int | None = None,
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard similarity join — no LSH, no candidate
     misses: every doc pair sharing at least one shingle is scored.
