@@ -79,8 +79,12 @@ def unigram_model(
     knob: the vocabulary is cut to the V most frequent terms by a
     DISTRIBUTED sort+limit before anything reaches the driver;
     probabilities stay calibrated against the full-corpus token total
-    (computed pre-cut), and scoring floors unseen terms at the kept
-    vocabulary's minimum logp."""
+    (computed pre-cut). The cut terms' probability mass is aggregated
+    into a calibrated OOV bucket — per-unseen-term logp
+    ``log((total - kept_mass) / n_cut_terms / total)`` — carried in
+    the table's schema metadata (``oov_logp``) and used by
+    ``unigram_nll``; an uncapped model has no metadata and unseen
+    terms floor at the kept vocabulary's minimum logp."""
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
@@ -99,24 +103,31 @@ def unigram_model(
     counts_ds = ds.map_batches(partial, batch_format="pyarrow").groupby("term").sum(
         "tf"
     )
+    meta = None
     if top_v is not None:
         counts_ds = counts_ds.materialize()
         total = float(counts_ds.sum("sum(tf)"))
+        n_terms = counts_ds.count()
         counts = (
             counts_ds.sort(["sum(tf)", "term"], descending=[True, False])
             .limit(top_v)
             .to_pandas()
         )
+        n_oov = n_terms - len(counts)
+        oov_mass = total - float(counts["sum(tf)"].sum())
+        if n_oov > 0 and oov_mass > 0:
+            meta = {"oov_logp": repr(float(np.log(oov_mass / n_oov / total)))}
     else:
         counts = counts_ds.to_pandas()
         total = float(counts["sum(tf)"].sum())
     tf = counts["sum(tf)"].to_numpy().astype(np.float64)
-    return pa.table(
+    tbl = pa.table(
         {
             "term": pa.array(counts["term"], type=pa.string()),
             "logp": pa.array(np.log(tf / total)),
         }
     )
+    return tbl.replace_schema_metadata(meta) if meta else tbl
 
 
 def unigram_nll(
@@ -134,7 +145,9 @@ def unigram_nll(
     model broadcasts once via ``ray.put``; scoring is one vectorized
     pass per batch (dictionary-encode the batch's tokens, ONE
     ``pc.index_in`` per batch vocabulary, gather + segmented sum).
-    Unseen terms (external model) score at the model's minimum logp.
+    Unseen terms (external model) score at the model's calibrated OOV
+    logp when present (``top_v``-capped models carry it in schema
+    metadata), else at the model's minimum logp.
     Docs with zero tokens are omitted (mean undefined — matches the
     SQL oracle's GROUP BY). Output: (id, n_tokens, nll) with nll
     rounded to 6 decimals."""
@@ -148,7 +161,11 @@ def unigram_nll(
         m = ray.get(ref)
         terms = m["term"]
         logp = m["logp"].to_numpy(zero_copy_only=False)
-        floor = float(logp.min()) if len(logp) else 0.0
+        md = m.schema.metadata or {}
+        if b"oov_logp" in md:
+            floor = float(md[b"oov_logp"])
+        else:
+            floor = float(logp.min()) if len(logp) else 0.0
         toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
         flat = pc.list_flatten(toks)
         parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)

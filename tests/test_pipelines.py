@@ -1081,9 +1081,17 @@ def test_unigram_model_top_v_cap():
     # probabilities stay calibrated against the FULL total (6 tokens)
     assert abs(m.loc["aa", "logp"] - np.log(3 / 6)) < 1e-12
     assert abs(m.loc["bb", "logp"] - np.log(2 / 6)) < 1e-12
-    # cc is now OOV -> floors at the kept vocab's min logp (bb's)
+    # cc is now OOV -> scores at the calibrated OOV bucket: the cut
+    # mass (1 token) spread over the 1 cut term = ln(1/6) — here
+    # exactly cc's true probability, not the kept-vocab floor ln(2/6)
     s = unigram_nll(
         rd.from_items([{"doc_id": 1, "text": "cc"}]),
         model=unigram_model(train, top_v=2),
     ).to_pandas()
-    assert abs(s["nll"][0] - round(-np.log(2 / 6), 6)) <= 1e-6
+    assert abs(s["nll"][0] - round(-np.log(1 / 6), 6)) <= 1e-6
+    # uncapped model keeps min-logp floor semantics for external OOV
+    s2 = unigram_nll(
+        rd.from_items([{"doc_id": 2, "text": "zz"}]),
+        model=unigram_model(train),
+    ).to_pandas()
+    assert abs(s2["nll"][0] - round(-np.log(1 / 6), 6)) <= 1e-6
