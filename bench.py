@@ -332,22 +332,14 @@ def scaling() -> None:
         vals = [int(x) for x in parts]
         return (vals[7] if len(vals) > 7 else 0, sum(vals))
 
-    def run(ncpu: int, reps: int) -> dict:
-        # best-of-N per leg: each leg is a fresh OS-process Ray session
+    def reduce_leg(reps: list) -> dict:
+        # best-of-N per leg: each rep is a fresh OS-process Ray session
         # on an otherwise-idle box, so min-of-repeats is the standard
         # low-noise estimator of true capacity (one background daemon
-        # waking up during a leg otherwise swings the ratio by 0.1+)
-        best = None
-        rep_secs, rep_steal = [], []
-        for _ in range(reps):
-            r = run_once(ncpu)
-            rep_secs.append(r["value"])
-            rep_steal.append(r["steal_pct"])
-            if best is None or r["value"] < best["value"]:
-                best = r
-            time.sleep(3)
-        best["rep_secs"] = rep_secs
-        best["rep_steal_pct"] = rep_steal
+        # waking up during a rep otherwise swings the ratio by 0.1+)
+        best = min(reps, key=lambda r: r["value"])
+        best["rep_secs"] = [r["value"] for r in reps]
+        best["rep_steal_pct"] = [r["steal_pct"] for r in reps]
         return best
 
     # N vs 4N CPU levels. Defaults 2→8: all 32 cores of this box share
@@ -369,9 +361,24 @@ def scaling() -> None:
     # hardest and a third sample is cheap insurance for the min
     reps_lo = int(os.environ.get("BENCH_LEG_REPS", "2"))
     reps_hi = int(os.environ.get("BENCH_LEG_REPS_HIGH", str(max(reps_lo, 3))))
-    r_lo = run(lo, reps_lo)
-    time.sleep(5)  # let the previous Ray session's processes fully exit
-    r_hi = run(hi, reps_hi)
+    # INTERLEAVE the legs (L H L H H with the defaults): the box's
+    # degraded windows last minutes to tens of minutes (see
+    # BENCH/BASELINE.md), so running all narrow reps then all wide
+    # reps lets one window hit exactly one leg and skew the ratio in
+    # either direction; alternating gives both legs' min-of-reps the
+    # same exposure to every window the run crosses.
+    order = []
+    for i in range(max(reps_lo, reps_hi)):
+        if i < reps_lo:
+            order.append(lo)
+        if i < reps_hi:
+            order.append(hi)
+    leg_reps: dict = {lo: [], hi: []}
+    for ncpu in order:
+        leg_reps[ncpu].append(run_once(ncpu))
+        time.sleep(3)  # let the previous Ray session's processes exit
+    r_lo = reduce_leg(leg_reps[lo])
+    r_hi = reduce_leg(leg_reps[hi])
     print(json.dumps({"low": r_lo, "high": r_hi}), file=sys.stderr)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     # taat + serve digests must agree across levels and paths (auto and
