@@ -789,6 +789,57 @@ def q_jaccard_pairs(sf_dir: str):
     return out.astype({"id_a": "int64", "id_b": "int64"})
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup pairs (exact n-gram Jaccard join over documents ∪ an
+    exact twin ∪ a suffix-mangled near twin) -> distributed connected
+    components (star contraction) -> one canonical id per transitive
+    duplicate cluster. DuckDB replays the pair join and closes it with
+    a recursive CTE."""
+    import pyarrow.compute as pc
+
+    from pisa_ray.pipelines.dedup import jaccard_pairs
+    from pisa_ray.pipelines.graph import connected_components
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def near(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], 1_000_000),
+                "text": pc.binary_join_element_wise(b["text"], "zz9 qq8 vv7", " "),
+            }
+        )
+
+    def exact(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.add(b["doc_id"], 2_000_000), "text": b["text"]}
+        )
+
+    aug = docs.union(
+        docs.map_batches(near, batch_format="pyarrow"),
+        docs.map_batches(exact, batch_format="pyarrow"),
+    )
+    pairs = jaccard_pairs(aug, threshold=0.5)
+    out = connected_components(pairs).to_pandas()
+    return (
+        out.rename(columns={"id": "doc_id", "comp_id": "canon_id"})
+        .astype({"doc_id": "int64", "canon_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_doc_chunks(sf_dir: str):
+    """Overlapping token-budget chunking (context-window prep):
+    max_tokens=64, overlap=16, chunk text = space-rejoined tokens.
+    DuckDB replays it with list slicing over the same tokenizer."""
+    from pisa_ray.pipelines.text import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), max_tokens=64, overlap=16
+    )
+
+
 def q_lsh_knn(sf_dir: str):
     from pisa_ray.pipelines.similarity import lsh_knn
 
@@ -1028,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region": q_nation_region,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
+        "doc_chunks": q_doc_chunks,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
@@ -1100,6 +1153,33 @@ def _lang_id_sql() -> str:
                     {' '.join(case_arms)} END AS pred_lang
         FROM documents d JOIN p USING (doc_id)
     """
+
+
+def _jaccard_ctes(src: str) -> str:
+    """CTE chain (no leading WITH) replaying the exact 3-gram Jaccard
+    similarity join over relation ``src`` (doc_id, text); final CTE
+    ``jac`` holds (id_a, id_b, jaccard>=0.5, rounded to 4dp)."""
+    return f"""toks AS (SELECT doc_id, {_TOK} AS t FROM {src}),
+            idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM toks),
+            sh AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM idx),
+            sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*)::BIGINT AS c
+                FROM sh a
+                JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            jac AS (
+                SELECT id_a, id_b,
+                       round(c::DOUBLE / (sa.s + sb.s - c), 4) AS jaccard
+                FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+                           JOIN sizes sb ON sb.doc_id = pairs.id_b
+                WHERE c::DOUBLE / (sa.s + sb.s - c) >= 0.5
+            )"""
 
 
 def _phrase_values() -> str:
@@ -1403,25 +1483,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "jaccard_pairs": f"""
-            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
-            idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-                    FROM toks),
-            sh AS (SELECT DISTINCT doc_id,
-                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-                   FROM idx),
-            sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
-            pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       count(*)::BIGINT AS c
-                FROM sh a
-                JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
+            WITH {_jaccard_ctes("documents")}
+            SELECT id_a, id_b, jaccard FROM jac
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE docs_aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' zz9 qq8 vv7' FROM documents
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents
+            ),
+            {_jaccard_ctes("docs_aug")},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM jac
+                UNION SELECT id_b, id_a FROM jac
+            ),
+            walk AS (
+                SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
             )
-            SELECT id_a, id_b,
-                   round(c::DOUBLE / (sa.s + sb.s - c), 4) AS jaccard
-            FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
-                       JOIN sizes sb ON sb.doc_id = pairs.id_b
-            WHERE c::DOUBLE / (sa.s + sb.s - c) >= 0.5
+            SELECT u AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY u
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+            n AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+            s AS (SELECT doc_id, tk, n,
+                         unnest(range(0, greatest(n - 16, 1), 48)) AS st
+                  FROM n)
+            SELECT doc_id,
+                   CAST(st // 48 AS BIGINT) AS chunk_id,
+                   CAST(least(64, n - st) AS BIGINT) AS n_tokens,
+                   array_to_string(tk[st+1:st+64], ' ') AS chunk_text
+            FROM s
         """,
         "quality_counts": f"""
             SELECT doc_id,

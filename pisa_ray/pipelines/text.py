@@ -620,3 +620,71 @@ def pii_redact(
         return pa.table({id_col: batch[id_col], "redacted": red})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    max_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Split documents into overlapping fixed-token-budget chunks —
+    the context-window prep stage of a training/RAG pipeline.
+
+    Chunk c of a doc with n tokens covers tokens
+    ``[c*stride, c*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; chunk starts are
+    ``range(0, max(n - overlap, 1), stride)``, so every doc (even an
+    empty one) yields at least one chunk, every token is covered, and
+    no chunk is a suffix of its predecessor. Chunk text is the tokens
+    re-joined with single spaces (tokenizer-normalized — original
+    whitespace/punctuation is not preserved; that is the standard
+    contract for token-budget chunking).
+
+    Fully vectorized per batch: one `tokenize_flat` byte scan, numpy
+    offset arithmetic for the chunk->token gather (overlap rows
+    duplicate only their overlapping token ids), one Arrow
+    ``binary_join`` to materialize chunk strings. Embarrassingly
+    parallel — no shuffle, chunk ids are doc-local, output order is
+    parallelism-invariant after a (doc_id, chunk_id) sort.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..tokenizer import tokenize_flat
+
+        flat, parents, n_docs = tokenize_flat(batch[text_col])
+        counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        n_chunks = (np.maximum(counts - overlap, 1) + stride - 1) // stride
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+        chunk_off = np.concatenate(([0], np.cumsum(n_chunks)))
+        chunk_idx = np.arange(doc_of.size, dtype=np.int64) - chunk_off[
+            :-1
+        ].repeat(n_chunks)
+        tok_start = chunk_idx * stride
+        chunk_len = np.minimum(max_tokens, counts[doc_of] - tok_start)
+        chunk_len = np.maximum(chunk_len, 0)  # empty docs: one 0-token chunk
+        doc_tok_off = np.concatenate(([0], np.cumsum(counts)))
+        abs_start = doc_tok_off[doc_of] + tok_start
+        out_off = np.concatenate(([0], np.cumsum(chunk_len)))
+        pos = np.arange(out_off[-1], dtype=np.int64)
+        idx = abs_start.repeat(chunk_len) + (pos - out_off[:-1].repeat(chunk_len))
+        toks = flat.take(pa.array(idx))
+        lists = pa.LargeListArray.from_arrays(pa.array(out_off), toks)
+        # the scalar separator must be large_string to match the
+        # large_list<large_string> kernel signature
+        text = pc.binary_join(lists, pa.scalar(" ", type=pa.large_string()))
+        ids = batch[id_col].combine_chunks().take(pa.array(doc_of))
+        return pa.table(
+            {
+                id_col: ids,
+                "chunk_id": pa.array(chunk_idx),
+                "n_tokens": pa.array(chunk_len),
+                "chunk_text": text,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Connected components (star contraction) and document chunking."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _uf_oracle(edges):
+    """Tiny union-find: id -> min reachable id. Self loops are skipped,
+    matching the operator contract (covers ids with >=1 proper edge)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _cc(edges, nblocks=1):
+    from pisa_ray.pipelines.graph import connected_components
+
+    df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    out = (
+        connected_components(rd.from_pandas(df).repartition(nblocks))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    return dict(zip(out["id"], out["comp_id"]))
+
+
+def test_cc_matches_union_find_on_random_graph():
+    rng = np.random.default_rng(11)
+    # several medium components + noise edges inside them
+    edges = []
+    for base in range(0, 1000, 100):
+        nodes = base + rng.permutation(60)[:40]
+        edges += [
+            (int(nodes[i]), int(nodes[rng.integers(0, i + 1)]))
+            for i in range(1, len(nodes))
+        ]
+    oracle = _uf_oracle(edges)
+    assert _cc(edges) == oracle
+
+
+def test_cc_parallelism_invariant_and_chain():
+    # worst-case diameter: one long path, plus a 2-cycle and a clique
+    edges = [(i, i + 1) for i in range(64)]
+    edges += [(200, 201), (201, 200)]
+    edges += [(a, b) for a in range(300, 305) for b in range(300, a)]
+    oracle = _uf_oracle(edges)
+    r1 = _cc(edges, nblocks=1)
+    r7 = _cc(edges, nblocks=7)
+    assert r1 == r7 == oracle
+    assert all(v == 0 for k, v in r1.items() if k <= 64)
+
+
+def test_cc_empty_and_self_loops():
+    from pisa_ray.pipelines.graph import connected_components
+
+    empty = rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": []}))
+    assert connected_components(empty).count() == 0
+    # self loops alone contribute no proper edges
+    assert _cc([(5, 5), (1, 2), (2, 2)]) == {1: 1, 2: 1}
+
+
+def _chunk_oracle(texts, ids, max_tokens, overlap):
+    import re
+
+    stride = max_tokens - overlap
+    rows = []
+    for did, t in zip(ids, texts):
+        toks = [w for w in re.split("[^a-z0-9_]+", t.lower()) if w]
+        n = len(toks)
+        for ci, st in enumerate(range(0, max(n - overlap, 1), stride)):
+            sel = toks[st : st + max_tokens]
+            rows.append((did, ci, len(sel), " ".join(sel)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "n_tokens", "chunk_text"]
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_chunk_documents_vs_python_oracle(nblocks):
+    from pisa_ray.pipelines.text import chunk_documents
+
+    texts = [
+        " ".join(f"w{i}" for i in range(37)),
+        "",
+        "one",
+        " ".join(f"t{i % 7}" for i in range(100)),
+        "Tabs\tand, punct; split!  ok",
+    ]
+    df = pd.DataFrame({"doc_id": [10, 11, 12, 13, 14], "text": texts})
+    got = (
+        chunk_documents(
+            rd.from_pandas(df).repartition(nblocks), max_tokens=16, overlap=4
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = _chunk_oracle(texts, df["doc_id"], 16, 4)
+    pd.testing.assert_frame_equal(
+        got.astype({"chunk_id": "int64", "n_tokens": "int64"}), want
+    )
+    # coverage invariants: first chunk starts at token 0, consecutive
+    # chunks overlap by exactly `overlap` tokens when full
+    full = got[got.n_tokens == 16]
+    assert (full.groupby("doc_id").size() >= 1).all()
+
+
+def test_chunk_documents_real_docs_cover_all_tokens():
+    from pisa_ray.pipelines.text import chunk_documents, token_stats
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    ch = chunk_documents(docs, max_tokens=64, overlap=16).to_pandas()
+    nt = token_stats(docs).to_pandas().set_index("doc_id")["n_tokens"]
+    stride = 48
+    for did, grp in ch.groupby("doc_id"):
+        n = int(nt[did])
+        k = len(grp)
+        # expected chunk count and last-chunk length
+        assert k == (max(n - 16, 1) + stride - 1) // stride
+        last = grp.sort_values("chunk_id").iloc[-1]
+        assert last["n_tokens"] == min(64, n - (k - 1) * stride)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)
