@@ -840,6 +840,17 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk training-sequence packing (budget=128) over
+    the documents token stream in doc_id order: one row per
+    document x sequence overlap with the doc-local token span. The
+    global offsets come from the distributed prefix-sum scan; DuckDB
+    replays them with a window sum."""
+    from pisa_ray.pipelines.text import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget=128)
+
+
 def q_lsh_knn(sf_dir: str):
     from pisa_ray.pipelines.similarity import lsh_knn
 
@@ -1081,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
@@ -1505,6 +1517,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
             )
             SELECT u AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY u
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, len({_TOK}) AS n FROM documents),
+            o AS (SELECT doc_id, n,
+                         CAST(coalesce(SUM(n) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS BIGINT) AS off
+                  FROM t),
+            s AS (SELECT doc_id, n, off,
+                         unnest(range(off // 128, (off + n - 1) // 128 + 1)) AS seq_id
+                  FROM o WHERE n > 0)
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(0, seq_id * 128 - off) AS BIGINT) AS tok_start,
+                   CAST(least(n, (seq_id + 1) * 128 - off) AS BIGINT) AS tok_end
+            FROM s
         """,
         "doc_chunks": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),

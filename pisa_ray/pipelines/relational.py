@@ -671,3 +671,77 @@ def sessionize(
             merge_shard, batch_format="pyarrow"
         )
     return hash_group_apply(parts, key_col, merge_shard)
+
+
+def _as_arrow(t) -> pa.Table:
+    # upstream pandas-block stages yield DataFrame blocks
+    return t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+
+
+@ray.remote
+def _block_scan_partial(order_col: str, value_col: str, t):
+    t = _as_arrow(t)
+    if t.num_rows == 0:
+        return (None, 0)
+    keys = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+    vals = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+    return (keys.min(), int(np.sum(vals, dtype=np.int64)))
+
+
+@ray.remote
+def _block_scan_apply(
+    order_col: str, value_col: str, out_col: str, offset: int, t
+) -> pa.Table:
+    t = _as_arrow(t)
+    if t.num_rows == 0:
+        return t.append_column(out_col, pa.array([], type=pa.int64()))
+    idx = pc.sort_indices(t, sort_keys=[(order_col, "ascending")])
+    t = t.take(idx)
+    vals = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+    off = np.empty(len(vals), dtype=np.int64)
+    off[0] = offset
+    np.cumsum(vals[:-1], out=off[1:][: len(vals) - 1])
+    off[1:] += offset
+    return t.append_column(out_col, pa.array(off))
+
+
+def prefix_sum(
+    ds: rd.Dataset,
+    order_col: str,
+    value_col: str,
+    out_col: str = "offset",
+) -> rd.Dataset:
+    """EXCLUSIVE prefix sum of ``value_col`` in ``order_col`` order —
+    the distributed scan primitive (global positions, sequence
+    packing offsets, cumulative quotas).
+
+    Two passes, no all-gather: a range-partitioning sort, then one
+    tiny (min_key, sum) scalar per block to the driver — O(#blocks),
+    never O(rows) — whose exclusive cumsum seeds per-block local
+    cumsums. ``order_col`` values must be unique (with duplicates the
+    intra-key order, and so the scan, would depend on block layout);
+    blocks are offset in min-key order, so the result is
+    parallelism-invariant.
+    """
+    mat = ds.sort(order_col).materialize()
+    refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return mat
+    parts = ray.get(
+        [_block_scan_partial.remote(order_col, value_col, r) for r in refs]
+    )
+    live = [(k, s, r) for (k, s), r in zip(parts, refs) if k is not None]
+    if not live:
+        return mat.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], type=pa.int64())),
+            batch_format="pyarrow",
+        )
+    live.sort(key=lambda x: x[0])
+    sums = np.array([s for _, s, _ in live], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(sums)))[:-1]
+    return rd.from_arrow_refs(
+        [
+            _block_scan_apply.remote(order_col, value_col, out_col, int(o), r)
+            for (_, _, r), o in zip(live, offs)
+        ]
+    )

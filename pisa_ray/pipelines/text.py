@@ -688,3 +688,65 @@ def chunk_documents(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Concat-and-chunk sequence packing (the GPT-style training-data
+    layout): documents are concatenated in ``id_col`` order into one
+    global token stream, which is cut into fixed-``budget`` training
+    sequences; emits one row per (document x sequence) overlap with
+    the document-local token span ``[tok_start, tok_end)`` that lands
+    in that sequence. Zero padding waste by construction.
+
+    The only coordination is the global token offset per doc —
+    ``relational.prefix_sum`` (distributed scan: O(#blocks) driver
+    state); counting and span explosion are embarrassingly parallel
+    vectorized passes. Deterministic for unique ids at any
+    parallelism.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def count(batch: pa.Table) -> pa.Table:
+        from ..tokenizer import tokenize_flat
+
+        _, parents, n = tokenize_flat(batch[text_col])
+        c = np.bincount(parents, minlength=n).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "n_tokens": pa.array(c)})
+
+    from .relational import prefix_sum
+
+    with_off = prefix_sum(
+        ds.map_batches(count, batch_format="pyarrow"), id_col, "n_tokens", "off"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = t["off"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks()
+        keep = n > 0  # empty docs occupy no stream positions
+        n, off, ids = n[keep], off[keep], ids.filter(pa.array(keep))
+        first = off // budget
+        spans = (off + n - 1) // budget - first + 1
+        doc_of = np.repeat(np.arange(n.size, dtype=np.int64), spans)
+        span_off = np.concatenate(([0], np.cumsum(spans)))
+        seq = first.repeat(spans) + (
+            np.arange(span_off[-1], dtype=np.int64) - span_off[:-1].repeat(spans)
+        )
+        tok_start = np.maximum(0, seq * budget - off[doc_of])
+        tok_end = np.minimum(n[doc_of], (seq + 1) * budget - off[doc_of])
+        return pa.table(
+            {
+                "seq_id": pa.array(seq),
+                id_col: ids.take(pa.array(doc_of)),
+                "tok_start": pa.array(tok_start),
+                "tok_end": pa.array(tok_end),
+            }
+        )
+
+    return with_off.map_batches(explode, batch_format="pyarrow")

@@ -140,3 +140,77 @@ def test_chunk_documents_real_docs_cover_all_tokens():
         assert last["n_tokens"] == min(64, n - (k - 1) * stride)
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_prefix_sum_matches_numpy(nblocks):
+    from pisa_ray.pipelines.relational import prefix_sum
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(500)
+    vals = rng.integers(0, 50, size=500)
+    df = pd.DataFrame({"k": ids, "v": vals})
+    out = (
+        prefix_sum(rd.from_pandas(df).repartition(nblocks), "k", "v", "off")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("k").reset_index(drop=True)
+    assert (out["k"] == want["k"]).all()
+    assert (
+        out["off"].to_numpy()
+        == np.concatenate(([0], np.cumsum(want["v"].to_numpy())))[:-1]
+    ).all()
+
+
+def _pack_oracle(texts, ids, budget):
+    import re
+
+    rows, off = [], 0
+    for did, t in sorted(zip(ids, texts)):
+        n = len([w for w in re.split("[^a-z0-9_]+", t.lower()) if w])
+        if n == 0:
+            continue
+        for seq in range(off // budget, (off + n - 1) // budget + 1):
+            rows.append(
+                (
+                    seq,
+                    did,
+                    max(0, seq * budget - off),
+                    min(n, (seq + 1) * budget - off),
+                )
+            )
+        off += n
+    return pd.DataFrame(rows, columns=["seq_id", "doc_id", "tok_start", "tok_end"])
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_pack_sequences_vs_python_oracle(nblocks):
+    from pisa_ray.pipelines.text import pack_sequences
+
+    texts = [
+        " ".join(f"w{i}" for i in range(23)),  # spans multiple 8-seqs
+        "",
+        "single",
+        " ".join(f"t{i}" for i in range(9)),
+        "a b c",
+    ]
+    df = pd.DataFrame({"doc_id": [5, 1, 9, 2, 7], "text": texts})
+    got = (
+        pack_sequences(
+            rd.from_pandas(df).repartition(nblocks), budget=8
+        )
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = _pack_oracle(texts, df["doc_id"], 8).sort_values(
+        ["seq_id", "doc_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # stream invariants: per-sequence token load == budget except the tail
+    load = got.groupby("seq_id").apply(
+        lambda g: (g.tok_end - g.tok_start).sum(), include_groups=False
+    )
+    assert (load.iloc[:-1] == 8).all() and load.iloc[-1] <= 8
