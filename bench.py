@@ -249,6 +249,9 @@ def main() -> None:
         timed("quality_counts_sec", E.q_quality_counts)
         timed("decontaminate_sec", E.q_decontaminate)
         timed("pii_redact_sec", E.q_pii_redact)
+        timed("dup_clusters_sec", E.q_dup_clusters)
+        timed("doc_chunks_sec", E.q_doc_chunks)
+        timed("pack_sequences_sec", E.q_pack_sequences)
         E._index_dir(sf_dir)  # warm the documents index (cached across
         # rounds) so phrase_search_sec times the query, not a build
         timed("phrase_search_sec", E.q_phrase_search)
