@@ -176,9 +176,13 @@ def connected_components(
         edges = hash_group_apply(edges, "u", _large_reduce, map_fn=_large_map)
         edges = hash_group_apply(edges, "u", _small_reduce, map_fn=_small_map)
         fp = _fingerprint(edges)
-        if fp == prev:
+        if fp == prev or fp[0] == 0:
             break
         prev = fp
+    if fp[0] == 0:  # no proper edges at all (e.g. self loops only)
+        return rd.from_arrow(
+            pa.table({"id": [], "comp_id": []}, schema=_LABEL_SCHEMA)
+        )
     # star edges (child -> root) + (root -> root) self-labels, one
     # exchange keyed on the node for a unique (id, comp_id) row each
     def label_map(t: pa.Table) -> pa.Table:

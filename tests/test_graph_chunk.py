@@ -76,6 +76,13 @@ def test_cc_empty_and_self_loops():
     assert connected_components(empty).count() == 0
     # self loops alone contribute no proper edges
     assert _cc([(5, 5), (1, 2), (2, 2)]) == {1: 1, 2: 1}
+    # an input of ONLY self loops converges to zero edges but must
+    # still emit the (id, comp_id) schema
+    only_self = connected_components(
+        rd.from_pandas(pd.DataFrame({"id_a": [3, 4], "id_b": [3, 4]}))
+    )
+    assert only_self.count() == 0
+    assert set(only_self.schema().names) == {"id", "comp_id"}
 
 
 def _chunk_oracle(texts, ids, max_tokens, overlap):
