@@ -867,6 +867,18 @@ def q_lsh_knn(sf_dir: str):
     return lsh_knn(emb, q, k=5, n_probes=4)
 
 
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct-user sketch over events (rows-only: the
+    splitmix/FNV register hash is not SQL-expressible). Registers
+    max-merge, so the estimate is bit-deterministic at any
+    parallelism; at 100 TB this replaces the all-to-all shuffle an
+    exact distinct costs with 4 KB of mergeable state."""
+    from pisa_ray.pipelines.sketch import hll_distinct
+
+    r = hll_distinct(_tbl(sf_dir, "events", ["user_id"]), "user_id")
+    return pd.DataFrame([{**r, "estimate": round(r["estimate"], 3)}])
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd's over the embeddings table (rows-only:
     iterative refinement is not SQL-expressible). Deterministic seeded
@@ -1115,6 +1127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "lsh_knn": q_lsh_knn,
         "kmeans_clusters": q_kmeans,
+        "distinct_hll": q_distinct_hll,
         "multimodal_decode": q_multimodal,
     }
 

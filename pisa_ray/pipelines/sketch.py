@@ -1,0 +1,128 @@
+"""Mergeable sketches: HyperLogLog distinct counting.
+
+At 100 TB an exact ``ds.unique()`` / ``count_distinct`` is an
+all-to-all shuffle of every distinct value; a cardinality estimate is
+usually what the pipeline actually needs (vocabulary growth, dedup-
+rate monitoring, per-source distinct users). HyperLogLog (Flajolet et
+al. 2007; public algorithm) gives ~1.04/sqrt(2^p) relative error from
+2^p one-byte registers.
+
+Distributed shape: one vectorized pass per block computes the block's
+register array (2^p bytes); blocks reduce by ELEMENTWISE MAX — an
+associative, commutative, idempotent merge, so the result is exactly
+deterministic at any parallelism/block layout (the estimate has
+sketch error, but the same bytes come out of every layout). The merge
+runs as (register, val) rows through ``groupby(register).max`` —
+O(#blocks * 2^p) small rows, never a value shuffle; the driver only
+ever holds one 2^p register array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# splitmix64 finalizer — the repo's standard 64-bit mixer
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash of any column: integers mix directly;
+    string/binary content goes through the repo's batch-vectorized
+    FNV-1a (``text.fnv1a_batch`` — one numpy op per byte position,
+    no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        h = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    else:
+        from .text import fnv1a_batch
+
+        s = col.cast(pa.large_binary())
+        offs = np.frombuffer(s.buffers()[1], dtype=np.int64)[
+            s.offset : s.offset + len(s) + 1
+        ]
+        data = (
+            np.frombuffer(s.buffers()[2], dtype=np.uint8)
+            if s.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        h = fnv1a_batch(data[offs[0] : offs[-1]], offs - offs[0])
+    return _mix(h)
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * _C1
+        h = (h ^ (h >> np.uint64(27))) * _C2
+        return h ^ (h >> np.uint64(31))
+
+
+def _block_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """2^p register maxima of (leading-zero rank of the low 64-p bits)."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining bits, left-aligned
+    # rank = position of the first 1 bit from the top, in 1..64-p+1;
+    # exact vectorized count-leading-zeros (6 shift/compare passes —
+    # float log2 would mis-round just below powers of two)
+    nbits = 64 - p
+    rank = np.full(h.size, nbits + 1, dtype=np.uint8)
+    nz = w != 0
+    ww = w[nz]
+    clz = np.zeros(ww.size, dtype=np.uint64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        small = ww < (np.uint64(1) << np.uint64(64 - sh))
+        clz[small] += np.uint64(sh)
+        with np.errstate(over="ignore"):
+            ww = np.where(small, ww << np.uint64(sh), ww)
+    rank[nz] = (clz + np.uint64(1)).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
+    """HyperLogLog estimate of ``count_distinct(col)``.
+
+    Returns ``{"estimate": float, "p": p, "registers_nonzero": int}``.
+    Relative standard error ~= 1.04 / sqrt(2^p) (p=12 -> ~1.6%).
+    Deterministic for a fixed input at any parallelism (max-merge).
+    """
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"reg": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+            )
+        regs = _block_registers(_hash64(t[col]), p)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"reg": nz.astype(np.int64), "val": regs[nz].astype(np.int64)}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("reg")
+        .max("val")
+        .to_pandas()
+    )
+    regs = np.zeros(m, dtype=np.float64)
+    regs[merged["reg"].to_numpy()] = merged["max(val)"].to_numpy()
+    # raw estimate + small-range (linear counting) correction
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if raw <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    else:
+        est = raw
+    return {
+        "estimate": float(est),
+        "p": p,
+        "registers_nonzero": int(m - zeros),
+    }

@@ -221,3 +221,29 @@ def test_pack_sequences_vs_python_oracle(nblocks):
         lambda g: (g.tok_end - g.tok_start).sum(), include_groups=False
     )
     assert (load.iloc[:-1] == 8).all() and load.iloc[-1] <= 8
+
+
+def test_hll_distinct_accuracy_and_invariance():
+    from pisa_ray.pipelines.sketch import hll_distinct
+
+    n = 100_000
+    df = pd.DataFrame({"v": np.arange(n, dtype=np.int64) % 40_000})
+    r1 = hll_distinct(rd.from_pandas(df), "v")
+    r8 = hll_distinct(rd.from_pandas(df).repartition(8), "v")
+    # registers max-merge -> bit-identical at any parallelism
+    assert r1 == r8
+    # p=12 -> rse ~1.6%; allow 3 sigma
+    assert abs(r1["estimate"] - 40_000) / 40_000 < 0.05
+
+
+def test_hll_distinct_strings_and_small_range():
+    from pisa_ray.pipelines.sketch import hll_distinct
+
+    vals = [f"user_{i % 900}" for i in range(30_000)]
+    df = pd.DataFrame({"v": vals})
+    r = hll_distinct(rd.from_pandas(df).repartition(5), "v")
+    # linear-counting regime: near-exact for 900 distinct at m=4096
+    assert abs(r["estimate"] - 900) / 900 < 0.05
+    # duplicates must not move the sketch at all
+    r2 = hll_distinct(rd.from_pandas(pd.DataFrame({"v": vals * 2})), "v")
+    assert r2["estimate"] == r["estimate"]
