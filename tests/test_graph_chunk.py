@@ -247,3 +247,32 @@ def test_hll_distinct_strings_and_small_range():
     # duplicates must not move the sketch at all
     r2 = hll_distinct(rd.from_pandas(pd.DataFrame({"v": vals * 2})), "v")
     assert r2["estimate"] == r["estimate"]
+
+
+def test_minhash_pairs_to_clusters_composition():
+    """The full near-dup pipeline: MinHash-LSH pair emission ->
+    connected components -> one canonical id per duplicate cluster."""
+    from pisa_ray.pipelines.dedup import minhash_lsh_dedup
+    from pisa_ray.pipelines.graph import connected_components
+
+    base = (
+        rd.read_parquet(f"{SF}/documents.parquet")
+        .to_pandas()[["doc_id", "text"]]
+        .head(50)
+    )
+    u = pd.concat(
+        [base, base.assign(doc_id=base.doc_id + 10_000),
+         base.assign(doc_id=base.doc_id + 20_000)]
+    )
+    pairs = minhash_lsh_dedup(rd.from_pandas(u), threshold=0.9)
+    labels = connected_components(
+        pairs, src_col="doc_id", dst_col="dup_of"
+    ).to_pandas()
+    lab = dict(zip(labels["id"], labels["comp_id"]))
+    for d in base["doc_id"]:
+        # each exact-twin triple lands in ONE cluster containing the
+        # base doc (the synthetic corpus also has genuine near-dups, so
+        # a cluster may span several base docs — its root is still some
+        # base id, never a twin id)
+        assert lab.get(d + 10_000) == lab.get(d + 20_000) == lab.get(d, d)
+        assert lab.get(d, d) < 10_000
