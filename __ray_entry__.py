@@ -840,6 +840,16 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_dup_spans(sf_dir: str):
+    """Cross-document duplicated-span stats (token 8-grams): per doc,
+    its 8-gram occurrence count and how many of those occurrences use
+    an 8-gram appearing in >= 2 documents — the exact-substring-dedup
+    signal. DuckDB replays it with an unnest + df join."""
+    from pisa_ray.pipelines.text import cross_doc_ngram_stats
+
+    return cross_doc_ngram_stats(_docs(sf_dir, ["doc_id", "text"]), n=8)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk training-sequence packing (budget=128) over
     the documents token stream in doc_id order: one row per
@@ -1105,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
+        "dup_spans": q_dup_spans,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
@@ -1530,6 +1541,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
             )
             SELECT u AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY u
+        """,
+        "dup_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+                  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+                        FROM toks)),
+            df AS (SELECT gram, count(DISTINCT doc_id) AS nd
+                   FROM g GROUP BY gram),
+            j AS (SELECT doc_id, CASE WHEN nd > 1 THEN 1 ELSE 0 END AS x
+                  FROM g JOIN df USING (gram))
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+                   sum(x)::BIGINT AS n_dup,
+                   round(sum(x)::DOUBLE / count(*), 4) AS dup_fraction
+            FROM j GROUP BY doc_id
         """,
         "pack_sequences": f"""
             WITH t AS (SELECT doc_id, len({_TOK}) AS n FROM documents),

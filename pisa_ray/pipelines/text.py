@@ -750,3 +750,151 @@ def pack_sequences(
         )
 
     return with_off.map_batches(explode, batch_format="pyarrow")
+
+
+def cross_doc_ngram_stats(
+    ds: rd.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-doc duplicated-span signal: of the doc's token n-gram
+    OCCURRENCES, how many use an n-gram that also appears in at least
+    one OTHER document (the cross-doc substring-dup metric of
+    exact-substring dedup pipelines; complements the intra-doc
+    `repetition_stats` and the vs-benchmark `decontaminate`).
+
+    Output: (id, n_grams, n_dup, dup_fraction) for docs with >= 1
+    n-gram (docs shorter than n tokens emit nothing, matching the SQL
+    oracle's GROUP BY).
+
+    Scale shape: gram hashing is vectorized (dictionary-encode the
+    batch's tokens, FNV each DISTINCT token once, polynomial window
+    combine — n numpy ops); the corpus crosses ONE exchange as
+    (gram_hash, doc_id) rows whose reducers pre-aggregate to
+    (doc, occurrences, cross-doc occurrences) partials; a second tiny
+    exchange sums partials per doc. 64-bit gram identity (collision
+    odds ~m^2/2^65, the repo's standing hash-identity contract).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from ..shuffle import _mix64, hash_group_apply, run_starts
+    from ..tokenizer import tokenize_flat
+
+    P = np.uint64(0x100000001B3)
+
+    def gram_map(batch: pa.Table) -> pa.Table:
+        flat, parents, _ = tokenize_flat(batch[text_col])
+        if isinstance(flat, pa.ChunkedArray):  # pragma: no cover
+            flat = flat.combine_chunks()
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = denc.dictionary.cast(pa.large_binary())
+        offs = np.frombuffer(d.buffers()[1], dtype=np.int64)[
+            d.offset : d.offset + len(d) + 1
+        ]
+        data = (
+            np.frombuffer(d.buffers()[2], dtype=np.uint8)
+            if d.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        tok_h = fnv1a_batch(data[offs[0] : offs[-1]], offs - offs[0])
+        th = tok_h[codes]
+        T = th.size
+        if T < n:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
+            )
+        W = T - n + 1
+        valid = parents[:W] == parents[n - 1 :]
+        acc = np.zeros(W, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                acc = acc * P + th[j : W + j]
+            acc = _mix64(acc)
+        ids = (
+            batch[id_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .take(pa.array(parents[:W][valid]))
+        )
+        return pa.table(
+            {"gram": pa.array(acc[valid].view(np.int64)), id_col: ids}
+        )
+
+    def gram_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        g = t["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        pair_start = run_starts(gs, ds_)
+        # occurrences per (gram, doc) run
+        pidx = np.flatnonzero(pair_start)
+        occ = np.diff(np.concatenate((pidx, [gs.size])))
+        pg, pd_ = gs[pidx], ds_[pidx]
+        # distinct docs per gram, broadcast to its (gram, doc) runs
+        gstart = run_starts(pg)
+        gidx = np.flatnonzero(gstart)
+        ndocs = np.diff(np.concatenate((gidx, [pg.size])))
+        cross = ndocs[np.cumsum(gstart) - 1] > 1
+        dup = np.where(cross, occ, 0)
+        # pre-aggregate per doc within the shard
+        dorder = np.argsort(pd_, kind="stable")
+        dd = pd_[dorder]
+        dstart = run_starts(dd)
+        didx = np.flatnonzero(dstart)
+        seg = np.concatenate((didx, [dd.size]))
+        occ_d = np.add.reduceat(occ[dorder], seg[:-1])
+        dup_d = np.add.reduceat(dup[dorder], seg[:-1])
+        return pa.table(
+            {
+                id_col: pa.array(dd[didx]),
+                "n_grams": pa.array(occ_d.astype(np.int64)),
+                "n_dup": pa.array(dup_d.astype(np.int64)),
+            }
+        )
+
+    def doc_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                    "dup_fraction": pa.array([], pa.float64()),
+                }
+            )
+        d = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        dd = d[order]
+        starts = run_starts(dd)
+        idx = np.flatnonzero(starts)
+        seg = np.concatenate((idx, [dd.size]))
+        ng = np.add.reduceat(
+            t["n_grams"].combine_chunks().to_numpy(zero_copy_only=False)[order],
+            seg[:-1],
+        )
+        nd = np.add.reduceat(
+            t["n_dup"].combine_chunks().to_numpy(zero_copy_only=False)[order],
+            seg[:-1],
+        )
+        frac = np.floor(nd / ng * 1e4 + 0.5) / 1e4  # half-up, 4dp (SQL round)
+        return pa.table(
+            {
+                id_col: pa.array(dd[idx]),
+                "n_grams": pa.array(ng.astype(np.int64)),
+                "n_dup": pa.array(nd.astype(np.int64)),
+                "dup_fraction": pa.array(frac),
+            }
+        )
+
+    partials = hash_group_apply(ds, "gram", gram_reduce, map_fn=gram_map)
+    return hash_group_apply(partials, id_col, doc_reduce)

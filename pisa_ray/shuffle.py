@@ -126,7 +126,16 @@ def hash_group_exchange(
     """
     hp_map, hp_reduce = _task_fns()
     mat = ds.materialize()
-    refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
+    # drop 0-row blocks here (metadata-only): a repartition wider than
+    # the row count yields COLUMN-LESS empty pandas blocks that would
+    # crash map_fn / the key lookup; reducers never need them (every
+    # reduce_fn builds its own schema for the empty case)
+    refs = [
+        r
+        for b in mat.iter_internal_ref_bundles()
+        for r, m in b.blocks
+        if m.num_rows is None or m.num_rows > 0
+    ]
     if not refs:
         return []
     ncpu = int(ray.cluster_resources().get("CPU", 8))

@@ -276,3 +276,48 @@ def test_minhash_pairs_to_clusters_composition():
         # base id, never a twin id)
         assert lab.get(d + 10_000) == lab.get(d + 20_000) == lab.get(d, d)
         assert lab.get(d, d) < 10_000
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_cross_doc_ngram_stats_vs_python_oracle(nblocks):
+    from pisa_ray.pipelines.text import cross_doc_ngram_stats
+
+    texts = [
+        "a b c d e f a b c d",          # shares 'a b c d' span with doc 2
+        "x a b c d e z z z",            # and repeats z (intra-doc only)
+        "q w e r t y u i o p",          # unique
+        "a b",                          # too short for n=4 -> no output
+        "z z z z z z",                  # intra-doc repeats + shares? no
+    ]
+    ids = [1, 2, 3, 4, 5]
+    nn = 4
+
+    def oracle():
+        grams = {}
+        per_doc = []
+        for did, t in zip(ids, texts):
+            toks = t.split()
+            gs = [tuple(toks[i : i + nn]) for i in range(len(toks) - nn + 1)]
+            per_doc.append((did, gs))
+            for g in set(gs):
+                grams.setdefault(g, set()).add(did)
+        rows = []
+        for did, gs in per_doc:
+            if not gs:
+                continue
+            ndup = sum(1 for g in gs if len(grams[g]) > 1)
+            rows.append(
+                (did, len(gs), ndup, np.floor(ndup / len(gs) * 1e4 + 0.5) / 1e4)
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_grams", "n_dup", "dup_fraction"]
+        )
+
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    got = (
+        cross_doc_ngram_stats(rd.from_pandas(df).repartition(nblocks), n=nn)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, oracle())
