@@ -252,6 +252,7 @@ def main() -> None:
         timed("dup_clusters_sec", E.q_dup_clusters)
         timed("doc_chunks_sec", E.q_doc_chunks)
         timed("pack_sequences_sec", E.q_pack_sequences)
+        timed("dup_spans_sec", E.q_dup_spans)
         E._index_dir(sf_dir)  # warm the documents index (cached across
         # rounds) so phrase_search_sec times the query, not a build
         timed("phrase_search_sec", E.q_phrase_search)
