@@ -682,10 +682,10 @@ def _as_arrow(t) -> pa.Table:
 def _block_scan_partial(order_col: str, value_col: str, t):
     t = _as_arrow(t)
     if t.num_rows == 0:
-        return (None, 0)
+        return (None, None, 0)
     keys = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
     vals = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-    return (keys.min(), int(np.sum(vals, dtype=np.int64)))
+    return (keys.min(), keys.max(), int(np.sum(vals, dtype=np.int64)))
 
 
 @ray.remote
@@ -730,18 +730,26 @@ def prefix_sum(
     parts = ray.get(
         [_block_scan_partial.remote(order_col, value_col, r) for r in refs]
     )
-    live = [(k, s, r) for (k, s), r in zip(parts, refs) if k is not None]
+    live = [(lo, hi, s, r) for (lo, hi, s), r in zip(parts, refs) if lo is not None]
     if not live:
         return mat.map_batches(
             lambda t: t.append_column(out_col, pa.array([], type=pa.int64())),
             batch_format="pyarrow",
         )
     live.sort(key=lambda x: x[0])
-    sums = np.array([s for _, s, _ in live], dtype=np.int64)
+    # the offsets are only valid if the sort produced disjoint block
+    # key ranges (Ray's range-partitioning contract) — check it with
+    # the O(#blocks) scalars we already hold rather than trusting it
+    for (_, hi_a, _, _), (lo_b, _, _, _) in zip(live, live[1:]):
+        if hi_a > lo_b:
+            raise AssertionError(
+                "prefix_sum: sorted blocks have overlapping key ranges"
+            )
+    sums = np.array([s for _, _, s, _ in live], dtype=np.int64)
     offs = np.concatenate(([0], np.cumsum(sums)))[:-1]
     return rd.from_arrow_refs(
         [
             _block_scan_apply.remote(order_col, value_col, out_col, int(o), r)
-            for (_, _, r), o in zip(live, offs)
+            for (_, _, _, r), o in zip(live, offs)
         ]
     )
