@@ -31,27 +31,42 @@ _C2 = np.uint64(0x94D049BB133111EB)
 
 def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic 64-bit hash of any column: integers mix directly;
-    string/binary content goes through the repo's batch-vectorized
-    FNV-1a (``text.fnv1a_batch`` — one numpy op per byte position,
-    no per-row Python)."""
+    string/binary content hashes in ONE vectorized pass — each byte is
+    mixed with its in-string position, then XOR-segmented per string
+    with ``np.bitwise_xor.reduceat`` (total work O(bytes), no
+    per-byte-POSITION interpreter loop like the strictly-sequential
+    FNV, which is ~60x slower on multi-KB documents). Position mixing
+    makes permuted/shifted contents hash differently; the final mix
+    folds in the length."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        h = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-    else:
-        from .text import fnv1a_batch
-
-        s = col.cast(pa.large_binary())
-        offs = np.frombuffer(s.buffers()[1], dtype=np.int64)[
-            s.offset : s.offset + len(s) + 1
-        ]
-        data = (
-            np.frombuffer(s.buffers()[2], dtype=np.uint8)
-            if s.buffers()[2] is not None
-            else np.empty(0, np.uint8)
+        return _mix(
+            col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         )
-        h = fnv1a_batch(data[offs[0] : offs[-1]], offs - offs[0])
-    return _mix(h)
+    s = col.cast(pa.large_binary())
+    n = len(s)
+    offs = np.frombuffer(s.buffers()[1], dtype=np.int64)[
+        s.offset : s.offset + n + 1
+    ]
+    lens = np.diff(offs).view(np.uint64)
+    h = np.full(n, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    starts = (offs[:-1] - offs[0]).astype(np.int64)
+    nz = np.flatnonzero(lens)
+    if nz.size:
+        data = np.frombuffer(s.buffers()[2], dtype=np.uint8)[
+            offs[0] : offs[-1]
+        ].astype(np.uint64)
+        reps = lens[nz].astype(np.int64)
+        pos = np.arange(data.size, dtype=np.uint64)
+        pos -= starts[nz].astype(np.uint64).repeat(reps)
+        with np.errstate(over="ignore"):
+            elem = _mix(data * _C1 ^ (pos + np.uint64(1)) * _C2)
+        # zero-length strings are excluded from the reduceat index
+        # list, so each segment spans exactly one nonzero string
+        h[nz] = np.bitwise_xor.reduceat(elem, starts[nz])
+    with np.errstate(over="ignore"):
+        return _mix(h ^ lens * _C1)
 
 
 def _mix(h: np.ndarray) -> np.ndarray:
@@ -105,14 +120,35 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
             {"reg": nz.astype(np.int64), "val": regs[nz].astype(np.int64)}
         )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("reg")
-        .max("val")
-        .to_pandas()
-    )
+    def reg_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"reg": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+            )
+        r = t["reg"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["val"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(r, kind="stable")
+        rs, vs = r[order], v[order]
+        starts = np.ones(rs.size, dtype=bool)
+        starts[1:] = rs[1:] != rs[:-1]
+        idx = np.flatnonzero(starts)
+        seg = np.concatenate((idx, [rs.size]))
+        return pa.table(
+            {
+                "reg": pa.array(rs[idx]),
+                "val": pa.array(np.maximum.reduceat(vs, seg[:-1])),
+            }
+        )
+
+    from ..shuffle import hash_group_apply
+
+    merged = hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "reg",
+        reg_reduce,
+    ).to_pandas()
     regs = np.zeros(m, dtype=np.float64)
-    regs[merged["reg"].to_numpy()] = merged["max(val)"].to_numpy()
+    regs[merged["reg"].to_numpy()] = merged["val"].to_numpy()
     # raw estimate + small-range (linear counting) correction
     alpha = 0.7213 / (1 + 1.079 / m)
     raw = alpha * m * m / np.sum(np.exp2(-regs))
