@@ -840,6 +840,15 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_dataset_split(sf_dir: str):
+    """Leakage-safe train/validation/test assignment keyed by doc_id
+    (group-coherent: rows sharing the key share the split). DuckDB
+    replays the integer Knuth hash and thresholds exactly."""
+    from pisa_ray.pipelines.relational import hash_split
+
+    return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
 def q_dup_spans(sf_dir: str):
     """Cross-document duplicated-span stats (token 8-grams): per doc,
     its 8-gram occurrence count and how many of those occurrences use
@@ -1116,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "dup_spans": q_dup_spans,
+        "dataset_split": q_dataset_split,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
@@ -1541,6 +1551,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
             )
             SELECT u AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY u
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN h < 3435973836 THEN 'train'
+                        WHEN h < 3865470566 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
+                  FROM documents)
         """,
         "dup_spans": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -753,3 +753,47 @@ def prefix_sum(
             for (_, _, _, r), o in zip(live, offs)
         ]
     )
+
+
+def hash_split(
+    ds: rd.Dataset,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("validation", 0.1),
+        ("test", 0.1),
+    ),
+    seed: int = 0,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Leakage-safe deterministic dataset split: the split label is a
+    pure function of ``key_col``, so every row sharing a key (a
+    duplicate cluster's canon_id, a repo, a user) lands in the SAME
+    split — near-dups never straddle train/test. Embarrassingly
+    parallel, reproducible at any parallelism, and SQL-replayable:
+    the same Knuth multiplicative hash as ``stratified_sample``
+    (``((key + seed) % 2^31) * 2654435761 % 2^32``) compared against
+    integer thresholds ``floor(cum_weight * 2^32)`` — exact integer
+    comparisons, no float boundary drift between engines."""
+    total = sum(w for _, w in weights)
+    cum, acc = [], 0.0
+    for _, w in weights:
+        acc += w / total
+        cum.append(acc)
+    thresholds = np.array(
+        [int(np.floor(c * 2**32)) for c in cum[:-1]], dtype=np.uint64
+    )
+    names = [n for n, _ in weights]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (
+            (v.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**31)
+        ) * np.uint64(2654435761) % np.uint64(2**32)
+        lab = np.searchsorted(thresholds, h, side="right")
+        dic = pa.DictionaryArray.from_arrays(
+            pa.array(lab.astype(np.int32)), pa.array(names)
+        )
+        return batch.append_column(out_col, dic.cast(pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

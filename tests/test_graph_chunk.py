@@ -321,3 +321,29 @@ def test_cross_doc_ngram_stats_vs_python_oracle(nblocks):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, oracle())
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_hash_split_coherent_deterministic(nblocks):
+    from pisa_ray.pipelines.relational import hash_split
+
+    # rows share keys -> every key's rows get ONE split label
+    df = pd.DataFrame(
+        {"k": np.arange(20_000, dtype=np.int64) % 2_000, "x": np.arange(20_000)}
+    )
+    out = hash_split(
+        rd.from_pandas(df).repartition(nblocks), "k"
+    ).to_pandas()
+    per_key = out.groupby("k")["split"].nunique()
+    assert (per_key == 1).all()
+    frac = out.drop_duplicates("k")["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["validation"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # python replica of the documented hash -> exact agreement
+    h = (df["k"].to_numpy().astype(np.uint64) % np.uint64(2**31)) * np.uint64(
+        2654435761
+    ) % np.uint64(2**32)
+    t1, t2 = int(0.8 * 2**32), int(0.9 * 2**32)
+    want = np.where(h < t1, "train", np.where(h < t2, "validation", "test"))
+    assert (out.sort_values("x")["split"].to_numpy() == want).all()
