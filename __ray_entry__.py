@@ -849,6 +849,21 @@ def q_dataset_split(sf_dir: str):
     return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
 
 
+def q_source_mix(sf_dir: str):
+    """Training-mixture rate sampling over the documents sources
+    (keep src0 fully, src1 at 0.5, src2 at 0.2, everything else at
+    0.1). DuckDB replays the integer hash + per-source thresholds."""
+    from pisa_ray.pipelines.relational import rate_sample
+
+    return rate_sample(
+        _docs(sf_dir, ["doc_id", "source"]),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.2},
+        key_col="source",
+        id_col="doc_id",
+        default_rate=0.1,
+    )
+
+
 def q_dup_spans(sf_dir: str):
     """Cross-document duplicated-span stats (token 8-grams): per doc,
     its 8-gram occurrence count and how many of those occurrences use
@@ -1126,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "dup_spans": q_dup_spans,
         "dataset_split": q_dataset_split,
+        "source_mix": q_source_mix,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
@@ -1551,6 +1567,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
             )
             SELECT u AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY u
+        """,
+        "source_mix": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       (doc_id % 2147483648) * 2654435761 % 4294967296 AS h,
+                       CASE source WHEN 'src0' THEN 4294967296
+                                   WHEN 'src1' THEN 2147483648
+                                   WHEN 'src2' THEN 858993459
+                                   ELSE 429496729 END AS t
+                FROM documents)
+            WHERE h < t
         """,
         "dataset_split": """
             SELECT doc_id,

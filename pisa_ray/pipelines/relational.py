@@ -797,3 +797,39 @@ def hash_split(
         return batch.append_column(out_col, dic.cast(pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rate_sample(
+    ds: rd.Dataset,
+    rates: dict,
+    key_col: str,
+    id_col: str,
+    default_rate: float = 1.0,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Per-group Bernoulli rate sampling — the source-mixing stage of
+    a training-data pipeline (keep rows of source s at rate r_s, e.g.
+    up-weight books, down-weight crawl). Keeps a row iff
+    ``knuth_hash(id + seed) < floor(r * 2^32)``: a pure per-row
+    function of (id, its group's rate), so the kept subset is
+    deterministic at any parallelism, refreshes coherently when the
+    seed changes, and is exactly SQL-replayable (same integer hash as
+    ``hash_split`` / ``stratified_sample``)."""
+    names = list(rates)
+    thresholds = np.array(
+        [int(np.floor(float(rates[n]) * 2**32)) for n in names]
+        + [int(np.floor(default_rate * 2**32))],
+        dtype=np.uint64,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (
+            (v.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**31)
+        ) * np.uint64(2654435761) % np.uint64(2**32)
+        pos = pc.index_in(batch[key_col], value_set=pa.array(names))
+        idx = pos.to_numpy(zero_copy_only=False)
+        idx = np.where(np.isnan(idx), len(names), idx).astype(np.int64)
+        return batch.filter(pa.array(h < thresholds[idx]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -347,3 +347,37 @@ def test_hash_split_coherent_deterministic(nblocks):
     t1, t2 = int(0.8 * 2**32), int(0.9 * 2**32)
     want = np.where(h < t1, "train", np.where(h < t2, "validation", "test"))
     assert (out.sort_values("x")["split"].to_numpy() == want).all()
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_rate_sample_matches_hash_replica(nblocks):
+    from pisa_ray.pipelines.relational import rate_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(9_000, dtype=np.int64),
+            "src": np.repeat(["a", "b", "c"], 3_000),
+        }
+    )
+    out = (
+        rate_sample(
+            rd.from_pandas(df).repartition(nblocks),
+            {"a": 1.0, "b": 0.25},
+            key_col="src",
+            id_col="doc_id",
+            default_rate=0.0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    h = (df["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)) * np.uint64(
+        2654435761
+    ) % np.uint64(2**32)
+    rate = df["src"].map({"a": 1.0, "b": 0.25, "c": 0.0}).to_numpy()
+    want = df[h < np.floor(rate * 2**32).astype(np.uint64)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+    kept = out.groupby("src").size()
+    assert kept.get("a", 0) == 3_000                  # rate 1.0 keeps all
+    assert "c" not in kept                            # default 0 drops all
+    assert abs(kept.get("b", 0) / 3_000 - 0.25) < 0.05
