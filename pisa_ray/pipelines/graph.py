@@ -171,14 +171,24 @@ def connected_components(
         return rd.from_arrow(
             pa.table({"id": [], "comp_id": []}, schema=_LABEL_SCHEMA)
         )
-    prev = None
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    prev, converged = None, False
     for _ in range(max_iter):
         edges = hash_group_apply(edges, "u", _large_reduce, map_fn=_large_map)
         edges = hash_group_apply(edges, "u", _small_reduce, map_fn=_small_map)
         fp = _fingerprint(edges)
         if fp == prev or fp[0] == 0:
+            converged = True
             break
         prev = fp
+    if not converged:
+        # star contraction halves tree heights per round; hitting the
+        # rail means the input is pathological — fail loudly rather
+        # than emit labels from a non-converged edge set
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     if fp[0] == 0:  # no proper edges at all (e.g. self loops only)
         return rd.from_arrow(
             pa.table({"id": [], "comp_id": []}, schema=_LABEL_SCHEMA)

@@ -493,6 +493,17 @@ def hopping_window_agg(
     )
 
 
+def _knuth_hash(v: np.ndarray, seed: int) -> np.ndarray:
+    """The module's ONE SQL-replayable row hash —
+    ``((v + seed) % 2^31) * 2654435761 % 2^32`` — shared by
+    ``stratified_sample`` / ``hash_split`` / ``rate_sample`` and
+    replayed verbatim by their DuckDB oracles; kept inside BIGINT
+    range so any SQL engine reproduces it with plain arithmetic."""
+    return (
+        (v.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**31)
+    ) * np.uint64(2654435761) % np.uint64(2**32)
+
+
 def stratified_sample(
     ds: rd.Dataset,
     key_col: str,
@@ -516,10 +527,9 @@ def stratified_sample(
 
     def add_h(batch: pa.Table) -> pa.Table:
         v = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = ((v.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**31)) * np.uint64(
-            2654435761
-        ) % np.uint64(2**32)
-        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+        return batch.append_column(
+            "__h", pa.array(_knuth_hash(v, seed).astype(np.int64))
+        )
 
     def cut(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) > n_per_key:
@@ -735,15 +745,20 @@ def prefix_sum(
         return mat.map_batches(
             lambda t: t.append_column(out_col, pa.array([], type=pa.int64())),
             batch_format="pyarrow",
+            batch_size=None,
         )
     live.sort(key=lambda x: x[0])
     # the offsets are only valid if the sort produced disjoint block
     # key ranges (Ray's range-partitioning contract) — check it with
     # the O(#blocks) scalars we already hold rather than trusting it
     for (_, hi_a, _, _), (lo_b, _, _, _) in zip(live, live[1:]):
-        if hi_a > lo_b:
+        # equal boundary keys mean a duplicated order key straddles two
+        # blocks — the scan would be layout-dependent, which is exactly
+        # the contract violation this guard exists to catch
+        if hi_a >= lo_b:
             raise AssertionError(
-                "prefix_sum: sorted blocks have overlapping key ranges"
+                "prefix_sum: sorted blocks have overlapping or "
+                "boundary-duplicated key ranges (order_col must be unique)"
             )
     sums = np.array([s for _, _, s, _ in live], dtype=np.int64)
     offs = np.concatenate(([0], np.cumsum(sums)))[:-1]
@@ -785,16 +800,14 @@ def hash_split(
     )
     names = [n for n, _ in weights]
 
+    name_arr = np.asarray(names, dtype=object)
+
     def fn(batch: pa.Table) -> pa.Table:
         v = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (
-            (v.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**31)
-        ) * np.uint64(2654435761) % np.uint64(2**32)
-        lab = np.searchsorted(thresholds, h, side="right")
-        dic = pa.DictionaryArray.from_arrays(
-            pa.array(lab.astype(np.int32)), pa.array(names)
+        lab = np.searchsorted(thresholds, _knuth_hash(v, seed), side="right")
+        return batch.append_column(
+            out_col, pa.array(name_arr[lab], type=pa.string())
         )
-        return batch.append_column(out_col, dic.cast(pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -824,9 +837,7 @@ def rate_sample(
 
     def fn(batch: pa.Table) -> pa.Table:
         v = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (
-            (v.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**31)
-        ) * np.uint64(2654435761) % np.uint64(2**32)
+        h = _knuth_hash(v, seed)
         pos = pc.index_in(batch[key_col], value_set=pa.array(names))
         idx = pos.to_numpy(zero_copy_only=False)
         idx = np.where(np.isnan(idx), len(names), idx).astype(np.int64)

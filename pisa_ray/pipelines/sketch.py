@@ -125,13 +125,13 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
             return pa.table(
                 {"reg": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
             )
+        from ..shuffle import run_starts
+
         r = t["reg"].combine_chunks().to_numpy(zero_copy_only=False)
         v = t["val"].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.argsort(r, kind="stable")
         rs, vs = r[order], v[order]
-        starts = np.ones(rs.size, dtype=bool)
-        starts[1:] = rs[1:] != rs[:-1]
-        idx = np.flatnonzero(starts)
+        idx = np.flatnonzero(run_starts(rs))
         seg = np.concatenate((idx, [rs.size]))
         return pa.table(
             {

@@ -79,6 +79,14 @@ def _task_fns():
             else pa.Table.from_pandas(b, preserve_index=False)
             for b in blocks
         ]
+        # a repartition wider than the row count yields COLUMN-LESS
+        # empty blocks (no schema): they carry nothing and would crash
+        # map_fn / the key lookup — drop them here. If nothing remains,
+        # emit 0-column shards; hp_reduce filters those and reduce_fn's
+        # empty-table branch supplies the output schema.
+        blocks = [b for b in blocks if b.num_columns]
+        if not blocks:
+            return tuple(pa.table({}) for _ in range(n_red))
         if map_fn is not None:
             blocks = [map_fn(b) for b in blocks]
         live = [b for b in blocks if b.num_rows]
@@ -97,7 +105,10 @@ def _task_fns():
 
     @ray.remote
     def hp_reduce(reduce_fn, *shards: pa.Table) -> pa.Table:
-        t = pa.concat_tables(list(shards)).combine_chunks()
+        live = [s for s in shards if s.num_columns]
+        t = (
+            pa.concat_tables(live).combine_chunks() if live else pa.table({})
+        )
         return reduce_fn(t)
 
     _TASKS = (hp_map, hp_reduce)
@@ -126,16 +137,19 @@ def hash_group_exchange(
     """
     hp_map, hp_reduce = _task_fns()
     mat = ds.materialize()
-    # drop 0-row blocks here (metadata-only): a repartition wider than
-    # the row count yields COLUMN-LESS empty pandas blocks that would
-    # crash map_fn / the key lookup; reducers never need them (every
-    # reduce_fn builds its own schema for the empty case)
-    refs = [
-        r
-        for b in mat.iter_internal_ref_bundles()
-        for r, m in b.blocks
-        if m.num_rows is None or m.num_rows > 0
-    ]
+    # drop 0-row blocks (metadata-only check) while rows exist
+    # elsewhere — they carry nothing. When EVERY block is empty, keep
+    # them: an empty-but-schema'd input must still flow through
+    # map_fn/reduce_fn so the output dataset gets the REDUCER's
+    # schema, not the input's (hp_map/hp_reduce drop the column-less
+    # degenerates a too-wide repartition creates).
+    all_refs, refs = [], []
+    for b in mat.iter_internal_ref_bundles():
+        for r, m in b.blocks:
+            all_refs.append(r)
+            if m.num_rows is None or m.num_rows > 0:
+                refs.append(r)
+    refs = refs or all_refs
     if not refs:
         return []
     ncpu = int(ray.cluster_resources().get("CPU", 8))

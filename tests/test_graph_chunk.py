@@ -381,3 +381,40 @@ def test_rate_sample_matches_hash_replica(nblocks):
     assert kept.get("a", 0) == 3_000                  # rate 1.0 keeps all
     assert "c" not in kept                            # default 0 drops all
     assert abs(kept.get("b", 0) / 3_000 - 0.25) < 0.05
+
+
+def test_exchange_preserves_reducer_schema_on_empty_input():
+    """An empty-but-schema'd input must come out of the exchange with
+    the REDUCER's schema (review finding: the 0-row-block drop made it
+    pass the INPUT through unchanged)."""
+    from pisa_ray.pipelines.dedup import jaccard_pairs
+    from pisa_ray.pipelines.text import cross_doc_ngram_stats
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                         "text": pd.array([], dtype="string")}))
+    jp = jaccard_pairs(empty, threshold=0.5)
+    assert jp.count() == 0
+    assert set(jp.schema().names) >= {"id_a", "id_b", "jaccard"}
+    xs = cross_doc_ngram_stats(empty, n=4)
+    assert xs.count() == 0
+    assert set(xs.schema().names) == {"doc_id", "n_grams", "n_dup", "dup_fraction"}
+    # too-wide repartition (column-less degenerate blocks) still works
+    short = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b"]})
+    out = cross_doc_ngram_stats(rd.from_pandas(short).repartition(8), n=2)
+    assert out.count() == 2
+
+
+def test_cc_nonconvergence_and_bad_max_iter_raise():
+    from pisa_ray.pipelines.graph import connected_components
+
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": [1, 2, 3], "id_b": [2, 3, 4]}))
+    with pytest.raises(ValueError):
+        connected_components(pairs, max_iter=0)
+    with pytest.raises(RuntimeError):
+        # a 4-chain cannot reach the star fixpoint in one round
+        connected_components(
+            rd.from_pandas(
+                pd.DataFrame({"id_a": range(0, 40), "id_b": range(1, 41)})
+            ),
+            max_iter=1,
+        )
