@@ -504,6 +504,30 @@ def _knuth_hash(v: np.ndarray, seed: int) -> np.ndarray:
     ) * np.uint64(2654435761) % np.uint64(2**32)
 
 
+def _hash_key_values(batch: pa.Table, col: str) -> np.ndarray:
+    """Validated int64 key extraction for the _knuth_hash-based ops.
+
+    Nulls would surface as float64 NaN from ``to_numpy`` and NaN →
+    uint64 is undefined (a null-keyed row would get an arbitrary,
+    platform-dependent split/keep decision); negative keys wrap
+    differently under numpy uint64 than under the SQL oracles' signed
+    modulo. Both silently violate the documented deterministic
+    SQL-replayable contract, so reject them loudly up front."""
+    c = batch[col]
+    if c.null_count:
+        raise ValueError(
+            f"{col!r} contains {c.null_count} null(s); deterministic "
+            "hash sampling/splitting requires non-null integer keys"
+        )
+    v = c.cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    if v.size and v.min() < 0:
+        raise ValueError(
+            f"{col!r} contains negative values; the SQL-replayable "
+            "Knuth hash is defined for non-negative keys only"
+        )
+    return v
+
+
 def stratified_sample(
     ds: rd.Dataset,
     key_col: str,
@@ -526,7 +550,7 @@ def stratified_sample(
     quality (ties broken by id)."""
 
     def add_h(batch: pa.Table) -> pa.Table:
-        v = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = _hash_key_values(batch, id_col)
         return batch.append_column(
             "__h", pa.array(_knuth_hash(v, seed).astype(np.int64))
         )
@@ -692,10 +716,15 @@ def _as_arrow(t) -> pa.Table:
 def _block_scan_partial(order_col: str, value_col: str, t):
     t = _as_arrow(t)
     if t.num_rows == 0:
-        return (None, None, 0)
+        return (None, None, 0, False)
     keys = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
     vals = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-    return (keys.min(), keys.max(), int(np.sum(vals, dtype=np.int64)))
+    # duplicate order keys INSIDE a block would make the scan
+    # layout-dependent just like boundary duplicates — detect them here
+    # (blocks arrive sorted from ds.sort, but sort defensively)
+    sk = np.sort(keys)
+    has_dup = bool(np.any(sk[1:] == sk[:-1])) if keys.size > 1 else False
+    return (keys.min(), keys.max(), int(np.sum(vals, dtype=np.int64)), has_dup)
 
 
 @ray.remote
@@ -733,20 +762,36 @@ def prefix_sum(
     blocks are offset in min-key order, so the result is
     parallelism-invariant.
     """
+    in_schema = ds.schema()
     mat = ds.sort(order_col).materialize()
     refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
+
+    def _empty_with_out_col() -> rd.Dataset:
+        # empty input: emit an empty dataset that still carries the
+        # documented (…, out_col) schema rather than a column-less one
+        # (sort+materialize of a 0-row dataset drops its schema, so
+        # rebuild from the input's)
+        if in_schema is None:
+            return mat
+        fields = list(zip(in_schema.names, in_schema.types))
+        fields += [(out_col, pa.int64())]
+        return rd.from_arrow(pa.table({n: pa.array([], t) for n, t in fields}))
+
     if not refs:
-        return mat
+        return _empty_with_out_col()
     parts = ray.get(
         [_block_scan_partial.remote(order_col, value_col, r) for r in refs]
     )
-    live = [(lo, hi, s, r) for (lo, hi, s), r in zip(parts, refs) if lo is not None]
-    if not live:
-        return mat.map_batches(
-            lambda t: t.append_column(out_col, pa.array([], type=pa.int64())),
-            batch_format="pyarrow",
-            batch_size=None,
+    if any(p[3] for p in parts):
+        raise AssertionError(
+            "prefix_sum: duplicate order_col values inside a block "
+            "(order_col must be unique)"
         )
+    live = [
+        (lo, hi, s, r) for (lo, hi, s, _), r in zip(parts, refs) if lo is not None
+    ]
+    if not live:
+        return _empty_with_out_col()
     live.sort(key=lambda x: x[0])
     # the offsets are only valid if the sort produced disjoint block
     # key ranges (Ray's range-partitioning contract) — check it with
@@ -803,7 +848,7 @@ def hash_split(
     name_arr = np.asarray(names, dtype=object)
 
     def fn(batch: pa.Table) -> pa.Table:
-        v = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = _hash_key_values(batch, key_col)
         lab = np.searchsorted(thresholds, _knuth_hash(v, seed), side="right")
         return batch.append_column(
             out_col, pa.array(name_arr[lab], type=pa.string())
@@ -836,7 +881,7 @@ def rate_sample(
     )
 
     def fn(batch: pa.Table) -> pa.Table:
-        v = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = _hash_key_values(batch, id_col)
         h = _knuth_hash(v, seed)
         pos = pc.index_in(batch[key_col], value_set=pa.array(names))
         idx = pos.to_numpy(zero_copy_only=False)

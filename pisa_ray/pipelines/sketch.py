@@ -107,14 +107,21 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
     Relative standard error ~= 1.04 / sqrt(2^p) (p=12 -> ~1.6%).
     Deterministic for a fixed input at any parallelism (max-merge).
     """
+    if not 4 <= p <= 18:
+        # outside the standard HLL precision range the register shifts
+        # (64-p / p bits) silently go undefined for numpy uint64
+        raise ValueError(f"hll_distinct: p must be in [4, 18], got {p}")
     m = 1 << p
 
     def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        # SQL count(distinct) ignores NULLs; hashing them would conflate
+        # NULL with '' (strings) or feed NaN→uint64 (ints, undefined)
+        c = t[col].combine_chunks().drop_null()
+        if len(c) == 0:
             return pa.table(
                 {"reg": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
             )
-        regs = _block_registers(_hash64(t[col]), p)
+        regs = _block_registers(_hash64(c), p)
         nz = np.flatnonzero(regs)
         return pa.table(
             {"reg": nz.astype(np.int64), "val": regs[nz].astype(np.int64)}

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -418,3 +419,81 @@ def test_cc_nonconvergence_and_bad_max_iter_raise():
             ),
             max_iter=1,
         )
+
+
+def test_hash_ops_reject_null_and_negative_keys():
+    """ADVICE r2: null keys (NaN->uint64 undefined) and negative keys
+    (numpy uint64 wrap vs SQL signed modulo) must raise, not silently
+    produce nondeterministic split/keep decisions."""
+    from pisa_ray.pipelines.relational import (
+        hash_split,
+        rate_sample,
+        stratified_sample,
+    )
+
+    nulls = rd.from_arrow(
+        pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                  "id": pa.array([1, 2, 3], pa.int64())})
+    )
+    with pytest.raises(Exception, match="null"):
+        hash_split(nulls, "k").materialize()
+    with pytest.raises(Exception, match="null"):
+        rate_sample(nulls.rename_columns({"k": "v", "id": "k"})
+                    .add_column("id", lambda d: d["k"]),
+                    {"x": 0.5}, "k", "id").materialize()
+
+    neg = rd.from_arrow(
+        pa.table({"k": pa.array([-5, 2], pa.int64()),
+                  "id": pa.array([-5, 2], pa.int64())})
+    )
+    with pytest.raises(Exception, match="negative"):
+        hash_split(neg, "k").materialize()
+    with pytest.raises(Exception, match="negative"):
+        stratified_sample(neg, "k", 1, "id").materialize()
+
+
+def test_prefix_sum_duplicate_keys_raise_within_block():
+    """ADVICE r2: duplicate order keys that land entirely inside one
+    block must fail loudly, same as boundary-straddling duplicates."""
+    from pisa_ray.pipelines.relational import prefix_sum
+
+    df = pd.DataFrame({"k": [1, 2, 2, 3], "v": [1, 1, 1, 1]})
+    with pytest.raises(AssertionError, match="duplicate|unique"):
+        prefix_sum(rd.from_pandas(df), "k", "v").materialize()
+
+
+def test_prefix_sum_empty_input_keeps_out_col():
+    """ADVICE r2: zero-block input must still carry the out_col."""
+    from pisa_ray.pipelines.relational import prefix_sum
+
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    out = prefix_sum(empty, "k", "v", "off")
+    assert out.count() == 0
+    assert "off" in out.schema().names
+
+
+def test_hll_nulls_ignored_and_p_validated():
+    """ADVICE r2: NULLs must not count as a distinct value (SQL
+    count(distinct) semantics) and out-of-range p must raise."""
+    from pisa_ray.pipelines.sketch import hll_distinct
+
+    with_nulls = rd.from_arrow(
+        pa.table({"v": pa.array(["a", None, "b", None, ""], pa.string())})
+    )
+    no_nulls = rd.from_arrow(
+        pa.table({"v": pa.array(["a", "b", ""], pa.string())})
+    )
+    r1 = hll_distinct(with_nulls, "v")
+    r2 = hll_distinct(no_nulls, "v")
+    assert r1 == r2  # bit-identical registers -> identical dict
+    ints = rd.from_arrow(
+        pa.table({"v": pa.array([1, None, 2], pa.int64())})
+    )
+    r3 = hll_distinct(ints, "v")
+    assert round(r3["estimate"]) == 2
+    with pytest.raises(ValueError):
+        hll_distinct(no_nulls, "v", p=3)
+    with pytest.raises(ValueError):
+        hll_distinct(no_nulls, "v", p=19)
