@@ -723,26 +723,58 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     max_df: int | None = None,
 ) -> rd.Dataset:
-    """EXACT n-gram Jaccard similarity join — no LSH, no candidate
-    misses: every doc pair sharing at least one shingle is scored.
+    """EXACT n-gram Jaccard similarity join via PREFIX FILTERING — no
+    LSH, no candidate misses: every doc pair with jaccard >= threshold
+    is found and scored exactly.
 
-    Distributed shape (a shingle-inverted-index self-join):
+    A naive shingle-inverted-index self-join emits g(g-1)/2 pair rows
+    per shingle of document frequency g — quadratic in df, and df is
+    huge for common shingles (a boilerplate footer shared by 1M pages
+    emits 5*10^11 pairs). This implementation is the prefix-filtered
+    set-similarity join of Vernica, Carey & Li, "Efficient Parallel
+    Set-Similarity Joins Using MapReduce", SIGMOD 2010 (public paper;
+    no code consulted), built on the prefix-filter lemma (Chaudhuri et
+    al. 2006): order every doc's shingle set by one GLOBAL total order
+    (ascending document frequency, ties by shingle hash) and keep only
+    the first  p = s - ceil(t*s) + 1  shingles (the "prefix"); for any
+    pair with J(A,B) >= t, the minimum-order common shingle lies
+    within BOTH prefixes, so grouping by prefix shingles alone finds
+    every qualifying pair.
 
-    1. per-doc distinct shingles -> (shingle, doc_id, set_size) rows
-       (vectorized actor pool);
-    2. hash exchange on the shingle key emits co-occurring
-       (id_a < id_b) pairs per shingle group — the intersection count
-       is the number of shingle groups emitting a pair;
-    3. hash exchange on id_a groups (id_a, id_b) runs -> |A∩B|;
-       Jaccard = c / (|A| + |B| - c), filtered at ``threshold``.
+    Distributed shape — four hash exchanges, all vectorized reducers:
 
-    Exact but quadratic in shingle df: a shingle shared by g docs emits
-    g(g-1)/2 pair rows. ``max_df`` caps that (groups above it are
-    skipped -> becomes approximate: misses pairs whose ONLY shared
-    shingles are ubiquitous ones — which are far below any useful
-    threshold anyway at 100 TB). Returns (id_a, id_b, jaccard).
+    1. by shingle: per-doc distinct (shingle, doc_id, set_size) rows
+       (the shingle explode is fused into the exchange map tasks) ->
+       attach the shingle's global df; rows with df == 1 are DROPPED
+       here (an unshared shingle can never witness a pair — at web
+       scale that is MOST shingles) while each doc's true set size
+       rides along in ``s`` so later stages still know it;
+    2. by doc: order the doc's surviving shingles by (df, hash); a
+       dropped df==1 shingle always sorts FIRST (df 1 < 2), so a
+       survivor at 0-based rank r among survivors holds full-order
+       position n1 + r + 1 (n1 = s - #survivors); emit one row per
+       survivor inside the prefix, carrying the doc's FULL survivor
+       set (df>=2 shingles only — df==1 shingles are in no
+       intersection, so |A∩B| is unaffected) — the paper's kernel:
+       record duplication factor = prefix length;
+    3. by prefix shingle: the group holds every doc whose PREFIX
+       contains that shingle, with full sets co-located -> one
+       whole-shard vectorized pass (lexsort + run detection + triu per
+       equal-run-size batch) computes the exact |A∩B| for every
+       co-grouped pair from the shipped sets, scores
+       J = c / (sa + sb - c), filters at ``threshold`` and dedups
+       in-shard;
+    4. by id_a: pairs discovered independently in several prefix
+       groups (or reducer shards) carry identical (c, sa, sb) — keep
+       the first.
+
+    ``max_df`` caps the size of a stage-3 candidate group (groups
+    above it are skipped -> approximate: misses pairs whose only
+    common PREFIX shingle is that ubiquitous — far below any useful
+    threshold at that df anyway). Returns (id_a, id_b, jaccard).
     """
     _exploder_holder: dict = {}
+    thr = float(threshold)
 
     def shingle_map(block: pa.Table) -> pa.Table:
         # fused into the exchange map tasks: the (shingle, id, size)
@@ -753,62 +785,199 @@ def jaccard_pairs(
             )
         return _exploder_holder["e"](block)
 
-    def pair_emit(t: pa.Table) -> pa.Table:
-        # whole-shard reducer: triu pairs for every multi-occupant
-        # shingle group, vectorized per distinct group SIZE (groups of
-        # equal length stack into an (m, L) matrix -> one triu gather)
-        key = t["sh_key"].to_numpy(zero_copy_only=False)
+    def df_attach(t: pa.Table) -> pa.Table:
+        # every row of a shingle lands here -> exact global df;
+        # df==1 rows (the web-scale majority) die right here
+        cols = ("sh_key", "id", "s", "df")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        k = t["sh_key"].to_numpy(zero_copy_only=False)
         ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         ss = t["s"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        order = np.lexsort((ids, key))
-        k, d, s = key[order], ids[order], ss[order]
-        starts = run_starts(k)
-        first_idx = np.flatnonzero(starts)
-        lens = np.diff(np.append(first_idx, k.size))
-        ok = lens >= 2
-        if max_df is not None:
-            ok &= lens <= max_df
-        out = {"id_a": [], "id_b": [], "sa": [], "sb": []}
-        for L in np.unique(lens[ok]) if ok.any() else []:
-            g_starts = first_idx[ok & (lens == L)]
-            idx = g_starts[:, None] + np.arange(L)[None, :]
-            ids_m, ss_m = d[idx], s[idx]
-            iu, ju = np.triu_indices(int(L), 1)
-            out["id_a"].append(ids_m[:, iu].ravel())
-            out["id_b"].append(ids_m[:, ju].ravel())
-            out["sa"].append(ss_m[:, iu].ravel())
-            out["sb"].append(ss_m[:, ju].ravel())
-        cols = {
-            c: np.concatenate(v) if v else np.empty(0, dtype=np.int64)
-            for c, v in out.items()
-        }
-        return pa.table({c: pa.array(v, type=pa.int64()) for c, v in cols.items()})
-
-    def count_score(t: pa.Table) -> pa.Table:
-        # keyed on id_a (every (id_a, *) pair row lands here): group by
-        # (id_a, id_b) via lexsort runs, count = |A∩B|, score inline
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
-        sa = t["sa"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        sb = t["sb"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        starts = run_starts(a, b)
-        first_idx = np.flatnonzero(starts)
-        c = np.diff(np.append(first_idx, a.size)).astype(np.float64)
-        sa_g, sb_g = sa[order][starts], sb[order][starts]
-        jac = c / (sa_g + sb_g - c)
-        keep = jac >= threshold
+        order = np.argsort(k, kind="stable")
+        k, ids, ss = k[order], ids[order], ss[order]
+        first = np.flatnonzero(run_starts(k))
+        lens = np.diff(np.append(first, k.size))
+        df = np.repeat(lens, lens)
+        keep = df > 1
         return pa.table(
             {
-                "id_a": pa.array(a[starts][keep], type=pa.int64()),
-                "id_b": pa.array(b[starts][keep], type=pa.int64()),
-                "jaccard": pa.array(jac[keep], type=pa.float64()),
+                "sh_key": pa.array(k[keep], type=pa.int64()),
+                "id": pa.array(ids[keep], type=pa.int64()),
+                "s": pa.array(ss[keep], type=pa.int64()),
+                "df": pa.array(df[keep], type=pa.int64()),
             }
         )
 
-    pairs = hash_group_apply(docs, "sh_key", pair_emit, map_fn=shingle_map)
-    return hash_group_apply(pairs, "id_a", count_score)
+    def _empty_prefix() -> pa.Table:
+        return pa.table(
+            {
+                "pkey": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+                "set": pa.array([], type=pa.large_list(pa.int64())),
+            }
+        )
+
+    def prefix_emit(t: pa.Table) -> pa.Table:
+        # every surviving shingle row of a doc lands here
+        if t.num_rows == 0:
+            return _empty_prefix()
+        k = t["sh_key"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        ss = t["s"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, df, ids))  # per doc: global (df, hash) order
+        k, ids, ss, df = k[order], ids[order], ss[order], df[order]
+        first = np.flatnonzero(run_starts(ids))
+        nrem = np.diff(np.append(first, ids.size))  # survivors per doc
+        s_doc = ss[first]  # TRUE set size (incl. dropped df==1)
+        # p = s - ceil(t*s) + 1; the -1e-9 nudge keeps an exactly-
+        # representable t*s from rounding UP (a too-small p loses pairs)
+        p = s_doc - np.ceil(thr * s_doc - 1e-9).astype(np.int64) + 1
+        n1 = s_doc - nrem  # dropped shingles, all ahead in the order
+        rank = np.arange(ids.size, dtype=np.int64) - np.repeat(first, nrem)
+        keep = rank < np.repeat(p - n1, nrem)
+        out_idx = np.flatnonzero(keep)
+        if out_idx.size == 0:
+            return _empty_prefix()
+        doc_of = np.repeat(np.arange(first.size), nrem)[out_idx]
+        set_lens = nrem[doc_of]
+        # each prefix row carries its doc's full survivor set
+        # (duplicated values — the paper's record-duplication cost)
+        tot = int(set_lens.sum())
+        csum = np.cumsum(set_lens)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(csum - set_lens, set_lens)
+        vals = k[np.repeat(first[doc_of], set_lens) + within]
+        offsets = np.concatenate([[0], csum])
+        set_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(vals, type=pa.int64())
+        )
+        return pa.table(
+            {
+                "pkey": pa.array(k[out_idx], type=pa.int64()),
+                "id": pa.array(ids[out_idx], type=pa.int64()),
+                "s": pa.array(ss[out_idx], type=pa.int64()),
+                "set": set_arr,
+            }
+        )
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        # group = docs whose prefix contains pkey, full sets co-located
+        if t.num_rows == 0:
+            return _empty_pairs()
+        pk = t["pkey"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        ss = t["s"].to_numpy(zero_copy_only=False)
+        sets = t["set"]
+        if isinstance(sets, pa.ChunkedArray):
+            sets = sets.combine_chunks()
+        offs = sets.offsets.to_numpy(zero_copy_only=False)
+        vals = sets.values.to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        gstarts = run_starts(pk[order])
+        gid = np.cumsum(gstarts) - 1  # group index per sorted row
+        gfirst = np.flatnonzero(gstarts)
+        glen = np.diff(np.append(gfirst, order.size))
+        ok_g = glen >= 2
+        if max_df is not None:
+            ok_g &= glen <= max_df
+        keep_rows = np.repeat(ok_g, glen)
+        rsel = order[keep_rows]  # original row index
+        if rsel.size == 0:
+            return _empty_pairs()
+        g_of_row = gid[keep_rows]
+        L = offs[rsel + 1] - offs[rsel]
+        tot = int(L.sum())
+        csum = np.cumsum(L)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(csum - L, L)
+        fv = vals[np.repeat(offs[rsel], L) + within]  # flat shingle values
+        fr = np.repeat(np.arange(rsel.size), L)  # flat local row idx
+        fg = g_of_row[fr]
+        rid = ids[rsel]
+        # members of each (group, shingle) run ordered by doc id so the
+        # triu gather below emits (id_a < id_b) directly
+        o2 = np.lexsort((rid[fr], fv, fg))
+        fg, fv, fr = fg[o2], fv[o2], fr[o2]
+        rfirst = np.flatnonzero(run_starts(fg, fv))
+        rlens = np.diff(np.append(rfirst, fg.size))
+        okr = rlens >= 2
+        out_i, out_j = [], []
+        for Lr in np.unique(rlens[okr]) if okr.any() else []:
+            g_starts = rfirst[okr & (rlens == Lr)]
+            idx = g_starts[:, None] + np.arange(Lr)[None, :]
+            rows_m = fr[idx]
+            iu, ju = np.triu_indices(int(Lr), 1)
+            out_i.append(rows_m[:, iu].ravel())
+            out_j.append(rows_m[:, ju].ravel())
+        if not out_i:
+            return _empty_pairs()
+        ri = np.concatenate(out_i)
+        rj = np.concatenate(out_j)
+        # count slots per (row_i, row_j): every shared shingle of the
+        # pair contributes one (full sets shipped -> c = |A∩B| exactly)
+        o3 = np.lexsort((rj, ri))
+        ri, rj = ri[o3], rj[o3]
+        pstarts = run_starts(ri, rj)
+        pfirst = np.flatnonzero(pstarts)
+        c = np.diff(np.append(pfirst, ri.size)).astype(np.float64)
+        ri_u, rj_u = ri[pfirst], rj[pfirst]
+        a, b = rid[ri_u], rid[rj_u]
+        sa = ss[rsel][ri_u].astype(np.float64)
+        sb = ss[rsel][rj_u].astype(np.float64)
+        jac = c / (sa + sb - c)
+        fkeep = jac >= thr
+        a, b, jac = a[fkeep], b[fkeep], jac[fkeep]
+        # in-shard dedup: the same doc pair found via several prefix
+        # shingle groups carries identical c/sa/sb
+        o4 = np.lexsort((b, a))
+        a, b, jac = a[o4], b[o4], jac[o4]
+        dstarts = run_starts(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(a[dstarts], type=pa.int64()),
+                "id_b": pa.array(b[dstarts], type=pa.int64()),
+                "jaccard": pa.array(jac[dstarts], type=pa.float64()),
+            }
+        )
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        # cross-shard dedup: every (id_a, *) row lands here
+        if t.num_rows == 0:
+            return _empty_pairs()
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b, j = a[o], b[o], j[o]
+        starts = run_starts(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts], type=pa.int64()),
+                "id_b": pa.array(b[starts], type=pa.int64()),
+                "jaccard": pa.array(j[starts], type=pa.float64()),
+            }
+        )
+
+    # the auto reducer-count rule sizes by BYTES; these reducers are
+    # compute-bound (whole-shard sorts, triu verification) on narrow
+    # rows, so fan out to the cluster's width regardless of input size
+    import ray as _ray
+
+    wide = 2 * int(_ray.cluster_resources().get("CPU", 8))
+    rows = hash_group_apply(docs, "sh_key", df_attach, map_fn=shingle_map, n_red=wide)
+    pref = hash_group_apply(rows, "id", prefix_emit, n_red=wide)
+    cand = hash_group_apply(pref, "pkey", verify, n_red=wide)
+    return hash_group_apply(cand, "id_a", pair_dedup)
 
 
 # --------------------------------------------------------------------------
