@@ -369,6 +369,7 @@ def minhash_lsh_dedup(
     num_bands: int = 8,
     threshold: float = 0.8,
     concurrency: int | None = None,
+    max_driver_pairs: int = 1_000_000,
 ) -> rd.Dataset:
     """MinHash-LSH near-dup: returns (doc_id, dup_of) for docs whose
     estimated Jaccard (full-signature agreement) vs their bucket
@@ -387,11 +388,19 @@ def minhash_lsh_dedup(
     same seed/params as banding) via a semi-join over the source docs;
     the final full-signature agreement check is ONE vectorized numpy
     pass on the driver — the pair list and candidate signature matrix
-    are the declared driver-sized objects (LSH at a high threshold
-    keeps candidates ≪ corpus; same standing assumption as
-    ``verify_pairs_jaccard``). TWO Ray jobs total (band+pair collect,
-    candidate re-signature), down from round-2's four plus a
-    corpus-wide materialize."""
+    are driver-sized objects, fine while candidates ≪ corpus (LSH at a
+    high threshold on a low-dup corpus). TWO Ray jobs total.
+
+    HIGH-DUP FALLBACK: a web crawl routinely has dup rates of 30-80%,
+    where candidates ≈ corpus and the driver collect above would OOM.
+    When the candidate pair count exceeds ``max_driver_pairs``, the
+    verify runs fully distributed instead: corpus-wide signatures
+    (proportionate — in this regime the candidate set IS the corpus)
+    plus three hash exchanges (attach sig(doc_id), attach sig(dup_of)
+    + vectorized agreement filter, per-doc min). In that branch the
+    driver holds NOTHING row-scaled — the result stays a lazy Dataset
+    of (doc_id, dup_of) rows; peak per-reducer state is
+    rows/n_red * (num_perm*8) bytes, spillable."""
     import ray
 
     # text -> band rows FUSED into the exchange map tasks (map_fn):
@@ -426,13 +435,19 @@ def minhash_lsh_dedup(
     # band rows; singleton buckets cost one mask element, not a UDF
     # call).
     pair_refs = hash_group_exchange(mat, "key", _band_pair_reduce, map_fn=band_map)
-    cand_pdf = (
-        pa.concat_tables(ray.get(pair_refs)).to_pandas()
-        if pair_refs
-        else pd.DataFrame({"doc_id": [], "dup_of": []})
-    )
-    if cand_pdf.empty:
+    if not pair_refs:
         return empty
+    # count pairs WITHOUT shipping them to the driver (plasma-local
+    # tasks), then pick the verify strategy the count can afford
+    nrows = ray.remote(lambda t: t.num_rows)
+    n_pairs = sum(ray.get([nrows.remote(r) for r in pair_refs]))
+    if n_pairs == 0:
+        return empty
+    if n_pairs > max_driver_pairs:
+        return _minhash_verify_distributed(
+            mat, pair_refs, num_perm, threshold, concurrency
+        )
+    cand_pdf = pa.concat_tables(ray.get(pair_refs)).to_pandas()
     need = np.unique(
         np.concatenate(
             [
@@ -471,6 +486,213 @@ def minhash_lsh_dedup(
         .min()
     )
     return rd.from_pandas(out) if len(out) else empty
+
+
+_SIG_T = pa.large_list(pa.uint64())
+
+
+def _sig_matrix(col: pa.Array, idx: np.ndarray, num_perm: int) -> np.ndarray:
+    """Gather rows ``idx`` of a large_list<uint64> signature column
+    into an (len(idx), num_perm) uint64 matrix — one take + one
+    flatten, no per-row Python."""
+    taken = col.take(pa.array(idx, type=pa.int64()))
+    if isinstance(taken, pa.ChunkedArray):
+        taken = taken.combine_chunks()
+    return (
+        taken.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+    )
+
+
+def _sig_list(m: np.ndarray, num_perm: int) -> pa.LargeListArray:
+    n = m.shape[0]
+    offs = np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int64)
+    return pa.LargeListArray.from_arrays(
+        pa.array(offs, type=pa.int64()),
+        pa.array(m.reshape(-1), type=pa.uint64()),
+    )
+
+
+def _minhash_verify_distributed(
+    mat: rd.Dataset,
+    pair_refs: list,
+    num_perm: int,
+    threshold: float,
+    concurrency: int | None,
+) -> rd.Dataset:
+    """High-dup-corpus verify branch of :func:`minhash_lsh_dedup` —
+    the driver holds NO row-scaled object. Candidate pairs stay in the
+    object store (``pair_refs``); signatures are computed corpus-wide
+    (in this regime the candidate id set ≈ the corpus, so this is
+    proportionate); the agreement check runs inside exchange reducers:
+
+      1. exchange keyed on ``doc_id`` over (pairs ∪ signatures):
+         attach sig(doc_id) to each pair row, dedup repeated pairs
+         (the same pair surfaces once per agreeing band).
+      2. exchange keyed on ``dup_of`` over (step-1 ∪ signatures):
+         attach sig(dup_of), ONE vectorized (n, num_perm) equality
+         mean per reducer shard, filter est >= threshold.
+      3. exchange keyed on ``doc_id``: per-doc min(dup_of).
+
+    Peak per-reducer state is rows/n_red * (num_perm * 8) bytes —
+    spillable, parallelism-invariant (pure deterministic tasks)."""
+
+    def _empty_attach() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=_SIG_T),
+                "is_sig": pa.array([], type=pa.int8()),
+            }
+        )
+
+    def _as_union_rows(
+        pair_part: pa.Table | None, sig_part: pa.Table | None, key_on_dup: bool
+    ) -> pa.Table:
+        """Normalize either side to the shared (doc_id, dup_of, sig,
+        is_sig) row shape. Signature rows carry their doc_id in the
+        exchange's key column (``dup_of`` for step 2)."""
+        if pair_part is not None:
+            t = pair_part
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "dup_of": t["dup_of"].cast(pa.int64()),
+                    "sig": (
+                        t["sig"].cast(_SIG_T)
+                        if "sig" in t.column_names
+                        else pa.nulls(t.num_rows, _SIG_T)
+                    ),
+                    "is_sig": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int8)
+                    ),
+                }
+            )
+        t = sig_part
+        ids = t["doc_id"].cast(pa.int64())
+        zeros = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "doc_id": zeros if key_on_dup else ids,
+                "dup_of": ids if key_on_dup else zeros,
+                "sig": t["sig"].cast(_SIG_T),
+                "is_sig": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def _split(t: pa.Table):
+        is_sig = t["is_sig"].to_numpy(zero_copy_only=False).astype(bool)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["dup_of"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig_col = t["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        return is_sig, doc, dup, sig_col
+
+    def _attach_a(t: pa.Table) -> pa.Table:
+        """Step-1 reducer: key = doc_id. Emits deduped pair rows with
+        sig(doc_id) attached in the ``sig`` column."""
+        if t.num_rows == 0:
+            return _empty_attach()
+        is_sig, doc, dup, sig_col = _split(t)
+        sig_idx = np.flatnonzero(is_sig)
+        pair_idx = np.flatnonzero(~is_sig)
+        if sig_idx.size == 0 or pair_idx.size == 0:
+            return _empty_attach()
+        sk = doc[sig_idx]
+        order = np.argsort(sk, kind="stable")
+        sk_sorted, sig_idx_sorted = sk[order], sig_idx[order]
+        # dedup repeated (doc_id, dup_of) pairs before shipping sigs
+        pd_, pr_ = doc[pair_idx], dup[pair_idx]
+        uorder = np.lexsort((pr_, pd_))
+        first = run_starts(pd_[uorder], pr_[uorder])
+        pd_, pr_ = pd_[uorder][first], pr_[uorder][first]
+        pos = np.searchsorted(sk_sorted, pd_)
+        ok = (pos < sk_sorted.size) & (sk_sorted[np.minimum(pos, sk_sorted.size - 1)] == pd_)
+        pd_, pr_, pos = pd_[ok], pr_[ok], pos[ok]
+        m = _sig_matrix(sig_col, sig_idx_sorted[pos], num_perm)
+        return pa.table(
+            {
+                "doc_id": pa.array(pd_, type=pa.int64()),
+                "dup_of": pa.array(pr_, type=pa.int64()),
+                "sig": _sig_list(m, num_perm),
+                "is_sig": pa.array(np.zeros(pd_.size, dtype=np.int8)),
+            }
+        )
+
+    def _verify_b(t: pa.Table) -> pa.Table:
+        """Step-2 reducer: key = dup_of. Attaches sig(dup_of), checks
+        signature agreement vectorized, emits surviving pairs."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        is_sig, doc, dup, sig_col = _split(t)
+        sig_idx = np.flatnonzero(is_sig)
+        pair_idx = np.flatnonzero(~is_sig)
+        if sig_idx.size == 0 or pair_idx.size == 0:
+            return empty
+        sk = dup[sig_idx]
+        order = np.argsort(sk, kind="stable")
+        sk_sorted, sig_idx_sorted = sk[order], sig_idx[order]
+        pd_, pr_ = doc[pair_idx], dup[pair_idx]
+        pos = np.searchsorted(sk_sorted, pr_)
+        ok = (pos < sk_sorted.size) & (sk_sorted[np.minimum(pos, sk_sorted.size - 1)] == pr_)
+        pd_, pr_, pos = pd_[ok], pr_[ok], pos[ok]
+        pair_pos = pair_idx[ok]
+        a = _sig_matrix(sig_col, pair_pos, num_perm)
+        b = _sig_matrix(sig_col, sig_idx_sorted[pos], num_perm)
+        est = (a == b).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_id": pa.array(pd_[keep], type=pa.int64()),
+                "dup_of": pa.array(pr_[keep], type=pa.int64()),
+            }
+        )
+
+    def _min_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "dup_of": pa.array([], type=pa.int64()),
+                }
+            )
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["dup_of"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((dup, doc))
+        first = run_starts(doc[order])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order][first], type=pa.int64()),
+                "dup_of": pa.array(dup[order][first], type=pa.int64()),
+            }
+        )
+
+    sigs = minhash_signatures(mat, num_perm, concurrency=concurrency)
+    pairs = rd.from_arrow_refs(pair_refs)
+    u1 = pairs.map_batches(
+        lambda b: _as_union_rows(b, None, False), batch_format="pyarrow"
+    ).union(
+        sigs.map_batches(
+            lambda b: _as_union_rows(None, b, False), batch_format="pyarrow"
+        )
+    )
+    attached = hash_group_apply(u1, "doc_id", _attach_a)
+    u2 = attached.map_batches(
+        lambda b: _as_union_rows(b, None, True), batch_format="pyarrow"
+    ).union(
+        sigs.map_batches(
+            lambda b: _as_union_rows(None, b, True), batch_format="pyarrow"
+        )
+    )
+    verified = hash_group_apply(u2, "dup_of", _verify_b)
+    return hash_group_apply(verified, "doc_id", _min_reduce)
 
 
 # --------------------------------------------------------------------------

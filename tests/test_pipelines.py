@@ -64,6 +64,39 @@ def test_minhash_detects_planted_near_dups(docs):
         assert flagged.get(row["doc_id"]) == row["doc_id"] - 100_000
 
 
+def test_minhash_distributed_verify_matches_driver_path(docs):
+    """High-dup corpus (~50% dup rate): forcing max_driver_pairs=0
+    routes through the fully distributed verify branch; the result
+    must be identical to the driver-collect path."""
+    from pisa_ray.pipelines.dedup import minhash_lsh_dedup
+
+    base = docs.to_pandas()[["doc_id", "text"]]
+    dup = base.copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000  # every doc duplicated
+    pdf = pd.concat([base, dup], ignore_index=True)
+    driver = (
+        minhash_lsh_dedup(rd.from_pandas(pdf), threshold=0.9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        minhash_lsh_dedup(
+            rd.from_pandas(pdf), threshold=0.9, max_driver_pairs=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dist.equals(driver)
+    # every planted dup flagged against some earlier near-dup (the
+    # fixture corpus itself contains repeated texts, so dup_of is the
+    # MIN over all near-dups, not necessarily did - 100_000)
+    flagged = dict(zip(dist["doc_id"], dist["dup_of"]))
+    for did in dup["doc_id"]:
+        assert flagged.get(did, did) < did
+
+
 def test_minhash_deterministic(docs):
     from pisa_ray.pipelines.dedup import minhash_lsh_dedup
 
