@@ -120,28 +120,42 @@ def kmeans(
 
         parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
         dim = C.shape[1]
-        sums = np.zeros((k, dim), dtype=np.float64)
-        counts = np.zeros(k, dtype=np.int64)
-        far: list[tuple[float, int, np.ndarray]] = []
-        for _, row in parts.iterrows():
-            sums += np.asarray(row["sums"], dtype=np.float64).reshape(k, dim)
-            counts += np.asarray(row["counts"], dtype=np.int64)
-            fi = np.asarray(row["far_ids"], dtype=np.int64)
-            fd = np.asarray(row["far_dist"], dtype=np.float64)
-            fv = np.asarray(row["far_vecs"], dtype=np.float64).reshape(fi.size, dim)
-            far.extend((-d, i, v) for d, i, v in zip(fd, fi, fv))
-        far.sort(key=lambda t: (t[0], t[1]))  # dist desc, id asc
+        # vectorized partial fold: stack the per-block (k*dim) rows and
+        # reduce with ONE numpy sum — no per-row Python arithmetic.
+        # Each partial is one row per input BLOCK, so the driver holds
+        # O(num_blocks * k * dim) floats transiently; at extreme block
+        # counts, fold through a tiny constant-key groupby first.
+        sums = (
+            np.vstack([np.asarray(s, dtype=np.float64) for s in parts["sums"]])
+            .sum(axis=0)
+            .reshape(k, dim)
+        )
+        counts = np.vstack(
+            [np.asarray(c, dtype=np.int64) for c in parts["counts"]]
+        ).sum(axis=0)
+        far_ids = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in parts["far_ids"]]
+        )
+        far_dist = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in parts["far_dist"]]
+        )
+        far_vecs = np.vstack(
+            [
+                np.asarray(x, dtype=np.float64).reshape(-1, dim)
+                for x in parts["far_vecs"]
+            ]
+        )
+        far_order = np.lexsort((far_ids, -far_dist))  # dist desc, id asc
 
         newC = C.copy()
         nz = counts > 0
         newC[nz] = sums[nz] / counts[nz, None]
         # deterministic empty-cluster reinit (reference: random item,
         # PISA.py:105) — farthest points, one per empty cluster
-        fi = 0
-        for c in np.flatnonzero(~nz):
-            if fi < len(far):
-                newC[c] = far[fi][2]
-                fi += 1
+        empty = np.flatnonzero(~nz)
+        take = min(empty.size, far_order.size)
+        if take:
+            newC[empty[:take]] = far_vecs[far_order[:take]]
         shift = float(np.max(np.abs(newC - C))) if k else 0.0
         C = newC
         if shift <= tol:

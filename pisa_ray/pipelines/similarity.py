@@ -29,6 +29,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _topk_rows(
+    sims: np.ndarray, ids: np.ndarray, kk: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-row top-k under the total order (cosine desc,
+    vec_id asc) — ONE lexsort over the whole (n_queries, n_docs)
+    matrix, no per-query Python loop. Because the order is total,
+    exact-cosine ties on the k boundary resolve identically at any
+    block boundary / parallelism (the tie-expansion dance the old
+    scalar loop did is subsumed by the full sort).
+
+    Returns (sel_ids, sel_sims), both (n_queries, kk).
+    """
+    order = np.lexsort(
+        (np.broadcast_to(ids, sims.shape), -sims), axis=1
+    )[:, :kk]
+    return ids[order], np.take_along_axis(sims, order, axis=1)
+
+
 def brute_knn(
     emb: rd.Dataset,
     queries: np.ndarray,
@@ -56,27 +74,16 @@ def brute_knn(
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = qm @ m.T  # (Q, B)
         kk = min(k, m.shape[0])
-        # partial top-k per query within this batch
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(qm.shape[0]):
-            # tie-break the LOCAL cut by (cosine desc, vec_id asc) too:
-            # argpartition alone keeps an arbitrary member of an
-            # exact-cosine tie on the kk boundary (e.g. duplicate
-            # embeddings), which would make the merged top-k depend on
-            # block boundaries / parallelism. Expand to ALL boundary
-            # ties, then cut under the same total order the merge uses.
-            kth = sims[qi, part[qi]].min()
-            cand = np.flatnonzero(sims[qi] >= kth)
-            sel = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:kk]
-            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
-            out_v.append(ids[sel])
-            out_s.append(sims[qi, sel])
+        # vectorized LOCAL top-k under (cosine desc, vec_id asc): the
+        # total order makes the cut partition-invariant even when
+        # exact-cosine ties (duplicate embeddings) straddle the k
+        # boundary — the merge uses the same order.
+        sel_ids, sel_sims = _topk_rows(sims, ids, kk)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "cosine": pa.array(np.concatenate(out_s)),
+                "query_id": pa.array(np.repeat(qids, kk)),
+                "vec_id": pa.array(sel_ids.reshape(-1)),
+                "cosine": pa.array(sel_sims.reshape(-1)),
             }
         )
 
@@ -186,22 +193,14 @@ def lsh_knn(
         sub_qids = sub["query_id"].to_numpy()
         sims = qmat[sub_qids] @ m.T  # (nq, B)
         kk = min(k, len(ids))
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(sub_qids)):
-            # expand boundary ties then cut under (cosine desc, vec_id
-            # asc) so the bucket-local cut is partition-invariant (same
-            # fix as brute_knn's local top-k)
-            kth = np.partition(-sims[qi], kk - 1)[kk - 1]
-            cand = np.flatnonzero(sims[qi] >= -kth)
-            sel = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:kk]
-            out_q.append(np.full(sel.size, sub_qids[qi], dtype=np.int64))
-            out_v.append(ids[sel])
-            out_s.append(np.round(sims[qi, sel], 6))
+        # vectorized bucket-local top-k under (cosine desc, vec_id asc)
+        # — partition-invariant, same order as the final merge
+        sel_ids, sel_sims = _topk_rows(sims, ids, kk)
         return pd.DataFrame(
             {
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_v),
-                "cosine": np.concatenate(out_s),
+                "query_id": np.repeat(sub_qids.astype(np.int64), kk),
+                "vec_id": sel_ids.reshape(-1),
+                "cosine": np.round(sel_sims.reshape(-1), 6),
             }
         )
 
@@ -302,19 +301,13 @@ def ivf_knn(
         sub_qids = sub["query_id"].to_numpy()
         sims = qmat[sub_qids] @ m.T
         kk = min(k, len(ids))
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(sub_qids)):
-            kth = np.partition(-sims[qi], kk - 1)[kk - 1]
-            cand = np.flatnonzero(sims[qi] >= -kth)
-            sel = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:kk]
-            out_q.append(np.full(sel.size, sub_qids[qi], dtype=np.int64))
-            out_v.append(ids[sel])
-            out_s.append(np.round(sims[qi, sel], 6))
+        # vectorized cluster-local top-k (cosine desc, vec_id asc)
+        sel_ids, sel_sims = _topk_rows(sims, ids, kk)
         return pd.DataFrame(
             {
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_v),
-                "cosine": np.concatenate(out_s),
+                "query_id": np.repeat(sub_qids.astype(np.int64), kk),
+                "vec_id": sel_ids.reshape(-1),
+                "cosine": np.round(sel_sims.reshape(-1), 6),
             }
         )
 
