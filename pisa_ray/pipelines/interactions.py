@@ -43,9 +43,9 @@ def clicked_sets(
             items = sorted(pd.unique(g[item_col]).tolist())
         return pd.DataFrame({user_col: [g[user_col].iloc[0]], "items": [items]})
 
-    from ..shuffle import hash_group_apply, int_keyed, run_starts
+    from ..shuffle import exchange_routable, hash_group_apply, run_starts
 
-    if not int_keyed(ds, user_col):
+    if not exchange_routable(ds, user_col):
         return ds.groupby(user_col).map_groups(uniq, batch_format="pandas")
 
     def uniq_shard(t: pa.Table) -> pa.Table:

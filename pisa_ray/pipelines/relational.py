@@ -72,10 +72,11 @@ def per_group_topk(
     (reference: per-user ``torch.topk`` at
     /root/reference/src/Inference.py:240).
 
-    Integer group keys route through the hash exchange with ONE pandas
-    sort + cumcount per reducer shard (no per-group UDF); other key
-    types fall back to ``groupby().map_groups``."""
-    from ..shuffle import hash_group_apply, int_keyed
+    Integer, string, temporal and boolean group keys all route
+    through the hash exchange with ONE pandas sort + cumcount per
+    reducer shard (no per-group UDF); only unroutable dtypes (floats)
+    fall back to ``groupby().map_groups``."""
+    from ..shuffle import exchange_routable, hash_group_apply
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(sort_cols), ascending=list(ascending), kind="mergesort")
@@ -83,10 +84,14 @@ def per_group_topk(
         g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    if not int_keyed(ds, group_col):
+    if not exchange_routable(ds, group_col):
         return ds.groupby(group_col).map_groups(topk, batch_format="pandas")
 
     def topk_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # preserve the input schema exactly (a pandas round-trip
+            # degrades an empty string column to null type)
+            return t.append_column(rank_col, pa.array([], type=pa.int64()))
         g = t.to_pandas()
         g = g.sort_values(
             [group_col, *sort_cols],
@@ -235,9 +240,9 @@ def asof_join(
         )
         return out[l_names + r_out_names]
 
-    from ..shuffle import hash_group_apply, int_keyed
+    from ..shuffle import exchange_routable, hash_group_apply
 
-    if not int_keyed(left, key_col):
+    if not exchange_routable(left, key_col):
         return unioned.groupby(key_col).map_groups(
             join_group, batch_format="pandas"
         )
@@ -560,13 +565,16 @@ def stratified_sample(
             g = g.sort_values(["__h", id_col], kind="mergesort").head(n_per_key)
         return g.drop(columns="__h")
 
-    from ..shuffle import hash_group_apply, int_keyed
+    from ..shuffle import exchange_routable, hash_group_apply
 
     hashed = ds.map_batches(add_h, batch_format="pyarrow")
-    if not int_keyed(ds, key_col):
+    if not exchange_routable(ds, key_col):
         return hashed.groupby(key_col).map_groups(cut, batch_format="pandas")
 
     def cut_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # schema-preserving empty (column-less degenerates pass through)
+            return t.drop_columns("__h") if "__h" in t.schema.names else t
         g = t.to_pandas()
         g = g.sort_values([key_col, "__h", id_col], kind="mergesort")
         keep = g.groupby(key_col, sort=False).cumcount().to_numpy() < n_per_key
@@ -653,9 +661,16 @@ def sessionize(
         )
         n = len(g)
         if n == 0:
+            # keep the key's REAL type (string keys route through the
+            # exchange too); a column-less degenerate falls back int64
+            ktype = (
+                t.schema.field(key_col).type
+                if key_col in t.schema.names
+                else pa.int64()
+            )
             return pa.table(
                 {
-                    key_col: pa.array([], type=pa.int64()),
+                    key_col: pa.array([], type=ktype),
                     "session_id": pa.array([], type=pa.int64()),
                     "session_start": pa.array([], type=pa.timestamp("us")),
                     "n_events": pa.array([], type=pa.int64()),
@@ -695,12 +710,12 @@ def sessionize(
             preserve_index=False,
         )
 
-    from ..shuffle import hash_group_apply, int_keyed
+    from ..shuffle import exchange_routable, hash_group_apply
 
     parts = ds.map_batches(local_partials, batch_format="pandas", batch_size=None)
-    if not int_keyed(ds, key_col):
+    if not exchange_routable(ds, key_col):
         # merge_shard is key-generic; per-group invocation is the
-        # fallback for non-integer keys the exchange can't route
+        # fallback for the rare dtypes the exchange can't route
         return parts.groupby(key_col).map_groups(
             merge_shard, batch_format="pyarrow"
         )

@@ -50,17 +50,54 @@ def _mix64(u: np.ndarray) -> np.ndarray:
 
 
 def _key_u64(tbl: pa.Table, key_col: str) -> np.ndarray:
+    """uint64 ROUTING value per row of the key column.
+
+    Any dtype works: integers view as uint64; temporal types cast to
+    their int64 epoch representation; string/binary keys get a
+    vectorized FNV-1a over their bytes. A hash collision between two
+    distinct keys only co-locates them on one reducer — reduce_fn
+    groups by the REAL key column, so results are unaffected.
+
+    Null keys are rejected loudly: the routing value of a null is
+    arbitrary (and pandas groupby silently drops NaN keys inside
+    shard reducers), so a null-keyed row could vanish or land
+    nondeterministically.
+    """
     col = tbl[key_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise TypeError(
+            f"hash_group_apply key column {key_col!r} contains nulls; "
+            "filter or fill them before the exchange"
+        )
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = col.cast(t.value_type)
+        t = col.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        from .pipelines.text import fnv1a_batch  # lazy: avoids cycle
+
+        b = col.cast(pa.large_binary())
+        buf_off, buf_data = b.buffers()[1], b.buffers()[2]
+        offs = np.frombuffer(buf_off, dtype=np.int64,
+                             count=len(b) + 1, offset=8 * b.offset)
+        data = (np.frombuffer(buf_data, dtype=np.uint8)
+                if buf_data is not None else np.zeros(0, np.uint8))
+        return fnv1a_batch(data[offs[0]:offs[-1]], offs - offs[0])
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        col = col.cast(pa.int64())
     k = col.to_numpy(zero_copy_only=False)
     if k.dtype == np.uint64:
         return k
     if k.dtype.kind in "iu":
         return k.astype(np.int64, copy=False).view(np.uint64)
+    if k.dtype.kind == "b":
+        return k.astype(np.uint64)
     raise TypeError(
-        f"hash_group_apply key column {key_col!r} must be integer, got {k.dtype}; "
-        "pre-hash string keys into an int64 column"
+        f"hash_group_apply key column {key_col!r} has unsupported "
+        f"routing dtype {k.dtype}"
     )
 
 
@@ -192,17 +229,40 @@ def hash_group_apply(
     return rd.from_arrow_refs(refs)
 
 
-def int_keyed(ds: rd.Dataset, key_col: str) -> bool:
-    """True when ``key_col`` is an integer column — the exchange's key
-    requirement. Callers keep a ``map_groups`` fallback for string or
-    temporal keys."""
+def exchange_routable(ds: rd.Dataset, key_col: str) -> bool:
+    """True when ``key_col``'s dtype can be routed by ``_key_u64`` —
+    integer, boolean, string/binary (vectorized FNV routing hash),
+    temporal, or a dictionary over those. Callers keep a
+    ``map_groups`` fallback only for the remainder (e.g. float keys)."""
     sch = ds.schema()
     base = getattr(sch, "base_schema", sch)
     if hasattr(base, "field"):
-        return pa.types.is_integer(base.field(key_col).type)
+        t = base.field(key_col).type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        return (
+            pa.types.is_integer(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+            or pa.types.is_time(t)
+        )
     try:
         i = list(base.names).index(key_col)
-        return np.issubdtype(np.dtype(base.types[i]), np.integer)
+        d = np.dtype(base.types[i])
+        return (
+            np.issubdtype(d, np.integer)
+            or np.issubdtype(d, np.bool_)
+            or np.issubdtype(d, np.str_)
+            or np.issubdtype(d, np.datetime64)
+            # pandas blocks surface strings as object dtype; a truly
+            # unhashable object column fails loudly in _key_u64
+            or d == np.dtype(object)
+        )
     except (ValueError, TypeError):
         return False
 

@@ -936,6 +936,105 @@ def test_stratified_sample_deterministic_and_bounded():
     assert not other["id"].equals(outs[0]["id"])
 
 
+def test_string_keys_route_through_exchange(monkeypatch):
+    """String group keys no longer fall back to per-group map_groups:
+    per_group_topk / stratified_sample / sessionize all route through
+    hash_group_apply (FNV routing hash) and produce exactly what the
+    generic pandas oracle produces."""
+    import pisa_ray.shuffle as shuffle_mod
+    from pisa_ray.pipelines.relational import (
+        per_group_topk,
+        sessionize,
+        stratified_sample,
+    )
+
+    calls = []
+    real = shuffle_mod.hash_group_apply
+
+    def spy(ds, key_col, reduce_fn, *a, **kw):
+        calls.append(key_col)
+        return real(ds, key_col, reduce_fn, *a, **kw)
+
+    monkeypatch.setattr(shuffle_mod, "hash_group_apply", spy)
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "cat": rng.choice(["alpha", "beta", "gamma", "δδ-unicode"], n),
+            "score": rng.normal(size=n).round(6),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+
+    got = (
+        per_group_topk(ds, "cat", ["score", "id"], [False, True], 3)
+        .to_pandas()
+        .sort_values(["cat", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["score", "id"], ascending=[False, True])
+        .groupby("cat")
+        .head(3)
+        .sort_values(["cat", "score"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+
+    samp = (
+        stratified_sample(ds, "cat", 5, "id")
+        .to_pandas()
+        .sort_values(["cat", "id"])
+        .reset_index(drop=True)
+    )
+    assert (samp.groupby("cat").size() <= 5).all()
+    # deterministic at another parallelism
+    samp2 = (
+        stratified_sample(rd.from_pandas(df).repartition(2), "cat", 5, "id")
+        .to_pandas()
+        .sort_values(["cat", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(samp, samp2)
+
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.choice(["u-a", "u-b", "u-c"], 300),
+            "ts": pd.to_datetime(
+                1_700_000_000_000_000
+                + np.sort(rng.integers(0, 3 * 3600, 300)) * 1_000_000,
+                unit="us",
+            ),
+            "event_id": np.arange(300, dtype=np.int64),
+        }
+    )
+    sess = (
+        sessionize(rd.from_pandas(ev).repartition(7), gap_seconds=600)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    # oracle: sorted scan per user
+    want_rows = []
+    for user, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        tsec = g["ts"].astype("datetime64[us]").to_numpy().view("i8") // 1_000_000
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = np.diff(tsec) > 600
+        sid = np.cumsum(new)
+        for s in range(1, sid[-1] + 1):
+            m = sid == s
+            want_rows.append((user, s, g["ts"].to_numpy()[m][0], int(m.sum())))
+    want_sess = pd.DataFrame(
+        want_rows, columns=["user_id", "session_id", "session_start", "n_events"]
+    )
+    sess["session_start"] = sess["session_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(sess, want_sess, check_dtype=False)
+
+    assert calls == ["cat", "cat", "cat", "user_id"], calls
+
+
 def test_jaccard_pairs_exact_join(docs):
     """Exact shingle-inverted-index Jaccard join: planted exact dups
     score 1.0, a lightly-mangled twin scores high, unrelated docs never

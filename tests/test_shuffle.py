@@ -16,7 +16,7 @@ import ray.data as rd
 from pisa_ray.shuffle import (
     hash_group_apply,
     hash_group_exchange,
-    int_keyed,
+    exchange_routable,
     popcount64,
     run_starts,
 )
@@ -90,10 +90,11 @@ def test_exchange_map_fn_fusion():
     assert (out["s"].to_numpy() == np.bincount(np.arange(100) % 7)).all()
 
 
-def test_int_keyed_detection():
-    ints = rd.from_items([{"k": 1, "s": "a"}])
-    assert int_keyed(ints, "k")
-    assert not int_keyed(ints, "s")
+def test_exchange_routable_detection():
+    ds = rd.from_items([{"k": 1, "s": "a", "f": 1.5}])
+    assert exchange_routable(ds, "k")
+    assert exchange_routable(ds, "s")  # strings route via FNV hash
+    assert not exchange_routable(ds, "f")  # float keys still fall back
 
 
 def test_popcount64_matches_python():
