@@ -141,6 +141,7 @@ def asof_join(
     right_value_cols: Sequence[str],
     direction: str = "backward",
     suffix: str = "_right",
+    salt_bucket_seconds: int | None = None,
 ) -> rd.Dataset:
     """As-of join: for every left row, attach the right row with the
     greatest right ``ts_col`` <= left ``ts_col`` (direction="backward";
@@ -156,11 +157,17 @@ def asof_join(
     needed columns before calling at scale).
 
     Partitioning assumption (documented per the custom-operator rule):
-    one key's rows must fit a worker. For a hot key at 100 TB, salt by
-    a coarse time bucket and carry each bucket's LAST right row into
-    the next bucket's group (one extra row per bucket) — the merge
-    stays exact because only the latest-before-boundary right row can
-    match across it.
+    one key's rows must fit a worker. ``salt_bucket_seconds`` removes
+    that assumption: groups become (key, ts//bucket) so a hot key's
+    rows spread across reducers, and the join stays EXACT via a
+    carry pass — a tiny first exchange (per-block pre-aggregated to
+    one presence row + one last/first right row per (key, bucket))
+    computes, for every bucket the left occupies, the latest right
+    row from any EARLIER bucket (earliest LATER bucket for
+    direction="forward"); that one carry row is injected into the
+    bucket's group, and it is the only right row outside the bucket
+    that can win an as-of match across the boundary. Cost: one extra
+    small exchange + one carry row per occupied (key, bucket).
 
     Ties on equal right ts: the row latest in (ts, original right
     order) wins — made deterministic by sorting the right side with a
@@ -242,6 +249,12 @@ def asof_join(
 
     from ..shuffle import exchange_routable, hash_group_apply
 
+    if salt_bucket_seconds:
+        return _asof_join_salted(
+            unioned, key_col, ts_col, out_ts, l_names, r_out_names,
+            direction, int(salt_bucket_seconds),
+        )
+
     if not exchange_routable(left, key_col):
         return unioned.groupby(key_col).map_groups(
             join_group, batch_format="pandas"
@@ -268,6 +281,165 @@ def asof_join(
         )
 
     return hash_group_apply(unioned, key_col, join_shard)
+
+
+def _asof_join_salted(
+    unioned: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    out_ts: str,
+    l_names: list,
+    r_out_names: list,
+    direction: str,
+    bucket_seconds: int,
+) -> rd.Dataset:
+    """Hot-key-safe as-of join body: groups are (key, time bucket).
+
+    Exactness argument: within a bucket the as-of match is the normal
+    merge_asof. The only right row OUTSIDE a left row's bucket that
+    can win a backward match is the globally latest right row in any
+    strictly earlier bucket (any other earlier row is dominated by
+    it; later-bucket rows have ts past the bucket edge, above every
+    left ts in the bucket). The carry exchange injects exactly that
+    row per occupied (key, bucket); symmetric for forward. Per-block
+    map partials pre-aggregate to one presence + one candidate row
+    per (key, bucket, block), so the carry exchange ships O(groups),
+    never the hot key's row count.
+    """
+    from ..shuffle import (
+        _key_u64, _mix64, hash_group_apply, hash_group_exchange,
+    )
+
+    bucket_us = bucket_seconds * 1_000_000
+    back = direction == "backward"
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = pc.coalesce(b[ts_col], b[out_ts])  # left rows | right rows
+        tsi = (
+            pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        bk = np.floor_divide(tsi.astype(np.int64), bucket_us)
+        return b.append_column("__bucket", pa.array(bk, type=pa.int64()))
+
+    tagged = unioned.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    full_schema = tagged.schema().base_schema  # captured for widen_carry
+    narrow = [key_col, "__bucket", "__side", out_ts, *
+              [c for c in r_out_names if c != out_ts]]
+    # every exchange boundary pins an explicit Arrow schema: pandas
+    # round-trips infer per-block dtypes (a left-only block would emit
+    # float64/null value columns) and pa.concat_tables in the reducer
+    # requires identical schemas across map shards
+    narrow_schema = pa.schema(
+        [pa.field(n, full_schema.field(n).type) for n in narrow]
+    )
+
+    def carry_partials(b: pa.Table) -> pa.Table:
+        # per-block pre-aggregation: one left-presence row and one
+        # right candidate (last for backward / first for forward) per
+        # (key, bucket)
+        g = b.select(narrow).to_pandas()
+        left_p = (
+            g[g["__side"] == 0][[key_col, "__bucket", "__side"]]
+            .drop_duplicates()
+        )
+        rg = g[g["__side"] == 1].sort_values(out_ts, kind="mergesort")
+        # whole-ROW candidate per (key, bucket) — tail/head, not agg,
+        # so value columns stay consistent with their timestamp
+        grp = rg.groupby([key_col, "__bucket"], sort=False)
+        right_c = grp.tail(1) if back else grp.head(1)
+        out = pd.concat([left_p, right_c], ignore_index=True)
+        return pa.Table.from_pandas(
+            out, preserve_index=False, schema=narrow_schema
+        )
+
+    def carry_reduce(t: pa.Table) -> pa.Table:
+        # per key: for each left-occupied bucket, the winning right
+        # row from strictly earlier (later, if forward) buckets —
+        # itself a merge_asof over the per-bucket candidates
+        if t.num_rows == 0:
+            return narrow_schema.empty_table()
+        g = t.to_pandas()
+        lefts = (
+            g[g["__side"] == 0][[key_col, "__bucket"]]
+            .drop_duplicates()
+            .sort_values("__bucket", kind="mergesort")
+        )
+        rg = g[g["__side"] == 1].sort_values(out_ts, kind="mergesort")
+        grp = rg.groupby([key_col, "__bucket"], sort=False)
+        rl = (
+            (grp.tail(1) if back else grp.head(1))
+            .drop(columns="__side")
+            .sort_values("__bucket", kind="mergesort")
+        )
+        carr = pd.merge_asof(
+            lefts, rl, on="__bucket", by=key_col,
+            direction="backward" if back else "forward",
+            allow_exact_matches=False,
+        )
+        carr = carr[carr[out_ts].notna()].copy()
+        carr["__side"] = np.int8(1)
+        return pa.Table.from_pandas(
+            carr, preserve_index=False, schema=narrow_schema
+        )
+
+    carry_refs = hash_group_exchange(
+        tagged, key_col, carry_reduce, map_fn=carry_partials
+    )
+    carries = rd.from_arrow_refs(carry_refs) if carry_refs else None
+
+    def widen_carry(b: pa.Table) -> pa.Table:
+        # carries back to the union's full schema (left cols null)
+        cols = {}
+        for n in [*l_names, *r_out_names, "__side", "__bucket"]:
+            if n in b.schema.names:
+                cols[n] = b[n].cast(full_schema.field(n).type)
+            else:
+                cols[n] = pa.nulls(b.num_rows, type=full_schema.field(n).type)
+        return pa.table(cols)
+
+    salted_in = tagged
+    if carries is not None:
+        salted_in = tagged.union(
+            carries.map_batches(widen_carry, batch_format="pyarrow")
+        )
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        ku = _mix64(_key_u64(b, key_col))
+        bu = _mix64(
+            b["__bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        )
+        return b.append_column(
+            "__salt", pa.array((ku ^ bu).view(np.int64))
+        )
+
+    out_schema = pa.schema(
+        [pa.field(n, full_schema.field(n).type) for n in [*l_names, *r_out_names]]
+    )
+
+    def join_shard_salted(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.to_pandas()
+        lg = g[g["__side"] == 0][[*l_names, "__bucket"]].sort_values(
+            ts_col, kind="mergesort"
+        )
+        rg = g[g["__side"] == 1][[key_col, "__bucket", *r_out_names]].sort_values(
+            out_ts, kind="mergesort"
+        )
+        out = pd.merge_asof(
+            lg, rg,
+            left_on=ts_col, right_on=out_ts,
+            by=[key_col, "__bucket"],
+            direction=direction,
+        )
+        return pa.Table.from_pandas(
+            out[l_names + r_out_names], preserve_index=False, schema=out_schema
+        )
+
+    return hash_group_apply(salted_in, "__salt", join_shard_salted, map_fn=add_salt)
 
 
 def range_join(
