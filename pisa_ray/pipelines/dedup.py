@@ -25,7 +25,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..shuffle import hash_group_exchange, hash_group_apply, run_starts, popcount64
+from ..shuffle import (
+    _mix64,
+    hash_group_exchange,
+    hash_group_apply,
+    popcount64,
+    run_starts,
+)
 from ..tokenizer import TOKEN_SPLIT_RE
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -1118,17 +1124,54 @@ def jaccard_pairs(
         if rsel.size == 0:
             return _empty_pairs()
         g_of_row = gid[keep_rows]
-        L = offs[rsel + 1] - offs[rsel]
-        tot = int(L.sum())
-        csum = np.cumsum(L)
-        within = np.arange(tot, dtype=np.int64) - np.repeat(csum - L, L)
-        fv = vals[np.repeat(offs[rsel], L) + within]  # flat shingle values
-        fr = np.repeat(np.arange(rsel.size), L)  # flat local row idx
-        fg = g_of_row[fr]
         rid = ids[rsel]
-        # members of each (group, shingle) run ordered by doc id so the
-        # triu gather below emits (id_a < id_b) directly
-        o2 = np.lexsort((rid[fr], fv, fg))
+        L = (offs[rsel + 1] - offs[rsel]).astype(np.int64)
+
+        # ---- identical-set class collapse --------------------------
+        # exact twins (identical survivor sets + equal true set size)
+        # are the dominant redundancy in a dup-heavy corpus, and the
+        # shared-shingle expansion below is quadratic in group
+        # occupancy — so collapse each (group, set-content) class to
+        # ONE representative first and expand class pairs back to
+        # member pairs afterwards. Content equality is a 128-bit
+        # order-independent fingerprint (two independent mixed sums;
+        # collision odds ~2^-128 per shard) plus equal (|set|, s).
+        mv1 = _mix64(vals.view(np.uint64))
+        mv2 = _mix64(vals.view(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+        # segment sums over each row's (possibly non-contiguous) slice
+        # of the shared values buffer, via prefix sums (mod 2^64)
+        with np.errstate(over="ignore"):
+            lo = offs[rsel].astype(np.int64)
+            hi = lo + L
+            base = np.concatenate([[np.uint64(0)], np.cumsum(mv1)])
+            fp1 = base[hi] - base[lo]
+            base2 = np.concatenate([[np.uint64(0)], np.cumsum(mv2)])
+            fp2 = base2[hi] - base2[lo]
+        o_cls = np.lexsort((rid, ss[rsel], L, fp2.view(np.int64),
+                            fp1.view(np.int64), g_of_row))
+        gs_s = g_of_row[o_cls]
+        cls_start = run_starts(
+            gs_s, fp1[o_cls], fp2[o_cls], L[o_cls], ss[rsel][o_cls]
+        )
+        cls_first = np.flatnonzero(cls_start)
+        cls_len = np.diff(np.append(cls_first, gs_s.size))
+        n_cls = cls_first.size
+        if n_cls >= 1 << 31:
+            raise ValueError("verify shard exceeds 2^31 set classes")
+        mem_ids = rid[o_cls]  # flat member doc ids, ordered per class
+        rep = rsel[o_cls[cls_first]]  # table row index per class
+        g_cls = gs_s[cls_first]
+        L_cls = L[o_cls[cls_first]]
+        s_cls = ss[rsel][o_cls[cls_first]].astype(np.float64)
+
+        # ---- shared-shingle expansion over class representatives ---
+        tot = int(L_cls.sum())
+        csum = np.cumsum(L_cls)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(csum - L_cls, L_cls)
+        fv = vals[np.repeat(offs[rep], L_cls) + within]
+        fr = np.repeat(np.arange(n_cls, dtype=np.int32), L_cls)
+        fg = g_cls[fr]
+        o2 = np.lexsort((fr, fv, fg))
         fg, fv, fr = fg[o2], fv[o2], fr[o2]
         rfirst = np.flatnonzero(run_starts(fg, fv))
         rlens = np.diff(np.append(rfirst, fg.size))
@@ -1141,24 +1184,56 @@ def jaccard_pairs(
             iu, ju = np.triu_indices(int(Lr), 1)
             out_i.append(rows_m[:, iu].ravel())
             out_j.append(rows_m[:, ju].ravel())
-        if not out_i:
+        a_parts, b_parts, j_parts = [], [], []
+        if out_i:
+            ci = np.concatenate(out_i).astype(np.int64)
+            cj = np.concatenate(out_j).astype(np.int64)
+            # one packed-key sort counts slots per class pair (each
+            # shared shingle of the pair contributes one slot -> the
+            # count IS |A∩B|: shared shingles always have df >= 2, so
+            # both survivor sets carry them)
+            key, counts = np.unique((ci << 32) | cj, return_counts=True)
+            ci_u = (key >> 32).astype(np.int64)
+            cj_u = (key & np.int64(0xFFFFFFFF)).astype(np.int64)
+            c = counts.astype(np.float64)
+            sa = s_cls[ci_u]
+            sb = s_cls[cj_u]
+            jac = c / (sa + sb - c)
+            fkeep = jac >= thr
+            ci_u, cj_u, jac = ci_u[fkeep], cj_u[fkeep], jac[fkeep]
+            # expand each surviving class pair to member-id pairs
+            ma = cls_len[ci_u]
+            mb = cls_len[cj_u]
+            cnt = ma * mb
+            tot2 = int(cnt.sum())
+            if tot2:
+                pidx = np.repeat(np.arange(cnt.size), cnt)
+                w = np.arange(tot2, dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                ai = w // mb[pidx]
+                bi = w - ai * mb[pidx]
+                x = mem_ids[cls_first[ci_u][pidx] + ai]
+                y = mem_ids[cls_first[cj_u][pidx] + bi]
+                a_parts.append(np.minimum(x, y))
+                b_parts.append(np.maximum(x, y))
+                j_parts.append(jac[pidx])
+        # within-class pairs: identical survivor sets share c = |set|
+        jac_w = L_cls.astype(np.float64) / (2.0 * s_cls - L_cls)
+        wsel = (cls_len >= 2) & (jac_w >= thr)
+        for m in np.unique(cls_len[wsel]) if wsel.any() else []:
+            m_first = cls_first[wsel & (cls_len == m)]
+            idx = m_first[:, None] + np.arange(m)[None, :]
+            memb = mem_ids[idx]
+            iu, ju = np.triu_indices(int(m), 1)
+            a_parts.append(memb[:, iu].ravel())  # members are id-sorted
+            b_parts.append(memb[:, ju].ravel())
+            j_parts.append(np.repeat(jac_w[wsel & (cls_len == m)], iu.size))
+        if not a_parts:
             return _empty_pairs()
-        ri = np.concatenate(out_i)
-        rj = np.concatenate(out_j)
-        # count slots per (row_i, row_j): every shared shingle of the
-        # pair contributes one (full sets shipped -> c = |A∩B| exactly)
-        o3 = np.lexsort((rj, ri))
-        ri, rj = ri[o3], rj[o3]
-        pstarts = run_starts(ri, rj)
-        pfirst = np.flatnonzero(pstarts)
-        c = np.diff(np.append(pfirst, ri.size)).astype(np.float64)
-        ri_u, rj_u = ri[pfirst], rj[pfirst]
-        a, b = rid[ri_u], rid[rj_u]
-        sa = ss[rsel][ri_u].astype(np.float64)
-        sb = ss[rsel][rj_u].astype(np.float64)
-        jac = c / (sa + sb - c)
-        fkeep = jac >= thr
-        a, b, jac = a[fkeep], b[fkeep], jac[fkeep]
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        jac = np.concatenate(j_parts)
         # in-shard dedup: the same doc pair found via several prefix
         # shingle groups carries identical c/sa/sb
         o4 = np.lexsort((b, a))
