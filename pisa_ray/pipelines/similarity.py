@@ -107,21 +107,36 @@ def brute_knn(
 
 class LshIndexer:
     """Actor-pool stage: hyperplanes generated once per actor (same
-    seed everywhere -> identical planes, no coordination)."""
+    seed everywhere -> identical planes, no coordination). With
+    ``n_tables`` > 1 each vector emits one row PER table (the classic
+    OR-amplification: recall 1-(1-p^P)^L at L× shuffle volume); the
+    table index is packed into the top bits of the bucket key so one
+    shuffle routes all tables."""
 
-    def __init__(self, dim: int, n_planes: int = 10, seed: int = 29):
-        self.planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    def __init__(
+        self, dim: int, n_planes: int = 10, seed: int = 29, n_tables: int = 1
+    ):
+        self.planes = np.random.default_rng(seed).standard_normal(
+            (n_tables, dim, n_planes)
+        )
         self.n_planes = n_planes
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_as_matrix(batch["embedding"]))
-        bits = (m @ self.planes) > 0
-        key = bits @ (1 << np.arange(self.n_planes, dtype=np.int64))
+        bitvals = 1 << np.arange(self.n_planes, dtype=np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = []
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t]) > 0
+            keys.append((bits @ bitvals) | (np.int64(t) << self.n_planes))
+        key = np.concatenate(keys)
+        vecs = pa.array(list(m), type=pa.large_list(pa.float64()))
         return pa.table(
             {
-                "bhash": pa.array(key.astype(np.int64)),
-                "vec_id": batch["vec_id"],
-                "vec": pa.array(list(m), type=pa.large_list(pa.float64())),
+                "bhash": pa.array(key),
+                "vec_id": pa.array(np.tile(ids, self.n_tables)),
+                "vec": pa.concat_arrays([vecs] * self.n_tables),
             }
         )
 
@@ -135,44 +150,63 @@ def lsh_knn(
     seed: int = 29,
     concurrency: int = 4,
     n_probes: int = 0,
+    n_tables: int = 1,
 ) -> pd.DataFrame:
-    """Bucketed ANN. Each query probes its home hyperplane bucket plus
-    ``n_probes`` Hamming-distance-1 neighbors — the bits flipped are
-    those with the smallest |q . plane| margin, i.e. the buckets a true
-    neighbor most likely fell into (classic multi-probe LSH). Recall
-    rises with ``n_probes`` at cost ~(1+n_probes)/2^n_planes of the
-    corpus per query; ``n_probes=0`` is the original single-probe
-    sketch, ``brute_knn`` the exact path.
+    """Bucketed ANN with BOTH classic recall levers:
 
-    Scale shape: docs shuffle ONCE by their own bucket; probing
-    replicates only the tiny query table (one row per (query, probed
-    bucket)), never the corpus, and each doc lives in exactly one
-    bucket so multi-probe hits need no dedup."""
+    * multi-probe (``n_probes``): each query probes its home bucket
+      plus the ``n_probes`` Hamming-distance-1 neighbors whose bit has
+      the smallest |q . plane| margin — the buckets a true neighbor
+      most likely fell into. Cost ~(1+n_probes)/2^P of the corpus per
+      query, zero extra shuffle volume.
+    * multi-table (``n_tables``): L independent plane sets,
+      OR-amplified — a neighbor is found if it collides in ANY table
+      (recall 1-(1-p^P)^L). Cost: the corpus shuffles L× (each vector
+      lives in L buckets), the standard LSH space/recall trade.
+
+    ``n_probes=0, n_tables=1`` is the original single-probe sketch;
+    ``brute_knn`` the exact path; ``ivf_knn`` the data-adaptive
+    alternative that gets higher recall per scored candidate.
+
+    Scale shape: docs shuffle exactly ``n_tables`` times keyed by their
+    own bucket; probing replicates only the tiny query table (one row
+    per (query, table, probed bucket)), never the corpus. Multi-table
+    hits ARE deduped at the merge (same exact cosine from every table,
+    so keep-first on (query_id, vec_id) is exact)."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
     if dim is None:
         dim = q.shape[1]
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-    proj = q @ planes  # (Q, P)
+    planes = np.random.default_rng(seed).standard_normal((n_tables, dim, n_planes))
     bitvals = 1 << np.arange(n_planes, dtype=np.int64)
-    qkeys = (proj > 0) @ bitvals
     n_probes = min(int(n_probes), n_planes)
 
     bucketed = emb.map_batches(
         LshIndexer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        fn_constructor_kwargs={
+            "dim": dim,
+            "n_planes": n_planes,
+            "seed": seed,
+            "n_tables": n_tables,
+        },
         batch_format="pyarrow",
         concurrency=(1, concurrency),
         num_cpus=1,
     )
-    # one probe row per (query, bucket): home bucket first, then the
-    # n_probes lowest-margin bit flips
-    probe_qid = [np.arange(q.shape[0], dtype=np.int64)]
-    probe_key = [qkeys.astype(np.int64)]
-    if n_probes > 0:
-        flip_order = np.argsort(np.abs(proj), axis=1)[:, :n_probes]  # (Q, n_probes)
-        for j in range(n_probes):
-            probe_qid.append(np.arange(q.shape[0], dtype=np.int64))
-            probe_key.append((qkeys ^ bitvals[flip_order[:, j]]).astype(np.int64))
+    # one probe row per (query, table, bucket): per table, home bucket
+    # first, then the n_probes lowest-margin bit flips
+    probe_qid, probe_key = [], []
+    for t in range(n_tables):
+        proj = q @ planes[t]  # (Q, P)
+        qkeys = ((proj > 0) @ bitvals) | (np.int64(t) << n_planes)
+        probe_qid.append(np.arange(q.shape[0], dtype=np.int64))
+        probe_key.append(qkeys.astype(np.int64))
+        if n_probes > 0:
+            flip_order = np.argsort(np.abs(proj), axis=1)[:, :n_probes]
+            for j in range(n_probes):
+                probe_qid.append(np.arange(q.shape[0], dtype=np.int64))
+                probe_key.append(
+                    (qkeys ^ bitvals[flip_order[:, j]]).astype(np.int64)
+                )
     qdf = pd.DataFrame(
         {
             "query_id": np.concatenate(probe_qid),
@@ -211,6 +245,10 @@ def lsh_knn(
     )
     if res.empty:
         return res
+    if n_tables > 1:
+        # a doc found in several tables carries the SAME exact cosine
+        # from each — keep-first is exact, not an approximation
+        res = res.drop_duplicates(["query_id", "vec_id"])
     res = res.sort_values(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
