@@ -597,12 +597,7 @@ def q_quality_counts(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
-def q_knn_cosine(sf_dir: str):
-    """Exact cosine top-5 for query vectors vec_id 0..4 (self included;
-    rank over rounded cosine + vec_id tie-break, mirroring the SQL)."""
-    from pisa_ray.pipelines.similarity import brute_knn
-
-    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+def _knn_query_vectors(sf_dir: str):
     qtab = (
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
         .filter(expr="vec_id < 5")
@@ -610,18 +605,21 @@ def q_knn_cosine(sf_dir: str):
         .sort_values("vec_id")
     )
     q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
-    out = brute_knn(
-        emb, q, k=10, query_ids=qtab["vec_id"].to_numpy(dtype=np.int64)
-    )
-    # Recompute the winners' cosines in DuckDB's exact accumulation
-    # order (sequential dot; dot/(sqrt(na)*sqrt(nb))) so the rounded
-    # value is bit-identical to list_cosine_similarity and can never
-    # straddle a rounding boundary differently.
+    return q, qtab["vec_id"].to_numpy(dtype=np.int64)
+
+
+def _duckdb_cosine_rerank(out, sf_dir: str, qids, k: int = 5):
+    """Recompute the winners' cosines in DuckDB's exact accumulation
+    order (sequential dot; dot/(sqrt(na)*sqrt(nb))) so the rounded
+    value is bit-identical to list_cosine_similarity and can never
+    straddle a rounding boundary differently; then re-rank and cut to
+    the final k (callers fetch extra rows so the re-round can only
+    reorder inside the fetched set)."""
     import math
 
     from pisa_ray.pipelines.relational import broadcast_semi_join
 
-    need = set(out["vec_id"]) | set(qtab["vec_id"])
+    need = set(out["vec_id"]) | set(int(i) for i in qids)
     vecs = broadcast_semi_join(
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), need, "vec_id"
     ).to_pandas()
@@ -638,6 +636,7 @@ def q_knn_cosine(sf_dir: str):
             nb += y * y
         return dot / (math.sqrt(na) * math.sqrt(nb))
 
+    out = out.copy()
     out["cosine"] = np.round(
         [
             duck_cos(vec_of[int(qi)], vec_of[int(vi)])
@@ -650,10 +649,21 @@ def q_knn_cosine(sf_dir: str):
         kind="mergesort",
     )
     out["rank"] = out.groupby("query_id").cumcount() + 1
-    out = out[out["rank"] <= 5].reset_index(drop=True)
+    out = out[out["rank"] <= k].reset_index(drop=True)
     return out[["query_id", "rank", "vec_id", "cosine"]].astype(
         {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
     )
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact cosine top-5 for query vectors vec_id 0..4 (self included;
+    rank over rounded cosine + vec_id tie-break, mirroring the SQL)."""
+    from pisa_ray.pipelines.similarity import brute_knn
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _knn_query_vectors(sf_dir)
+    out = brute_knn(emb, q, k=10, query_ids=qids)
+    return _duckdb_cosine_rerank(out, sf_dir, qids, k=5)
 
 
 # ---- rows-only (no SQL oracle: heuristic / hash / stub semantics) --------
@@ -1010,21 +1020,20 @@ def q_bm25_conjunctive(sf_dir: str):
 
 
 def q_ivf_knn(sf_dir: str):
-    """IVF-Flat ANN: k-means coarse quantizer (distributed Lloyd's),
-    exact cosine inside the n_probe nearest clusters per query —
-    the data-adaptive counterpart of lsh_knn (rows-only: approximate
-    recall is seed-deterministic but not SQL-expressible)."""
+    """IVF-Flat ANN at FULL probe: k-means coarse quantizer
+    (distributed Lloyd's), corpus shuffled once by cluster, every list
+    probed — which must reproduce the exact cosine top-k (each doc
+    lives in exactly one cluster; identity to brute_knn is
+    pytest-pinned), so the whole IVF machinery is SQL-checkable
+    against the same exact-top-k oracle as ``knn_cosine``.
+    Partial-probe recall behavior stays pytest-covered."""
     from pisa_ray.pipelines.similarity import ivf_knn
 
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtab = (
-        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .filter(expr="vec_id < 5")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
-    return ivf_knn(emb, q, k=5, n_clusters=8, n_probe=3)
+    q, qids = _knn_query_vectors(sf_dir)
+    out = ivf_knn(emb, q, k=10, n_clusters=8, n_probe=8)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return _duckdb_cosine_rerank(out, sf_dir, qids, k=5)
 
 
 # fixed phrase-query benchmark set (contiguous token sequences from the
@@ -1807,6 +1816,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT query_id, rank, vec_id, cosine FROM (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ), 5) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                           ), 5) DESC, e.vec_id
+                       ) AS rank
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rank <= 5
+        """,
+        # IVF-Flat at full probe is exact (every doc lives in exactly
+        # one cluster and every list is probed — identity to brute_knn
+        # pytest-pinned), so the same exact-top-k oracle applies
+        "ivf_knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5)
             SELECT query_id, rank, vec_id, cosine FROM (

@@ -10,6 +10,11 @@ two CPU levels (default 4 and 16; override BENCH_CPUS_LOW/HIGH) on the
 same input and reports both headline times plus efficiency = (T_lo/T_hi)/4 —
 the sandbox stand-in for the N vs 4N cluster-size criterion.
 
+``--shardmem`` measures the serving tier's per-shard memory contract
+as actual subprocess VmRSS on a ~300k-doc index (full reader vs four
+2-bucket shards); expect mean shard RSS ~1/4 of full plus the
+replicated global lexicon.
+
 The index-build corpus is the deterministic input_hint-shaped
 synthetic source-code corpus (Zipf vocab, stop-token skew) at a size
 where compute, not fixed job overhead, dominates.
@@ -419,8 +424,110 @@ def scaling() -> None:
     )
 
 
+_SHARDMEM_WORKER = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+def rss_kb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1])
+idx, spec = sys.argv[1], sys.argv[2]
+buckets = None if spec == "all" else set(int(x) for x in spec.split(","))
+import numpy, pyarrow, pyarrow.parquet  # count lib pages in the baseline
+from pisa_ray.scorer import IndexReader
+base = rss_kb()
+r = IndexReader(idx, buckets=buckets)
+print(json.dumps({
+    "rss_delta_kb": rss_kb() - base,
+    "acct": r.resident_bytes(),
+    "n_local": r.n_local,
+}))
+"""
+
+
+def shardmem() -> None:
+    """Serving-tier memory contract, measured as ACTUAL process RSS
+    (VERDICT r2 #9): load a ~300k-doc index unsharded and as S=4
+    bucket shards, each in a fresh subprocess, and report per-shard
+    VmRSS delta vs the full reader. Expect mean shard RSS ~1/S of
+    full (plus the replicated global lexicon + allocator slack)."""
+    n_docs = int(os.environ.get("BENCH_SHARDMEM_DOCS", "300000"))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from pisa_ray.build import IndexConfig, build_index
+
+    corpus_dir, _ = prepare_synth_corpus(n_docs)
+    idx_dir = f"/tmp/pisa_ray_bench/idx_shardmem_{n_docs}"
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_index(
+            corpus_dir,
+            idx_dir,
+            IndexConfig(
+                bucket_bits=3,
+                term_parts=64,
+                lineage_parts=2,
+                tokenize_batch_size=512,
+                check_collisions=False,
+                per_bucket_merge=False,
+                write_docmap=False,
+                posting_space="position",
+            ),
+            resume=False,
+        )
+    ray.shutdown()
+
+    def load(spec: str) -> dict:
+        out = subprocess.run(
+            [sys.executable, "-c", _SHARDMEM_WORKER, idx_dir, spec],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    full = load("all")
+    shards = [load(f"{2 * s},{2 * s + 1}") for s in range(4)]
+    mean_shard_kb = sum(s["rss_delta_kb"] for s in shards) / 4
+    doc_dep = lambda a: a["postings"] + a["term_meta"] + a["docmap"]  # noqa: E731
+    print(
+        json.dumps(
+            {
+                "metric": "shard_rss_ratio",
+                "value": round(mean_shard_kb / max(full["rss_delta_kb"], 1), 4),
+                "unit": "mean_shard_rss / full_rss (ideal 0.25 + lexicon)",
+                "n_docs": n_docs,
+                "full_rss_mb": round(full["rss_delta_kb"] / 1024, 1),
+                "shard_rss_mb": [round(s["rss_delta_kb"] / 1024, 1) for s in shards],
+                "full_acct_mb": {
+                    k: round(v / 1e6, 2) for k, v in full["acct"].items()
+                },
+                "shard_docdep_over_full": [
+                    round(doc_dep(s["acct"]) / doc_dep(full["acct"]), 4)
+                    for s in shards
+                ],
+                "shard_n_local": [s["n_local"] for s in shards],
+                "lexicon_replicated_mb": round(full["acct"]["lexicon"] / 1e6, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--shardmem" in sys.argv:
+        shardmem()
     else:
         main()

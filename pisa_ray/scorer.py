@@ -110,9 +110,21 @@ class IndexReader:
                 return 1 + self.gens.index(top[4:])
             return 0
 
+        import pyarrow.compute as pc
+
+        # Shard-local postings: the bucket filter is applied PER FILE
+        # (and pushed to parquet row groups — segment files are written
+        # per bucket-range reducer, so min/max stats prune whole files)
+        # so a sharded reader's transient peak is one segment file, not
+        # the whole index; resident postings are ∝ 1/S of the corpus.
+        bucket_filter = (
+            pc.field("bucket").isin(pa.array(sorted(buckets), type=pa.uint32()))
+            if buckets is not None
+            else None
+        )
         tables = []
         for f in seg_files:
-            tf_ = pq.read_table(f)
+            tf_ = pq.read_table(f, filters=bucket_filter)
             if tf_.num_rows:
                 tables.append(
                     tf_.append_column(
@@ -124,14 +136,6 @@ class IndexReader:
                 )
         if tables:
             t = pa.concat_tables(tables).combine_chunks()
-            if buckets is not None:
-                import pyarrow.compute as pc
-
-                t = t.filter(
-                    pc.is_in(t["bucket"], value_set=pa.array(sorted(buckets), type=pa.uint32()))
-                )
-            import pyarrow.compute as pc
-
             order = pc.sort_indices(
                 t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
             )
@@ -298,6 +302,53 @@ class IndexReader:
         self._contrib_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._dense_cache: dict[str, np.ndarray] = {}
         self._bmw_safe: dict[str, bool] = {}
+
+    def resident_bytes(self) -> dict[str, int]:
+        """Measured bytes of the loaded structures (numpy ``.nbytes``
+        plus container overhead via ``sys.getsizeof``) — the serving
+        tier's memory contract, testable: for a bucket-sharded reader
+        ``postings`` and ``docmap`` are ∝ 1/S of the corpus, while
+        ``lexicon`` (global term→df; BM25 stats are global by design)
+        is replicated on every shard."""
+        import sys
+
+        postings = sum(
+            a.nbytes
+            for a in (
+                self.doc_data,
+                self.doc_offs,
+                self.tf_data,
+                self.tf_offs,
+                self.blk_last,
+                self.blk_offs,
+                self.blk_doff,
+                self.blk_toff,
+                self.blk_cnt,
+                self.blk_maxw,
+                self.run_bucket,
+                self.run_gen,
+                self.run_avgdl,
+            )
+        )
+        docmap = self.doc_sorted.nbytes + self.len_sorted.nbytes
+        docmap += sum(g.nbytes for g in self.gen_ids)
+        docmap += sum(g.nbytes for g in self.gen_lens)
+        if self._bucket_cum is not None:
+            docmap += self._bucket_cum.nbytes + self._rank_delta.nbytes
+        # term_runs maps only the terms present in THIS shard's runs —
+        # shard-local, but a term spanning several buckets appears in
+        # each owning shard's map, so it partitions only approximately
+        term_meta = sys.getsizeof(self.term_runs) + sum(
+            sys.getsizeof(k) for k in self.term_runs
+        )
+        lexicon = sys.getsizeof(self.df) + sum(sys.getsizeof(k) for k in self.df)
+        return {
+            "postings": postings,
+            "term_meta": term_meta,
+            "docmap": docmap,
+            "lexicon": lexicon,
+            "total": postings + term_meta + docmap + lexicon,
+        }
 
     @staticmethod
     def _manifest_bucket_bits(index_dir: str) -> int | None:

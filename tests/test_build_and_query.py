@@ -270,6 +270,36 @@ def test_sharded_reader_loads_shard_local_docmap(tiny_index):
         assert np.isin(docs, half.doc_sorted).all()
 
 
+def test_sharded_reader_memory_proportional(tiny_index):
+    """The serving-tier memory contract, MEASURED (VERDICT r2 #9): the
+    doc-dependent bytes (postings blobs + docmap arrays) of S=4
+    single-bucket shards (a) partition the unsharded reader's bytes —
+    nothing is double-loaded — and (b) each shard holds ~1/S of them
+    (hash-uniform doc ids), while the global lexicon is replicated by
+    design. ``bench.py --shardmem`` measures the same contract as
+    subprocess VmRSS on a 300k-doc index."""
+    full = IndexReader(tiny_index).resident_bytes()
+    shards = [
+        IndexReader(tiny_index, buckets={b}).resident_bytes() for b in range(4)
+    ]
+    # conservation: docmap rows live in exactly one shard; posting runs
+    # belong to exactly one bucket (offset arrays add one fencepost
+    # entry per shard -> tiny tolerance)
+    assert sum(s["docmap"] for s in shards) == full["docmap"]
+    total_post = sum(s["postings"] for s in shards)
+    assert abs(total_post - full["postings"]) <= 0.02 * full["postings"] + 1024
+    # proportionality: every shard well under half of the full
+    # doc-dependent footprint (ideal 1/4; slack for bucket skew)
+    for s in shards:
+        mine = s["postings"] + s["docmap"]
+        assert mine <= 0.45 * (full["postings"] + full["docmap"])
+    # lexicon (global term->df) is replicated per shard by design;
+    # term-run metadata never exceeds the unsharded reader's
+    for s in shards:
+        assert s["lexicon"] == full["lexicon"]
+        assert s["term_meta"] <= full["term_meta"]
+
+
 def test_csv_source_builds_identical_index(tmp_path, tiny_corpus):
     """CSV corpus ingest produces the same segments as Parquet."""
     import pyarrow.csv as pacsv
