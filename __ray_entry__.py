@@ -734,8 +734,6 @@ def q_minhash_dedup(sf_dir: str):
     near-twin decisions hash-match. Oracle assumes every doc has >= 3
     tokens (true of the testdata; short docs use the engine's padding
     rule, covered by pytest)."""
-    import pyarrow.compute as pc
-
     from pisa_ray.pipelines.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(_minhash_corpus(sf_dir), threshold=0.7)

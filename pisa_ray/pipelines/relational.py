@@ -907,11 +907,21 @@ def _block_scan_partial(order_col: str, value_col: str, t):
     keys = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
     vals = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
     # duplicate order keys INSIDE a block would make the scan
-    # layout-dependent just like boundary duplicates — detect them here
-    # (blocks arrive sorted from ds.sort, but sort defensively)
-    sk = np.sort(keys)
-    has_dup = bool(np.any(sk[1:] == sk[:-1])) if keys.size > 1 else False
-    return (keys.min(), keys.max(), int(np.sum(vals, dtype=np.int64)), has_dup)
+    # layout-dependent just like boundary duplicates — detect them
+    # here. Blocks arrive sorted from ds.sort, so an O(n) adjacency
+    # check suffices; only fall back to a copy+sort if a block ever
+    # arrives unsorted (paranoia — the apply pass re-sorts anyway).
+    if keys.size > 1:
+        if np.all(keys[1:] >= keys[:-1]):
+            sk = keys
+        else:
+            sk = np.sort(keys)
+        has_dup = bool(np.any(sk[1:] == sk[:-1]))
+        lo, hi = sk[0], sk[-1]
+    else:
+        has_dup = False
+        lo = hi = keys[0]
+    return (lo, hi, int(np.sum(vals, dtype=np.int64)), has_dup)
 
 
 @ray.remote

@@ -27,9 +27,10 @@ STOPWORDS = {
 }
 
 
-def token_stats(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """Per-doc token count, char count, distinct-token count,
-    mean token length — one vectorized Arrow pass."""
+def _token_stats_fn(text_col: str, id_col: str):
+    """Batch kernel behind ``token_stats`` — exposed as a factory so
+    ``text_stats`` can fuse it with the repetition kernel under any
+    column names (no probe-extraction fragility)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
@@ -62,7 +63,17 @@ def token_stats(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return fn
+
+
+def token_stats(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Per-doc token count, char count, distinct-token count,
+    mean token length — one vectorized Arrow pass."""
+    return ds.map_batches(
+        _token_stats_fn(text_col, id_col), batch_format="pyarrow"
+    )
 
 
 def text_stats(
@@ -75,8 +86,8 @@ def text_stats(
     pass's input batch, so fusing halves the read/decode work when a
     pipeline wants the full per-doc stat row (the common case for a
     quality-filter stage)."""
-    ts_fn = _dataset_map_fn(token_stats)
-    rep_fn = _dataset_map_fn(repetition_stats)
+    ts_fn = _token_stats_fn(text_col, id_col)
+    rep_fn = _repetition_stats_fn(text_col, id_col)
 
     def fn(batch: pa.Table) -> pa.Table:
         a = ts_fn(batch)
@@ -88,21 +99,6 @@ def text_stats(
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
-
-
-def _dataset_map_fn(builder):
-    """Extract the per-batch function a dataset-level kernel would pass
-    to ``map_batches`` (the kernels here are single-stage transforms, so
-    their batch fn is reusable for fusion)."""
-    captured: dict = {}
-
-    class _Probe:
-        def map_batches(self, fn, **kw):
-            captured["fn"] = fn
-            return None
-
-    builder(_Probe())
-    return captured["fn"]
 
 
 def pii_scan(
@@ -356,24 +352,9 @@ def quality_score(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def repetition_stats(
-    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
-) -> rd.Dataset:
-    """Gopher-style repetition quality features, one vectorized pass:
-
-    - ``top_token_frac``: count of the most frequent token / n_tokens
-      (ties irrelevant — only the max count matters)
-    - ``dup_2gram_frac``: 1 - distinct word-2grams / total word-2grams
-      (2-grams never cross document boundaries)
-
-    Repetition filters are a standard LLM-training-data curation stage
-    (boilerplate / spam removal); both features are exact, deterministic
-    and DuckDB-checkable. Zero Python-per-row: tokens come from the
-    shared flatten path, 2-grams are integer code pairs counted with
-    the same radix sort-unique used by the tokenizer. Analog of the
-    reference's per-user interaction-degree features
-    (/root/reference/src/helpers/Reader.py:188 groupby-count shape).
-    """
+def _repetition_stats_fn(text_col: str, id_col: str):
+    """Batch kernel behind ``repetition_stats`` (factory, see
+    ``_token_stats_fn``)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         from ..tokenizer import doc_term_counts
@@ -433,7 +414,30 @@ def repetition_stats(
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return fn
+
+
+def repetition_stats(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Gopher-style repetition quality features, one vectorized pass:
+
+    - ``top_token_frac``: count of the most frequent token / n_tokens
+      (ties irrelevant — only the max count matters)
+    - ``dup_2gram_frac``: 1 - distinct word-2grams / total word-2grams
+      (2-grams never cross document boundaries)
+
+    Repetition filters are a standard LLM-training-data curation stage
+    (boilerplate / spam removal); both features are exact, deterministic
+    and DuckDB-checkable. Zero Python-per-row: tokens come from the
+    shared flatten path, 2-grams are integer code pairs counted with
+    the same radix sort-unique used by the tokenizer. Analog of the
+    reference's per-user interaction-degree features
+    (/root/reference/src/helpers/Reader.py:188 groupby-count shape).
+    """
+    return ds.map_batches(
+        _repetition_stats_fn(text_col, id_col), batch_format="pyarrow"
+    )
 
 
 def tfidf_keywords(

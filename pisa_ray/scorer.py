@@ -337,11 +337,19 @@ class IndexReader:
             docmap += self._bucket_cum.nbytes + self._rank_delta.nbytes
         # term_runs maps only the terms present in THIS shard's runs —
         # shard-local, but a term spanning several buckets appears in
-        # each owning shard's map, so it partitions only approximately
+        # each owning shard's map, so it partitions only approximately.
+        # Values are counted too (the (start, end) tuple + its two ints
+        # dominate each term_runs entry).
         term_meta = sys.getsizeof(self.term_runs) + sum(
-            sys.getsizeof(k) for k in self.term_runs
+            sys.getsizeof(k)
+            + sys.getsizeof(v)
+            + sys.getsizeof(v[0])
+            + sys.getsizeof(v[1])
+            for k, v in self.term_runs.items()
         )
-        lexicon = sys.getsizeof(self.df) + sum(sys.getsizeof(k) for k in self.df)
+        lexicon = sys.getsizeof(self.df) + sum(
+            sys.getsizeof(k) + sys.getsizeof(v) for k, v in self.df.items()
+        )
         return {
             "postings": postings,
             "term_meta": term_meta,

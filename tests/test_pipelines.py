@@ -182,6 +182,46 @@ def test_token_stats_and_quality(docs):
     assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
 
 
+def test_text_stats_fused_and_custom_columns(docs):
+    """The fused text_stats kernel must equal token_stats+repetition
+    column-for-column, AND honor non-default text/id column names
+    (regression: the old probe-extraction fusion silently dropped the
+    caller's column names)."""
+    import pandas as pd
+
+    from pisa_ray.pipelines.text import (
+        repetition_stats,
+        text_stats,
+        token_stats,
+    )
+
+    fused = text_stats(docs).to_pandas().set_index("doc_id").sort_index()
+    ts = token_stats(docs).to_pandas().set_index("doc_id").sort_index()
+    rep = repetition_stats(docs).to_pandas().set_index("doc_id").sort_index()
+    for col in ("n_tokens", "n_chars", "n_distinct", "avg_token_len"):
+        pd.testing.assert_series_equal(fused[col], ts[col])
+    for col in ("top_token_frac", "dup_2gram_frac"):
+        pd.testing.assert_series_equal(fused[col], rep[col])
+    # renamed columns route through the same kernels
+    renamed = docs.map_batches(
+        lambda b: b.rename_columns(
+            ["rid" if c == "doc_id" else "body" if c == "text" else c
+             for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    fused2 = (
+        text_stats(renamed, text_col="body", id_col="rid")
+        .to_pandas()
+        .set_index("rid")
+        .sort_index()
+    )
+    assert (fused2["n_tokens"].to_numpy() == fused["n_tokens"].to_numpy()).all()
+    assert (
+        fused2["dup_2gram_frac"].to_numpy() == fused["dup_2gram_frac"].to_numpy()
+    ).all()
+
+
 def test_repetition_stats_vs_python_oracle(docs):
     from pisa_ray.pipelines.text import repetition_stats
     from pisa_ray.tokenizer import tokenize_py
