@@ -258,6 +258,19 @@ def main() -> None:
         timed("doc_chunks_sec", E.q_doc_chunks)
         timed("pack_sequences_sec", E.q_pack_sequences)
         timed("dup_spans_sec", E.q_dup_spans)
+
+        def hh_users(sf):
+            from pisa_ray.pipelines.sketch import heavy_hitters
+
+            return heavy_hitters(
+                ray.data.read_parquet(
+                    f"{sf}/events.parquet", columns=["user_id"]
+                ),
+                "user_id",
+                50,
+            )
+
+        timed("heavy_hitters_sec", hh_users)
         E._index_dir(sf_dir)  # warm the documents index (cached across
         # rounds) so phrase_search_sec times the query, not a build
         timed("phrase_search_sec", E.q_phrase_search)

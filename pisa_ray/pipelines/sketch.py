@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog distinct counting.
+"""Mergeable sketches: HyperLogLog distinct counting, exact heavy
+hitters via a two-pass threshold summary.
 
 At 100 TB an exact ``ds.unique()`` / ``count_distinct`` is an
 all-to-all shuffle of every distinct value; a cardinality estimate is
@@ -22,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 # splitmix64 finalizer — the repo's standard 64-bit mixer
@@ -169,3 +171,246 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
         "p": p,
         "registers_nonzero": int(m - zeros),
     }
+
+
+def _value_counts(c: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    vc = pc.value_counts(c)
+    return vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    k: int,
+    summary_size: int | None = None,
+    fallback: bool = True,
+) -> pa.Table:
+    """EXACT global top-``k`` most frequent values of ``col`` (count
+    desc, value asc tie-break) without shuffling the full value
+    distribution — the TPUT-style two-pass threshold algorithm
+    (Fagin et al. / Cao & Wang 2004; public).
+
+    Pass 1 (candidate discovery): each block keeps only its top-``m``
+    exact value counts (``m = summary_size``, default ``max(64, 8k)``)
+    plus its truncation threshold ``thr_b`` = the (m+1)-th count; one
+    narrow exchange sums the retained counts per value, and each
+    reducer ships its top-``m`` survivors, its own truncation cutoff
+    and the threshold mass to the driver — O(n_red * m) rows total,
+    never the value distribution. For any value, true count <=
+    retained sum + T where T = sum_b thr_b, so with ``kth`` = the k-th
+    largest retained sum, the true top-k (including k-th-place ties)
+    provably all sit inside ``candidates = {v : lower_v + T >= kth}``
+    as long as ``max_r(cutoff_r) + T < kth``.
+
+    Pass 2: the candidate set (small) broadcasts once via ``ray.put``;
+    each block recounts ONLY candidate rows (``pc.is_in`` + value
+    counts) and a second narrow exchange sums them — exact counts,
+    exact top-k.
+
+    When the guard fails (near-uniform data or ``summary_size`` too
+    small for the skew) the result would not be provably exact, so the
+    operator loudly falls back to a full exact count exchange
+    (per-reducer top-k, still one shuffle) — or raises if
+    ``fallback=False``. At 100 TB the summary pass moves O(blocks * m)
+    rows instead of O(distinct values); the data itself is read twice
+    but never shuffled.
+    """
+    if k < 1:
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
+    m = summary_size if summary_size is not None else max(64, 8 * k)
+    if m < k:
+        raise ValueError(f"heavy_hitters: summary_size {m} < k {k}")
+
+    from ..shuffle import hash_group_apply
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if hasattr(base, "field"):
+        vtype = base.field(col).type
+        if pa.types.is_dictionary(vtype):
+            vtype = vtype.value_type
+    else:  # pandas-block schema: names/types only
+        d = np.dtype(base.types[list(base.names).index(col)])
+        # object columns surface as str after the exchange's
+        # Table.from_pandas conversion
+        vtype = pa.string() if d == np.dtype(object) else pa.from_numpy_dtype(d)
+    out_schema = pa.schema([("value", vtype), ("cnt", pa.int64())])
+    sum_schema = pa.schema(
+        [("value", vtype), ("cnt", pa.int64()), ("kind", pa.int8())]
+    )
+    placeholder = "" if (
+        pa.types.is_string(vtype)
+        or pa.types.is_large_string(vtype)
+        or pa.types.is_binary(vtype)
+        or pa.types.is_large_binary(vtype)
+    ) else 0
+
+    def _col(t: pa.Table) -> pa.Array:
+        c = t[col].combine_chunks().drop_null()
+        if pa.types.is_dictionary(c.type):
+            c = c.cast(c.type.value_type)
+        return c
+
+    def summarize(t: pa.Table) -> pa.Table:
+        c = _col(t)
+        if len(c) == 0:
+            return sum_schema.empty_table()
+        values, counts = _value_counts(c)
+        thr = 0
+        if counts.size > m:
+            part = np.argpartition(counts, -m)
+            # (m+1)-th largest = max of the dropped (unordered) region
+            thr = int(counts[part[: counts.size - m]].max())
+            keep = part[-m:]
+            values, counts = values.take(pa.array(keep)), counts[keep]
+        tbl = pa.table(
+            {
+                "value": values,
+                "cnt": pa.array(counts.astype(np.int64)),
+                "kind": pa.array(np.zeros(len(values), dtype=np.int8)),
+            },
+            schema=sum_schema,
+        )
+        if thr:
+            tbl = pa.concat_tables(
+                [
+                    tbl,
+                    pa.table(
+                        {
+                            "value": pa.array([placeholder], vtype),
+                            "cnt": pa.array([thr], pa.int64()),
+                            "kind": pa.array([1], pa.int8()),
+                        },
+                        schema=sum_schema,
+                    ),
+                ]
+            )
+        return tbl
+
+    def merge_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sum_schema.empty_table()
+        kind = t["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = []
+        thr_sum = int(cnt[kind == 1].sum())
+        if thr_sum:
+            out.append((placeholder, thr_sum, 1))
+        vrows = t.filter(pa.array(kind == 0))
+        if vrows.num_rows:
+            df = vrows.select(["value", "cnt"]).to_pandas()
+            g = df.groupby("value", sort=False)["cnt"].sum()
+            lows = g.to_numpy()
+            vals = g.index.to_numpy()
+            if lows.size > m:
+                part = np.argpartition(lows, -m)
+                cutoff = int(lows[part[: lows.size - m]].max())
+                keep = part[-m:]
+                vals, lows = vals[keep], lows[keep]
+                out.append((placeholder, cutoff, 2))
+            vt = pa.table(
+                {
+                    "value": pa.array(vals, vtype),
+                    "cnt": pa.array(lows.astype(np.int64)),
+                    "kind": pa.array(np.zeros(vals.size, dtype=np.int8)),
+                },
+                schema=sum_schema,
+            )
+        else:
+            vt = sum_schema.empty_table()
+        if out:
+            ov, oc, okind = zip(*out)
+            vt = pa.concat_tables(
+                [
+                    vt,
+                    pa.table(
+                        {
+                            "value": pa.array(list(ov), vtype),
+                            "cnt": pa.array(list(oc), pa.int64()),
+                            "kind": pa.array(list(okind), pa.int8()),
+                        },
+                        schema=sum_schema,
+                    ),
+                ]
+            )
+        return vt
+
+    summary = hash_group_apply(
+        ds, "value", merge_summary, map_fn=summarize
+    ).to_pandas()
+    if summary.empty:
+        return out_schema.empty_table()
+    kinds = summary["kind"].to_numpy()
+    T = int(summary.loc[kinds == 1, "cnt"].sum())
+    cutoff_max = int(summary.loc[kinds == 2, "cnt"].max()) if (kinds == 2).any() else 0
+    vals_df = summary.loc[kinds == 0, ["value", "cnt"]]
+    if vals_df.empty:
+        return out_schema.empty_table()
+    lowers = np.sort(vals_df["cnt"].to_numpy())[::-1]
+    kth = int(lowers[min(k, lowers.size) - 1])
+
+    if cutoff_max + T >= kth:
+        # the summary cannot PROVE the candidate set contains the true
+        # top-k (too little skew for this summary_size) — exact path
+        if not fallback:
+            raise ValueError(
+                "heavy_hitters: exactness guard failed "
+                f"(cutoff_max {cutoff_max} + T {T} >= kth lower bound "
+                f"{kth}); raise summary_size or allow fallback"
+            )
+
+        def full_counts(t: pa.Table) -> pa.Table:
+            c = _col(t)
+            if len(c) == 0:
+                return out_schema.empty_table()
+            values, counts = _value_counts(c)
+            return pa.table(
+                {"value": values, "cnt": pa.array(counts.astype(np.int64))},
+                schema=out_schema,
+            )
+
+        def reduce_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            df = t.to_pandas().groupby("value", sort=False, as_index=False)["cnt"].sum()
+            df = df.sort_values(
+                ["cnt", "value"], ascending=[False, True], kind="stable"
+            ).head(k)
+            return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
+
+        cand_df = (
+            hash_group_apply(ds, "value", reduce_topk, map_fn=full_counts)
+            .to_pandas()
+        )
+    else:
+        cand_vals = vals_df.loc[
+            vals_df["cnt"].to_numpy() + T >= kth, "value"
+        ].to_numpy()
+        cand_ref = ray.put(pa.array(cand_vals, vtype))
+
+        def recount(t: pa.Table) -> pa.Table:
+            c = _col(t)
+            if len(c) == 0:
+                return out_schema.empty_table()
+            f = c.filter(pc.is_in(c, value_set=ray.get(cand_ref)))
+            if len(f) == 0:
+                return out_schema.empty_table()
+            values, counts = _value_counts(f)
+            return pa.table(
+                {"value": values, "cnt": pa.array(counts.astype(np.int64))},
+                schema=out_schema,
+            )
+
+        def sum_counts(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            df = t.to_pandas().groupby("value", sort=False, as_index=False)["cnt"].sum()
+            return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
+
+        cand_df = (
+            hash_group_apply(ds, "value", sum_counts, map_fn=recount).to_pandas()
+        )
+    top = cand_df.sort_values(
+        ["cnt", "value"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.Table.from_pandas(top, schema=out_schema, preserve_index=False)

@@ -250,6 +250,55 @@ def test_hll_distinct_strings_and_small_range():
     assert r2["estimate"] == r["estimate"]
 
 
+def _hh_oracle(df, col, k):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT {col} AS value, count(*)::BIGINT AS cnt FROM df "
+        f"GROUP BY 1 ORDER BY cnt DESC, value LIMIT {k}"
+    ).df()
+
+
+def test_heavy_hitters_exact_vs_duckdb_and_invariance():
+    from pisa_ray.pipelines.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish skew with deliberate count TIES in the tail of the top-k
+    vals = [f"tok_{int(z)}" for z in rng.zipf(1.3, 60_000) if z < 5_000]
+    df = pd.DataFrame({"v": vals})
+    want = _hh_oracle(df, "v", 20)
+    for nparts in (1, 16):
+        got = heavy_hitters(
+            rd.from_pandas(df).repartition(nparts), "v", 20
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+
+def test_heavy_hitters_int_column_and_small_distinct():
+    from pisa_ray.pipelines.sketch import heavy_hitters
+
+    df = pd.DataFrame({"v": np.array([5, 5, 5, 9, 9, 2], dtype=np.int64)})
+    got = heavy_hitters(rd.from_pandas(df).repartition(3), "v", 10).to_pandas()
+    want = _hh_oracle(df, "v", 10)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_heavy_hitters_guard_fallback_still_exact():
+    from pisa_ray.pipelines.sketch import heavy_hitters
+
+    # near-uniform data + tiny summary: the exactness guard MUST trip
+    # (raise when fallback disallowed) and the fallback stays exact
+    df = pd.DataFrame({"v": [f"u{i % 3000}" for i in range(9_000)]})
+    ds = rd.from_pandas(df).repartition(8)
+    with pytest.raises(ValueError, match="exactness guard"):
+        heavy_hitters(ds, "v", 5, summary_size=8, fallback=False)
+    got = heavy_hitters(ds, "v", 5, summary_size=8).to_pandas()
+    want = _hh_oracle(df, "v", 5)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_minhash_pairs_to_clusters_composition():
     """The full near-dup pipeline: MinHash-LSH pair emission ->
     connected components -> one canonical id per duplicate cluster."""
