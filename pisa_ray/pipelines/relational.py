@@ -60,6 +60,113 @@ def broadcast_anti_join(big: rd.Dataset, keys, col: str) -> rd.Dataset:
     return big.map_batches(fn, batch_format="pyarrow")
 
 
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left_outer",
+    "right": "right_outer",
+    "full": "full_outer",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+    hot_keys: Sequence | None = None,
+) -> rd.Dataset:
+    """Large x large distributed join — both sides hash-partitioned by
+    key, each partition joined independently (Ray Data's native
+    hash-shuffle ``Dataset.join``; this wrapper adds partition sizing
+    and a skew escape hatch). Use this when NEITHER side fits a
+    broadcast; for a small side keep :func:`broadcast_inner_join` /
+    :func:`broadcast_semi_join` — one ``ray.put``, no shuffle.
+
+    ``how``: inner | left | right | full | semi | anti (semi/anti keep
+    left rows with/without a right match, left columns only). The
+    right key column is dropped from the output (it equals ``on`` on
+    every surviving row); remaining name collisions are the caller's
+    to resolve by renaming beforehand.
+
+    Scale shape (100 TB): each row crosses the exchange exactly once;
+    ``num_partitions`` defaults to ~64 MB of combined input per
+    partition capped at 2x the cluster's cores, so partitions stay
+    spillable. Prune both sides to the join keys + needed value
+    columns BEFORE calling — the shuffle ships every selected byte.
+
+    Skew: one key's rows on BOTH sides land in one partition; a hot
+    key with a large match cardinality concentrates there. For inner
+    joins pass ``hot_keys`` (the known heavy keys, e.g. from a
+    sampled count): their right-side rows are collected once and
+    broadcast-joined map-side against the left (no shuffle for the
+    hot rows), the remaining keys take the hash exchange, and the two
+    streams union. Results are row-order-independent, values exact.
+
+    Reference analog: the reference holds every interaction table in
+    one process and joins via dict lookups (e.g. building per-user
+    positives, /root/reference/src/Dataset.py); at 100 TB that becomes
+    this hash exchange.
+    """
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}, got {how!r}")
+    rkey = right_on or on
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        try:
+            nbytes = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        except Exception:
+            nbytes = 0
+        num_partitions = int(
+            min(max(4, 2 * ncpu), max(4, nbytes // (64 << 20) + 1))
+        )
+
+    if hot_keys is not None and len(list(hot_keys)):
+        if how != "inner":
+            raise ValueError("hot_keys split is only defined for how='inner'")
+        hot = pa.array(sorted(set(hot_keys)))
+
+        def keep_hot(col: str):
+            def fn(b: pa.Table) -> pa.Table:
+                return b.filter(pc.is_in(b[col], value_set=hot))
+            return fn
+
+        def drop_hot(col: str):
+            def fn(b: pa.Table) -> pa.Table:
+                return b.filter(pc.invert(pc.is_in(b[col], value_set=hot)))
+            return fn
+
+        # hot right rows are small by contract (caller names only keys
+        # whose LEFT side is heavy) -> one driver collect + broadcast
+        r_hot = (
+            right.map_batches(keep_hot(rkey), batch_format="pyarrow")
+            .to_pandas()
+        )
+        if rkey != on:
+            r_hot = r_hot.rename(columns={rkey: on})
+        l_hot = left.map_batches(keep_hot(on), batch_format="pyarrow")
+        hot_joined = broadcast_inner_join(l_hot, r_hot, on=on)
+        cold = hash_join(
+            left.map_batches(drop_hot(on), batch_format="pyarrow"),
+            right.map_batches(drop_hot(rkey), batch_format="pyarrow"),
+            on=on, right_on=right_on, how="inner",
+            num_partitions=num_partitions,
+        )
+        cols = cold.columns()
+        return cold.union(hot_joined.select_columns(cols))
+
+    return left.join(
+        right,
+        join_type=_JOIN_TYPES[how],
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(rkey,),
+    )
+
+
 def per_group_topk(
     ds: rd.Dataset,
     group_col: str,

@@ -382,6 +382,79 @@ def test_broadcast_joins():
     assert len(joined) == len(semi)
 
 
+def _hj_fixture():
+    """Two medium tables with skew, null keys and non-matching rows."""
+    rng = np.random.default_rng(7)
+    n_l, n_r = 4000, 3000
+    lk = rng.integers(0, 500, n_l).astype("float64")
+    lk[::97] = np.nan  # null join keys: must never match (SQL semantics)
+    lk[:400] = 7.0  # hot key on the left
+    left = pd.DataFrame(
+        {"k": pd.array(lk, dtype="Int64"), "lv": np.arange(n_l, dtype=np.int64)}
+    )
+    rk = rng.integers(100, 650, n_r)  # keys 500-649 match nothing on the left
+    right = pd.DataFrame(
+        {"rk": rk.astype(np.int64), "rv": rng.normal(size=n_r).round(6)}
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how,sql", [
+    ("inner", "SELECT l.k, l.lv, r.rv FROM left_t l JOIN right_t r ON l.k = r.rk"),
+    ("left", "SELECT l.k, l.lv, r.rv FROM left_t l LEFT JOIN right_t r ON l.k = r.rk"),
+    ("full", "SELECT coalesce(l.k, r.rk) AS k, l.lv, r.rv "
+             "FROM left_t l FULL OUTER JOIN right_t r ON l.k = r.rk"),
+    ("semi", "SELECT l.k, l.lv FROM left_t l WHERE l.k IN (SELECT rk FROM right_t)"),
+    ("anti", "SELECT l.k, l.lv FROM left_t l WHERE l.k IS NULL "
+             "OR l.k NOT IN (SELECT rk FROM right_t)"),
+])
+def test_hash_join_vs_duckdb(how, sql):
+    import duckdb
+
+    from pisa_ray.pipelines.relational import hash_join
+
+    left, right = _hj_fixture()
+    con = duckdb.connect()
+    con.register("left_t", left)
+    con.register("right_t", right)
+    want = con.execute(sql).df()
+
+    got = hash_join(
+        rd.from_pandas(left).repartition(7),
+        rd.from_pandas(right).repartition(5),
+        on="k", right_on="rk", how=how, num_partitions=6,
+    ).to_pandas()
+    if how == "full":
+        # the wrapper keeps both key columns null-filled on the
+        # unmatched side; coalesce like the SQL for comparison
+        got["k"] = got["k"].where(got["k"].notna(), got.get("rk"))
+        got = got[["k", "lv", "rv"]]
+    cols = list(want.columns)
+    norm = lambda df: (
+        df[cols].astype({c: "float64" for c in cols})
+        .sort_values(cols, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(norm(got), norm(want))
+
+
+def test_hash_join_hot_keys_split_identical():
+    from pisa_ray.pipelines.relational import hash_join
+
+    left, right = _hj_fixture()
+    l = rd.from_pandas(left.dropna(subset=["k"])).repartition(7)
+    r = rd.from_pandas(right).repartition(5)
+    plain = hash_join(l, r, on="k", right_on="rk", how="inner").to_pandas()
+    split = hash_join(
+        l, r, on="k", right_on="rk", how="inner", hot_keys=[7, 130]
+    ).to_pandas()
+    cols = sorted(plain.columns)
+    norm = lambda df: (
+        df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(norm(split), norm(plain), check_dtype=False)
+
+
 # -- multimodal -----------------------------------------------------------
 
 
