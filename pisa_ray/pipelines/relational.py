@@ -78,6 +78,8 @@ def hash_join(
     how: str = "inner",
     num_partitions: int | None = None,
     hot_keys: Sequence | None = None,
+    bloom_expected: int | None = None,
+    bloom_fp_rate: float = 0.01,
 ) -> rd.Dataset:
     """Large x large distributed join — both sides hash-partitioned by
     key, each partition joined independently (Ray Data's native
@@ -106,6 +108,15 @@ def hash_join(
     hot rows), the remaining keys take the hash exchange, and the two
     streams union. Results are row-order-independent, values exact.
 
+    ``bloom_expected`` (inner/semi only): build a Bloom filter of the
+    right side's keys (sized for that many distinct values at
+    ``bloom_fp_rate``) and drop definitely-unmatched LEFT rows
+    map-side BEFORE the exchange — results identical (the join
+    discards false positives), only shuffle bytes change. Worth it
+    when the left side is much wider than its match rate; pointless
+    when both sides are match-dense. The right side is materialized
+    once so the bloom pass and the join don't recompute it.
+
     Reference analog: the reference holds every interaction table in
     one process and joins via dict lookups (e.g. building per-user
     positives, /root/reference/src/Dataset.py); at 100 TB that becomes
@@ -114,6 +125,14 @@ def hash_join(
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}, got {how!r}")
     rkey = right_on or on
+    if bloom_expected is not None:
+        if how not in ("inner", "semi"):
+            raise ValueError("bloom_expected only preserves inner/semi results")
+        from .bloom import bloom_prefilter, build_bloom
+
+        right = right.materialize()
+        bloom = build_bloom(right, rkey, bloom_expected, bloom_fp_rate)
+        left = bloom_prefilter(left, on, bloom)
     if num_partitions is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         try:

@@ -1533,3 +1533,198 @@ def test_unigram_model_top_v_cap():
         model=unigram_model(train),
     ).to_pandas()
     assert abs(s2["nll"][0] - round(-np.log(1 / 6), 6)) <= 1e-6
+
+
+# -- grouped window functions ----------------------------------------------
+
+
+def _win_fixture(dup_times: bool = False):
+    rng = np.random.default_rng(11)
+    n = 5000
+    k = rng.integers(0, 120, n).astype(np.int64)
+    t = rng.integers(0, 400 if dup_times else 10**6, n).astype(np.int64)
+    if not dup_times:
+        # unique (k, t): lag/row_number/cumsum need a total order
+        df = pd.DataFrame({"k": k, "t": t}).drop_duplicates(["k", "t"])
+    else:
+        df = pd.DataFrame({"k": k, "t": t})
+    df["v"] = rng.normal(size=len(df)).round(6)
+    return df.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("parts", [3, 11])
+def test_grouped_window_vs_duckdb(parts):
+    import duckdb
+
+    from pisa_ray.pipelines.window import grouped_window
+
+    df = _win_fixture()
+    con = duckdb.connect()
+    con.register("t_", df)
+    want = con.execute("""
+        SELECT k, t, v,
+          lag(v, 2) OVER w AS prev_v,
+          lead(v, 1) OVER w AS next_v,
+          row_number() OVER w AS rn,
+          sum(v) OVER (PARTITION BY k ORDER BY t ROWS UNBOUNDED PRECEDING) AS run_v,
+          sum(v) OVER (PARTITION BY k ORDER BY t
+                       RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS w_sum,
+          avg(v) OVER (PARTITION BY k ORDER BY t
+                       RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS w_avg,
+          count(*) OVER (PARTITION BY k ORDER BY t
+                         RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS w_cnt
+        FROM t_ WINDOW w AS (PARTITION BY k ORDER BY t)
+    """).df()
+
+    got = grouped_window(
+        rd.from_pandas(df).repartition(parts),
+        "k", "t",
+        {
+            "prev_v": ("lag", "v", 2),
+            "next_v": ("lead", "v", 1),
+            "rn": ("row_number",),
+            "run_v": ("cumsum", "v"),
+            "w_sum": ("rolling_sum", "v", 50000),
+            "w_avg": ("rolling_mean", "v", 50000),
+            "w_cnt": ("rolling_count", 50000),
+        },
+    ).to_pandas()
+    cols = list(want.columns)
+    norm = lambda d: (
+        d[cols].astype({c: "float64" for c in cols})
+        .sort_values(["k", "t"], kind="mergesort").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(norm(got), norm(want), atol=1e-9)
+
+
+def test_grouped_window_range_peers_vs_duckdb():
+    """Duplicate order values: RANGE frames are tie-invariant and must
+    include later peers (the case pandas groupby().rolling gets wrong)."""
+    import duckdb
+
+    from pisa_ray.pipelines.window import grouped_window
+
+    df = _win_fixture(dup_times=True)
+    con = duckdb.connect()
+    con.register("t_", df)
+    want = con.execute("""
+        SELECT k, t, v,
+          sum(v) OVER fr AS w_sum, count(*) OVER fr AS w_cnt
+        FROM t_ WINDOW fr AS (PARTITION BY k ORDER BY t
+                              RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)
+    """).df()
+    got = grouped_window(
+        rd.from_pandas(df).repartition(5), "k", "t",
+        {"w_sum": ("rolling_sum", "v", 25), "w_cnt": ("rolling_count", 25)},
+    ).to_pandas()
+    cols = list(want.columns)
+    norm = lambda d: (
+        d[cols].astype({c: "float64" for c in cols})
+        .sort_values(cols, kind="mergesort").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(norm(got), norm(want), atol=1e-9)
+
+
+def test_grouped_window_timestamps_and_string_keys():
+    """Timestamp order column (widths in ns) + string keys route the
+    exchange; spot-check one user against a scalar replay."""
+    from pisa_ray.pipelines.window import grouped_window
+
+    rng = np.random.default_rng(3)
+    n = 800
+    df = pd.DataFrame({
+        "u": np.array([f"user_{i}" for i in rng.integers(0, 20, n)]),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, n), unit="s"),
+        "amt": rng.integers(1, 100, n).astype(np.int64),
+    }).drop_duplicates(["u", "ts"]).reset_index(drop=True)
+    hour_ns = 3_600 * 10**9
+    got = grouped_window(
+        rd.from_pandas(df).repartition(4), "u", "ts",
+        {"h_sum": ("rolling_sum", "amt", hour_ns), "rn": ("row_number",)},
+    ).to_pandas()
+    one = df[df.u == "user_7"].sort_values("ts")
+    g1 = got[got.u == "user_7"].sort_values("ts")
+    t = one.ts.to_numpy().astype("datetime64[ns]").view(np.int64)
+    v = one.amt.to_numpy(dtype=np.float64)
+    want = [v[(t >= t[i] - hour_ns) & (t <= t[i])].sum() for i in range(len(t))]
+    np.testing.assert_allclose(g1.h_sum.to_numpy(), want)
+    assert (g1.rn.to_numpy() == np.arange(1, len(one) + 1)).all()
+
+
+def test_grouped_window_null_key_raises():
+    from pisa_ray.pipelines.window import grouped_window
+
+    df = pd.DataFrame({"k": pd.array([1, None, 2], dtype="Int64"),
+                       "t": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    with pytest.raises(Exception, match="null"):
+        grouped_window(
+            rd.from_pandas(df), "k", "t", {"rn": ("row_number",)}
+        ).to_pandas()
+
+
+# -- bloom filter ------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from pisa_ray.pipelines.bloom import bloom_prefilter, build_bloom
+
+    rng = np.random.default_rng(5)
+    present = rng.choice(10**9, 5000, replace=False).astype(np.int64)
+    right = rd.from_pandas(pd.DataFrame({"rk": present})).repartition(6)
+    bloom = build_bloom(right, "rk", expected_distinct=5000, fp_rate=0.01)
+
+    # every present key must pass
+    kept = bloom_prefilter(
+        rd.from_pandas(pd.DataFrame({"k": present})).repartition(4), "k", bloom
+    ).to_pandas()
+    assert sorted(kept.k) == sorted(present)
+
+    # disjoint keys: measured fp rate within 3x of the sizing target
+    absent = (rng.choice(10**9, 40000, replace=False) + 2 * 10**9).astype(np.int64)
+    fp = len(
+        bloom_prefilter(
+            rd.from_pandas(pd.DataFrame({"k": absent})).repartition(4), "k", bloom
+        ).to_pandas()
+    )
+    assert fp / 40000 < 0.03, fp
+
+
+def test_bloom_string_keys():
+    from pisa_ray.pipelines.bloom import build_bloom
+
+    right = rd.from_items([{"s": f"key_{i}"} for i in range(1000)])
+    bloom = build_bloom(right, "s", expected_distinct=1000)
+    t = pa.table({"s": [f"key_{i}" for i in range(0, 2000, 7)]})
+    hit = bloom.contains(t, "s")
+    want_present = np.array([i < 1000 for i in range(0, 2000, 7)])
+    assert (hit >= want_present).all()  # no false negatives
+    assert hit[~want_present].mean() < 0.05
+
+
+def test_hash_join_bloom_identity():
+    from pisa_ray.pipelines.relational import hash_join
+
+    left, right = _hj_fixture()
+    left = left.dropna(subset=["k"])
+    l = rd.from_pandas(left).repartition(7)
+    r = rd.from_pandas(right).repartition(5)
+    plain = hash_join(l, r, on="k", right_on="rk", how="inner").to_pandas()
+    bloomed = hash_join(
+        l, r, on="k", right_on="rk", how="inner",
+        bloom_expected=600, bloom_fp_rate=0.001,
+    ).to_pandas()
+    cols = sorted(plain.columns)
+    norm = lambda d: (
+        d[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(norm(bloomed), norm(plain), check_dtype=False)
+
+    semi_plain = hash_join(l, r, on="k", right_on="rk", how="semi").to_pandas()
+    semi_bloom = hash_join(
+        l, r, on="k", right_on="rk", how="semi", bloom_expected=600
+    ).to_pandas()
+    cols = sorted(semi_plain.columns)
+    pd.testing.assert_frame_equal(
+        norm(semi_bloom), norm(semi_plain), check_dtype=False
+    )
