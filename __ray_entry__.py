@@ -496,9 +496,9 @@ def q_stratified_sample(sf_dir: str):
 
 
 def q_quantiles(sf_dir: str):
-    """Exact discrete quantiles WITHOUT a global sort: shared binary
-    search over the value bit-pattern domain, one distributed count
-    pass per round (<=64 total for all quantiles)."""
+    """Exact discrete quantiles WITHOUT a global sort: radix histogram
+    refinement over the value bit-pattern domain, 16 bits per pass —
+    4 streaming passes total for all quantiles."""
     from pisa_ray.pipelines.relational import quantile_disc
 
     out = quantile_disc(

@@ -678,23 +678,22 @@ def quantile_disc(
 ) -> pd.DataFrame:
     """EXACT discrete quantiles (the value at index ``floor((n-1)*q)``
     of the sorted column — SQL ``quantile_disc`` semantics) without a
-    global sort and without materializing the column anywhere: an
-    iterative binary search over the VALUE domain, each round one
-    distributed count-below-pivot pass (reference analog: the quantile
-    threshold cut at /root/reference/src/models/PISA.py:244-248).
+    global sort and without materializing the column anywhere: radix
+    histogram refinement over an order-preserving uint64 view of the
+    float bit pattern (IEEE-754 total order), 16 value bits per pass —
+    FOUR streaming passes total for ALL requested quantiles (the first
+    pass also yields n, so there is no separate count job). Reference
+    analog: the quantile threshold cut at
+    /root/reference/src/models/PISA.py:244-248.
 
-    <=64 count passes total for ALL requested quantiles together (every
-    target bisects in the same pass); each pass streams the column and
-    ships back one integer per target. The bisection runs in an
-    order-preserving uint64 view of the float bit pattern (IEEE-754
-    total order), so it lands on the exact data value — no epsilon.
-    The 100-TB shape: a sort-based quantile would be an all-to-all
-    shuffle of every row.
+    Each pass ships back only the NONZERO (target, bucket, count)
+    histogram cells per block — bounded by the distinct values inside
+    each target's current 16-bit bracket, never the data. The 100-TB
+    shape: a sort-based quantile would be an all-to-all shuffle of
+    every row; this is 4 map-only scans with KB-scale results.
+    ``max_rounds`` caps the passes (4 needed; kept as a rail).
     """
-    n = ds.count()
-    if n == 0:
-        return pd.DataFrame({"q": list(qs), col: [None] * len(qs)})
-    tgt = np.asarray([min(n - 1, int(np.floor((n - 1) * q))) for q in qs])
+    k = len(qs)
 
     def f2u(x: np.ndarray) -> np.ndarray:
         b = np.asarray(x, dtype=np.float64).view(np.int64)
@@ -707,35 +706,68 @@ def quantile_disc(
         b = np.where(u < np.uint64(1 << 63), ~u, u - np.uint64(1 << 63))
         return b.view(np.float64)
 
-    def count_le(pivots: np.ndarray) -> np.ndarray:
-        """One streaming pass: for each pivot, #rows with value <= pivot."""
-        piv_ref = ray.put(np.asarray(pivots, dtype=np.float64))
+    def hist_pass(prefixes: np.ndarray | None, hi_bits: int) -> np.ndarray:
+        """One scan. For each target whose known top ``hi_bits`` equal
+        its prefix, bincount the NEXT 16 bits; return k x 65536."""
 
         def fn(batch: pa.Table) -> pa.Table:
-            p = ray.get(piv_ref)
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            v = np.sort(v)
+            u = f2u(v)
+            ts, bs, cs = [], [], []
+            nxt = np.uint64(64 - hi_bits - 16)
+            for t in range(k if prefixes is not None else 1):
+                if prefixes is None:
+                    sel = u  # first pass: one shared histogram
+                else:
+                    sel = u[(u >> np.uint64(64 - hi_bits)) == prefixes[t]]
+                bc = np.bincount(
+                    ((sel >> nxt) & np.uint64(0xFFFF)).astype(np.int64),
+                    minlength=1 << 16,
+                )
+                nz = np.flatnonzero(bc)
+                ts.append(np.full(nz.size, t, dtype=np.int64))
+                bs.append(nz.astype(np.int64))
+                cs.append(bc[nz].astype(np.int64))
             return pa.table(
-                {"c": pa.array(np.searchsorted(v, p, side="right").astype(np.int64))}
+                {
+                    "t": np.concatenate(ts) if ts else np.zeros(0, np.int64),
+                    "b": np.concatenate(bs) if bs else np.zeros(0, np.int64),
+                    "c": np.concatenate(cs) if cs else np.zeros(0, np.int64),
+                }
             )
 
         parts = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
-        m = parts["c"].to_numpy().reshape(-1, len(pivots))
-        return m.sum(axis=0)
+        h = np.zeros((k if prefixes is not None else 1, 1 << 16), dtype=np.int64)
+        np.add.at(h, (parts["t"].to_numpy(), parts["b"].to_numpy()), parts["c"].to_numpy())
+        return h
 
-    vmin, vmax = float(ds.min(col)), float(ds.max(col))
-    lo_u = np.full(len(qs), f2u(np.array([vmin]))[0], dtype=np.uint64)
-    hi_u = np.full(len(qs), f2u(np.array([vmax]))[0], dtype=np.uint64)
-    for _ in range(max_rounds):
-        if np.all(lo_u >= hi_u):
-            break
-        mid_u = lo_u + (hi_u - lo_u) // np.uint64(2)
-        c = count_le(u2f(mid_u))
-        # answer = smallest data value v with count_le(v) >= tgt+1
-        go_right = c < tgt + 1
-        lo_u = np.where(go_right, mid_u + np.uint64(1), lo_u)
-        hi_u = np.where(go_right, hi_u, mid_u)
-    return pd.DataFrame({"q": list(qs), col: u2f(hi_u)})
+    # pass 1: shared top-16-bit histogram; its total is n
+    h0 = hist_pass(None, 0)[0]
+    n = int(h0.sum())
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), col: [None] * k})
+    # residual 0-based rank per target, walked down one 16-bit digit
+    # per pass
+    rank = np.asarray(
+        [min(n - 1, int(np.floor((n - 1) * q))) for q in qs], dtype=np.int64
+    )
+    cum = np.cumsum(h0)
+    bucket = np.searchsorted(cum, rank + 1, side="left")
+    rank = rank - np.where(bucket > 0, cum[bucket - 1], 0)
+    prefixes = bucket.astype(np.uint64)
+    hi_bits = 16
+    for _ in range(min(3, max_rounds - 1)):
+        h = hist_pass(prefixes, hi_bits)
+        cum = np.cumsum(h, axis=1)
+        bucket = np.asarray(
+            [np.searchsorted(cum[t], rank[t] + 1, side="left") for t in range(k)],
+            dtype=np.int64,
+        )
+        prev = np.where(bucket > 0, cum[np.arange(k), np.maximum(bucket - 1, 0)], 0)
+        rank = rank - prev
+        prefixes = (prefixes << np.uint64(16)) | bucket.astype(np.uint64)
+        hi_bits += 16
+    return pd.DataFrame({"q": list(qs), col: u2f(prefixes)})
 
 
 def hopping_window_agg(
