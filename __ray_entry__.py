@@ -307,16 +307,22 @@ def q_top_customers(sf_dir: str):
         cust,
         on="c_custkey",
     )
-    agg = (
-        joined.groupby("c_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"))
-        .to_pandas()
+    from pisa_ray.pipelines.relational import global_topk
+
+    def round_rev(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("revenue")
+        return b.set_column(
+            i, "revenue", pa.array(np.round(b["revenue"].to_numpy(), 2))
+        )
+
+    agg = joined.groupby("c_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue")
     )
-    agg["revenue"] = np.round(agg["revenue"], 2)
-    agg = agg.merge(cust, on="c_custkey")
-    agg = agg.sort_values(
-        ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
-    ).head(10)
+    # oracle ranks by ROUNDED revenue -> round before the top-k;
+    # streaming ORDER BY .. LIMIT: per-block top-k, k rows/block merge
+    agg = agg.map_batches(round_rev, batch_format="pyarrow")
+    agg = global_topk(agg, ["revenue", "c_custkey"], [False, True], 10)
+    agg = agg.merge(cust, on="c_custkey", sort=False)
     agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
     return agg[["rank", "c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 

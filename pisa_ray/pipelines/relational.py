@@ -186,6 +186,42 @@ def hash_join(
     )
 
 
+def global_topk(
+    ds: rd.Dataset,
+    sort_cols: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+) -> pd.DataFrame:
+    """Global top-k rows WITHOUT a global sort (the ``ORDER BY ...
+    LIMIT k`` shape): every block emits its own top-k with one
+    vectorized sort, then the ≤ k×#blocks candidate rows merge once on
+    the driver. ``ds.sort().limit(k)`` would shuffle every row of the
+    dataset to rank the top ten; this moves k rows per block, total
+    independent of n. Ties beyond ``sort_cols`` are unspecified — pass
+    a unique tie-break column (id) for a deterministic result.
+
+    Reference analog: the global eval ranking collect at
+    /root/reference/src/Inference.py:240 (torch.topk over all users'
+    scores in one process).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols, asc = list(sort_cols), list(ascending)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        g = b.to_pandas().sort_values(cols, ascending=asc, kind="mergesort")
+        return pa.Table.from_pandas(g.head(k), preserve_index=False)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        cand.sort_values(cols, ascending=asc, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def per_group_topk(
     ds: rd.Dataset,
     group_col: str,

@@ -1728,3 +1728,32 @@ def test_hash_join_bloom_identity():
     pd.testing.assert_frame_equal(
         norm(semi_bloom), norm(semi_plain), check_dtype=False
     )
+
+
+def test_global_topk_vs_duckdb():
+    import duckdb
+
+    from pisa_ray.pipelines.relational import global_topk
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(3000, dtype=np.int64),
+        "score": rng.normal(size=3000).round(4),
+    })
+    con = duckdb.connect()
+    con.register("t_", df)
+    want = con.execute(
+        "SELECT id, score FROM t_ ORDER BY score DESC, id LIMIT 17"
+    ).df()
+    got = global_topk(
+        rd.from_pandas(df).repartition(8), ["score", "id"], [False, True], 17
+    )
+    pd.testing.assert_frame_equal(
+        got[["id", "score"]].reset_index(drop=True), want, check_dtype=False
+    )
+    # k larger than the dataset: returns everything, still ordered
+    got_all = global_topk(
+        rd.from_pandas(df.head(5)).repartition(3), ["score"], [True], 99
+    )
+    assert len(got_all) == 5
+    assert (np.diff(got_all.score.to_numpy()) >= 0).all()
