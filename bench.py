@@ -271,6 +271,42 @@ def main() -> None:
             )
 
         timed("heavy_hitters_sec", hh_users)
+
+        def window_events(sf):
+            from pisa_ray.pipelines.window import grouped_window
+
+            return grouped_window(
+                ray.data.read_parquet(
+                    f"{sf}/events.parquet", columns=["user_id", "ts", "value"]
+                ),
+                "user_id",
+                "ts",
+                {
+                    "prev_value": ("lag", "value", 1),
+                    "rn": ("row_number",),
+                    "run_value": ("cumsum", "value"),
+                    "hour_mean": ("rolling_mean", "value", 3_600 * 10**9),
+                },
+            )
+
+        timed("grouped_window_sec", window_events)
+
+        def join_orders(sf):
+            from pisa_ray.pipelines.relational import hash_join
+
+            return hash_join(
+                ray.data.read_parquet(
+                    f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+                ),
+                ray.data.read_parquet(
+                    f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+                ),
+                on="o_custkey",
+                right_on="c_custkey",
+                how="inner",
+            )
+
+        timed("hash_join_sec", join_orders)
         E._index_dir(sf_dir)  # warm the documents index (cached across
         # rounds) so phrase_search_sec times the query, not a build
         timed("phrase_search_sec", E.q_phrase_search)
