@@ -13,6 +13,7 @@ caller (driver, bench.py, tests' conftest) owns the Ray session.
 INDEX_FORMAT_VERSION = 4
 
 from .build import IndexConfig, build_incremental, build_index, compact_index
+from .delete import delete_docs, delete_where, load_tombstones
 from .serve import BM25Service
 from .scorer import (
     BM25Scorer,
@@ -29,6 +30,9 @@ __all__ = [
     "build_index",
     "build_incremental",
     "compact_index",
+    "delete_docs",
+    "delete_where",
+    "load_tombstones",
     "BM25Scorer",
     "BM25Service",
     "IndexReader",

@@ -1506,9 +1506,28 @@ def compact_index(index_dir: str) -> dict:
     ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
     # broadcast docmap lengths once
+    from .delete import clear_tombstones, load_tombstones
     from .scorer import IndexReader
 
     reader = IndexReader(index_dir)
+    # deletion purge (delete.py): tombstoned docs are dropped from the
+    # decoded posting stream and the docmap, and N/avgdl are recomputed
+    # over the survivors BEFORE encoding (block-max wnorms must use the
+    # post-delete avgdl for fresh-build bit-identity). live_mask is the
+    # reader's docmap-aligned survivor mask; tombstone ids absent from
+    # the docmap only need the tombstone files cleared.
+    live = reader.live_mask
+    had_tombstones = load_tombstones(index_dir).size > 0
+    if live is not None:
+        surv_ids = reader.doc_sorted[live]
+        surv_lens = reader.len_sorted[live]
+        n_docs_new = int(surv_ids.size)
+        avgdl = (float(surv_lens.sum()) / n_docs_new) if n_docs_new else 0.0
+        tomb_ref = ray.put(reader.doc_sorted[~live])  # sorted (doc_sorted is)
+    else:
+        surv_ids = reader.doc_sorted
+        n_docs_new = int(stats["n_docs"])
+        tomb_ref = None
     dl_ref = ray.put((reader.doc_sorted, reader.len_sorted))
     gen_ref = (
         ray.put((reader.gen_ids, reader.gen_lens))
@@ -1561,6 +1580,14 @@ def compact_index(index_dir: str) -> dict:
             else:
                 doc_sorted, len_sorted = ray.get(dl_ref)
                 dl = len_sorted[np.searchsorted(doc_sorted, docs)]
+            if tomb_ref is not None:
+                tmb = ray.get(tomb_ref)
+                if tmb.size:
+                    p = np.minimum(np.searchsorted(tmb, docs), tmb.size - 1)
+                    keep = tmb[p] != docs
+                    row_idx, docs, tfs, dl = (
+                        row_idx[keep], docs[keep], tfs[keep], dl[keep]
+                    )
             term_arr = pa.array(terms, type=pa.string()).take(pa.array(row_idx))
             th = term_group_hash(pa.array(terms, type=pa.string()), n_parts)
             grp = th[row_idx] * np.uint32(n_buckets) + bucket_of(docs, cfg.bucket_bits)
@@ -1599,7 +1626,7 @@ def compact_index(index_dir: str) -> dict:
         2 * ncpus
     )
     rank_map = (
-        rank_map_from_sorted_ids(reader.doc_sorted, cfg.bucket_bits)
+        rank_map_from_sorted_ids(surv_ids, cfg.bucket_bits)
         if position
         else None
     )
@@ -1620,18 +1647,48 @@ def compact_index(index_dir: str) -> dict:
     shutil.rmtree(parked, ignore_errors=True)
     # consolidate docmap generation dirs into one flat generation and
     # clear the generation list — compacted postings reference the
-    # merged docmap space (identity for position ranks from here on)
-    if gen_names:
+    # merged docmap space (identity for position ranks from here on).
+    # A deletion purge additionally filters the docmap rows and writes
+    # the recomputed (n_docs, avgdl) so post-compaction queries are
+    # bit-identical to a fresh build over the surviving corpus.
+    purge = live is not None
+    if gen_names or purge:
         dm_files = sorted(
             glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
         )
-        dm = rd.read_parquet(dm_files).repartition(max(8, ncpus))
+        dm_cols = None
+        if not dm_files:  # write_docmap=False: docmap columns live in tokenized/
+            dm_files = sorted(
+                glob.glob(
+                    os.path.join(index_dir, "tokenized", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+            from .schema import DOCMAP
+
+            dm_cols = [f2.name for f2 in DOCMAP]
+        dm = rd.read_parquet(dm_files, columns=dm_cols)
+        if purge:
+            tomb_np = reader.doc_sorted[~live]
+
+            def drop_tombstoned(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                p = np.minimum(np.searchsorted(tomb_np, ids), tomb_np.size - 1)
+                return batch.filter(pa.array(tomb_np[p] != ids))
+
+            dm = dm.map_batches(drop_tombstoned, batch_format="pyarrow")
+        dm = dm.repartition(max(8, ncpus))
         _atomic_write(dm, os.path.join(index_dir, "docmap"))
         stats2 = dict(man.data["stats"])
         stats2["generations"] = []
+        if purge:
+            stats2["n_docs"] = n_docs_new
+            stats2["avgdl"] = avgdl
         man.data["stats"] = stats2
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats2, f)
+    if had_tombstones:
+        clear_tombstones(index_dir)
     _write_lexicon(
         sorted(glob.glob(os.path.join(old, "**", "*.parquet"), recursive=True)),
         os.path.join(index_dir, "lexicon"),

@@ -303,6 +303,24 @@ class IndexReader:
         self._dense_cache: dict[str, np.ndarray] = {}
         self._bmw_safe: dict[str, bool] = {}
 
+        # deletion tombstones (delete.py): a LIVE mask over docmap
+        # positions, folded into every kernel's doc_mask at query time.
+        # Loaded once per reader; shard-local (ids outside this shard's
+        # docmap simply don't match the searchsorted probe). None when
+        # no doc is tombstoned — the common case costs one glob.
+        from .delete import load_tombstones
+
+        tomb = load_tombstones(index_dir)
+        self.live_mask: np.ndarray | None = None
+        if tomb.size and self.n_local:
+            pos = np.searchsorted(self.doc_sorted, tomb)
+            pos_c = np.minimum(pos, self.n_local - 1)
+            hit = pos[self.doc_sorted[pos_c] == tomb]
+            if hit.size:
+                live = np.ones(self.n_local, dtype=bool)
+                live[hit] = False
+                self.live_mask = live
+
     def resident_bytes(self) -> dict[str, int]:
         """Measured bytes of the loaded structures (numpy ``.nbytes``
         plus container overhead via ``sys.getsizeof``) — the serving
@@ -583,6 +601,16 @@ def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
     return eq.to_numpy(zero_copy_only=False).astype(bool)[order]
 
 
+def _fold_live(reader: IndexReader, doc_mask: np.ndarray | None) -> np.ndarray | None:
+    """Fold the reader's deletion-tombstone live mask (delete.py) into a
+    query's doc filter; None/None stays None so undeleted indexes keep
+    the maskless fast paths."""
+    live = getattr(reader, "live_mask", None)
+    if live is None:
+        return doc_mask
+    return live if doc_mask is None else (doc_mask & live)
+
+
 def score_taat(
     reader: IndexReader,
     text: str,
@@ -601,6 +629,7 @@ def score_taat(
     float64 in sorted-term order — bit-identical to the all-f64 kernel
     and the oracle (pytest-pinned). Tie-break (score desc, out_id asc)
     over the exact scores; exact ties all survive the margin cut."""
+    doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
         terms = sorted(set(tokenize_py(text)))
     # reuse one per-reader buffer: selective queries then cost O(Σdf)
@@ -763,6 +792,7 @@ def score_conj(
     into the next list — never a corpus-sized buffer. This is the
     classic conjunctive fast path real engines use for high-precision
     queries."""
+    doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
         terms = sorted(set(tokenize_py(text)))
     if not terms:
@@ -904,6 +934,7 @@ def score_bmw(
     keep ~unfiltered pruning instead of falling back to the exhaustive
     kernel (reference analog: group-restricted evaluation,
     /root/reference/src/Inference.py:85-156)."""
+    doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
         terms = sorted(set(tokenize_py(text)))
     present = [t for t in terms if reader.has_term(t)]
@@ -1256,7 +1287,16 @@ _reader_cache: dict[str, tuple[float, object]] = {}
 
 def _broadcast_reader(index_dir: str):
     key = os.path.abspath(index_dir)
-    mtime = os.path.getmtime(os.path.join(index_dir, "manifest.json"))
+    # cache token = manifest mtime + tombstone file set: a delete_docs()
+    # between two query_index() calls must invalidate the cached reader
+    # (tombstones are loaded at reader construction), and compaction
+    # clears the tombstone dir while bumping the manifest
+    import glob as _glob
+
+    tomb = tuple(
+        sorted(_glob.glob(os.path.join(index_dir, "tombstones", "*.parquet")))
+    )
+    mtime = (os.path.getmtime(os.path.join(index_dir, "manifest.json")), tomb)
     ent = _reader_cache.get(key)
     if ent is not None and ent[0] == mtime:
         return ent[1]

@@ -1,0 +1,197 @@
+"""Deletion tombstones (pisa_ray/delete.py).
+
+Contract under test:
+- masked phase: results never contain a deleted doc, and are
+  BIT-IDENTICAL to querying the pre-delete index with an explicit
+  exclusion ``doc_mask`` over the same docs (stats stay stale,
+  Lucene-style; reference analog: the -inf exclusion mask at
+  /root/reference/src/Inference.py:233-238);
+- after ``compact_index()``: bit-identical to a FRESH BUILD over the
+  surviving corpus (N/avgdl/df recomputed, tombstones cleared).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pisa_ray.build import IndexConfig, build_index, compact_index
+from pisa_ray.delete import delete_docs, delete_where, load_tombstones
+from pisa_ray.docids import doc_ids_from_keys
+from pisa_ray.scorer import IndexReader, score_bmw, score_conj, score_taat
+from pisa_ray.synth import make_corpus, make_queries
+
+CFG = dict(bucket_bits=2, term_parts=8, lineage_parts=1)
+
+
+def _corpus_ids(corpus: pa.Table) -> np.ndarray:
+    return doc_ids_from_keys(corpus["repo"], corpus["path"], corpus["commit"])
+
+
+@pytest.mark.parametrize("space", ["docid", "position"])
+def test_masked_phase_equals_explicit_exclusion_mask(tmp_path, space):
+    corpus = make_corpus(200, n_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(posting_space=space, **CFG))
+
+    clean = IndexReader(d)  # constructed BEFORE any tombstone exists
+    assert clean.live_mask is None
+
+    ids = _corpus_ids(corpus)
+    deleted = np.sort(ids[::5])  # every 5th doc
+    assert delete_docs(d, deleted) == deleted.size
+    assert delete_docs(d, deleted[:10]) == 0  # idempotent re-delete
+
+    masked = IndexReader(d)
+    assert masked.live_mask is not None
+    assert int((~masked.live_mask).sum()) == deleted.size
+
+    # the equivalent explicit exclusion mask over the clean reader
+    pos = np.searchsorted(clean.doc_sorted, deleted)
+    excl = np.ones(clean.n_local, dtype=bool)
+    excl[pos] = False
+    deleted_set = set(int(x) for x in deleted)
+
+    for text in make_queries(40)["text"].to_pylist():
+        want = score_taat(clean, text, 10, doc_mask=excl)
+        got = score_taat(masked, text, 10)
+        assert got == want  # bit-identical scores, same stale stats
+        assert score_bmw(masked, text, 10) == want
+        assert not any(doc in deleted_set for doc, _ in got)
+        # conjunctive path honors the tombstones too
+        assert score_conj(masked, text, 10) == score_conj(
+            clean, text, 10, doc_mask=excl
+        )
+
+
+@pytest.mark.parametrize("space", ["docid", "position"])
+def test_compaction_purge_matches_fresh_build(tmp_path, space):
+    corpus = make_corpus(200, n_partitions=2)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(posting_space=space, **CFG)
+    build_index(corpus, d, cfg)
+
+    ids = _corpus_ids(corpus)
+    deleted = np.sort(ids[::4])
+    delete_docs(d, deleted)
+    compact_index(d)
+    assert load_tombstones(d).size == 0  # purged
+
+    keep_rows = np.ones(len(corpus), dtype=bool)
+    keep_rows[::4] = False
+    survivors = corpus.filter(pa.array(keep_rows))
+    d2 = str(tmp_path / "fresh")
+    build_index(survivors, d2, IndexConfig(posting_space=space, **CFG))
+
+    ra, rb = IndexReader(d), IndexReader(d2)
+    assert ra.live_mask is None
+    assert ra.n_docs == rb.n_docs == int(keep_rows.sum())
+    assert abs(ra.avgdl - rb.avgdl) < 1e-12
+    assert ra.df == rb.df
+    np.testing.assert_array_equal(ra.doc_sorted, rb.doc_sorted)
+    np.testing.assert_array_equal(ra.len_sorted, rb.len_sorted)
+
+    for text in make_queries(40)["text"].to_pylist():
+        want = score_taat(rb, text, 10)
+        assert score_taat(ra, text, 10) == want
+        assert score_bmw(ra, text, 10) == want
+
+
+def test_delete_where_metadata_predicate(tmp_path):
+    corpus = make_corpus(150, n_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(**CFG))
+
+    langs = corpus["lang"].to_pylist()
+    target = langs[0]
+    expect = sum(1 for v in langs if v == target)
+    assert delete_where(d, "lang", target) == expect
+    assert delete_where(d, "lang", target) == 0  # idempotent
+
+    reader = IndexReader(d)
+    ids = _corpus_ids(corpus)
+    bad = set(int(x) for x, v in zip(ids, langs) if v == target)
+    for text in make_queries(20)["text"].to_pylist():
+        for doc, _ in score_taat(reader, text, reader.n_docs):
+            assert doc not in bad
+
+
+def test_sharded_reader_applies_local_tombstones(tmp_path):
+    corpus = make_corpus(160, n_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(**CFG))
+    ids = _corpus_ids(corpus)
+    deleted = np.sort(ids[::3])
+    delete_docs(d, deleted)
+
+    n_buckets = 1 << 2
+    full = IndexReader(d)
+    shard_live = 0
+    for b in range(n_buckets):
+        sh = IndexReader(d, buckets={b})
+        if sh.live_mask is not None:
+            shard_live += int((~sh.live_mask).sum())
+        else:
+            shard_live += 0
+        deleted_set = set(int(x) for x in deleted)
+        for text in make_queries(8)["text"].to_pylist():
+            for doc, _ in score_taat(sh, text, 10):
+                assert doc not in deleted_set
+    # every tombstoned doc is masked in exactly one shard
+    assert shard_live == int((~full.live_mask).sum()) == deleted.size
+
+
+def test_delete_int_id_mode_maps_through_splitmix(tmp_path):
+    corpus = make_corpus(120, n_partitions=1)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "content": corpus["content"],
+            "lang": corpus["lang"],
+        }
+    )
+    d = str(tmp_path / "idx")
+    build_index(t, d, IndexConfig(id_col="doc_id", **CFG))
+    assert delete_docs(d, [3, 7, 11]) == 3
+
+    reader = IndexReader(d)
+    assert int((~reader.live_mask).sum()) == 3
+    for text in make_queries(20)["text"].to_pylist():
+        for doc, _ in score_taat(reader, text, reader.n_docs):
+            assert doc not in (3, 7, 11)
+
+    compact_index(d)
+    r2 = IndexReader(d)
+    assert r2.n_docs == 117 and r2.live_mask is None
+    assert not os.path.isdir(os.path.join(d, "tombstones"))
+
+
+def test_delete_then_incremental_generation_then_compact(tmp_path):
+    """Tombstones laid before a generation append still purge at
+    compaction, and the result matches a fresh build over (base \\
+    deleted) + delta."""
+    from pisa_ray.build import build_incremental
+
+    corpus = make_corpus(240, n_partitions=2)
+    base, delta = corpus.slice(0, 150), corpus.slice(150)
+    d = str(tmp_path / "idx")
+    build_index(base, d, IndexConfig(**CFG))
+    ids = _corpus_ids(base)
+    deleted = np.sort(ids[::6])
+    delete_docs(d, deleted)
+    build_incremental(delta, d, generation="g1")
+    compact_index(d)
+
+    keep_rows = np.ones(150, dtype=bool)
+    keep_rows[::6] = False
+    survivors = pa.concat_tables([base.filter(pa.array(keep_rows)), delta])
+    d2 = str(tmp_path / "fresh")
+    build_index(survivors, d2, IndexConfig(**CFG))
+
+    ra, rb = IndexReader(d), IndexReader(d2)
+    assert ra.n_docs == rb.n_docs
+    assert abs(ra.avgdl - rb.avgdl) < 1e-12
+    assert ra.df == rb.df
+    for text in make_queries(30)["text"].to_pylist():
+        assert score_taat(ra, text, 10) == score_taat(rb, text, 10)
