@@ -152,3 +152,144 @@ def phrase_search(
     return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
         drop=True
     )
+
+
+def _min_cover_span(pos: np.ndarray, lab: np.ndarray, k: int) -> int:
+    """Smallest token span [pos[l]..pos[r]] containing all k labels
+    (classic sliding-window distinct-count); ``pos`` ascending. Returns
+    a huge sentinel when some label is absent. O(matched positions) —
+    the loop runs over a candidate doc's QUERY-TERM occurrences only,
+    not its tokens (same candidate-bounded argument as the phrase
+    verify pass)."""
+    best = 1 << 60
+    need = k
+    cnt = np.zeros(k, dtype=np.int64)
+    left = 0
+    for right in range(pos.size):
+        if cnt[lab[right]] == 0:
+            need -= 1
+        cnt[lab[right]] += 1
+        while need == 0:
+            span = int(pos[right] - pos[left]) + 1
+            if span < best:
+                best = span
+            cnt[lab[left]] -= 1
+            if cnt[lab[left]] == 0:
+                need += 1
+            left += 1
+    return best
+
+
+def proximity_search(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    corpus: rd.Dataset,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Windowed co-occurrence search: (query_id, doc_id, span) rows for
+    every doc whose token stream contains ALL query terms within some
+    window of ``span <= window`` tokens (unordered; ``span`` is the
+    minimal cover span, so ``window = len(terms)`` degenerates to
+    unordered-phrase adjacency). Same two-stage composition as
+    ``phrase_search``: conjunctive index prune, then a vectorized
+    corpus verify over candidate rows only — the positional-query
+    capability engines get from positional postings, built on a
+    position-free index."""
+    parsed = []
+    for qid, text in queries:
+        terms = sorted(set(tokenize_py(text)))
+        if terms:
+            parsed.append((qid, terms))
+    empty_df = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "span": pd.Series(dtype="int64"),
+        }
+    )
+    if not parsed:
+        return empty_df
+
+    cand = _conj_candidates(
+        [(qid, " ".join(terms)) for qid, terms in parsed], index_dir,
+        concurrency=concurrency,
+    )
+    cand_ids = pc.unique(cand["doc_id"])
+    if len(cand_ids) == 0:
+        return empty_df
+    ids_ref = ray.put(cand_ids)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "span": pa.array([], type=pa.int64()),
+            }
+        )
+        keep = pc.is_in(batch[id_col], value_set=ray.get(ids_ref))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return empty
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = parents[nonempty]
+        n_rows = batch.num_rows
+        # token position WITHIN its doc (prefix-count per parent row)
+        counts = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(counts, parents, 1)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        within = np.arange(parents.size, dtype=np.int64) - offs[parents]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in parsed:
+            k = len(terms)
+            # one vectorized label pass per term (a token matches at
+            # most one term — terms are de-duplicated)
+            lab = np.full(parents.size, -1, dtype=np.int64)
+            for i, t in enumerate(terms):
+                lab[pc.equal(flat, t).to_numpy(zero_copy_only=False)] = i
+            sel = lab >= 0
+            if not sel.any():
+                continue
+            sp, sl, sd = within[sel], lab[sel], parents[sel]
+            # docs holding all k labels (cheap pre-cut before the loop)
+            have = np.zeros((n_rows, k), dtype=bool)
+            have[sd, sl] = True
+            full = np.flatnonzero(have.sum(axis=1) == k)
+            doc_start = np.concatenate(([0], np.cumsum(np.bincount(sd, minlength=n_rows))))
+            for d in full:
+                lo, hi = doc_start[d], doc_start[d + 1]
+                span = _min_cover_span(sp[lo:hi], sl[lo:hi], k)
+                if span <= window:
+                    out_q.append(qid)
+                    out_d.append(int(ids[d]))
+                    out_s.append(span)
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "span": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+    hits = corpus.select_columns([id_col, text_col]).map_batches(
+        verify, batch_format="pyarrow"
+    )
+    df = hits.to_pandas()
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )

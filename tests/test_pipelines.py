@@ -1431,6 +1431,85 @@ def test_phrase_search_vs_naive_oracle(tmp_path):
     assert naive("merge join") == [0, 1, 3, 6]  # the fixture bites
 
 
+def test_proximity_search_vs_naive_oracle(tmp_path):
+    """Windowed co-occurrence: every (query, doc, span) must equal a
+    brute-force min-cover scan over the tokenized corpus, including on
+    a 150-doc synthetic corpus (not just the hand fixture)."""
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.pipelines.phrase import _min_cover_span, proximity_search
+    from pisa_ray.synth import make_corpus
+    from pisa_ray.tokenizer import tokenize_py
+
+    def naive(docs_df, queries, window):
+        rows = []
+        for qid, text in queries:
+            terms = sorted(set(tokenize_py(text)))
+            for did, t in zip(docs_df["doc_id"], docs_df["text"]):
+                toks = tokenize_py(t)
+                pos, lab = [], []
+                for i, tok in enumerate(toks):
+                    if tok in terms:
+                        pos.append(i)
+                        lab.append(terms.index(tok))
+                if len(set(lab)) == len(terms):
+                    span = _min_cover_span(
+                        np.asarray(pos), np.asarray(lab), len(terms)
+                    )
+                    if span <= window:
+                        rows.append((qid, int(did), span))
+        return sorted(rows)
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "alpha x x beta",          # span 4
+                "beta alpha",              # span 2 (unordered)
+                "alpha x x x x x beta",    # span 7
+                "alpha only here",
+                "beta only here",
+                "alpha beta alpha x beta",  # span 2
+            ],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+        bucket_bits=1, term_parts=4, lineage_parts=1,
+    )
+    build_index(pa.Table.from_pandas(docs), idx, cfg)
+    queries = [(0, "alpha beta"), (1, "alpha missingterm")]
+    out = proximity_search(queries, idx, rd.from_pandas(docs), window=4)
+    got = sorted(zip(out["query_id"], out["doc_id"], out["span"]))
+    assert got == naive(docs, queries, 4)
+    assert (0, 0, 4) in got and (0, 1, 2) in got and (0, 5, 2) in got
+    assert not any(q == 1 for q, _, _ in got)
+    # window = k degenerates to unordered adjacency
+    out2 = proximity_search(queries, idx, rd.from_pandas(docs), window=2)
+    assert sorted(zip(out2["query_id"], out2["doc_id"], out2["span"])) == naive(
+        docs, queries, 2
+    )
+
+    # synthetic corpus, 3-term query, two windows
+    corpus = make_corpus(150, n_partitions=2)
+    sdocs = pd.DataFrame(
+        {
+            "doc_id": np.arange(150, dtype=np.int64),
+            "text": corpus["content"].to_pylist(),
+        }
+    )
+    idx2 = str(tmp_path / "idx2")
+    build_index(pa.Table.from_pandas(sdocs), idx2, cfg)
+    toks0 = tokenize_py(sdocs["text"][0])
+    q3 = [(7, " ".join(toks0[:3])), (8, toks0[0])]
+    for w in (6, 12):
+        out3 = proximity_search(q3, idx2, rd.from_pandas(sdocs), window=w)
+        assert (
+            sorted(zip(out3["query_id"], out3["doc_id"], out3["span"]))
+            == naive(sdocs, q3, w)
+        )
+
+
 def test_unigram_nll_vs_pandas_oracle(docs):
     from collections import Counter
 
