@@ -20,6 +20,8 @@ ever holds one 2^p register array.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -414,3 +416,158 @@ def heavy_hitters(
         ["cnt", "value"], ascending=[False, True], kind="stable"
     ).head(k)
     return pa.Table.from_pandas(top, schema=out_schema, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# one-pass mergeable quantile sketch (KLL/MRL compactor stack)
+# --------------------------------------------------------------------------
+
+
+def _qs_insert(levels: list[np.ndarray], parity: list[int], lvl: int,
+               vals: np.ndarray, k: int) -> None:
+    """Add ``vals`` at ``lvl`` and compact upward: any level holding
+    more than ``k`` values is sorted and halved (keep every other
+    element, alternating the start offset per level — the
+    deterministic-offset variant of MRL'98/KLL compaction), survivors
+    carry weight 2^(level+1) one level up. All numpy; no per-value
+    Python work."""
+    while len(levels) <= lvl:
+        levels.append(np.empty(0, dtype=np.float64))
+        parity.append(0)
+    levels[lvl] = np.concatenate((levels[lvl], vals))
+    i = lvl
+    while i < len(levels) and levels[i].size > k:
+        v = np.sort(levels[i], kind="stable")
+        off = parity[i] & 1
+        parity[i] += 1
+        # odd-sized buffers: the unpaired element stays at this level
+        # (keeps total weight exact — sum(2^i * len) == n always)
+        if v.size % 2 == 1:
+            if off == 0:
+                keep_here = v[-1:]
+                v = v[:-1]
+            else:
+                keep_here = v[:1]
+                v = v[1:]
+        else:
+            keep_here = np.empty(0, dtype=np.float64)
+        levels[i] = keep_here
+        promoted = v[off::2]
+        if len(levels) <= i + 1:
+            levels.append(np.empty(0, dtype=np.float64))
+            parity.append(0)
+        levels[i + 1] = np.concatenate((levels[i + 1], promoted))
+        i += 1
+
+
+def quantile_sketch(
+    ds: rd.Dataset, col: str, qs: Sequence[float], k: int = 512
+) -> dict:
+    """Approximate discrete quantiles in ONE streaming pass via a
+    mergeable compactor-stack sketch (Manku-Rajagopalan-Lindsay 1998 /
+    Karnin-Lang-Liberty 2016 family, deterministic alternating-offset
+    compaction; public algorithms, no code consulted).
+
+    Returns ``{"quantiles": {q: value}, "n": int, "eps_bound": float}``
+    where each value's WEIGHTED RANK is within ``eps_bound * n`` of the
+    exact target rank ``floor((n-1) * q)`` (the same rank rule as the
+    exact ``relational.quantile_disc``; every returned value is a real
+    element of the column). NULLs are ignored (SQL aggregate
+    semantics).
+
+    vs ``quantile_disc``: that one is EXACT but needs four streaming
+    passes; this is one pass with ~k*log2(n/k) resident floats — the
+    right tool inside a single-pass profiling job (e.g. alongside
+    ``hll_distinct`` over the same scan) or when the input is a
+    non-replayable stream. Worst-case rank error of the deterministic
+    offset scheme is bounded by sum_i (#compactions at level i) * 2^i
+    <= 2*H*n/k with H = log2(n/k) compacting levels; ``eps_bound``
+    reports that sum computed from the ACTUAL compaction counts, so
+    callers get a certificate, not a formula.
+
+    Distributed shape: one ``map_batches`` pass emits each block's
+    compacted levels as narrow (level, values) rows — k*log2(B/k)
+    floats per block, never the column; the driver merges level-wise
+    (multiset-canonical: each level is re-sorted before halving, so
+    the result is independent of partial arrival ORDER, though like
+    every compactor sketch the estimate depends on the block layout;
+    the ERROR BOUND holds at any parallelism). Mergeability is what
+    makes it a 100-TB operator: partials fold associatively, so a
+    256-node fleet produces the same size sketch as one node.
+    """
+    if not qs:
+        raise ValueError("quantile_sketch: no quantiles requested")
+    if k < 8:
+        raise ValueError(f"quantile_sketch: k must be >= 8, got {k}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks().drop_null()
+        out_schema = pa.schema(
+            [("level", pa.int32()), ("vals", pa.large_list(pa.float64()))]
+        )
+        if len(c) == 0:
+            return out_schema.empty_table()
+        v = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        levels: list[np.ndarray] = []
+        parity: list[int] = []
+        _qs_insert(levels, parity, 0, v, k)
+        lv = [i for i, arr in enumerate(levels) if arr.size]
+        out_lv = [np.asarray(lv, dtype=np.int32)]
+        out_vals = [levels[i].tolist() for i in lv]
+        # level -1 row: this block's weighted compaction count, so the
+        # driver's error certificate covers in-block compactions too
+        block_err = sum(p * (2.0 ** i) for i, p in enumerate(parity))
+        if block_err:
+            out_lv.append(np.asarray([-1], dtype=np.int32))
+            out_vals.append([block_err])
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(out_lv)),
+                "vals": pa.array(out_vals, type=pa.large_list(pa.float64())),
+            },
+            schema=out_schema,
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if rows.empty:  # empty/all-null input: no partial emitted any row
+        return {"quantiles": {float(q): None for q in qs}, "n": 0, "eps_bound": 0.0}
+    # driver merge: concatenate per level (order-canonical — compaction
+    # sorts), then compact bottom-up with fresh parity counters
+    levels: list[np.ndarray] = []
+    parity: list[int] = []
+    by_level: dict[int, list[np.ndarray]] = {}
+    for lvl, vals in zip(rows["level"], rows["vals"]):
+        by_level.setdefault(int(lvl), []).append(np.asarray(vals, dtype=np.float64))
+    block_errs = 0.0
+    if -1 in by_level:
+        block_errs = float(sum(a.sum() for a in by_level.pop(-1)))
+    for lvl in sorted(by_level):
+        _qs_insert(levels, parity, lvl, np.concatenate(by_level[lvl]), k)
+    # certificate: one compaction of level i shifts any weighted rank
+    # by at most the level weight 2^i (keep-every-other over a sorted
+    # buffer rounds each rank contribution by <= one element of weight
+    # 2^i; the alternating offset cancels consecutive roundings in
+    # expectation but not worst-case). In-block compactions arrive via
+    # the level -1 rows.
+    compactions_weighted = block_errs + sum(
+        p * (2.0 ** i) for i, p in enumerate(parity)
+    )
+    weights = [np.full(arr.size, 2.0 ** i) for i, arr in enumerate(levels)]
+    if not any(arr.size for arr in levels):
+        return {"quantiles": {float(q): None for q in qs}, "n": 0, "eps_bound": 0.0}
+    vals = np.concatenate([a for a in levels if a.size])
+    w = np.concatenate([wt for wt, a in zip(weights, levels) if a.size])
+    order = np.argsort(vals, kind="stable")
+    vals, w = vals[order], w[order]
+    cw = np.cumsum(w)
+    n = int(round(cw[-1]))
+    out: dict[float, float] = {}
+    for q in qs:
+        target = int(np.floor((n - 1) * float(q))) + 1  # 1-based weighted rank
+        idx = int(np.searchsorted(cw, target, side="left"))
+        out[float(q)] = float(vals[min(idx, vals.size - 1)])
+    return {
+        "quantiles": out,
+        "n": n,
+        "eps_bound": float(compactions_weighted) / n if n else 0.0,
+    }

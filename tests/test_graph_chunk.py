@@ -546,3 +546,67 @@ def test_hll_nulls_ignored_and_p_validated():
         hll_distinct(no_nulls, "v", p=3)
     with pytest.raises(ValueError):
         hll_distinct(no_nulls, "v", p=19)
+
+
+def test_quantile_sketch_error_bound_and_small_exact():
+    """One-pass compactor sketch: measured rank error within the
+    reported certificate on uniform + heavy-tail data at two
+    parallelism levels; exact (== quantile_disc rank rule) when the
+    input never compacts."""
+    from pisa_ray.pipelines.sketch import quantile_sketch
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+    # small input, never compacts -> exact discrete quantiles
+    small = np.arange(100, dtype=np.float64)
+    res = quantile_sketch(rd.from_pandas(pd.DataFrame({"v": small})), "v", qs, k=512)
+    assert res["n"] == 100 and res["eps_bound"] == 0.0
+    for q in qs:
+        assert res["quantiles"][q] == float(np.sort(small)[int(np.floor(99 * q))])
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    for name, data in {
+        "uniform": rng.uniform(0, 1, n),
+        "zipf_tail": rng.zipf(1.3, n).astype(np.float64),
+    }.items():
+        s = np.sort(data)
+        for nblocks in (2, 16):
+            ds = rd.from_pandas(pd.DataFrame({"v": data})).repartition(nblocks)
+            r = quantile_sketch(ds, "v", qs, k=256)
+            assert r["n"] == n
+            assert 0 < r["eps_bound"] < 0.05, (name, nblocks, r["eps_bound"])
+            for q in qs:
+                est = r["quantiles"][q]
+                # measured rank error <= certificate (+1 for the
+                # discrete target-rank rounding)
+                # est occupies the rank interval [lo, hi]; error is the
+                # distance from the target rank to that interval (0 if
+                # inside — heavy duplicates make the interval wide)
+                lo = np.searchsorted(s, est, side="left")
+                hi = np.searchsorted(s, est, side="right") - 1
+                target = int(np.floor((n - 1) * q))
+                err = 0 if lo <= target <= hi else min(
+                    abs(target - lo), abs(target - hi)
+                )
+                assert err <= r["eps_bound"] * n + 1, (name, nblocks, q, err)
+
+
+def test_quantile_sketch_weight_conservation_and_nulls():
+    from pisa_ray.pipelines.sketch import quantile_sketch
+
+    df = pd.DataFrame({"v": [1.0, None, 2.0, None, 3.0] * 4000})
+    r = quantile_sketch(rd.from_pandas(df).repartition(4), "v", [0.5], k=64)
+    assert r["n"] == 12_000  # nulls ignored, total weight conserved
+    assert r["quantiles"][0.5] == 2.0
+
+    empty = pd.DataFrame({"v": pd.Series([], dtype="float64")})
+    r0 = quantile_sketch(rd.from_pandas(empty), "v", [0.5], k=64)
+    assert r0["n"] == 0 and r0["quantiles"][0.5] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_sketch(rd.from_pandas(df), "v", [0.5], k=4)
+    with _pytest.raises(ValueError):
+        quantile_sketch(rd.from_pandas(df), "v", [])
