@@ -1,0 +1,288 @@
+"""One-pass dataset profiler: every per-column statistic a corpus
+intake job wants, from a SINGLE streaming scan.
+
+At 100 TB the scan is the expensive thing — running count/min/max,
+then a distinct-count job, then a quantile job, then a top-values job
+means FOUR passes over the same bytes. This operator computes, per
+column, in one ``map_batches`` pass over zero-copy Arrow blocks:
+
+- ``n`` / ``nulls`` — exact counts
+- ``min`` / ``max`` — exact (numeric and string)
+- ``distinct`` — HyperLogLog estimate (mergeable registers,
+  deterministic at any parallelism; ~1.04/sqrt(2^p) rse)
+- ``quantiles`` — one-pass compactor sketch (numeric columns) with a
+  per-run rank-error certificate (see ``sketch.quantile_sketch``)
+- ``top_values`` — Misra-Gries-style heavy-values summary with a
+  per-run max-undercount certificate (truncation deductions are
+  tracked, not bounded by formula)
+- ``avg_len`` — mean UTF-8 length (string columns)
+
+Every partial is MERGEABLE (sums, elementwise max, level concat,
+count-sum + truncate), so blocks reduce associatively: the driver only
+ever holds one small summary per column — registers (4 KB), sketch
+levels (k*log2(n/k) floats), m heavy entries — never data. This is the
+same partial/combiner discipline as the index build's posting merge,
+applied to profiling.
+
+Reference analog: the corpus-stats object the reference pickles once
+and reuses (n_users/n_items/dataset_size at
+/root/reference/src/helpers/Reader.py:62,81-92) — generalized to a
+schema-wide, sketch-backed profile.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .sketch import _block_registers, _hash64, _qs_insert
+
+_QS_K = 256  # quantile-sketch buffer per level
+_HLL_P = 12
+_HH_M = 64  # heavy-values summary capacity
+
+
+def _is_numeric(t) -> bool:
+    return isinstance(t, pa.DataType) and (
+        pa.types.is_integer(t) or pa.types.is_floating(t)
+    )
+
+
+def _is_stringy(t) -> bool:
+    return isinstance(t, pa.DataType) and (
+        pa.types.is_string(t) or pa.types.is_large_string(t)
+    )
+
+
+def _partial_for(columns: Sequence[str]):
+    out_schema = pa.schema(
+        [
+            ("col", pa.string()),
+            ("kind", pa.string()),
+            ("f", pa.large_list(pa.float64())),
+            ("i", pa.large_list(pa.int64())),
+            ("s", pa.large_list(pa.string())),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, kinds, fs, is_, ss = [], [], [], [], []
+
+        def emit(col, kind, f=(), i=(), s=()):
+            cols.append(col)
+            kinds.append(kind)
+            fs.append([float(x) for x in f])
+            is_.append([int(x) for x in i])
+            ss.append([str(x) for x in s])
+
+        for name in columns:
+            c = t[name].combine_chunks()
+            n = len(c)
+            nn = c.drop_null()
+            nulls = n - len(nn)
+            emit(name, "count", i=[n, nulls])
+            if len(nn) == 0:
+                continue
+            # the block's REAL Arrow type decides the stat family
+            # (Dataset.schema() reports Python types for pandas blocks)
+            numeric = _is_numeric(nn.type)
+            if not numeric and not _is_stringy(nn.type):
+                continue  # nested/binary: counts only
+            if numeric:
+                v = nn.to_numpy(zero_copy_only=False).astype(np.float64)
+                emit(name, "minmax", f=[float(v.min()), float(v.max())])
+                levels: list[np.ndarray] = []
+                parity: list[int] = []
+                _qs_insert(levels, parity, 0, v, _QS_K)
+                for lvl, arr in enumerate(levels):
+                    if arr.size:
+                        emit(name, "qs", f=arr, i=[lvl])
+                err = sum(p * (2.0 ** j) for j, p in enumerate(parity))
+                if err:
+                    emit(name, "qs_err", f=[err])
+            else:
+                mn = pc.min_max(nn)
+                emit(name, "minmax_s", s=[mn["min"].as_py(), mn["max"].as_py()])
+                emit(
+                    name,
+                    "len",
+                    f=[float(pc.sum(pc.utf8_length(nn)).as_py() or 0)],
+                )
+            # HLL registers (nonzero only); floats hash their IEEE-754
+            # bit pattern (_hash64 covers int/string columns)
+            if numeric and pa.types.is_floating(nn.type):
+                hashed = _hash64(
+                    pa.array(
+                        nn.to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        .view(np.int64)
+                    )
+                )
+            else:
+                hashed = _hash64(nn)
+            regs = _block_registers(hashed, _HLL_P)
+            nz = np.flatnonzero(regs)
+            emit(name, "hll", i=np.concatenate((nz, regs[nz])))
+            # heavy-values summary: exact block value_counts, truncated
+            # to the top m with the (m+1)th count deducted (SpaceSaving-
+            # style); the deduction is the summary's undercount bound
+            vc = pc.value_counts(pc.cast(nn, pa.string()))
+            vals = vc.field("values")
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+            if cnts.size > _HH_M:
+                order = np.argsort(-cnts, kind="stable")
+                cut = int(cnts[order[_HH_M]])
+                keep = order[:_HH_M]
+                kept_counts = cnts[keep] - cut
+                pos = keep[kept_counts > 0]
+                emit(
+                    name,
+                    "hh",
+                    i=np.concatenate(((cnts[pos] - cut), [cut])),
+                    s=[vals[int(j)].as_py() for j in pos] + [""],
+                )
+            else:
+                emit(name, "hh", i=np.concatenate((cnts, [0])),
+                     s=vals.to_pylist() + [""])
+        return pa.table(
+            {
+                "col": pa.array(cols, type=pa.string()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "f": pa.array(fs, type=pa.large_list(pa.float64())),
+                "i": pa.array(is_, type=pa.large_list(pa.int64())),
+                "s": pa.array(ss, type=pa.large_list(pa.string())),
+            },
+            schema=out_schema,
+        )
+
+    return partial
+
+
+def profile(
+    ds: rd.Dataset,
+    columns: Sequence[str] | None = None,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    top_k: int = 10,
+) -> dict[str, dict]:
+    """Profile ``columns`` (default: all) in ONE streaming pass; see
+    module docstring for the stat set and merge discipline. ``top_k``
+    heavy values (<= the summary capacity 64) are returned with
+    APPROXIMATE counts and a ``count_error`` certificate: each true
+    count is in [count, count + count_error]."""
+    schema = ds.schema()
+    names = list(schema.names)
+    if columns is None:
+        columns = names  # non-scalar columns degrade to counts-only
+    if top_k > _HH_M:
+        raise ValueError(f"profile: top_k must be <= {_HH_M}, got {top_k}")
+    bad = [c for c in columns if c not in names]
+    if bad:
+        raise KeyError(f"profile: unknown columns {bad}")
+
+    rows = ds.map_batches(
+        _partial_for(columns), batch_format="pyarrow"
+    ).to_pandas()
+
+    out: dict[str, dict] = {}
+    for name in columns:
+        r = rows[rows["col"] == name]
+        # the stat family each block emitted (real Arrow types)
+        numeric = (r["kind"] == "minmax").any()
+        stringy = (r["kind"] == "minmax_s").any()
+        stat: dict = {"n": 0, "nulls": 0}
+        # exact counters
+        for iv in r[r["kind"] == "count"]["i"]:
+            stat["n"] += int(iv[0])
+            stat["nulls"] += int(iv[1])
+        present = stat["n"] - stat["nulls"]
+        if present == 0:
+            out[name] = stat
+            continue
+        if numeric:
+            mm = np.asarray(
+                [fv for fv in r[r["kind"] == "minmax"]["f"]], dtype=np.float64
+            )
+            stat["min"], stat["max"] = float(mm[:, 0].min()), float(mm[:, 1].max())
+        elif stringy:
+            mins = [sv[0] for sv in r[r["kind"] == "minmax_s"]["s"]]
+            maxs = [sv[1] for sv in r[r["kind"] == "minmax_s"]["s"]]
+            stat["min"], stat["max"] = min(mins), max(maxs)
+            tot_len = sum(float(fv[0]) for fv in r[r["kind"] == "len"]["f"])
+            stat["avg_len"] = tot_len / present
+        else:
+            out[name] = stat  # nested/binary column: counts only
+            continue
+        # HLL max-merge
+        m = 1 << _HLL_P
+        regs = np.zeros(m, dtype=np.float64)
+        for iv in r[r["kind"] == "hll"]["i"]:
+            half = len(iv) // 2
+            idx = np.asarray(iv[:half], dtype=np.int64)
+            np.maximum.at(regs, idx, np.asarray(iv[half:], dtype=np.float64))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / np.sum(np.exp2(-regs))
+        zeros = int(np.sum(regs == 0))
+        stat["distinct"] = float(
+            m * np.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+        )
+        # quantile-sketch merge (numeric only)
+        if numeric:
+            levels: list[np.ndarray] = []
+            parity: list[int] = []
+            by_level: dict[int, list[np.ndarray]] = {}
+            for fv, iv in zip(r[r["kind"] == "qs"]["f"], r[r["kind"] == "qs"]["i"]):
+                by_level.setdefault(int(iv[0]), []).append(
+                    np.asarray(fv, dtype=np.float64)
+                )
+            err = sum(float(fv[0]) for fv in r[r["kind"] == "qs_err"]["f"])
+            for lvl in sorted(by_level):
+                _qs_insert(levels, parity, lvl, np.concatenate(by_level[lvl]), _QS_K)
+            err += sum(p * (2.0 ** j) for j, p in enumerate(parity))
+            vals = np.concatenate([a for a in levels if a.size])
+            w = np.concatenate(
+                [np.full(a.size, 2.0 ** j) for j, a in enumerate(levels) if a.size]
+            )
+            order = np.argsort(vals, kind="stable")
+            vals, w = vals[order], w[order]
+            cw = np.cumsum(w)
+            nw = int(round(cw[-1]))
+            stat["quantiles"] = {
+                float(q): float(
+                    vals[
+                        min(
+                            int(
+                                np.searchsorted(
+                                    cw, int(np.floor((nw - 1) * float(q))) + 1
+                                )
+                            ),
+                            vals.size - 1,
+                        )
+                    ]
+                )
+                for q in quantiles
+            }
+            stat["quantile_rank_error"] = err / present
+        # heavy-values merge: sum partial counts, then one final
+        # truncation to capacity; certificate = per-block deductions +
+        # final cut
+        agg: dict[str, int] = {}
+        deducted = 0
+        for iv, sv in zip(r[r["kind"] == "hh"]["i"], r[r["kind"] == "hh"]["s"]):
+            deducted += int(iv[-1])
+            for val, cnt in zip(sv[:-1], iv[:-1]):
+                agg[val] = agg.get(val, 0) + int(cnt)
+        items = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        if len(items) > _HH_M:
+            cut = items[_HH_M][1]
+            deducted += cut
+            items = [(v, c - cut) for v, c in items[:_HH_M] if c - cut > 0]
+        stat["top_values"] = [
+            {"value": v, "count": c} for v, c in items[:top_k]
+        ]
+        stat["count_error"] = int(deducted)
+        out[name] = stat
+    return out

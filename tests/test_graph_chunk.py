@@ -610,3 +610,71 @@ def test_quantile_sketch_weight_conservation_and_nulls():
         quantile_sketch(rd.from_pandas(df), "v", [0.5], k=4)
     with _pytest.raises(ValueError):
         quantile_sketch(rd.from_pandas(df), "v", [])
+
+
+def test_profile_one_pass_stats():
+    """One-pass profiler: exact counters/min/max, HLL distinct within
+    rse, sketch quantiles within their certificate, heavy values exact
+    when distinct <= capacity."""
+    from pisa_ray.pipelines.profile import profile
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    num = rng.normal(100.0, 15.0, n)
+    num[::97] = np.nan  # pandas NaN -> arrow null after from_pandas? keep explicit
+    cat = np.asarray(["alpha", "beta", "gamma", "delta"])[
+        rng.integers(0, 4, n)
+    ]
+    df = pd.DataFrame({"x": num, "label": cat})
+    df.loc[::97, "x"] = None
+    prof = profile(rd.from_pandas(df).repartition(8), quantiles=(0.1, 0.5, 0.9))
+
+    px = prof["x"]
+    n_null = len(df.loc[::97])
+    assert px["n"] == n and px["nulls"] == n_null
+    xs = df["x"].dropna().to_numpy()
+    assert px["min"] == xs.min() and px["max"] == xs.max()
+    assert abs(px["distinct"] - len(np.unique(xs))) / len(np.unique(xs)) < 0.05
+    s = np.sort(xs)
+    for q, est in px["quantiles"].items():
+        target = int(np.floor((s.size - 1) * q))
+        lo = np.searchsorted(s, est, "left")
+        hi = np.searchsorted(s, est, "right") - 1
+        err = 0 if lo <= target <= hi else min(abs(target - lo), abs(target - hi))
+        assert err <= px["quantile_rank_error"] * s.size + 1
+
+    pl = prof["label"]
+    assert pl["n"] == n and pl["nulls"] == 0
+    assert pl["min"] == "alpha" and pl["max"] == "gamma"
+    assert abs(pl["distinct"] - 4) < 0.5
+    assert abs(pl["avg_len"] - np.mean([len(v) for v in cat])) < 1e-9
+    # 4 distinct values <= capacity: counts EXACT, certificate 0
+    assert pl["count_error"] == 0
+    got = {d["value"]: d["count"] for d in pl["top_values"]}
+    import collections
+
+    assert got == dict(collections.Counter(cat))
+
+
+def test_profile_heavy_values_certificate_and_validation():
+    from pisa_ray.pipelines.profile import profile
+
+    rng = np.random.default_rng(3)
+    vals = rng.zipf(1.5, 80_000).astype(np.int64)  # >> 64 distinct
+    df = pd.DataFrame({"v": vals})
+    prof = profile(rd.from_pandas(df).repartition(6), top_k=5)["v"]
+    import collections
+
+    true = collections.Counter(vals.astype(str))
+    for d in prof["top_values"]:
+        t = true[d["value"]]
+        assert d["count"] <= t <= d["count"] + prof["count_error"], (d, t)
+    # the true #1 value must be reported first (its count dwarfs the error)
+    assert prof["top_values"][0]["value"] == true.most_common(1)[0][0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        profile(rd.from_pandas(df), columns=["nope"])
+    with _pytest.raises(ValueError):
+        profile(rd.from_pandas(df), top_k=1000)
