@@ -56,8 +56,33 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--index", required=True)
     a.add_argument("--generation", required=True)
 
-    c = sub.add_parser("compact", help="merge generations into single runs")
+    c = sub.add_parser(
+        "compact",
+        help="merge generations into single runs (and purge tombstones)",
+    )
     c.add_argument("--index", required=True)
+
+    d = sub.add_parser(
+        "delete",
+        help="tombstone documents (masked immediately; purged at compact)",
+    )
+    d.add_argument("--index", required=True)
+    grp = d.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--ids", default=None, help="comma-separated doc ids")
+    grp.add_argument(
+        "--ids-parquet", default=None, help="parquet file with a doc_id column"
+    )
+    grp.add_argument("--where", default=None, help="col=value metadata predicate")
+
+    pr = sub.add_parser(
+        "profile",
+        help="one-pass per-column profile of a parquet table (counts, "
+        "min/max, HLL distinct, sketch quantiles, heavy values)",
+    )
+    pr.add_argument("--table", required=True, help="parquet dir or file")
+    pr.add_argument("--columns", default=None, help="comma-separated (default: all)")
+    pr.add_argument("--quantiles", default="0.25,0.5,0.75")
+    pr.add_argument("--top-k", type=int, default=10)
 
     q = sub.add_parser("query", help="run BM25 top-k queries")
     q.add_argument("--index", required=True)
@@ -119,6 +144,37 @@ def main(argv: list[str] | None = None) -> int:
 
         compact_index(args.index)
         print(json.dumps({"status": "compacted"}))
+    elif args.cmd == "delete":
+        from pisa_ray.delete import delete_docs, delete_where
+
+        if args.where:
+            col, _, val = args.where.partition("=")
+            n = delete_where(args.index, col, val)
+        else:
+            if args.ids_parquet:
+                import pyarrow.parquet as pq
+
+                ids = pq.read_table(args.ids_parquet, columns=["doc_id"])[
+                    "doc_id"
+                ].to_pylist()
+            else:
+                ids = [int(x) for x in args.ids.split(",") if x]
+            n = delete_docs(args.index, ids)
+        print(json.dumps({"tombstoned": n}))
+    elif args.cmd == "profile":
+        import ray.data as rd
+
+        from pisa_ray.pipelines.profile import profile
+
+        cols = (
+            [x for x in args.columns.split(",") if x] if args.columns else None
+        )
+        qs = tuple(float(x) for x in args.quantiles.split(",") if x)
+        out = profile(
+            rd.read_parquet(args.table), columns=cols, quantiles=qs,
+            top_k=args.top_k,
+        )
+        print(json.dumps(out, default=float))
     elif args.cmd == "query":
         import ray.data as rd
 

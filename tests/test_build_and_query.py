@@ -347,6 +347,44 @@ def test_cli_build_and_query(tmp_path, tiny_corpus):
     assert len(rows) == 3 and rows[0]["rank"] == 1
 
 
+def test_cli_delete_profile_compact(tmp_path, tiny_corpus):
+    """python -m pisa_ray delete/profile/compact — the lifecycle ops on
+    the ray-job-submit surface."""
+    import subprocess
+    import sys as _sys
+
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(tiny_corpus, corpus)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+
+    def run(*argv):
+        return subprocess.run(
+            [_sys.executable, "-m", "pisa_ray", *argv],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout.strip().splitlines()[-1]
+
+    json.loads(run("build", "--corpus", corpus, "--index", idx,
+                   "--bucket-bits", "1", "--term-parts", "4"))
+    lang = tiny_corpus["lang"][0].as_py()
+    expect = sum(1 for v in tiny_corpus["lang"].to_pylist() if v == lang)
+    got = json.loads(run("delete", "--index", idx, "--where", f"lang={lang}"))
+    assert got["tombstoned"] == expect
+    assert os.path.isdir(os.path.join(idx, "tombstones"))
+
+    assert json.loads(run("compact", "--index", idx))["status"] == "compacted"
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    stats = json.loads(open(os.path.join(idx, "stats.json")).read())
+    assert stats["n_docs"] == tiny_corpus.num_rows - expect
+
+    prof = json.loads(run("profile", "--table", corpus,
+                          "--columns", "lang,content", "--top-k", "3"))
+    assert prof["lang"]["n"] == tiny_corpus.num_rows
+    assert prof["lang"]["count_error"] == 0
+    assert {d["value"]: d["count"] for d in prof["lang"]["top_values"]}[lang] == expect
+    assert prof["content"]["avg_len"] > 0
+
+
 def test_index_metrics_in_manifest(tiny_index):
     man = json.load(open(os.path.join(tiny_index, "manifest.json")))
     m = man["index_metrics"]
