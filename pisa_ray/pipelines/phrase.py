@@ -154,6 +154,142 @@ def phrase_search(
     )
 
 
+def snippets(
+    queries: list[tuple[int, str]],
+    hits,
+    corpus: rd.Dataset,
+    width: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Result highlighting: for every (query_id, doc_id) hit row, the
+    best ``width``-token window of the doc — the window containing the
+    most DISTINCT query terms, earliest on ties — as a space-joined
+    normalized-token snippet, plus ``n_matched`` (distinct terms in the
+    window) and ``tok_start``. The full-text analog of the reference's
+    per-user top-k result files (golden (doc, score) lists,
+    /root/reference/src/helpers/Runner.py:94-98) upgraded with the
+    evidence a search UI shows.
+
+    One corpus pass, restricted to hit docs (``pc.is_in`` prune); the
+    window choice is a two-pointer sweep over a doc's QUERY-TERM
+    occurrences only (candidate-bounded, same argument as
+    ``phrase_search``). Snippets are in normalized token space (the
+    space every index/oracle comparison in this repo uses)."""
+    if isinstance(hits, pa.Table):
+        hits = hits.to_pandas()
+    parsed = {qid: sorted(set(tokenize_py(text))) for qid, text in queries}
+    pairs = {
+        (int(q), int(d))
+        for q, d in zip(hits["query_id"], hits[id_col])
+        if int(q) in parsed
+    }
+    empty_df = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "snippet": pd.Series(dtype="object"),
+            "n_matched": pd.Series(dtype="int64"),
+            "tok_start": pd.Series(dtype="int64"),
+        }
+    )
+    if not pairs:
+        return empty_df
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("snippet", pa.string()),
+            ("n_matched", pa.int64()),
+            ("tok_start", pa.int64()),
+        ]
+    )
+    want_ids = pa.array(
+        np.fromiter({d for _, d in pairs}, dtype=np.int64), type=pa.int64()
+    )
+    ids_ref = ray.put(want_ids)
+    by_doc: dict[int, list[int]] = {}
+    for q, d in pairs:
+        by_doc.setdefault(d, []).append(q)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch[id_col], pa.int64()), value_set=ray.get(ids_ref))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = parents[nonempty]
+        counts = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(counts, parents, 1)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        flat_np = np.asarray(flat.to_pylist(), dtype=object)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for r in range(batch.num_rows):
+            did = int(ids[r])
+            doc_toks = flat_np[offs[r]:offs[r + 1]]
+            n = doc_toks.size
+            for qid in by_doc.get(did, ()):
+                terms = parsed[qid]
+                k = len(terms)
+                lab = np.full(n, -1, dtype=np.int64)
+                for i, t in enumerate(terms):
+                    lab[doc_toks == t] = i
+                mpos = np.flatnonzero(lab >= 0)
+                if mpos.size == 0:
+                    start, best_cnt, best_l, best_r = 0, 0, 0, -1
+                else:
+                    mlab = lab[mpos]
+                    cnt = np.zeros(k, dtype=np.int64)
+                    best_cnt, best_l, best_r = 0, 0, 0
+                    left = 0
+                    for right in range(mpos.size):
+                        cnt[mlab[right]] += 1
+                        while mpos[right] - mpos[left] >= width:
+                            cnt[mlab[left]] -= 1
+                            left += 1
+                        distinct = int(np.count_nonzero(cnt))
+                        if distinct > best_cnt:
+                            best_cnt = distinct
+                            best_l, best_r = int(mpos[left]), int(mpos[right])
+                    slack = width - (best_r - best_l + 1)
+                    start = max(0, min(best_l - slack // 2, n - width))
+                rows.append(
+                    (
+                        qid,
+                        did,
+                        " ".join(doc_toks[start:start + width]),
+                        best_cnt,
+                        start,
+                    )
+                )
+        if not rows:
+            return out_schema.empty_table()
+        out = pd.DataFrame(
+            rows,
+            columns=["query_id", "doc_id", "snippet", "n_matched", "tok_start"],
+        )
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    df = (
+        corpus.select_columns([id_col, text_col])
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def _min_cover_span(pos: np.ndarray, lab: np.ndarray, k: int) -> int:
     """Smallest token span [pos[l]..pos[r]] containing all k labels
     (classic sliding-window distinct-count); ``pos`` ascending. Returns

@@ -1510,6 +1510,52 @@ def test_proximity_search_vs_naive_oracle(tmp_path):
         )
 
 
+def test_snippets_best_window_and_token_space(tmp_path):
+    """Snippet extraction picks the width-window with the most DISTINCT
+    query terms (earliest on ties), emits normalized-token text, and
+    only produces rows for requested (query, doc) hit pairs."""
+    from pisa_ray.pipelines.phrase import snippets
+
+    filler = " ".join(f"f{i}" for i in range(30))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                # alpha alone early; alpha+beta together late -> the
+                # 2-distinct window must win over the earlier 1-match
+                f"alpha {filler} alpha x beta tail",
+                "beta first here",
+                f"ALPHA, beta! {filler}",  # normalization: both in window 0
+                "no match at all",
+            ],
+        }
+    )
+    hits = pd.DataFrame(
+        {"query_id": [0, 0, 0], "doc_id": [0, 2, 1]}
+    )
+    out = snippets(
+        [(0, "alpha beta")], hits, rd.from_pandas(docs), width=6
+    )
+    assert list(out["doc_id"]) == [0, 1, 2]
+    r0 = out[out.doc_id == 0].iloc[0]
+    assert r0["n_matched"] == 2
+    toks0 = docs["text"][0].lower().split()
+    assert r0["tok_start"] > 1  # skipped the early single-term window
+    assert "alpha x beta" in r0["snippet"]
+    assert r0["snippet"] == " ".join(
+        toks0[r0["tok_start"]:r0["tok_start"] + 6]
+    )
+    r1 = out[out.doc_id == 1].iloc[0]
+    assert r1["n_matched"] == 1 and r1["tok_start"] == 0
+    r2 = out[out.doc_id == 2].iloc[0]
+    assert r2["n_matched"] == 2 and r2["snippet"].startswith("alpha beta")
+    # doc 3 was not in hits: no row
+    assert set(out["doc_id"]) == {0, 1, 2}
+    # unknown query ids in hits are ignored, empty hits -> empty frame
+    empty = snippets([(0, "alpha")], hits.iloc[:0], rd.from_pandas(docs))
+    assert len(empty) == 0
+
+
 def test_unigram_nll_vs_pandas_oracle(docs):
     from collections import Counter
 
