@@ -1280,3 +1280,56 @@ def rate_sample(
         return batch.filter(pa.array(h < thresholds[idx]))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bottomk_sample(
+    ds: rd.Dataset, key_col: str, k: int, seed: int = 0
+) -> rd.Dataset:
+    """EXACT uniform k-sample of distinct keys, group-coherent: keep
+    every row whose key is among the k distinct keys with the smallest
+    ``(knuth_hash(key + seed), key)`` — the classic bottom-k /
+    min-wise sample. Deterministic at any parallelism and block
+    layout, coherent across TABLES (two datasets sampled with the same
+    seed select the SAME keys — join-compatible samples, which
+    ``ds.random_sample`` cannot give), refreshes wholesale when the
+    seed changes, and exactly SQL-replayable
+    (``ORDER BY hash, key LIMIT k`` over distinct keys).
+
+    Shape: pass 1 ships each block's k smallest (hash, key) pairs —
+    O(k x blocks) narrow rows, never the key column — and the driver
+    keeps the global bottom k; pass 2 is a broadcast ``is_in`` filter.
+    At 100 TB the selected-key set (k entries) is the only driver
+    state. Hash ties break on the raw key, so the sample is exact even
+    under 32-bit hash collisions."""
+    if k <= 0:
+        raise ValueError(f"bottomk_sample: k must be positive, got {k}")
+
+    def block_bottom(batch: pa.Table) -> pa.Table:
+        v = _hash_key_values(batch, key_col)
+        keys = np.unique(v)
+        h = _knuth_hash(keys, seed)
+        if keys.size > k:
+            order = np.lexsort((keys, h))[:k]
+            keys, h = keys[order], h[order]
+        return pa.table(
+            {
+                "h": pa.array(h.astype(np.int64)),
+                "key": pa.array(keys.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(block_bottom, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return ds.limit(0)
+    hk = parts.drop_duplicates(subset=["key"]).sort_values(
+        ["h", "key"], kind="mergesort"
+    )
+    selected = pa.array(hk["key"].to_numpy()[:k].astype(np.int64))
+    sel_ref = ray.put(selected)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = _hash_key_values(batch, key_col)
+        mask = pc.is_in(pa.array(v.astype(np.int64)), value_set=ray.get(sel_ref))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

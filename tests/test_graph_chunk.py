@@ -678,3 +678,51 @@ def test_profile_heavy_values_certificate_and_validation():
         profile(rd.from_pandas(df), columns=["nope"])
     with _pytest.raises(ValueError):
         profile(rd.from_pandas(df), top_k=1000)
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_bottomk_sample_matches_sql_replica(nblocks):
+    """Exact bottom-k key sample == the DuckDB ORDER BY hash,key LIMIT k
+    replica; group-coherent (all rows of a selected key kept) and
+    cross-table coherent (same seed -> same keys)."""
+    import duckdb
+
+    from pisa_ray.pipelines.relational import bottomk_sample
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 400, size=5_000)
+    df = pd.DataFrame({"k": keys, "v": rng.normal(size=5_000)})
+    seed, k = 9, 37
+    got = (
+        bottomk_sample(rd.from_pandas(df).repartition(nblocks), "k", k, seed=seed)
+        .to_pandas()
+        .sort_values(["k", "v"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    sel = duckdb.sql(
+        f"""
+        SELECT k FROM (SELECT DISTINCT k FROM df)
+        ORDER BY ((k + {seed}) % 2147483648) * 2654435761 % 4294967296, k
+        LIMIT {k}
+        """
+    ).df()["k"]
+    want = (
+        df[df["k"].isin(set(sel))]
+        .sort_values(["k", "v"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["k"].nunique() == k
+
+    # cross-table coherence: a second table sampled with the same seed
+    # selects the same key set
+    df2 = pd.DataFrame({"k": np.arange(400), "w": np.arange(400)})
+    got2 = bottomk_sample(rd.from_pandas(df2), "k", k, seed=seed).to_pandas()
+    assert set(got2["k"]) == set(sel)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bottomk_sample(rd.from_pandas(df), "k", 0)
+    # k >= distinct keys: everything kept
+    assert bottomk_sample(rd.from_pandas(df), "k", 10_000).count() == len(df)
