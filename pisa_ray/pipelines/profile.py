@@ -105,8 +105,15 @@ def _partial_for(columns: Sequence[str]):
                 if err:
                     emit(name, "qs_err", f=[err])
             else:
+                # long-text guard: min/max strings are reported as
+                # 128-char prefixes (a full `content` document must
+                # never ride the summary rows to the driver)
                 mn = pc.min_max(nn)
-                emit(name, "minmax_s", s=[mn["min"].as_py(), mn["max"].as_py()])
+                emit(
+                    name,
+                    "minmax_s",
+                    s=[mn["min"].as_py()[:128], mn["max"].as_py()[:128]],
+                )
                 emit(
                     name,
                     "len",
@@ -129,7 +136,14 @@ def _partial_for(columns: Sequence[str]):
             emit(name, "hll", i=np.concatenate((nz, regs[nz])))
             # heavy-values summary: exact block value_counts, truncated
             # to the top m with the (m+1)th count deducted (SpaceSaving-
-            # style); the deduction is the summary's undercount bound
+            # style); the deduction is the summary's undercount bound.
+            # Long-text guard: a free-text column (mean length > 256)
+            # has no meaningful "top values" and its summary would ship
+            # m full documents per block — skip it (top_values absent).
+            if not numeric:
+                mean_len = pc.mean(pc.utf8_length(nn)).as_py() or 0.0
+                if mean_len > 256:
+                    continue
             vc = pc.value_counts(pc.cast(nn, pa.string()))
             vals = vc.field("values")
             cnts = vc.field("counts").to_numpy(zero_copy_only=False)
@@ -268,7 +282,11 @@ def profile(
             stat["quantile_rank_error"] = err / present
         # heavy-values merge: sum partial counts, then one final
         # truncation to capacity; certificate = per-block deductions +
-        # final cut
+        # final cut. Long-text columns emitted no summary (see partial)
+        # — top_values is then absent rather than misleadingly empty.
+        if not (r["kind"] == "hh").any():
+            out[name] = stat
+            continue
         agg: dict[str, int] = {}
         deducted = 0
         for iv, sv in zip(r[r["kind"] == "hh"]["i"], r[r["kind"] == "hh"]["s"]):

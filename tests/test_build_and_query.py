@@ -383,6 +383,9 @@ def test_cli_delete_profile_compact(tmp_path, tiny_corpus):
     assert prof["lang"]["count_error"] == 0
     assert {d["value"]: d["count"] for d in prof["lang"]["top_values"]}[lang] == expect
     assert prof["content"]["avg_len"] > 0
+    # free-text column (mean length > 256): heavy-values summary is
+    # skipped so full documents never ride summary rows to the driver
+    assert "top_values" not in prof["content"]
 
 
 def test_index_metrics_in_manifest(tiny_index):
