@@ -198,8 +198,8 @@ def profile(
         raise KeyError(f"profile: unknown columns {bad}")
 
     rows = ds.map_batches(
-        _partial_for(columns), batch_format="pyarrow"
-    ).to_pandas()
+        _partial_for(columns), batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # whole blocks: one summary set per block per column
 
     out: dict[str, dict] = {}
     for name in columns:

@@ -528,7 +528,9 @@ def quantile_sketch(
             schema=out_schema,
         )
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # whole blocks: fewer partials -> fewer compactions
     if rows.empty:  # empty/all-null input: no partial emitted any row
         return {"quantiles": {float(q): None for q in qs}, "n": 0, "eps_bound": 0.0}
     # driver merge: concatenate per level (order-canonical — compaction
