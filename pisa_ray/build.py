@@ -1506,9 +1506,16 @@ def compact_index(index_dir: str) -> dict:
     ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
     # broadcast docmap lengths once
-    from .delete import clear_tombstones, load_tombstones
+    from .delete import clear_tombstones
     from .scorer import IndexReader
 
+    # snapshot the tombstone FILES this compaction may clear BEFORE the
+    # reader loads them: the reader then purges a superset of this
+    # snapshot (safe — an unsnapshotted-but-purged file is re-cleared
+    # by the next compaction), never the reverse
+    tomb_files = sorted(
+        glob.glob(os.path.join(index_dir, "tombstones", "*.parquet"))
+    )
     reader = IndexReader(index_dir)
     # deletion purge (delete.py): tombstoned docs are dropped from the
     # decoded posting stream and the docmap, and N/avgdl are recomputed
@@ -1517,7 +1524,9 @@ def compact_index(index_dir: str) -> dict:
     # reader's docmap-aligned survivor mask; tombstone ids absent from
     # the docmap only need the tombstone files cleared.
     live = reader.live_mask
-    had_tombstones = load_tombstones(index_dir).size > 0
+    # a delete_docs() landing mid-compaction writes a new tombstone
+    # file that survives the final clear (it was never in tomb_files)
+    had_tombstones = len(tomb_files) > 0
     if live is not None:
         surv_ids = reader.doc_sorted[live]
         surv_lens = reader.len_sorted[live]
@@ -1688,7 +1697,7 @@ def compact_index(index_dir: str) -> dict:
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats2, f)
     if had_tombstones:
-        clear_tombstones(index_dir)
+        clear_tombstones(index_dir, files=tomb_files)
     _write_lexicon(
         sorted(glob.glob(os.path.join(old, "**", "*.parquet"), recursive=True)),
         os.path.join(index_dir, "lexicon"),

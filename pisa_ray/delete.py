@@ -97,8 +97,13 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     mapped through the same splitmix64 bijection the build uses), raw
     engine uint64 ids for a key-column index. Returns the number of
     newly tombstoned ids. Ids not present in the index are recorded
-    too (idempotent-delete semantics — a later generation re-adding
-    the id stays masked until compaction purges the tombstone)."""
+    too (idempotent-delete semantics). Note a tombstoned id cannot be
+    re-added while its tombstone is live: the id is still in the
+    docmap, so ``build_incremental``'s cross-generation duplicate
+    guard rejects the delta; re-adding becomes possible only after
+    ``compact_index`` purges both the doc and its tombstone. This is
+    what keeps docmap ids unique, which the purge accounting relies
+    on."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         id_mode = json.load(f).get("id_mode", "keys")
     arr = np.asarray(list(doc_ids) if not isinstance(doc_ids, np.ndarray) else doc_ids)
@@ -117,16 +122,28 @@ def delete_where(index_dir: str, col: str, value) -> int:
     """Tombstone every doc whose docmap metadata column equals
     ``value`` (e.g. ``delete_where(d, "repo", "org/leaky-repo")``) —
     the predicate runs over the docmap/tokenized parquet with column
-    pruning, never over postings. Returns newly tombstoned count."""
+    pruning, never over postings. A string ``value`` against a
+    non-string column (the CLI surface) is cast to the column type.
+    Returns newly tombstoned count."""
     dm_files = sorted(
         glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
     ) or sorted(
         glob.glob(os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True)
     )
     hits = []
+    val_scalar = None
     for f in dm_files:
         t = pq.read_table(f, columns=["doc_id", col])
-        keep = pc.fill_null(pc.equal(t[col], value), False)
+        if val_scalar is None:
+            ftype = t.schema.field(col).type
+            try:
+                val_scalar = pc.cast(pa.scalar(value), ftype)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+                raise ValueError(
+                    f"delete_where: cannot compare {value!r} against "
+                    f"column {col!r} of type {ftype}"
+                ) from e
+        keep = pc.fill_null(pc.equal(t[col], val_scalar), False)
         ids = t.filter(keep)["doc_id"].to_numpy(zero_copy_only=False)
         if ids.size:
             hits.append(ids.astype(np.uint64))
@@ -135,9 +152,23 @@ def delete_where(index_dir: str, col: str, value) -> int:
     return _write_tombstone(index_dir, np.concatenate(hits))
 
 
-def clear_tombstones(index_dir: str) -> None:
-    """Remove all tombstone files (called by compact_index after the
-    purge lands)."""
+def clear_tombstones(index_dir: str, files: list[str] | None = None) -> None:
+    """Remove tombstone files (called by compact_index after the purge
+    lands). ``files`` restricts removal to the snapshot the compaction
+    actually purged — a ``delete_docs`` landing MID-compaction writes a
+    new file that must survive (it was neither masked into the
+    compaction's reader nor purged)."""
     import shutil
 
-    shutil.rmtree(_tomb_dir(index_dir), ignore_errors=True)
+    if files is None:
+        shutil.rmtree(_tomb_dir(index_dir), ignore_errors=True)
+        return
+    for f in files:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    try:
+        os.rmdir(_tomb_dir(index_dir))  # only if now empty
+    except OSError:
+        pass

@@ -233,17 +233,23 @@ def snippets(
         offs = np.concatenate(([0], np.cumsum(counts)))
         flat_np = np.asarray(flat.to_pylist(), dtype=object)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # one vectorized label pass per (query, term) over the FLAT
+        # token array (the same pc.equal-on-flat pattern as
+        # proximity_search) — never per doc
+        qlab: dict[int, np.ndarray] = {}
+        for qid in {q for qs_ in by_doc.values() for q in qs_}:
+            g = np.full(parents.size, -1, dtype=np.int64)
+            for i, t in enumerate(parsed[qid]):
+                g[pc.equal(flat, t).to_numpy(zero_copy_only=False)] = i
+            qlab[qid] = g
         rows = []
         for r in range(batch.num_rows):
             did = int(ids[r])
-            doc_toks = flat_np[offs[r]:offs[r + 1]]
-            n = doc_toks.size
+            n = int(offs[r + 1] - offs[r])
             for qid in by_doc.get(did, ()):
                 terms = parsed[qid]
                 k = len(terms)
-                lab = np.full(n, -1, dtype=np.int64)
-                for i, t in enumerate(terms):
-                    lab[doc_toks == t] = i
+                lab = qlab[qid][offs[r]:offs[r + 1]]
                 mpos = np.flatnonzero(lab >= 0)
                 if mpos.size == 0:
                     start, best_cnt, best_l, best_r = 0, 0, 0, -1
@@ -267,7 +273,7 @@ def snippets(
                     (
                         qid,
                         did,
-                        " ".join(doc_toks[start:start + width]),
+                        " ".join(flat_np[offs[r] + start:offs[r] + start + width]),
                         best_cnt,
                         start,
                     )

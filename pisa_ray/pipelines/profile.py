@@ -39,7 +39,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .sketch import _block_registers, _hash64, _qs_insert
+from .sketch import (
+    _block_registers,
+    _hash64,
+    _hll_estimate,
+    _qs_insert,
+    _qs_merge,
+    _qs_quantiles,
+)
 
 _QS_K = 256  # quantile-sketch buffer per level
 _HLL_P = 12
@@ -134,34 +141,43 @@ def _partial_for(columns: Sequence[str]):
             regs = _block_registers(hashed, _HLL_P)
             nz = np.flatnonzero(regs)
             emit(name, "hll", i=np.concatenate((nz, regs[nz])))
-            # heavy-values summary: exact block value_counts, truncated
-            # to the top m with the (m+1)th count deducted (SpaceSaving-
-            # style); the deduction is the summary's undercount bound.
-            # Long-text guard: a free-text column (mean length > 256)
-            # has no meaningful "top values" and its summary would ship
-            # m full documents per block — skip it (top_values absent).
+            # heavy-values summary: exact block value_counts on the
+            # NATIVE type (only the <= m kept values are stringified),
+            # truncated to the top m with the (m+1)th count deducted
+            # (SpaceSaving-style); the deduction is the summary's
+            # undercount bound. Long-text guard: a free-text column
+            # (block mean length > 256) has no meaningful "top values"
+            # and its summary would ship m full documents per block —
+            # emit an explicit skip marker so the driver drops
+            # top_values for the WHOLE column (a partial summary would
+            # silently break the count_error certificate).
             if not numeric:
                 mean_len = pc.mean(pc.utf8_length(nn)).as_py() or 0.0
                 if mean_len > 256:
+                    emit(name, "hh_skip")
                     continue
-            vc = pc.value_counts(pc.cast(nn, pa.string()))
+            vc = pc.value_counts(nn)
             vals = vc.field("values")
             cnts = vc.field("counts").to_numpy(zero_copy_only=False)
             if cnts.size > _HH_M:
                 order = np.argsort(-cnts, kind="stable")
                 cut = int(cnts[order[_HH_M]])
                 keep = order[:_HH_M]
-                kept_counts = cnts[keep] - cut
-                pos = keep[kept_counts > 0]
+                pos = keep[cnts[keep] - cut > 0]
+                kept_vals = pc.cast(vals.take(pa.array(pos)), pa.string())
                 emit(
                     name,
                     "hh",
                     i=np.concatenate(((cnts[pos] - cut), [cut])),
-                    s=[vals[int(j)].as_py() for j in pos] + [""],
+                    s=kept_vals.to_pylist() + [""],
                 )
             else:
-                emit(name, "hh", i=np.concatenate((cnts, [0])),
-                     s=vals.to_pylist() + [""])
+                emit(
+                    name,
+                    "hh",
+                    i=np.concatenate((cnts, [0])),
+                    s=pc.cast(vals, pa.string()).to_pylist() + [""],
+                )
         return pa.table(
             {
                 "col": pa.array(cols, type=pa.string()),
@@ -230,61 +246,38 @@ def profile(
         else:
             out[name] = stat  # nested/binary column: counts only
             continue
-        # HLL max-merge
+        # HLL max-merge (estimator shared with sketch.hll_distinct)
         m = 1 << _HLL_P
         regs = np.zeros(m, dtype=np.float64)
         for iv in r[r["kind"] == "hll"]["i"]:
             half = len(iv) // 2
             idx = np.asarray(iv[:half], dtype=np.int64)
             np.maximum.at(regs, idx, np.asarray(iv[half:], dtype=np.float64))
-        alpha = 0.7213 / (1 + 1.079 / m)
-        raw = alpha * m * m / np.sum(np.exp2(-regs))
-        zeros = int(np.sum(regs == 0))
-        stat["distinct"] = float(
-            m * np.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
-        )
-        # quantile-sketch merge (numeric only)
+        stat["distinct"] = _hll_estimate(regs)
+        # quantile-sketch merge (numeric only; shared with
+        # sketch.quantile_sketch — level -1 rows carry block errors)
         if numeric:
-            levels: list[np.ndarray] = []
-            parity: list[int] = []
-            by_level: dict[int, list[np.ndarray]] = {}
+            by_level: dict[int, list[np.ndarray]] = {
+                -1: [
+                    np.asarray([float(fv[0])])
+                    for fv in r[r["kind"] == "qs_err"]["f"]
+                ]
+            }
+            if not by_level[-1]:
+                del by_level[-1]
             for fv, iv in zip(r[r["kind"] == "qs"]["f"], r[r["kind"] == "qs"]["i"]):
                 by_level.setdefault(int(iv[0]), []).append(
                     np.asarray(fv, dtype=np.float64)
                 )
-            err = sum(float(fv[0]) for fv in r[r["kind"] == "qs_err"]["f"])
-            for lvl in sorted(by_level):
-                _qs_insert(levels, parity, lvl, np.concatenate(by_level[lvl]), _QS_K)
-            err += sum(p * (2.0 ** j) for j, p in enumerate(parity))
-            vals = np.concatenate([a for a in levels if a.size])
-            w = np.concatenate(
-                [np.full(a.size, 2.0 ** j) for j, a in enumerate(levels) if a.size]
-            )
-            order = np.argsort(vals, kind="stable")
-            vals, w = vals[order], w[order]
-            cw = np.cumsum(w)
-            nw = int(round(cw[-1]))
-            stat["quantiles"] = {
-                float(q): float(
-                    vals[
-                        min(
-                            int(
-                                np.searchsorted(
-                                    cw, int(np.floor((nw - 1) * float(q))) + 1
-                                )
-                            ),
-                            vals.size - 1,
-                        )
-                    ]
-                )
-                for q in quantiles
-            }
+            levels, err = _qs_merge(by_level, _QS_K)
+            stat["quantiles"], _nw = _qs_quantiles(levels, quantiles)
             stat["quantile_rank_error"] = err / present
         # heavy-values merge: sum partial counts, then one final
         # truncation to capacity; certificate = per-block deductions +
-        # final cut. Long-text columns emitted no summary (see partial)
-        # — top_values is then absent rather than misleadingly empty.
-        if not (r["kind"] == "hh").any():
+        # final cut. If ANY block skipped its summary (long-text guard)
+        # the certificate cannot hold — top_values is then absent for
+        # the whole column rather than silently wrong.
+        if (r["kind"] == "hh_skip").any() or not (r["kind"] == "hh").any():
             out[name] = stat
             continue
         agg: dict[str, int] = {}

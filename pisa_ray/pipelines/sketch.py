@@ -104,6 +104,18 @@ def _block_registers(h: np.ndarray, p: int) -> np.ndarray:
     return regs
 
 
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Register array -> cardinality estimate (raw HLL + small-range
+    linear-counting correction). Shared by hll_distinct and profile."""
+    m = regs.size
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if raw <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(raw)
+
+
 def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
     """HyperLogLog estimate of ``count_distinct(col)``.
 
@@ -160,18 +172,10 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
     ).to_pandas()
     regs = np.zeros(m, dtype=np.float64)
     regs[merged["reg"].to_numpy()] = merged["val"].to_numpy()
-    # raw estimate + small-range (linear counting) correction
-    alpha = 0.7213 / (1 + 1.079 / m)
-    raw = alpha * m * m / np.sum(np.exp2(-regs))
-    zeros = int(np.sum(regs == 0))
-    if raw <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    else:
-        est = raw
     return {
-        "estimate": float(est),
+        "estimate": _hll_estimate(regs),
         "p": p,
-        "registers_nonzero": int(m - zeros),
+        "registers_nonzero": int(np.sum(regs > 0)),
     }
 
 
@@ -460,6 +464,48 @@ def _qs_insert(levels: list[np.ndarray], parity: list[int], lvl: int,
         i += 1
 
 
+def _qs_merge(
+    by_level: dict[int, list[np.ndarray]], k: int
+) -> tuple[list[np.ndarray], float]:
+    """Driver-side compactor merge: fold per-level partial arrays
+    bottom-up (level -1 entries carry the blocks' own weighted
+    compaction errors) -> (levels, total weighted compaction error).
+    Shared by quantile_sketch and profile."""
+    levels: list[np.ndarray] = []
+    parity: list[int] = []
+    block_errs = 0.0
+    if -1 in by_level:
+        block_errs = float(sum(a.sum() for a in by_level.pop(-1)))
+    for lvl in sorted(by_level):
+        _qs_insert(levels, parity, lvl, np.concatenate(by_level[lvl]), k)
+    # certificate: one compaction of level i shifts any weighted rank
+    # by at most the level weight 2^i
+    err = block_errs + sum(p * (2.0 ** i) for i, p in enumerate(parity))
+    return levels, err
+
+
+def _qs_quantiles(
+    levels: list[np.ndarray], qs: Sequence[float]
+) -> tuple[dict[float, float], int]:
+    """Weighted discrete quantiles (rank rule floor((n-1)q), matching
+    relational.quantile_disc) over merged compactor levels -> (values
+    by q, total weight n)."""
+    vals = np.concatenate([a for a in levels if a.size])
+    w = np.concatenate(
+        [np.full(a.size, 2.0 ** i) for i, a in enumerate(levels) if a.size]
+    )
+    order = np.argsort(vals, kind="stable")
+    vals, w = vals[order], w[order]
+    cw = np.cumsum(w)
+    n = int(round(cw[-1]))
+    out = {}
+    for q in qs:
+        target = int(np.floor((n - 1) * float(q))) + 1  # 1-based weighted rank
+        idx = int(np.searchsorted(cw, target, side="left"))
+        out[float(q)] = float(vals[min(idx, vals.size - 1)])
+    return out, n
+
+
 def quantile_sketch(
     ds: rd.Dataset, col: str, qs: Sequence[float], k: int = 512
 ) -> dict:
@@ -535,39 +581,13 @@ def quantile_sketch(
         return {"quantiles": {float(q): None for q in qs}, "n": 0, "eps_bound": 0.0}
     # driver merge: concatenate per level (order-canonical — compaction
     # sorts), then compact bottom-up with fresh parity counters
-    levels: list[np.ndarray] = []
-    parity: list[int] = []
     by_level: dict[int, list[np.ndarray]] = {}
     for lvl, vals in zip(rows["level"], rows["vals"]):
         by_level.setdefault(int(lvl), []).append(np.asarray(vals, dtype=np.float64))
-    block_errs = 0.0
-    if -1 in by_level:
-        block_errs = float(sum(a.sum() for a in by_level.pop(-1)))
-    for lvl in sorted(by_level):
-        _qs_insert(levels, parity, lvl, np.concatenate(by_level[lvl]), k)
-    # certificate: one compaction of level i shifts any weighted rank
-    # by at most the level weight 2^i (keep-every-other over a sorted
-    # buffer rounds each rank contribution by <= one element of weight
-    # 2^i; the alternating offset cancels consecutive roundings in
-    # expectation but not worst-case). In-block compactions arrive via
-    # the level -1 rows.
-    compactions_weighted = block_errs + sum(
-        p * (2.0 ** i) for i, p in enumerate(parity)
-    )
-    weights = [np.full(arr.size, 2.0 ** i) for i, arr in enumerate(levels)]
+    levels, compactions_weighted = _qs_merge(by_level, k)
     if not any(arr.size for arr in levels):
         return {"quantiles": {float(q): None for q in qs}, "n": 0, "eps_bound": 0.0}
-    vals = np.concatenate([a for a in levels if a.size])
-    w = np.concatenate([wt for wt, a in zip(weights, levels) if a.size])
-    order = np.argsort(vals, kind="stable")
-    vals, w = vals[order], w[order]
-    cw = np.cumsum(w)
-    n = int(round(cw[-1]))
-    out: dict[float, float] = {}
-    for q in qs:
-        target = int(np.floor((n - 1) * float(q))) + 1  # 1-based weighted rank
-        idx = int(np.searchsorted(cw, target, side="left"))
-        out[float(q)] = float(vals[min(idx, vals.size - 1)])
+    out, n = _qs_quantiles(levels, qs)
     return {
         "quantiles": out,
         "n": n,

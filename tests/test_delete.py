@@ -195,3 +195,53 @@ def test_delete_then_incremental_generation_then_compact(tmp_path):
     assert ra.df == rb.df
     for text in make_queries(30)["text"].to_pylist():
         assert score_taat(ra, text, 10) == score_taat(rb, text, 10)
+
+
+def test_delete_where_numeric_column_coerces_string_value(tmp_path):
+    """The CLI surface passes string values; delete_where must cast
+    them to the docmap column's type (and fail loudly when it can't)."""
+    corpus = make_corpus(80, n_partitions=1)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(**CFG))
+    import pyarrow.parquet as _pq
+    import glob as _glob
+
+    dm = _pq.read_table(
+        sorted(_glob.glob(f"{d}/docmap/**/*.parquet", recursive=True))[0]
+    )
+    some_len = dm["length"][0].as_py()
+    expect = sum(1 for v in dm["length"].to_pylist() if v == some_len)
+    # docmap may span several files; count across all
+    all_dm = pa.concat_tables(
+        _pq.read_table(f, columns=["length"])
+        for f in sorted(_glob.glob(f"{d}/docmap/**/*.parquet", recursive=True))
+    )
+    expect = sum(1 for v in all_dm["length"].to_pylist() if v == some_len)
+    assert delete_where(d, "length", str(some_len)) == expect
+    with pytest.raises(ValueError, match="cannot compare"):
+        delete_where(d, "length", "not-a-number")
+
+
+def test_clear_tombstones_snapshot_preserves_later_files(tmp_path):
+    """compact_index clears only the tombstone files it purged: a
+    delete landing mid-compaction (simulated here by writing a second
+    file after the snapshot) survives the clear and stays masked."""
+    import glob as _glob
+
+    from pisa_ray.build import compact_index
+    from pisa_ray.delete import clear_tombstones
+
+    corpus = make_corpus(100, n_partitions=1)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(**CFG))
+    ids = _corpus_ids(corpus)
+    delete_docs(d, ids[:5])
+    snapshot = sorted(_glob.glob(f"{d}/tombstones/*.parquet"))
+    delete_docs(d, ids[5:8])  # "mid-compaction" delete
+    clear_tombstones(d, files=snapshot)
+    remaining = load_tombstones(d)
+    np.testing.assert_array_equal(remaining, np.sort(ids[5:8]))
+    # and a subsequent compaction purges + clears the rest
+    compact_index(d)
+    assert load_tombstones(d).size == 0
+    assert IndexReader(d).n_docs == 100 - 3  # only the surviving file purged

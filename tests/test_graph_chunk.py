@@ -726,3 +726,20 @@ def test_bottomk_sample_matches_sql_replica(nblocks):
         bottomk_sample(rd.from_pandas(df), "k", 0)
     # k >= distinct keys: everything kept
     assert bottomk_sample(rd.from_pandas(df), "k", 10_000).count() == len(df)
+
+
+def test_profile_mixed_block_long_text_drops_top_values_entirely():
+    """If ANY block skips its heavy-values summary (long-text guard)
+    the column's top_values must be absent — a partial summary would
+    violate the count_error certificate."""
+    from pisa_ray.pipelines.profile import profile
+
+    short = pd.DataFrame({"s": ["aa"] * 500})
+    long_ = pd.DataFrame({"s": ["x" * 400] * 500})
+    ds = rd.from_pandas(short).union(rd.from_pandas(long_))
+    p = profile(ds)["s"]
+    assert p["n"] == 1000
+    assert "top_values" not in p and "count_error" not in p
+    # all-short input keeps the summary
+    p2 = profile(rd.from_pandas(short))["s"]
+    assert p2["top_values"][0] == {"value": "aa", "count": 500}
