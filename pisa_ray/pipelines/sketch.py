@@ -593,3 +593,132 @@ def quantile_sketch(
         "n": n,
         "eps_bound": float(compactions_weighted) / n if n else 0.0,
     }
+
+
+def grouped_quantile_sketch(
+    ds: rd.Dataset,
+    key_col: str,
+    col: str,
+    qs: Sequence[float],
+    k: int = 256,
+) -> "pd.DataFrame":
+    """Per-group approximate discrete quantiles in ONE streaming pass —
+    e.g. per-source document-length distributions across a training
+    mixture. Same compactor-stack sketch, certificate and rank rule as
+    :func:`quantile_sketch`, evaluated independently per key.
+
+    Shape: the scan emits each block's per-group compacted levels as
+    narrow (key, level, vals) rows; ONE hash exchange groups them by
+    key and each reducer merges its keys' sketches vectorized-per-key
+    (``_qs_merge`` + ``_qs_quantiles`` are numpy on the group's level
+    arrays). Driver receives only (key, q, value, n, eps_bound) rows —
+    groups x quantiles, never data. Exact for groups that never
+    compact (fewer than k values per block and k after merge — the
+    overwhelmingly common case for per-source stats).
+
+    Returns a pandas frame (key, q, value, n, eps_bound) sorted by
+    (key, q). Rows with a NULL key or NULL measure are ignored (SQL
+    aggregate semantics).
+    """
+    import pandas as pd
+
+    if not qs:
+        raise ValueError("grouped_quantile_sketch: no quantiles requested")
+    if k < 8:
+        raise ValueError(f"grouped_quantile_sketch: k must be >= 8, got {k}")
+
+    out_schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("level", pa.int32()),
+            ("vals", pa.large_list(pa.float64())),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = pc.cast(t[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys, v = keys[order], v[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [keys.size])
+        )
+        out_k, out_l, out_v = [], [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            levels: list[np.ndarray] = []
+            parity: list[int] = []
+            _qs_insert(levels, parity, 0, v[a:b], k)
+            for lvl, arr in enumerate(levels):
+                if arr.size:
+                    out_k.append(keys[a])
+                    out_l.append(lvl)
+                    out_v.append(arr.tolist())
+            err = sum(p * (2.0 ** i) for i, p in enumerate(parity))
+            if err:
+                out_k.append(keys[a])
+                out_l.append(-1)
+                out_v.append([err])
+        return pa.table(
+            {
+                "key": pa.array(out_k, type=pa.string()),
+                "level": pa.array(np.asarray(out_l, dtype=np.int32)),
+                "vals": pa.array(out_v, type=pa.large_list(pa.float64())),
+            },
+            schema=out_schema,
+        )
+
+    def reduce_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                    "eps_bound": pa.array([], pa.float64()),
+                }
+            )
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        lvls = t["level"].to_numpy(zero_copy_only=False)
+        vals = t["vals"].to_pylist()
+        order = np.argsort(keys, kind="stable")
+        out_rows = {"key": [], "q": [], "value": [], "n": [], "eps_bound": []}
+        i = 0
+        while i < order.size:
+            j = i
+            kk = keys[order[i]]
+            by_level: dict[int, list[np.ndarray]] = {}
+            while j < order.size and keys[order[j]] == kk:
+                by_level.setdefault(int(lvls[order[j]]), []).append(
+                    np.asarray(vals[order[j]], dtype=np.float64)
+                )
+                j += 1
+            levels, err = _qs_merge(by_level, k)
+            quants, n = _qs_quantiles(levels, qs)
+            for q, val in quants.items():
+                out_rows["key"].append(kk)
+                out_rows["q"].append(q)
+                out_rows["value"].append(val)
+                out_rows["n"].append(n)
+                out_rows["eps_bound"].append(err / n if n else 0.0)
+            i = j
+        return pa.table(
+            {
+                "key": pa.array(out_rows["key"], pa.string()),
+                "q": pa.array(out_rows["q"], pa.float64()),
+                "value": pa.array(out_rows["value"], pa.float64()),
+                "n": pa.array(out_rows["n"], pa.int64()),
+                "eps_bound": pa.array(out_rows["eps_bound"], pa.float64()),
+            }
+        )
+
+    from ..shuffle import hash_group_apply
+
+    parts = ds.select_columns([key_col, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    out = hash_group_apply(parts, "key", reduce_keys).to_pandas()
+    return out.sort_values(["key", "q"], kind="mergesort").reset_index(drop=True)

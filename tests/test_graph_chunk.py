@@ -743,3 +743,52 @@ def test_profile_mixed_block_long_text_drops_top_values_entirely():
     # all-short input keeps the summary
     p2 = profile(rd.from_pandas(short))["s"]
     assert p2["top_values"][0] == {"value": "aa", "count": 500}
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_grouped_quantile_sketch_exact_small_groups(nblocks):
+    """Groups that never compact return EXACT discrete quantiles (the
+    floor((n-1)q) rank rule), per key, at any parallelism."""
+    from pisa_ray.pipelines.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(2)
+    keys = np.repeat(["a", "b", "c"], [50, 120, 7])
+    vals = rng.normal(size=keys.size) * 10
+    df = pd.DataFrame({"src": keys, "v": vals})
+    out = grouped_quantile_sketch(
+        rd.from_pandas(df).repartition(nblocks), "src", "v", [0.0, 0.5, 1.0],
+        k=256,
+    )
+    assert (out["eps_bound"] == 0.0).all()  # nothing compacts
+    for kk, grp in df.groupby("src"):
+        s = np.sort(grp["v"].to_numpy())
+        for q in (0.0, 0.5, 1.0):
+            row = out[(out["key"] == kk) & (out["q"] == q)].iloc[0]
+            assert row["n"] == s.size
+            assert row["value"] == s[int(np.floor((s.size - 1) * q))]
+
+
+def test_grouped_quantile_sketch_error_bound_large_group():
+    from pisa_ray.pipelines.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(4)
+    n = 50_000
+    df = pd.DataFrame(
+        {"src": np.where(np.arange(n) % 3 == 0, "x", "y"),
+         "v": rng.uniform(0, 1, n)}
+    )
+    out = grouped_quantile_sketch(
+        rd.from_pandas(df).repartition(8), "src", "v", [0.25, 0.75], k=128
+    )
+    for kk, grp in df.groupby("src"):
+        s = np.sort(grp["v"].to_numpy())
+        for q in (0.25, 0.75):
+            row = out[(out["key"] == kk) & (out["q"] == q)].iloc[0]
+            assert row["n"] == s.size and 0 < row["eps_bound"] < 0.1
+            target = int(np.floor((s.size - 1) * q))
+            lo = np.searchsorted(s, row["value"], "left")
+            hi = np.searchsorted(s, row["value"], "right") - 1
+            err = 0 if lo <= target <= hi else min(
+                abs(target - lo), abs(target - hi)
+            )
+            assert err <= row["eps_bound"] * s.size + 1
