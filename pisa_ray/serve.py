@@ -57,6 +57,21 @@ class _ServeScorer(BM25Scorer):
     def score_batch(self, batch: pa.Table) -> pa.Table:
         return self(batch)
 
+    def reload(self, ref_box=None, mask_box=None, index_dir=None, buckets=None):
+        """Swap in a fresh index view (new broadcast ref, or re-read
+        from disk for bucket-sharded actors) and drop the result memo —
+        how a LIVE service picks up deletes / incremental appends
+        without pool reconstruction."""
+        from .scorer import IndexReader
+
+        if ref_box is not None:
+            self.reader = ray.get(ref_box[0])
+        elif index_dir is not None:
+            self.reader = IndexReader(index_dir, buckets=buckets)
+        self.doc_mask = ray.get(mask_box[0]) if mask_box is not None else None
+        self._result_memo.clear()
+        return True
+
 
 class BM25Service:
     """N persistent scorer actors over one broadcast index.
@@ -77,6 +92,9 @@ class BM25Service:
         doc_filter: tuple[str, object] | None = None,
         memo: bool = True,
     ):
+        self._index_dir = index_dir
+        self._buckets = set(buckets) if buckets is not None else None
+        self._doc_filter = doc_filter
         kwargs: dict = {"k": k, "method": method, "memo": memo}
         if buckets is not None:
             kwargs.update({"index_dir": index_dir, "buckets": set(buckets)})
@@ -103,6 +121,33 @@ class BM25Service:
                 for a in self.actors
             ]
         )
+
+    def reload(self) -> None:
+        """Refresh every actor's index view from disk — picks up
+        deletes (tombstones) and incremental appends on a LIVE pool,
+        no reconstruction. Broadcast pools re-broadcast ONCE (the
+        driver-side reader cache keys on manifest mtime + tombstone
+        file set, so this is a no-op object-store hit when nothing
+        changed); bucket-sharded actors re-read their buckets."""
+        if self._buckets is None:
+            ref_box = [_broadcast_reader(self._index_dir)]
+            mask_box = (
+                [ray.put(load_doc_filter(self._index_dir, *self._doc_filter))]
+                if self._doc_filter is not None
+                else None
+            )
+            ray.get([a.reload.remote(ref_box=ref_box, mask_box=mask_box)
+                     for a in self.actors])
+        else:
+            mask_box = None  # sharded pools don't take global masks
+            ray.get(
+                [
+                    a.reload.remote(
+                        index_dir=self._index_dir, buckets=set(self._buckets)
+                    )
+                    for a in self.actors
+                ]
+            )
 
     def submit(self, queries, batch_size: int = 32) -> list:
         """Fan batches out round-robin; return the in-flight ObjectRefs
@@ -198,6 +243,12 @@ class ShardedBM25Service:
             ),
             batch_size=batch_size,
         )
+
+    def reload(self) -> None:
+        """Refresh every shard pool's index view from disk (deletes /
+        appends visible without reconstruction)."""
+        for svc in self.services:
+            svc.reload()
 
     def shutdown(self) -> None:
         for svc in self.services:

@@ -477,6 +477,50 @@ def test_sharded_query_position_space(tmp_path, tiny_corpus):
     assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
 
 
+def test_serve_reload_picks_up_deletes(tmp_path):
+    """A LIVE BM25Service serves its loaded view through a delete
+    (point-in-time semantics), then reload() makes the tombstones
+    visible — bit-identical to the Dataset path over the same index."""
+    import pandas as pd
+
+    from pisa_ray import BM25Service, query_index
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.synth import make_corpus
+
+    corpus = make_corpus(150, n_partitions=1)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(bucket_bits=1, term_parts=4, lineage_parts=1))
+    qt = make_queries(30)
+    svc = BM25Service(d, k=10, method="auto", num_actors=2)
+    try:
+        before = svc.query(qt, batch_size=16).to_pandas()
+        victims = set(before["doc_id"].head(20).tolist())
+        delete_docs(d, np.fromiter(victims, dtype=np.uint64))
+        # point-in-time: the live pool still serves the old view
+        stale = svc.query(qt, batch_size=16).to_pandas()
+        pd.testing.assert_frame_equal(
+            stale.sort_values(["query_id", "rank"]).reset_index(drop=True),
+            before.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        )
+        svc.reload()
+        after = (
+            svc.query(qt, batch_size=16)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert not set(after["doc_id"]) & victims
+        want = (
+            query_index(rd.from_arrow(qt), d, k=10, method="auto", concurrency=2)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(after, want)
+    finally:
+        svc.shutdown()
+
+
 def test_serve_tier_identical_to_dataset_path(tiny_index):
     """BM25Service (persistent actor pool) returns bit-identical hits
     to the per-job Dataset pool, across repeats (result-memo path) and
