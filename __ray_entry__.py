@@ -116,38 +116,19 @@ def _term_explode(distinct: bool):
 # --------------------------------------------------------------------------
 
 
-def q_term_df(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(_term_explode(distinct=True), batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Count(alias_name="df"))
-    )
-
-
-def q_term_tf(sf_dir: str):
-    from ray.data.aggregate import Sum
+def q_term_stats(sf_dir: str):
+    """Per-term df (doc count) AND total tf in ONE tokenize + groupby
+    pass — the round-2 `term_df` / `term_tf` entries consolidated (the
+    explode already collapses (doc, term) to one row with its tf, so
+    Count gives df and Sum gives corpus tf from the same exchange)."""
+    from ray.data.aggregate import Count, Sum
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(_term_explode(distinct=False), batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Sum("tf", alias_name="tf"))
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="tf"))
     )
-
-
-def q_doc_lengths(sf_dir: str):
-    from pisa_ray.tokenizer import doc_term_counts
-
-    def fn(batch: pa.Table) -> pa.Table:
-        _, _, dl = doc_term_counts(batch["text"])
-        return pa.table(
-            {"doc_id": batch["doc_id"], "length": pa.array(dl.astype(np.int64))}
-        )
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_index_lexicon(sf_dir: str):
@@ -327,30 +308,38 @@ def q_top_customers(sf_dir: str):
     return agg[["rank", "c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
-def q_customers_with_orders(sf_dir: str):
-    from pisa_ray.pipelines.relational import broadcast_semi_join
-
-    keys = _tbl(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    return broadcast_semi_join(
-        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]), keys, "c_custkey"
+def q_order_membership(sf_dir: str):
+    """Broadcast semi-join ∪ anti-join against the orders key set —
+    every customer labeled has_orders 1/0. One driver row exercising
+    BOTH set-membership operators (the round-2 `customers_with_orders`
+    / `customers_without_orders` entries, consolidated)."""
+    from pisa_ray.pipelines.relational import (
+        broadcast_anti_join,
+        broadcast_semi_join,
     )
 
-
-def q_customers_without_orders(sf_dir: str):
-    from pisa_ray.pipelines.relational import broadcast_anti_join
-
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_name"])
     keys = _tbl(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    out = broadcast_anti_join(
-        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]), keys, "c_custkey"
-    ).to_pandas()
-    if out.empty:  # an all-empty Dataset loses its schema through to_pandas
-        out = pd.DataFrame(
-            {
-                "c_custkey": pd.Series(dtype="int64"),
-                "c_name": pd.Series(dtype="object"),
-            }
-        )
-    return out
+    empty = pd.DataFrame(
+        {
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype="object"),
+        }
+    )
+    parts = []
+    for join, flag in (
+        (broadcast_semi_join, np.int64(1)),
+        (broadcast_anti_join, np.int64(0)),
+    ):
+        side = join(cust, keys, "c_custkey").to_pandas()
+        if side.empty:  # an all-empty Dataset loses its schema
+            side = empty.copy()
+        side["has_orders"] = flag
+        parts.append(side)
+    out = pd.concat(parts, ignore_index=True)
+    return out[["c_custkey", "c_name", "has_orders"]].astype(
+        {"c_custkey": "int64", "has_orders": "int64"}
+    )
 
 
 def q_distinct_segments(sf_dir: str):
@@ -565,42 +554,119 @@ def q_dedup_exact(sf_dir: str):
     return out[["doc_id"]].astype({"doc_id": "int64"})
 
 
-def q_quality_counts(sf_dir: str):
-    """Integer quality features (exact-comparable): token count,
-    English-stopword count, digit count."""
-    import pyarrow.compute as pc
+def q_heavy_hitters(sf_dir: str):
+    """Exact global top-20 most frequent users in the events stream
+    via the TPUT-style two-pass threshold summary (per-block top-m +
+    truncation thresholds through one NARROW exchange, candidate-set
+    recount) — never shuffles the value distribution."""
+    from pisa_ray.pipelines.sketch import heavy_hitters
 
-    from pisa_ray.pipelines.text import STOPWORDS
-    from pisa_ray.tokenizer import TOKEN_SPLIT_RE
+    out = heavy_hitters(
+        _tbl(sf_dir, "events", ["user_id"]), "user_id", 20
+    ).to_pandas()
+    return out.rename(columns={"value": "user_id", "cnt": "n"}).astype(
+        {"user_id": "int64", "n": "int64"}
+    )
 
-    stop = pa.array(sorted(STOPWORDS["en"]))
 
-    def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        parents = parents[keep]
-        flat = flat.filter(pa.array(keep))
-        n = len(batch)
-        n_tokens = np.zeros(n, dtype=np.int64)
-        np.add.at(n_tokens, parents, 1)
-        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
-        n_stop = np.zeros(n, dtype=np.int64)
-        np.add.at(n_stop, parents, is_stop.astype(np.int64))
-        digits = pc.count_substring_regex(batch["text"], "[0-9]").to_numpy(
-            zero_copy_only=False
-        )
+def q_grouped_window(sf_dir: str):
+    """SQL window functions per user over the events stream — lag,
+    row_number, running sum and a trailing RANGE frame count in ONE
+    hash exchange (order = event_id, unique, so frames are
+    deterministic; value becomes integer cents via the half-up
+    formula both engines compute identically in double math)."""
+    from pisa_ray.pipelines.window import grouped_window
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tokens),
-                "n_stop_en": pa.array(n_stop),
-                "n_digits": pa.array(digits.astype(np.int64)),
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    ds = _tbl(sf_dir, "events", ["event_id", "user_id", "value"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    out = grouped_window(
+        ds,
+        "user_id",
+        "event_id",
+        {
+            "prev_cents": ("lag", "cents", 1),
+            "rn": ("row_number",),
+            "cum_cents": ("cumsum", "cents"),
+            "roll_cnt": ("rolling_count", 1000),
+        },
+    ).to_pandas()
+    out["prev_cents"] = out["prev_cents"].astype("float64")
+    return out.astype(
+        {"event_id": "int64", "user_id": "int64", "cents": "int64",
+         "rn": "int64", "cum_cents": "int64", "roll_cnt": "int64"}
+    )[["event_id", "user_id", "cents", "prev_cents", "rn", "cum_cents", "roll_cnt"]]
+
+
+def q_hash_join(sf_dir: str):
+    """Large × large distributed hash join (both sides shuffled by
+    key, no broadcast): orders ⋈ customer on custkey."""
+    from pisa_ray.pipelines.relational import hash_join
+
+    out = hash_join(
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]),
+        on="o_custkey",
+        right_on="c_custkey",
+        how="inner",
+    ).to_pandas()
+    return out[["o_orderkey", "o_custkey", "o_totalprice", "c_name"]].astype(
+        {"o_orderkey": "int64", "o_custkey": "int64", "o_totalprice": "float64"}
+    )
+
+
+def q_hybrid_search(sf_dir: str):
+    """Two-stage retrieve-then-rerank: BM25 top-15 candidates from the
+    inverted index (actor pool), re-scored by embedding cosine against
+    the query's vector (embeddings stream; candidates broadcast once).
+    Query vectors are the embedding rows with vec_id == query_id; docs
+    without an embedding row drop out (inner-join semantics)."""
+    import ray.data as rd
+
+    from pisa_ray.pipelines.similarity import hybrid_search
+
+    idx = _index_dir(sf_dir)
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _hybrid_query_vectors(sf_dir)
+    out = hybrid_search(
+        rd.from_arrow(_bm25_query_table()),
+        idx,
+        emb,
+        q,
+        qids,
+        n_candidates=15,
+        k=10,
+        fetch_k=100,
+        concurrency=2,
+        candidate_rank_round=4,
+    )
+    out = _duckdb_cosine_rerank(
+        out.rename(columns={"doc_id": "vec_id"}), sf_dir, qids, k=5
+    )
+    return out.rename(columns={"vec_id": "doc_id"})[
+        ["query_id", "rank", "doc_id", "cosine"]
+    ]
+
+
+def _hybrid_query_vectors(sf_dir: str):
+    qtab = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr="vec_id < 8")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
+    return q, qtab["vec_id"].to_numpy(dtype=np.int64)
 
 
 def _knn_query_vectors(sf_dir: str):
@@ -677,12 +743,14 @@ def q_knn_cosine(sf_dir: str):
 
 def q_text_stats(sf_dir: str):
     """Fused per-doc text statistics — the ``token_stats`` columns plus
-    the Gopher-style ``repetition_stats`` features in one kernel (the
-    round-2 `token_stats` and `repetition` entries, consolidated so
-    every operator family fits the driver's 50-entry cap)."""
+    the Gopher-style ``repetition_stats`` features plus the integer
+    quality-signal counts (stopwords, digits) in one kernel (the
+    round-2 `token_stats`, `repetition` and `quality_counts` entries,
+    consolidated so every operator family fits the driver's 50-entry
+    cap)."""
     from pisa_ray.pipelines.text import text_stats
 
-    return text_stats(_docs(sf_dir, ["doc_id", "text"]))
+    return text_stats(_docs(sf_dir, ["doc_id", "text"]), include_quality=True)
 
 
 def q_unigram_nll(sf_dir: str):
@@ -1151,17 +1219,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "term_df": q_term_df,
-        "term_tf": q_term_tf,
-        "doc_lengths": q_doc_lengths,
+        "term_stats": q_term_stats,
         "index_lexicon": q_index_lexicon,
         "index_docmap": q_docmap,
         "bm25_topk": q_bm25_topk,
         "bm25_filtered": q_bm25_filtered,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
+        "order_membership": q_order_membership,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_by_type": q_events_by_type,
@@ -1182,7 +1247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "dataset_split": q_dataset_split,
         "source_mix": q_source_mix,
-        "quality_counts": q_quality_counts,
+        "heavy_hitters": q_heavy_hitters,
+        "grouped_window": q_grouped_window,
+        "hash_join": q_hash_join,
+        "hybrid_search": q_hybrid_search,
         "knn_cosine": q_knn_cosine,
         "text_stats": q_text_stats,
         "unigram_nll": q_unigram_nll,
@@ -1501,17 +1569,59 @@ def oracle_sql() -> dict[str, str]:
                 FROM scores sc
             ) WHERE rank <= 10
         """
+    hybrid_sql = f"""
+            WITH tok AS ({tok_docs}),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            q(query_id, term) AS (VALUES {bm25_values}),
+            scores AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+                            * (tf.tf * 1.9 / (tf.tf + 0.9*(1 - 0.4 + 0.4 * dl.dl / s.avgdl))) ) AS score
+                FROM q
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            cand AS (
+                SELECT query_id, doc_id FROM (
+                    SELECT sc.query_id, sc.doc_id,
+                           row_number() OVER (
+                               PARTITION BY sc.query_id
+                               ORDER BY round(sc.score, 4) DESC, sc.doc_id
+                           ) AS crank
+                    FROM scores sc
+                ) WHERE crank <= 15
+            ),
+            qe AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8)
+            SELECT query_id, rank, doc_id, cosine FROM (
+                SELECT c.query_id, c.doc_id,
+                       round(list_cosine_similarity(
+                           CAST(qe.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ), 5) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(qe.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                           ), 5) DESC, c.doc_id
+                       ) AS rank
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.doc_id
+                JOIN qe ON qe.query_id = c.query_id
+            ) WHERE rank <= 5
+        """
     return {
-        "term_df": f"""
-            SELECT term, count(*) AS df
-            FROM (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
+        "hybrid_search": hybrid_sql,
+        "term_stats": f"""
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS tf
+            FROM (SELECT doc_id, term, count(*) AS tf FROM ({tok_docs})
+                  GROUP BY doc_id, term)
             GROUP BY term
-        """,
-        "term_tf": f"""
-            SELECT term, count(*) AS tf FROM ({tok_docs}) GROUP BY term
-        """,
-        "doc_lengths": f"""
-            SELECT doc_id, len({_TOK}) AS length FROM documents
         """,
         "index_lexicon": f"""
             SELECT term, count(*) AS df
@@ -1603,13 +1713,37 @@ def oracle_sql() -> dict[str, str]:
                 JOIN customer c ON c.c_custkey = o.o_custkey
             ) WHERE rank <= 10
         """,
-        "customers_with_orders": """
-            SELECT c_custkey, c_name FROM customer c
-            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        "order_membership": """
+            SELECT c_custkey, c_name,
+                   CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_custkey = c.c_custkey)
+                        THEN 1 ELSE 0 END::BIGINT AS has_orders
+            FROM customer c
         """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        "heavy_hitters": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+        """,
+        "grouped_window": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id, cents,
+                   CAST(lag(cents, 1) OVER w AS DOUBLE) AS prev_cents,
+                   row_number() OVER w AS rn,
+                   CAST(sum(cents) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS roll_cnt
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "hash_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
@@ -1810,15 +1944,6 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[st+1:st+64], ' ') AS chunk_text
             FROM s
         """,
-        "quality_counts": f"""
-            SELECT doc_id,
-                   len({_TOK}) AS n_tokens,
-                   len(list_filter({_TOK},
-                       x -> list_contains(['a','and','for','in','is','it','of','that','the','to','with'], x)
-                   )) AS n_stop_en,
-                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
-            FROM documents
-        """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5)
@@ -1982,7 +2107,11 @@ def oracle_sql() -> dict[str, str]:
                    END AS top_token_frac,
                    CASE WHEN coalesce(bia.n2, 0) = 0 THEN 0.0
                         ELSE round(1.0 - bia.d2::DOUBLE / bia.n2, 4)
-                   END AS dup_2gram_frac
+                   END AS dup_2gram_frac,
+                   len(list_filter(toks,
+                       x -> list_contains(['a','and','for','in','is','it','of','that','the','to','with'], x)
+                   )) AS n_stop_en,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
             FROM tk
             LEFT JOIN tops USING (doc_id)
             LEFT JOIN bia USING (doc_id)

@@ -251,7 +251,7 @@ def main() -> None:
         timed("dedup_exact_sec", E.q_dedup_exact)
         timed("minhash_dedup_sec", E.q_minhash_dedup)
         timed("knn_cosine_sec", E.q_knn_cosine)
-        timed("quality_counts_sec", E.q_quality_counts)
+        timed("text_stats_sec", E.q_text_stats)
         timed("decontaminate_sec", E.q_decontaminate)
         timed("pii_scan_sec", E.q_pii_scan)
         timed("dup_clusters_sec", E.q_dup_clusters)
@@ -331,6 +331,7 @@ def main() -> None:
         E._index_dir(sf_dir)  # warm the documents index (cached across
         # rounds) so phrase_search_sec times the query, not a build
         timed("phrase_search_sec", E.q_phrase_search)
+        timed("hybrid_search_sec", E.q_hybrid_search)
 
         def prox(sf):
             from pisa_ray.pipelines.phrase import proximity_search

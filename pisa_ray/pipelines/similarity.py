@@ -362,3 +362,157 @@ def ivf_knn(
     )
     res["rank"] = res.groupby("query_id").cumcount() + 1
     return res[res["rank"] <= k].reset_index(drop=True)
+
+
+def rerank_topk(
+    candidates: pd.DataFrame,
+    emb: rd.Dataset,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cand_id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Second-stage embedding rerank of per-query candidate lists.
+
+    ``candidates`` is the OUTPUT of a first-stage retrieval (BM25,
+    ANN, ...): rows ``(query_id, <cand_id_col>)`` — inherently small
+    (n_queries x n_candidates), so holding it on the driver and
+    broadcasting it once via ``ray.put`` is the right scale shape.
+    The embedding table is NEVER collected: it streams through one
+    ``map_batches`` pass that keeps only candidate rows (searchsorted
+    membership) and scores each kept row against exactly the queries
+    that shortlisted it (one matmul per batch against the broadcast
+    normalized query matrix). Docs without an embedding row drop out
+    (inner-join semantics). Returns ``(query_id, rank, <cand_id_col>,
+    cosine)``, rank by (cosine desc, id asc) — deterministic at any
+    parallelism.
+    """
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qrow_of = {int(v): i for i, v in enumerate(qids)}
+    if candidates.empty:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], cand_id_col: [], "cosine": []}
+        ).astype(
+            {"query_id": "int64", "rank": "int64", cand_id_col: "int64",
+             "cosine": "float64"}
+        )
+    cand = candidates[["query_id", cand_id_col]].copy()
+    cand["qrow"] = cand["query_id"].map(qrow_of)
+    if cand["qrow"].isna().any():
+        missing = sorted(set(cand.loc[cand["qrow"].isna(), "query_id"]))
+        raise ValueError(f"rerank_topk: no query vector for query_ids {missing}")
+    cand = cand.sort_values([cand_id_col, "qrow"], kind="mergesort")
+    cd = cand[cand_id_col].to_numpy()            # id dtype preserved
+    id_dtype = cd.dtype                          # (int64 or hashed uint64)
+    starts = np.flatnonzero(np.r_[True, cd[1:] != cd[:-1]])
+    uniq_docs = cd[starts]                       # sorted unique candidate ids
+    offsets = np.r_[starts, cd.size]             # CSR offsets into qrows
+    qrows = cand["qrow"].to_numpy(dtype=np.int64)
+    state = ray.put((uniq_docs, offsets, qrows, q))
+
+    def score_candidates(batch: pa.Table) -> pa.Table:
+        docs, off, qr, qm = ray.get(state)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(id_dtype)
+        pos = np.searchsorted(docs, ids)
+        pos = np.minimum(pos, docs.size - 1)
+        hit = docs[pos] == ids
+        if not hit.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    cand_id_col: pa.array(np.empty(0, dtype=id_dtype)),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        kept = np.flatnonzero(hit)
+        m = _normalize(_as_matrix(batch[vec_col].take(pa.array(kept))))
+        sims = m @ qm.T                           # (kept, n_queries)
+        p = pos[kept]
+        counts = off[p + 1] - off[p]
+        # vectorized multi-range gather of each kept doc's query rows
+        total = int(counts.sum())
+        base = np.repeat(off[p] - np.r_[0, np.cumsum(counts)[:-1]], counts)
+        take = np.arange(total, dtype=np.int64) + base
+        row = np.repeat(np.arange(kept.size, dtype=np.int64), counts)
+        qq = qr[take]
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qq]),
+                cand_id_col: pa.array(ids[kept][row]),
+                "cosine": pa.array(sims[row, qq]),
+            }
+        )
+
+    out = emb.map_batches(score_candidates, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], cand_id_col: [], "cosine": []}
+        ).astype(
+            {"query_id": "int64", "rank": "int64", cand_id_col: "int64",
+             "cosine": "float64"}
+        )
+    out = out.sort_values(
+        ["query_id", "cosine", cand_id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[out["rank"] <= k].reset_index(drop=True)
+    return out[["query_id", "rank", cand_id_col, "cosine"]].astype(
+        {"query_id": "int64", "rank": "int64"}
+    )
+
+
+def hybrid_search(
+    queries: rd.Dataset,
+    index_dir: str,
+    emb: rd.Dataset,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    n_candidates: int = 25,
+    k: int = 5,
+    method: str = "auto",
+    concurrency: int = 2,
+    fetch_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_rank_round: int | None = None,
+) -> pd.DataFrame:
+    """Two-stage retrieve-then-rerank: stage 1 answers each query with
+    BM25 top-``fetch_k`` over the inverted index (stateful actor pool,
+    :func:`pisa_ray.scorer.query_index`), cuts to ``n_candidates`` per
+    query by (score desc, doc_id asc); stage 2 re-scores the shortlist
+    by embedding cosine against the query's vector
+    (:func:`rerank_topk` — embeddings stream, candidates broadcast).
+
+    ``candidate_rank_round`` rounds BM25 scores to that many decimals
+    BEFORE the candidate cut — a SQL oracle replaying BM25 in double
+    arithmetic then selects the exact same candidate set (the same
+    canonicalization the ``bm25_topk`` driver entry uses); leave None
+    for exact-score cuts in production.
+    """
+    from ..scorer import query_index
+
+    fk = fetch_k if fetch_k is not None else max(4 * n_candidates, n_candidates + 25)
+    hits = query_index(
+        queries, index_dir, k=fk, method=method, concurrency=concurrency
+    ).to_pandas()
+    if hits.empty:
+        return rerank_topk(
+            pd.DataFrame({"query_id": [], "doc_id": []}),
+            emb, query_vecs, query_ids, k=k, id_col=id_col, vec_col=vec_col,
+        )
+    if candidate_rank_round is not None:
+        hits = hits.copy()
+        hits["score"] = np.round(hits["score"].to_numpy(), candidate_rank_round)
+    hits = hits.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    hits["crank"] = hits.groupby("query_id").cumcount() + 1
+    cand = hits.loc[hits["crank"] <= n_candidates, ["query_id", "doc_id"]]
+    return rerank_topk(
+        cand, emb, query_vecs, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )

@@ -76,8 +76,43 @@ def token_stats(
     )
 
 
+def _quality_counts_fn(text_col: str, id_col: str, lang: str = "en"):
+    """Batch kernel: integer quality-signal counts per doc — stopword
+    occurrences (``n_stop_<lang>``) and digit characters (``n_digits``).
+    Exact-comparable (no float ratios), so SQL oracles can replay it."""
+    stop = pa.array(sorted(STOPWORDS[lang]))
+    stop_col = f"n_stop_{lang}"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parents = parents[keep]
+        flat = flat.filter(pa.array(keep))
+        n = len(batch)
+        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, parents, is_stop.astype(np.int64))
+        digits = pc.count_substring_regex(batch[text_col], "[0-9]").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                stop_col: pa.array(n_stop),
+                "n_digits": pa.array(digits.astype(np.int64)),
+            }
+        )
+
+    return fn
+
+
 def text_stats(
-    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_quality: bool = False,
 ) -> rd.Dataset:
     """Fused per-doc text statistics: the ``token_stats`` columns
     (n_tokens, n_chars, n_distinct, avg_token_len) plus the
@@ -85,17 +120,20 @@ def text_stats(
     dup_2gram_frac) in one stage — both kernels share the tokenize
     pass's input batch, so fusing halves the read/decode work when a
     pipeline wants the full per-doc stat row (the common case for a
-    quality-filter stage)."""
-    ts_fn = _token_stats_fn(text_col, id_col)
-    rep_fn = _repetition_stats_fn(text_col, id_col)
+    quality-filter stage). ``include_quality=True`` appends the
+    integer quality-signal counts (``n_stop_en``, ``n_digits``) from
+    the same pass."""
+    fns = [_token_stats_fn(text_col, id_col), _repetition_stats_fn(text_col, id_col)]
+    if include_quality:
+        fns.append(_quality_counts_fn(text_col, id_col))
 
     def fn(batch: pa.Table) -> pa.Table:
-        a = ts_fn(batch)
-        b = rep_fn(batch)
-        cols = {name: a[name] for name in a.column_names}
-        for name in b.column_names:
-            if name not in cols:
-                cols[name] = b[name]
+        parts = [f(batch) for f in fns]
+        cols = {name: parts[0][name] for name in parts[0].column_names}
+        for t in parts[1:]:
+            for name in t.column_names:
+                if name not in cols:
+                    cols[name] = t[name]
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -1882,3 +1882,129 @@ def test_global_topk_vs_duckdb():
     )
     assert len(got_all) == 5
     assert (np.diff(got_all.score.to_numpy()) >= 0).all()
+
+
+# -- second-stage rerank / hybrid retrieval --------------------------------
+
+
+def _rerank_oracle(pdf, cand, q, qids, k):
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    pos_of = {int(v): i for i, v in enumerate(pdf["vec_id"])}
+    rows = []
+    for qrow, qi in enumerate(qids):
+        docs = sorted(
+            int(d) for d in cand.loc[cand.query_id == qi, "doc_id"]
+            if int(d) in pos_of
+        )
+        sims = np.array([m[pos_of[d]] @ qn[qrow] for d in docs])
+        order = np.lexsort((docs, -np.round(sims, 12)))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((int(qi), r, docs[j], sims[j]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "cosine"])
+
+
+@pytest.mark.parametrize("parts", [1, 8])
+def test_rerank_topk_matches_numpy_oracle(emb, parts):
+    from pisa_ray.pipelines.similarity import rerank_topk
+
+    pdf = emb.to_pandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    q = m[:3]
+    qids = ids[:3]
+    # per-query candidate lists: overlapping slices + one id with NO
+    # embedding row (must drop out, inner-join semantics)
+    cand = pd.DataFrame(
+        [
+            (int(qids[qi]), int(d))
+            for qi in range(3)
+            for d in list(ids[qi * 5 : qi * 5 + 40]) + [987_654_321]
+        ],
+        columns=["query_id", "doc_id"],
+    )
+    ds = emb.repartition(parts) if parts > 1 else emb
+    got = rerank_topk(cand, ds, q, qids, k=5)
+    want = _rerank_oracle(pdf, cand, q, qids, k=5)
+    assert got[["query_id", "rank", "doc_id"]].values.tolist() == \
+        want[["query_id", "rank", "doc_id"]].values.tolist()
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), want["cosine"].to_numpy(), atol=1e-12
+    )
+    assert 987_654_321 not in set(got["doc_id"])
+
+
+def test_rerank_topk_empty_and_unknown_query(emb):
+    from pisa_ray.pipelines.similarity import rerank_topk
+
+    q = np.zeros((1, 64)) + 0.1
+    out = rerank_topk(
+        pd.DataFrame({"query_id": [], "doc_id": []}), emb, q,
+        np.array([7], dtype=np.int64), k=3,
+    )
+    assert out.empty and list(out.columns) == ["query_id", "rank", "doc_id", "cosine"]
+    with pytest.raises(ValueError, match="no query vector"):
+        rerank_topk(
+            pd.DataFrame({"query_id": [99], "doc_id": [0]}), emb, q,
+            np.array([7], dtype=np.int64), k=3,
+        )
+
+
+def test_hybrid_search_matches_manual_two_stage(tmp_path):
+    """hybrid_search == query_index top-N cut + rerank_topk, on a tiny
+    built index with hashed doc ids and synthetic embeddings keyed by
+    those ids (exercises the non-contiguous id path end-to-end)."""
+    import ray.data as rd
+
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.pipelines.similarity import hybrid_search, rerank_topk
+    from pisa_ray.scorer import query_index
+    from pisa_ray.synth import make_corpus
+
+    corpus = make_corpus(120, n_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(bucket_bits=1, term_parts=4, lineage_parts=1))
+    queries = rd.from_arrow(
+        pa.table({"query_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["def return", "import class"])})
+    )
+    hits = query_index(queries, d, k=40, concurrency=2).to_pandas()
+    all_ids = np.unique(hits["doc_id"].to_numpy())
+    rng = np.random.default_rng(5)
+    embs = pd.DataFrame(
+        {"vec_id": all_ids, "embedding": list(rng.normal(size=(all_ids.size, 16)))}
+    )
+    emb_ds = rd.from_pandas(embs).repartition(3)
+    qv = rng.normal(size=(2, 16))
+    qids = np.array([0, 1], dtype=np.int64)
+    got = hybrid_search(
+        queries, d, emb_ds, qv, qids, n_candidates=10, k=4, concurrency=2
+    )
+    hits = hits.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    hits["crank"] = hits.groupby("query_id").cumcount() + 1
+    cand = hits.loc[hits["crank"] <= 10, ["query_id", "doc_id"]]
+    want = rerank_topk(cand, emb_ds, qv, qids, k=4)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_text_stats_quality_columns(docs):
+    from pisa_ray.pipelines.text import STOPWORDS, text_stats
+    from pisa_ray.tokenizer import tokenize_py
+
+    out = (
+        text_stats(docs, include_quality=True)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pdf = docs.to_pandas().sort_values("doc_id").head(40)
+    stop = STOPWORDS["en"]
+    for _, row in pdf.iterrows():
+        toks = tokenize_py(row["text"])
+        assert out.loc[row["doc_id"], "n_stop_en"] == sum(t in stop for t in toks)
+        assert out.loc[row["doc_id"], "n_digits"] == sum(c.isdigit() for c in row["text"])
+        assert out.loc[row["doc_id"], "n_tokens"] == len(toks)
