@@ -1017,15 +1017,19 @@ def q_pack_sequences(sf_dir: str):
 
 
 def q_distinct_hll(sf_dir: str):
-    """HyperLogLog distinct-user sketch over events (rows-only: the
-    splitmix/FNV register hash is not SQL-expressible). Registers
-    max-merge, so the estimate is bit-deterministic at any
-    parallelism; at 100 TB this replaces the all-to-all shuffle an
-    exact distinct costs with 4 KB of mergeable state."""
-    from pisa_ray.pipelines.sketch import hll_distinct
+    """HyperLogLog distinct-user sketch over events — the entry
+    returns the sketch's FULL integer state (nonzero registers
+    (reg, val)), which a DuckDB oracle replays exactly: splitmix64 is
+    three mod-2^64 multiply/xor/shift rounds, expressible in HUGEINT
+    arithmetic with 32-bit decomposition, and the leading-zero rank is
+    a binary-format length. Registers max-merge, so the state is
+    bit-deterministic at any parallelism; at 100 TB this replaces the
+    all-to-all shuffle an exact distinct costs with 4 KB of mergeable
+    state. (The float estimate derived from these registers stays
+    pytest-checked — 3-sigma accuracy + duplicate invariance.)"""
+    from pisa_ray.pipelines.sketch import hll_registers
 
-    r = hll_distinct(_tbl(sf_dir, "events", ["user_id"]), "user_id")
-    return pd.DataFrame([{**r, "estimate": round(r["estimate"], 3)}])
+    return hll_registers(_tbl(sf_dir, "events", ["user_id"]), "user_id")
 
 
 def q_kmeans(sf_dir: str):
@@ -1264,16 +1268,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive": q_bm25_conjunctive,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
-        # rows-only (non-SQL-expressible: iterative k-means quantizers,
-        # recall<1 ANN probing, sketch registers, stub decoders) — all
-        # pytest-covered; kept after the SQL-checked block so the
-        # driver's 50-entry cap can never silently drop an oracle row
+        "distinct_hll": q_distinct_hll,
+        # rows-only (non-SQL-expressible: iterative k-means quantizers
+        # and stub decoders) — all pytest-covered; kept after the
+        # SQL-checked block so the driver's 50-entry cap can never
+        # silently drop an oracle row
         "semantic_dedup": q_semantic_dedup,
         "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans,
-        "distinct_hll": q_distinct_hll,
         "multimodal_decode": q_multimodal,
     }
+
+
+def _hll_sql(p: int = 12) -> str:
+    """DuckDB replica of the HyperLogLog register build over
+    events.user_id: splitmix64 in HUGEINT arithmetic (mod-2^64
+    multiplies via 32-bit decomposition, xor/shift via per-half BIGINT
+    xor and integer division), register = top p bits, rank = leading
+    zeros of the low 64-p bits + 1 (binary-format length — integer-
+    exact, no float log2)."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    b32, b64 = 1 << 32, 1 << 64
+    nbits = 64 - p
+
+    def xor64(a: str, b: str) -> str:
+        return (
+            f"(xor((({a})//{b32})::BIGINT, (({b})//{b32})::BIGINT)::HUGEINT"
+            f" * {b32}"
+            f" + xor((({a})%{b32})::BIGINT, (({b})%{b32})::BIGINT)::HUGEINT)"
+        )
+
+    def mulmod(a: str, c: int) -> str:
+        ch, cl = c // b32, c % b32
+        return (
+            f"(((({a})%{b32})*{cl}"
+            f" + (((({a})//{b32})*{cl} + (({a})%{b32})*{ch}) % {b32})"
+            f" * {b32}) % {b64})"
+        )
+
+    return f"""
+        WITH vals AS (SELECT DISTINCT user_id::HUGEINT AS u FROM events
+                      WHERE user_id IS NOT NULL),
+        s1 AS (SELECT {xor64('u', f'u//{1 << 30}')} AS x1 FROM vals),
+        s2 AS (SELECT {mulmod('x1', c1)} AS h1 FROM s1),
+        s3 AS (SELECT {xor64('h1', f'h1//{1 << 27}')} AS x2 FROM s2),
+        s4 AS (SELECT {mulmod('x2', c2)} AS h2 FROM s3),
+        s5 AS (SELECT {xor64('h2', f'h2//{1 << 31}')} AS h FROM s4),
+        rw AS (SELECT (h // {1 << nbits})::BIGINT AS reg,
+                      (h % {1 << nbits})::BIGINT AS w FROM s5)
+        SELECT reg, max(CASE WHEN w = 0 THEN {nbits + 1}
+                             ELSE {nbits + 1} - length(format('{{:b}}', w))
+                        END)::BIGINT AS val
+        FROM rw GROUP BY reg
+    """
 
 
 def _lang_id_sql() -> str:
@@ -1617,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "hybrid_search": hybrid_sql,
+        "distinct_hll": _hll_sql(),
         "term_stats": f"""
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS tf
             FROM (SELECT doc_id, term, count(*) AS tf FROM ({tok_docs})

@@ -116,18 +116,18 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(raw)
 
 
-def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
-    """HyperLogLog estimate of ``count_distinct(col)``.
-
-    Returns ``{"estimate": float, "p": p, "registers_nonzero": int}``.
-    Relative standard error ~= 1.04 / sqrt(2^p) (p=12 -> ~1.6%).
-    Deterministic for a fixed input at any parallelism (max-merge).
+def hll_registers(ds: rd.Dataset, col: str, p: int = 12):
+    """Merged nonzero HyperLogLog registers of ``col`` as a pandas
+    frame ``(reg, val)`` — the sketch's full state, PURE INTEGER, so a
+    SQL oracle can replay it exactly (splitmix64 is three mod-2^64
+    multiply/xor/shift rounds; the ``distinct_hll`` driver entry does
+    exactly that in DuckDB HUGEINT arithmetic). Deterministic at any
+    parallelism: registers merge by elementwise max.
     """
     if not 4 <= p <= 18:
         # outside the standard HLL precision range the register shifts
         # (64-p / p bits) silently go undefined for numpy uint64
-        raise ValueError(f"hll_distinct: p must be in [4, 18], got {p}")
-    m = 1 << p
+        raise ValueError(f"hll_registers: p must be in [4, 18], got {p}")
 
     def partial(t: pa.Table) -> pa.Table:
         # SQL count(distinct) ignores NULLs; hashing them would conflate
@@ -170,6 +170,20 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
         "reg",
         reg_reduce,
     ).to_pandas()
+    return merged.sort_values("reg").reset_index(drop=True).astype(
+        {"reg": "int64", "val": "int64"}
+    )
+
+
+def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> dict:
+    """HyperLogLog estimate of ``count_distinct(col)``.
+
+    Returns ``{"estimate": float, "p": p, "registers_nonzero": int}``.
+    Relative standard error ~= 1.04 / sqrt(2^p) (p=12 -> ~1.6%).
+    Deterministic for a fixed input at any parallelism (max-merge).
+    """
+    m = 1 << p
+    merged = hll_registers(ds, col, p)
     regs = np.zeros(m, dtype=np.float64)
     regs[merged["reg"].to_numpy()] = merged["val"].to_numpy()
     return {
