@@ -259,6 +259,18 @@ def main() -> None:
         timed("pack_sequences_sec", E.q_pack_sequences)
         timed("dup_spans_sec", E.q_dup_spans)
 
+        def rm_spans(sf):
+            from pisa_ray.pipelines.text import remove_dup_spans
+
+            return remove_dup_spans(
+                ray.data.read_parquet(
+                    f"{sf}/documents.parquet", columns=["doc_id", "text"]
+                ),
+                n=8,
+            )
+
+        timed("remove_dup_spans_sec", rm_spans)
+
         def hh_users(sf):
             from pisa_ray.pipelines.sketch import heavy_hitters
 

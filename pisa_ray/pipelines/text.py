@@ -858,6 +858,30 @@ def pack_sequences(
     return with_off.map_batches(explode, batch_format="pyarrow")
 
 
+def _token_hash_stream(content) -> tuple[np.ndarray, np.ndarray]:
+    """(per-token 64-bit FNV hashes, doc parent indices) for a text
+    column — dictionary-encode the batch's tokens so each DISTINCT
+    token hashes once, then gather (shared by the n-gram operators)."""
+    from ..tokenizer import tokenize_flat
+
+    flat, parents, _ = tokenize_flat(content)
+    if isinstance(flat, pa.ChunkedArray):  # pragma: no cover
+        flat = flat.combine_chunks()
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = denc.dictionary.cast(pa.large_binary())
+    offs = np.frombuffer(d.buffers()[1], dtype=np.int64)[
+        d.offset : d.offset + len(d) + 1
+    ]
+    data = (
+        np.frombuffer(d.buffers()[2], dtype=np.uint8)
+        if d.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    tok_h = fnv1a_batch(data[offs[0] : offs[-1]], offs - offs[0])
+    return tok_h[codes], parents
+
+
 def cross_doc_ngram_stats(
     ds: rd.Dataset,
     n: int = 8,
@@ -890,22 +914,7 @@ def cross_doc_ngram_stats(
     P = np.uint64(0x100000001B3)
 
     def gram_map(batch: pa.Table) -> pa.Table:
-        flat, parents, _ = tokenize_flat(batch[text_col])
-        if isinstance(flat, pa.ChunkedArray):  # pragma: no cover
-            flat = flat.combine_chunks()
-        denc = flat.dictionary_encode()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        d = denc.dictionary.cast(pa.large_binary())
-        offs = np.frombuffer(d.buffers()[1], dtype=np.int64)[
-            d.offset : d.offset + len(d) + 1
-        ]
-        data = (
-            np.frombuffer(d.buffers()[2], dtype=np.uint8)
-            if d.buffers()[2] is not None
-            else np.empty(0, np.uint8)
-        )
-        tok_h = fnv1a_batch(data[offs[0] : offs[-1]], offs - offs[0])
-        th = tok_h[codes]
+        th, parents = _token_hash_stream(batch[text_col])
         T = th.size
         if T < n:
             return pa.table(
@@ -1004,3 +1013,188 @@ def cross_doc_ngram_stats(
 
     partials = hash_group_apply(ds, "gram", gram_reduce, map_fn=gram_map)
     return hash_group_apply(partials, id_col, doc_reduce)
+
+
+def remove_dup_spans(
+    ds: rd.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """Exact duplicate-span REMOVAL — the transform stage of
+    exact-substring dedup (the public ExactSubstr recipe of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better";
+    no code consulted): every token position covered by a token
+    ``n``-gram that also occurs in >= ``min_docs`` distinct documents
+    is cut, and the doc's surviving tokens are re-joined. Complements
+    :func:`cross_doc_ngram_stats`, which only MEASURES the signal.
+
+    Output rows (one per input doc, including docs shorter than ``n``
+    tokens, which pass through untouched): ``(id, text, n_tokens,
+    n_removed)`` where ``text`` is the cleaned, lowercased TOKEN
+    STREAM re-joined with single spaces — span removal is defined at
+    token level, so the normalized stream is the faithful output (the
+    standard shape for this stage in training-data pipelines).
+
+    Scale shape: two narrow hash exchanges and zero broadcasts.
+    Exchange 1 (key = 64-bit gram hash) ships (gram, doc, pos) rows
+    and returns ONLY the duplicated occurrences' (doc, pos) rows —
+    sparse unless the corpus is heavily duplicated. Exchange 2 (key =
+    doc id) co-locates each doc's text row with its dup positions via
+    a tagged union (pos = -1 marks the text row), and the reducer
+    rebuilds every doc in one vectorized pass (coverage via +1/-1
+    deltas + cumsum; surviving tokens gathered and re-joined with
+    ``binary_join``). Gram identity is the 64-bit hash (collision
+    odds ~m^2/2^65, the repo's standing hash-identity contract); doc
+    ids must be unique.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would cut every token)")
+    from ..shuffle import _mix64, hash_group_apply, run_starts
+    from ..tokenizer import tokenize_flat
+
+    P = np.uint64(0x100000001B3)
+
+    def gram_map(batch: pa.Table) -> pa.Table:
+        th, parents = _token_hash_stream(batch[text_col])
+        T = th.size
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+        if T < n:
+            return empty
+        W = T - n + 1
+        valid = parents[:W] == parents[n - 1 :]
+        acc = np.zeros(W, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                acc = acc * P + th[j : W + j]
+            acc = _mix64(acc)
+        # token position within its doc (parents ascending)
+        rs = np.flatnonzero(run_starts(parents))
+        run_id = np.cumsum(run_starts(parents)) - 1
+        pos_in_doc = np.arange(T, dtype=np.int64) - rs[run_id]
+        ids = (
+            batch[id_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .take(pa.array(parents[:W][valid]))
+        )
+        return pa.table(
+            {
+                "gram": pa.array(acc[valid].view(np.int64)),
+                id_col: ids,
+                "pos": pa.array(pos_in_doc[:W][valid]),
+            }
+        )
+
+    def dup_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        g = t["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d, g))
+        gs, ds_, ps = g[order], d[order], p[order]
+        grs = run_starts(gs)
+        grun = np.cumsum(grs) - 1
+        # distinct docs per gram: count (gram, doc) runs inside each gram run
+        pair_first = run_starts(gs, ds_)
+        gidx = np.flatnonzero(grs)
+        seg = np.concatenate((gidx, [gs.size]))
+        ndocs = np.add.reduceat(pair_first.astype(np.int64), seg[:-1])
+        keep = ndocs[grun] >= min_docs
+        return pa.table({id_col: pa.array(ds_[keep]), "pos": pa.array(ps[keep])})
+
+    dup_pos = hash_group_apply(ds, "gram", dup_reduce, map_fn=gram_map)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "pos": pa.array(np.full(len(batch), -1, dtype=np.int64)),
+                text_col: batch[text_col].cast(pa.large_string()),
+            }
+        )
+
+    def tag_spans(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "pos": batch["pos"].cast(pa.int64()),
+                text_col: pa.array([""] * len(batch), pa.large_string()),
+            }
+        )
+
+    tagged = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        dup_pos.map_batches(tag_spans, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (text_col, pa.large_string()),
+            ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def clean_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        pos = t["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_doc = pos < 0
+        doc_tbl = t.filter(pa.array(is_doc))
+        ids = doc_tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, parents, n_docs = tokenize_flat(doc_tbl[text_col])
+        if isinstance(flat, pa.ChunkedArray):  # pragma: no cover
+            flat = flat.combine_chunks()
+        T = len(flat)
+        counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(counts)))
+        sid = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)[~is_doc]
+        spos = pos[~is_doc]
+        keep_tok = np.ones(T, dtype=bool)
+        if sid.size:
+            order = np.argsort(ids, kind="stable")
+            loc = np.searchsorted(ids[order], sid)
+            if loc.size and (loc >= ids.size).any() or (
+                loc.size and (ids[order][np.minimum(loc, ids.size - 1)] != sid).any()
+            ):
+                raise ValueError(
+                    "remove_dup_spans: span rows reference ids missing from "
+                    "the doc table (duplicate or inconsistent doc ids?)"
+                )
+            row = order[loc]
+            start = doc_off[row] + spos
+            delta = np.zeros(T + 1, dtype=np.int64)
+            np.add.at(delta, start, 1)
+            np.add.at(delta, start + n, -1)
+            keep_tok = np.cumsum(delta[:-1]) == 0
+        kcum = np.concatenate(([0], np.cumsum(keep_tok.astype(np.int64))))
+        kept = kcum[doc_off[1:]] - kcum[doc_off[:-1]]
+        kept_flat = flat.filter(pa.array(keep_tok))
+        la = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(kept))), pa.int64()), kept_flat
+        )
+        clean = pc.binary_join(la, pa.scalar(" ", pa.large_string()))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                text_col: clean,
+                "n_tokens": pa.array(counts),
+                "n_removed": pa.array(counts - kept),
+            },
+            schema=out_schema,
+        )
+
+    return hash_group_apply(tagged, id_col, clean_reduce)

@@ -2008,3 +2008,87 @@ def test_text_stats_quality_columns(docs):
         assert out.loc[row["doc_id"], "n_stop_en"] == sum(t in stop for t in toks)
         assert out.loc[row["doc_id"], "n_digits"] == sum(c.isdigit() for c in row["text"])
         assert out.loc[row["doc_id"], "n_tokens"] == len(toks)
+
+
+# -- exact duplicate-span removal -------------------------------------------
+
+
+def _dup_span_oracle(texts, n, min_docs=2):
+    import re as _re
+
+    toks = {i: [t for t in _re.split(r"[^0-9a-z_]+", s.lower()) if t]
+            for i, s in texts.items()}
+    gram_docs = {}
+    for i, ts in toks.items():
+        for j in range(len(ts) - n + 1):
+            gram_docs.setdefault(tuple(ts[j : j + n]), set()).add(i)
+    out = {}
+    for i, ts in toks.items():
+        cover = np.zeros(len(ts), dtype=bool)
+        for j in range(len(ts) - n + 1):
+            if len(gram_docs[tuple(ts[j : j + n])]) >= min_docs:
+                cover[j : j + n] = True
+        out[i] = (
+            " ".join(t for t, c in zip(ts, cover) if not c),
+            len(ts),
+            int(cover.sum()),
+        )
+    return out
+
+
+@pytest.mark.parametrize("parts", [1, 6])
+def test_remove_dup_spans_matches_python_oracle(parts):
+    from pisa_ray.pipelines.text import remove_dup_spans
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = " ".join(rng.choice(vocab, size=12))        # >= n-token dup run
+    texts = {}
+    for i in range(30):
+        body = " ".join(rng.choice(vocab, size=25))
+        if i % 3 == 0:
+            body = body + " " + shared + " " + " ".join(rng.choice(vocab, 5))
+        texts[i] = body
+    texts[100] = "short doc only"                        # < n tokens
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ds = rd.from_pandas(df).repartition(parts)
+    got = (
+        remove_dup_spans(ds, n=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _dup_span_oracle(texts, n=8)
+    assert len(got) == len(texts)
+    for i, (clean, ntok, nrem) in want.items():
+        assert got.loc[i, "text"] == clean, i
+        assert got.loc[i, "n_tokens"] == ntok
+        assert got.loc[i, "n_removed"] == nrem
+    # the planted shared run is actually removed somewhere
+    assert sum(1 for v in want.values() if v[2] > 0) >= 10
+
+
+def test_remove_dup_spans_no_dups_is_identity_stream():
+    from pisa_ray.pipelines.text import remove_dup_spans
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha beta gamma delta", "Epsilon zeta ETA theta"],
+        }
+    )
+    got = remove_dup_spans(rd.from_pandas(df), n=3).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+    assert got.loc[0, "text"] == "alpha beta gamma delta"
+    assert got.loc[1, "text"] == "epsilon zeta eta theta"  # lowered stream
+    assert (got["n_removed"] == 0).all()
+
+
+def test_remove_dup_spans_validation():
+    from pisa_ray.pipelines.text import remove_dup_spans
+
+    ds = rd.from_items([{"doc_id": 0, "text": "a b c"}])
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_dup_spans(ds, n=2, min_docs=1)
+    with pytest.raises(ValueError, match="n must be"):
+        remove_dup_spans(ds, n=0)
