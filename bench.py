@@ -284,6 +284,19 @@ def main() -> None:
 
         timed("heavy_hitters_sec", hh_users)
 
+        def hll_by_type(sf):
+            from pisa_ray.pipelines.sketch import hll_distinct_by
+
+            return hll_distinct_by(
+                ray.data.read_parquet(
+                    f"{sf}/events.parquet", columns=["event_type", "user_id"]
+                ),
+                "event_type",
+                "user_id",
+            )
+
+        timed("hll_distinct_by_sec", hll_by_type)
+
         def window_events(sf):
             from pisa_ray.pipelines.window import grouped_window
 

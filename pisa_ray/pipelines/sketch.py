@@ -80,14 +80,15 @@ def _mix(h: np.ndarray) -> np.ndarray:
         return h ^ (h >> np.uint64(31))
 
 
-def _block_registers(h: np.ndarray, p: int) -> np.ndarray:
-    """2^p register maxima of (leading-zero rank of the low 64-p bits)."""
-    m = 1 << p
+def _reg_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-hash (register index, leading-zero rank) pairs.
+
+    rank = position of the first 1 bit of the low 64-p bits (left-
+    aligned), in 1..64-p+1 — exact vectorized count-leading-zeros
+    (6 shift/compare passes; float log2 would mis-round just below
+    powers of two)."""
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h << np.uint64(p)  # remaining bits, left-aligned
-    # rank = position of the first 1 bit from the top, in 1..64-p+1;
-    # exact vectorized count-leading-zeros (6 shift/compare passes —
-    # float log2 would mis-round just below powers of two)
     nbits = 64 - p
     rank = np.full(h.size, nbits + 1, dtype=np.uint8)
     nz = w != 0
@@ -99,6 +100,13 @@ def _block_registers(h: np.ndarray, p: int) -> np.ndarray:
         with np.errstate(over="ignore"):
             ww = np.where(small, ww << np.uint64(sh), ww)
     rank[nz] = (clz + np.uint64(1)).astype(np.uint8)
+    return idx, rank
+
+
+def _block_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """2^p register maxima of (leading-zero rank of the low 64-p bits)."""
+    m = 1 << p
+    idx, rank = _reg_rank(h, p)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -736,3 +744,112 @@ def grouped_quantile_sketch(
     )
     out = hash_group_apply(parts, "key", reduce_keys).to_pandas()
     return out.sort_values(["key", "q"], kind="mergesort").reset_index(drop=True)
+
+
+def hll_distinct_by(
+    ds: rd.Dataset, key_col: str, col: str, p: int = 12
+) -> rd.Dataset:
+    """Per-group HyperLogLog: approximate ``count_distinct(col)`` for
+    every ``key_col`` group in ONE pass (distinct users per day /
+    source / shard — the monitoring aggregate exact distinct-per-group
+    makes ruinously expensive at 100 TB).
+
+    Output rows: ``(key_col, estimate, registers_nonzero)`` — estimate
+    is deterministic at any parallelism (registers max-merge; the
+    harmonic sum runs in sorted register order).
+
+    Scale shape: each block pre-aggregates to its per-(key, register)
+    maxima inside ``map_batches`` — the exchange moves
+    O(blocks x keys_per_block x min(2^p, block_distinct)) narrow rows,
+    never the values, and a group's reducer state is <= 2^p registers
+    REGARDLESS of group size — the skew armor an exact
+    distinct-per-group (whose hot group holds all its values) lacks.
+    Right when groups are much fewer than rows; at key cardinality
+    near row count an exact ``groupby().count_distinct`` is cheaper.
+    NULL values are ignored (SQL count(distinct) semantics); NULL keys
+    raise.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_distinct_by: p must be in [4, 18], got {p}")
+    m = 1 << p
+    from ..shuffle import hash_group_apply, run_starts
+
+    def _group_codes(t: pa.Table):
+        kc = t[key_col].combine_chunks()
+        if kc.null_count:
+            raise ValueError(f"hll_distinct_by: {key_col!r} contains nulls")
+        denc = kc.dictionary_encode()
+        return (
+            denc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            denc.dictionary,
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[col]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "reg": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                }
+            )
+        codes, dic = _group_codes(t)
+        idx, rank = _reg_rank(_hash64(t[col].combine_chunks()), p)
+        order = np.lexsort((idx, codes))
+        cs, xs, rs = codes[order], idx[order], rank[order]
+        starts = run_starts(cs, xs)
+        sidx = np.flatnonzero(starts)
+        seg = np.concatenate((sidx, [cs.size]))
+        vmax = np.maximum.reduceat(rs, seg[:-1])
+        return pa.table(
+            {
+                key_col: dic.take(pa.array(cs[sidx])),
+                "reg": pa.array(xs[sidx]),
+                "val": pa.array(vmax.astype(np.int64)),
+            }
+        )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "estimate": pa.array([], pa.float64()),
+                    "registers_nonzero": pa.array([], pa.int64()),
+                }
+            )
+        codes, dic = _group_codes(t)
+        reg = t["reg"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["val"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((reg, codes))
+        cs, xs, vs = codes[order], reg[order], val[order]
+        pstarts = run_starts(cs, xs)
+        pidx = np.flatnonzero(pstarts)
+        pseg = np.concatenate((pidx, [cs.size]))
+        vmax = np.maximum.reduceat(vs, pseg[:-1])      # per (key, reg)
+        kc, kx = cs[pidx], xs[pidx]
+        kstarts = run_starts(kc)
+        kidx = np.flatnonzero(kstarts)
+        kseg = np.concatenate((kidx, [kc.size]))
+        nnz = np.diff(kseg)
+        s = np.add.reduceat(np.exp2(-vmax.astype(np.float64)), kseg[:-1])
+        zeros = (m - nnz).astype(np.float64)
+        raw = alpha * m * m / (zeros + s)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0))
+        est = np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
+        _ = kx  # register ids only needed for the (key, reg) merge
+        return pa.table(
+            {
+                key_col: dic.take(pa.array(kc[kidx])),
+                "estimate": pa.array(est),
+                "registers_nonzero": pa.array(nnz.astype(np.int64)),
+            }
+        )
+
+    return hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col, reduce
+    )

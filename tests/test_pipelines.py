@@ -2092,3 +2092,63 @@ def test_remove_dup_spans_validation():
         remove_dup_spans(ds, n=2, min_docs=1)
     with pytest.raises(ValueError, match="n must be"):
         remove_dup_spans(ds, n=0)
+
+
+# -- grouped HyperLogLog -----------------------------------------------------
+
+
+def test_hll_distinct_by_accuracy_and_invariance():
+    from pisa_ray.pipelines.sketch import hll_distinct_by
+
+    rng = np.random.default_rng(3)
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, size=30000)]
+    vals = rng.integers(0, 5000, size=30000)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    exact = df.groupby("k")["v"].nunique()
+    got1 = (
+        hll_distinct_by(rd.from_pandas(df), "k", "v")
+        .to_pandas().set_index("k").sort_index()
+    )
+    got8 = (
+        hll_distinct_by(rd.from_pandas(df).repartition(8), "k", "v")
+        .to_pandas().set_index("k").sort_index()
+    )
+    # bit-deterministic at any parallelism
+    assert got1["estimate"].tolist() == got8["estimate"].tolist()
+    assert got1["registers_nonzero"].tolist() == got8["registers_nonzero"].tolist()
+    # within 3 sigma of exact (p=12 -> ~1.6% rel err)
+    for k, est in got1["estimate"].items():
+        assert abs(est - exact[k]) <= 3 * 0.0163 * exact[k] + 3, (k, est, exact[k])
+
+
+def test_hll_distinct_by_matches_global_hll_per_single_group():
+    from pisa_ray.pipelines.sketch import hll_distinct, hll_distinct_by
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"k": 7, "v": rng.integers(0, 800, size=5000)})
+    ds = rd.from_pandas(df).repartition(4)
+    grouped = hll_distinct_by(ds, "k", "v").to_pandas()
+    single = hll_distinct(ds, "v")
+    assert len(grouped) == 1
+    assert grouped.loc[0, "estimate"] == pytest.approx(single["estimate"])
+    assert int(grouped.loc[0, "registers_nonzero"]) == single["registers_nonzero"]
+
+
+def test_hll_distinct_by_null_semantics_and_validation():
+    from pisa_ray.pipelines.sketch import hll_distinct_by
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, np.nan, 2.0]})
+    tab = pa.table({"k": df["k"], "v": pa.array([1, None, 2], pa.int64())})
+    got = (
+        hll_distinct_by(rd.from_arrow(tab), "k", "v")
+        .to_pandas().set_index("k").sort_index()
+    )
+    # the null value is ignored, not counted as a distinct
+    assert got.loc["a", "registers_nonzero"] == 1
+    with pytest.raises(ValueError, match="p must be"):
+        hll_distinct_by(rd.from_arrow(tab), "k", "v", p=2)
+    bad = pa.table({"k": pa.array(["a", None]), "v": pa.array([1, 2], pa.int64())})
+    import ray.exceptions
+
+    with pytest.raises(Exception, match="contains nulls"):
+        hll_distinct_by(rd.from_arrow(bad), "k", "v").to_pandas()
