@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-Two modalities are REAL stdlib decoders — WAV via ``wave`` (sample
+Three codecs are REAL stdlib decoders — WAV via ``wave`` (sample
 rate / channels / duration / PCM rms+peak + an 8-segment RMS-envelope
-feature vector) and PNG via ``zlib`` (full chunk parse, IDAT inflate,
-all five scanline filters reconstructed, per-channel pixel stats).
+feature vector), PNG via ``zlib`` (full chunk parse, IDAT inflate,
+all five scanline filters reconstructed, per-channel pixel stats) and
+24-bit BMP via ``struct``/numpy (header parse, stride/padding,
+bottom-up and top-down scanlines, same pixel stats).
 Video and unrecognized payloads fall through to the clearly-marked
 deterministic stub (``FakeDecoder``) — ffmpeg/PIL are not in this
 environment. Everything Ray-side is real and tested either way:
@@ -122,20 +124,39 @@ def synth_png(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def synth_bmp(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
+    """Real BMP bytes: 24-bit uncompressed BITMAPINFOHEADER, bottom-up
+    BGR scanlines padded to 4-byte boundaries — seeded noise pixels."""
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)  # RGB
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows.extend(img[r, :, ::-1].tobytes())  # RGB -> BGR
+        rows.extend(b"\x00" * pad)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    return header + info + bytes(rows)
+
+
 def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media table. `audio` rows carry REAL WAV payloads,
-    `image` rows REAL PNG payloads, `video` rows opaque seeded bytes
-    (exercising the stub fallback path)."""
+    `image` rows REAL PNG or BMP payloads (alternating), `video` rows
+    opaque seeded bytes (exercising the stub fallback path)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, size=n)]
     payloads, widths, heights, rates = [], [], [], []
+    img_i = 0
     for k in kinds:
         if k == "audio":
             payloads.append(synth_wav(rng))
             widths.append(0); heights.append(0); rates.append(8000)
         elif k == "image":
             w = int(rng.integers(8, 48)); h = int(rng.integers(8, 48))
-            payloads.append(synth_png(rng, w, h))
+            synth = synth_png if img_i % 2 == 0 else synth_bmp
+            img_i += 1
+            payloads.append(synth(rng, w, h))
             widths.append(w); heights.append(h); rates.append(0)
         else:
             payloads.append(
@@ -228,6 +249,34 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     return out.reshape(h, w, channels), w, h, channels
 
 
+def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Pure-stdlib BMP decode: BITMAPINFOHEADER (or larger), 24-bit
+    uncompressed, bottom-up or top-down. Returns
+    (pixels[h,w,3] uint8 RGB, width, height, 3)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (info_size,) = struct.unpack_from("<I", payload, 14)
+    if info_size < 40:
+        raise ValueError(f"unsupported BMP header size {info_size}")
+    w, h_raw, _planes, bpp, comp = struct.unpack_from("<iiHHI", payload, 18)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={comp}")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(payload):
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy(), w, h, 3  # BGR -> RGB
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Pure-stdlib WAV decode via `wave`. Returns
     (samples[frames, channels] float64 in [-1, 1], sample_rate, channels)."""
@@ -293,7 +342,8 @@ class MediaDecoder:
     bytes and dispatches: RIFF/WAVE -> stdlib ``wave`` decode (sample
     rate, channels, duration, 8-segment RMS envelope features); PNG
     magic -> pure-stdlib zlib decode (width/height/channels, pixel
-    mean/std features); anything else -> the deterministic sha256
+    mean/std features); "BM" magic -> pure-stdlib 24-bit BMP decode
+    (same pixel stats); anything else -> the deterministic sha256
     stub (``decoder='stub'``) so unknown codecs degrade loudly rather
     than crash the stream.
 
@@ -334,7 +384,12 @@ class MediaDecoder:
         )
 
     def _png_features(self, payload: bytes):
-        px, w, h, channels = decode_png(payload)
+        return self._pixel_features(*decode_png(payload))
+
+    def _bmp_features(self, payload: bytes):
+        return self._pixel_features(*decode_bmp(payload))
+
+    def _pixel_features(self, px, w: int, h: int, channels: int):
         flat = px.reshape(-1, channels).astype(np.float64) / 255.0
         means = flat.mean(axis=0)
         stds = flat.std(axis=0)
@@ -359,6 +414,9 @@ class MediaDecoder:
             if payload[:8] == _PNG_MAGIC:
                 feats, meta = self._png_features(payload)
                 return "png", feats, meta
+            if payload[:2] == b"BM":
+                feats, meta = self._bmp_features(payload)
+                return "bmp", feats, meta
         except (ValueError, EOFError, zlib.error, wave.Error, struct.error):
             pass  # corrupt container -> stub features, not a dead block
         feats = self._stub._decode(payload, "")

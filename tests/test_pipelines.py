@@ -550,8 +550,9 @@ def test_multimodal_decoder_dispatch():
     media = synth_media(48)
     out = decode_features(rd.from_arrow(media)).to_pandas().sort_values("media_id")
     kinds = media["kind"].to_pylist()
-    expect = {"audio": "wav", "image": "png", "video": "stub"}
-    assert out["decoder"].tolist() == [expect[k] for k in kinds]
+    expect = {"audio": {"wav"}, "image": {"png", "bmp"}, "video": {"stub"}}
+    for got, k in zip(out["decoder"].tolist(), kinds):
+        assert got in expect[k], (got, k)
     audio = out[out["kind"] == "audio"]
     assert (audio["sample_rate_hz"] == 8000).all()
     assert (audio["duration_s"] > 0).all()
@@ -2152,3 +2153,46 @@ def test_hll_distinct_by_null_semantics_and_validation():
 
     with pytest.raises(Exception, match="contains nulls"):
         hll_distinct_by(rd.from_arrow(bad), "k", "v").to_pandas()
+
+
+def test_multimodal_bmp_decode_real():
+    """BMP round-trip: synth pixels == decoded pixels (both orders),
+    dispatch labels bmp, corrupt BMP degrades to the stub."""
+    from pisa_ray.pipelines.multimodal import MediaDecoder, decode_bmp, synth_bmp
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(10, 7, 3)).astype(np.uint8)
+    # hand-build from the same pixels synth_bmp would use
+    payload = synth_bmp(np.random.default_rng(9), w=7, h=10)
+    px, w, h, c = decode_bmp(payload)
+    assert (w, h, c) == (7, 10, 3)
+    np.testing.assert_array_equal(px, img)
+    # top-down variant (negative height)
+    import struct as _struct
+
+    stride = (7 * 3 + 3) & ~3
+    rows = bytearray()
+    for r in range(10):
+        rows.extend(img[r, :, ::-1].tobytes())
+        rows.extend(b"\x00" * (stride - 21))
+    info = _struct.pack("<IiiHHIIiiII", 40, 7, -10, 1, 24, 0, len(rows),
+                        0, 0, 0, 0)
+    td = _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54) + info + bytes(rows)
+    px2, _, _, _ = decode_bmp(td)
+    np.testing.assert_array_equal(px2, img)
+    dec = MediaDecoder()
+    kind, feats, meta = dec._decode_one(payload)
+    assert kind == "bmp" and meta["width"] == 7 and meta["height"] == 10
+    assert feats[3] == pytest.approx(img.reshape(-1, 3).mean() / 255.0)
+    kind2, _, _ = dec._decode_one(payload[:40])  # truncated -> stub
+    assert kind2 == "stub"
+
+
+def test_multimodal_media_mix_includes_bmp():
+    from pisa_ray.pipelines.multimodal import MediaDecoder, synth_media
+
+    media = synth_media(64)
+    dec = MediaDecoder()
+    out = dec(media)
+    kinds = set(out["decoder"].to_pylist())
+    assert {"wav", "png", "bmp", "stub"} <= kinds
