@@ -637,7 +637,7 @@ def q_hybrid_search(sf_dir: str):
 
     idx = _index_dir(sf_dir)
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q, qids = _hybrid_query_vectors(sf_dir)
+    q, qids = _query_vectors(sf_dir, 8)
     out = hybrid_search(
         rd.from_arrow(_bm25_query_table()),
         idx,
@@ -658,21 +658,12 @@ def q_hybrid_search(sf_dir: str):
     ]
 
 
-def _hybrid_query_vectors(sf_dir: str):
+def _query_vectors(sf_dir: str, max_id: int):
+    """Query matrix + ids = the embedding rows with vec_id < max_id
+    (shared by the knn / ivf / hybrid entries)."""
     qtab = (
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .filter(expr="vec_id < 8")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
-    return q, qtab["vec_id"].to_numpy(dtype=np.int64)
-
-
-def _knn_query_vectors(sf_dir: str):
-    qtab = (
-        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .filter(expr="vec_id < 5")
+        .filter(expr=f"vec_id < {max_id}")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -733,7 +724,7 @@ def q_knn_cosine(sf_dir: str):
     from pisa_ray.pipelines.similarity import brute_knn
 
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q, qids = _knn_query_vectors(sf_dir)
+    q, qids = _query_vectors(sf_dir, 5)
     out = brute_knn(emb, q, k=10, query_ids=qids)
     return _duckdb_cosine_rerank(out, sf_dir, qids, k=5)
 
@@ -1106,7 +1097,7 @@ def q_ivf_knn(sf_dir: str):
     from pisa_ray.pipelines.similarity import ivf_knn
 
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q, qids = _knn_query_vectors(sf_dir)
+    q, qids = _query_vectors(sf_dir, 5)
     out = ivf_knn(emb, q, k=10, n_clusters=8, n_probe=8)
     out["query_id"] = qids[out["query_id"].to_numpy()]
     return _duckdb_cosine_rerank(out, sf_dir, qids, k=5)

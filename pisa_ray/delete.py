@@ -43,6 +43,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -74,20 +75,26 @@ def load_tombstones(index_dir: str) -> np.ndarray:
 def _write_tombstone(index_dir: str, ids: np.ndarray) -> int:
     """Append one tombstone file; returns the number of NEW ids (ids
     already tombstoned are not double-counted)."""
+    from .shuffle import sorted_isin
+
     ids = np.unique(np.asarray(ids, dtype=np.uint64))
     existing = load_tombstones(index_dir)
     if existing.size:
-        pos = np.searchsorted(existing, ids)
-        pos_c = np.minimum(pos, existing.size - 1)
-        ids = ids[existing[pos_c] != ids]
+        ids = ids[~sorted_isin(existing, ids)]
     if ids.size == 0:
         return 0
     d = _tomb_dir(index_dir)
     os.makedirs(d, exist_ok=True)
+    # Unique name per writer: a glob-count name lets two concurrent
+    # delete jobs pick the same file and silently drop one batch (the
+    # reader unions ALL files, so names only need to not collide;
+    # ordering is irrelevant because tombstones are a set).
     n = len(glob.glob(os.path.join(d, "*.parquet")))
-    tmp = os.path.join(d, f".del_{n:06d}.parquet.tmp")
+    suffix = f"{os.getpid():x}_{uuid.uuid4().hex[:8]}"
+    name = f"del_{n:06d}_{suffix}.parquet"
+    tmp = os.path.join(d, f".{name}.tmp")
     pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.uint64())}), tmp)
-    os.replace(tmp, os.path.join(d, f"del_{n:06d}.parquet"))
+    os.replace(tmp, os.path.join(d, name))
     return int(ids.size)
 
 

@@ -244,8 +244,9 @@ def jsd_softmax_weights(
         b = g[g["side"] == 1].sort_values(id_col, kind="mergesort")
         ia = a[id_col].to_numpy()
         ib = b[id_col].to_numpy()
-        pos = np.searchsorted(ia, ib)
-        ok = (pos < ia.size) & (ia[np.minimum(pos, ia.size - 1)] == ib)
+        from ..shuffle import sorted_lookup
+
+        ok, pos = sorted_lookup(ia, ib)
         if not ok.any():
             return pd.DataFrame({id_col: [], "jsd": []}).astype(
                 {id_col: "int64", "jsd": "float64"}

@@ -31,6 +31,7 @@ from ..shuffle import (
     hash_group_apply,
     popcount64,
     run_starts,
+    sorted_lookup,
 )
 from ..tokenizer import TOKEN_SPLIT_RE
 
@@ -613,8 +614,7 @@ def _minhash_verify_distributed(
         uorder = np.lexsort((pr_, pd_))
         first = run_starts(pd_[uorder], pr_[uorder])
         pd_, pr_ = pd_[uorder][first], pr_[uorder][first]
-        pos = np.searchsorted(sk_sorted, pd_)
-        ok = (pos < sk_sorted.size) & (sk_sorted[np.minimum(pos, sk_sorted.size - 1)] == pd_)
+        ok, pos = sorted_lookup(sk_sorted, pd_)
         pd_, pr_, pos = pd_[ok], pr_[ok], pos[ok]
         m = _sig_matrix(sig_col, sig_idx_sorted[pos], num_perm)
         return pa.table(
@@ -646,8 +646,7 @@ def _minhash_verify_distributed(
         order = np.argsort(sk, kind="stable")
         sk_sorted, sig_idx_sorted = sk[order], sig_idx[order]
         pd_, pr_ = doc[pair_idx], dup[pair_idx]
-        pos = np.searchsorted(sk_sorted, pr_)
-        ok = (pos < sk_sorted.size) & (sk_sorted[np.minimum(pos, sk_sorted.size - 1)] == pr_)
+        ok, pos = sorted_lookup(sk_sorted, pr_)
         pd_, pr_, pos = pd_[ok], pr_[ok], pos[ok]
         pair_pos = pair_idx[ok]
         a = _sig_matrix(sig_col, pair_pos, num_perm)

@@ -88,6 +88,10 @@ def _partial_for(columns: Sequence[str]):
 
         for name in columns:
             c = t[name].combine_chunks()
+            if pa.types.is_dictionary(c.type):
+                # categoricals/dictionary-read parquet: profile the
+                # VALUES, not the codes (matches sketch.py's casts)
+                c = c.cast(c.type.value_type)
             n = len(c)
             nn = c.drop_null()
             nulls = n - len(nn)

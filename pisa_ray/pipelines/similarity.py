@@ -414,11 +414,11 @@ def rerank_topk(
     state = ray.put((uniq_docs, offsets, qrows, q))
 
     def score_candidates(batch: pa.Table) -> pa.Table:
+        from ..shuffle import sorted_lookup
+
         docs, off, qr, qm = ray.get(state)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(id_dtype)
-        pos = np.searchsorted(docs, ids)
-        pos = np.minimum(pos, docs.size - 1)
-        hit = docs[pos] == ids
+        hit, pos = sorted_lookup(docs, ids)
         if not hit.any():
             return pa.table(
                 {

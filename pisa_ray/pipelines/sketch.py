@@ -739,10 +739,28 @@ def grouped_quantile_sketch(
 
     from ..shuffle import hash_group_apply
 
+    # keys travel the exchange as strings (one schema for any key
+    # type); restore the caller's native key dtype on the way out so
+    # the result joins back to the source and sorts numerically
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if hasattr(base, "field"):
+        key_type = base.field(key_col).type
+        if pa.types.is_dictionary(key_type):
+            key_type = key_type.value_type
+    else:  # pandas-block schema: names/types only
+        d = np.dtype(base.types[list(base.names).index(key_col)])
+        key_type = pa.string() if d == np.dtype(object) else pa.from_numpy_dtype(d)
+
     parts = ds.select_columns([key_col, col]).map_batches(
         partial, batch_format="pyarrow", batch_size=None
     )
     out = hash_group_apply(parts, "key", reduce_keys).to_pandas()
+    if not (pa.types.is_string(key_type) or pa.types.is_large_string(key_type)):
+        out["key"] = (
+            pc.cast(pa.array(out["key"], pa.string()), key_type)
+            .to_pandas()
+        )
     return out.sort_values(["key", "q"], kind="mergesort").reset_index(drop=True)
 
 

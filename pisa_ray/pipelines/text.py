@@ -139,6 +139,33 @@ def text_stats(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _pii_fn(text_col: str, id_col: str, counts: bool, redact: bool):
+    """THE PII kernel (single copy of the ``PII_PATTERNS`` loop):
+    per-category non-overlapping match counts and/or the fully
+    redacted text, one RE2 pass per category per requested side."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols: dict = {id_col: batch[id_col]}
+        any_hit = np.zeros(len(batch), dtype=bool)
+        red = batch[text_col]
+        for name, pat, repl in PII_PATTERNS:
+            if counts:
+                cnt = pc.count_substring_regex(batch[text_col], pat).cast(
+                    pa.int64()
+                )
+                cols[f"n_{name}"] = cnt
+                any_hit |= cnt.to_numpy(zero_copy_only=False) > 0
+            if redact:
+                red = pc.replace_substring_regex(red, pat, repl)
+        if counts:
+            cols["has_pii"] = pa.array(any_hit)
+        if redact:
+            cols["redacted"] = red
+        return pa.table(cols)
+
+    return fn
+
+
 def pii_scan(
     ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> rd.Dataset:
@@ -146,21 +173,10 @@ def pii_scan(
     the fully redacted text in ONE RE2 pass per category (the count and
     the rewrite share the compiled pattern; a policy pipeline almost
     always wants both — log the hits, store the redaction)."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        cols: dict = {id_col: batch[id_col]}
-        any_hit = np.zeros(len(batch), dtype=bool)
-        red = batch[text_col]
-        for name, pat, repl in PII_PATTERNS:
-            cnt = pc.count_substring_regex(batch[text_col], pat).cast(pa.int64())
-            cols[f"n_{name}"] = cnt
-            any_hit |= cnt.to_numpy(zero_copy_only=False) > 0
-            red = pc.replace_substring_regex(red, pat, repl)
-        cols["has_pii"] = pa.array(any_hit)
-        cols["redacted"] = red
-        return pa.table(cols)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(
+        _pii_fn(text_col, id_col, counts=True, redact=True),
+        batch_format="pyarrow",
+    )
 
 
 def unigram_model(
@@ -695,20 +711,11 @@ def pii_stats(
 ) -> rd.Dataset:
     """Per-doc PII match counts (non-overlapping, per category) plus a
     ``has_pii`` flag — the detect side of a C4/RefinedWeb-style PII
-    policy stage. One vectorized RE2 pass per category."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        cols: dict = {id_col: batch[id_col]}
-        any_hit = np.zeros(len(batch), dtype=bool)
-        for name, pat, _ in PII_PATTERNS:
-            cnt = pc.count_substring_regex(batch[text_col], pat)
-            cnt = cnt.cast(pa.int64())
-            cols[f"n_{name}"] = cnt
-            any_hit |= cnt.to_numpy(zero_copy_only=False) > 0
-        cols["has_pii"] = pa.array(any_hit)
-        return pa.table(cols)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    policy stage (the shared ``_pii_fn`` kernel, counts only)."""
+    return ds.map_batches(
+        _pii_fn(text_col, id_col, counts=True, redact=False),
+        batch_format="pyarrow",
+    )
 
 
 def pii_redact(
@@ -716,16 +723,11 @@ def pii_redact(
 ) -> rd.Dataset:
     """Replace every PII match with its placeholder token, in the fixed
     ``PII_PATTERNS`` order. Returns (id, redacted) — the transform side
-    of the policy stage; zero-copy Arrow in, one RE2 rewrite pass per
-    category."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        red = batch[text_col]
-        for _, pat, repl in PII_PATTERNS:
-            red = pc.replace_substring_regex(red, pat, repl)
-        return pa.table({id_col: batch[id_col], "redacted": red})
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    of the policy stage (the shared ``_pii_fn`` kernel, rewrite only)."""
+    return ds.map_batches(
+        _pii_fn(text_col, id_col, counts=False, redact=True),
+        batch_format="pyarrow",
+    )
 
 
 def chunk_documents(
@@ -1165,11 +1167,11 @@ def remove_dup_spans(
         spos = pos[~is_doc]
         keep_tok = np.ones(T, dtype=bool)
         if sid.size:
+            from ..shuffle import sorted_lookup
+
             order = np.argsort(ids, kind="stable")
-            loc = np.searchsorted(ids[order], sid)
-            if loc.size and (loc >= ids.size).any() or (
-                loc.size and (ids[order][np.minimum(loc, ids.size - 1)] != sid).any()
-            ):
+            found, loc = sorted_lookup(ids[order], sid)
+            if not found.all():
                 raise ValueError(
                     "remove_dup_spans: span rows reference ids missing from "
                     "the doc table (duplicate or inconsistent doc ids?)"

@@ -137,10 +137,23 @@ def grouped_window(
                 raise ValueError(f"{c!r} contains nulls; window frames are undefined")
         g = t.to_pandas()
         if t.num_rows == 0:
+            # empty shards must emit the SAME dtypes populated shards
+            # produce, or the output blocks' schemas conflict: lag/lead
+            # of an integer column is float64 (shift introduces NaN),
+            # of any other column its own dtype (string stays string)
             for out, spec in specs.items():
-                g[out] = pd.Series(
-                    [], dtype="int64" if spec[0] in ("row_number", "rolling_count") else "float64"
-                )
+                if spec[0] in ("row_number", "rolling_count"):
+                    dt = "int64"
+                elif spec[0] in ("lag", "lead"):
+                    src = g[spec[1]]
+                    dt = (
+                        "float64"
+                        if pd.api.types.is_integer_dtype(src)
+                        else src.dtype
+                    )
+                else:
+                    dt = "float64"
+                g[out] = pd.Series([], dtype=dt)
             return pa.Table.from_pandas(g, preserve_index=False)
         for c in value_cols:
             if g[c].isna().any():

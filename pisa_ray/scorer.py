@@ -313,9 +313,10 @@ class IndexReader:
         tomb = load_tombstones(index_dir)
         self.live_mask: np.ndarray | None = None
         if tomb.size and self.n_local:
-            pos = np.searchsorted(self.doc_sorted, tomb)
-            pos_c = np.minimum(pos, self.n_local - 1)
-            hit = pos[self.doc_sorted[pos_c] == tomb]
+            from .shuffle import sorted_lookup
+
+            found, pos = sorted_lookup(self.doc_sorted, tomb)
+            hit = pos[found]
             if hit.size:
                 live = np.ones(self.n_local, dtype=bool)
                 live[hit] = False

@@ -287,3 +287,25 @@ def popcount64(x: np.ndarray) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     bits = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
     return bits.sum(axis=1).astype(np.int64)
+
+
+def sorted_lookup(
+    haystack: np.ndarray, probes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hit mask, clamped insert positions) of ``probes`` against an
+    ASCENDING-sorted ``haystack`` — the clamped-searchsorted membership
+    idiom, centralized (empty haystack and past-the-end probes are
+    safe). ``positions[i]`` indexes the matching haystack element
+    wherever ``hit[i]`` is True; it is meaningless where False."""
+    if haystack.size == 0:
+        return (
+            np.zeros(probes.size, dtype=bool),
+            np.zeros(probes.size, dtype=np.int64),
+        )
+    pos = np.minimum(np.searchsorted(haystack, probes), haystack.size - 1)
+    return haystack[pos] == probes, pos
+
+
+def sorted_isin(haystack: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """Membership of ``probes`` in an ASCENDING-sorted ``haystack``."""
+    return sorted_lookup(haystack, probes)[0]

@@ -2196,3 +2196,72 @@ def test_multimodal_media_mix_includes_bmp():
     out = dec(media)
     kinds = set(out["decoder"].to_pylist())
     assert {"wav", "png", "bmp", "stub"} <= kinds
+
+
+def test_grouped_window_string_lag_survives_empty_shards():
+    """lag over a STRING column with fewer keys than reducers: empty
+    shards must emit the same (string) dtype as populated shards."""
+    from pisa_ray.pipelines.window import grouped_window
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 3 + ["b"] * 3,
+            "t": [1, 2, 3, 1, 2, 3],
+            "item": list("xyzuvw"),
+        }
+    )
+    out = (
+        grouped_window(
+            rd.from_pandas(df).repartition(2), "k", "t",
+            {"prev_item": ("lag", "item", 1)},
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+    )
+    assert out["prev_item"].tolist() == [None, "x", "y", None, "u", "v"]
+
+
+def test_grouped_quantile_sketch_preserves_int_key_dtype():
+    from pisa_ray.pipelines.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 3, size=500), "v": rng.normal(size=500)}
+    )
+    out = grouped_quantile_sketch(rd.from_pandas(df), "k", "v", [0.5])
+    assert out["key"].dtype == np.int64
+    assert sorted(out["key"].unique().tolist()) == [0, 1, 2]
+
+
+def test_profile_handles_dictionary_columns():
+    from pisa_ray.pipelines.profile import profile
+
+    df = pd.DataFrame({"c": pd.Categorical(["x", "y", "x", "z"])})
+    stat = profile(rd.from_pandas(df))["c"]
+    # before the dictionary unwrap this column degraded to counts-only
+    assert stat["min"] == "x" and stat["max"] == "z"
+    assert stat["distinct"] == pytest.approx(3, abs=1)
+    assert stat["n"] == 4 and stat["nulls"] == 0
+
+
+def test_tombstone_filenames_unique_per_writer(tmp_path):
+    """Two tombstone writes never collide on a filename (glob-count
+    races are defused by the per-writer unique suffix)."""
+    import glob as _glob
+    import json as _json
+
+    from pisa_ray.delete import _write_tombstone
+
+    idx = str(tmp_path / "idx")
+    import os as _os
+
+    _os.makedirs(idx)
+    with open(_os.path.join(idx, "stats.json"), "w") as f:
+        _json.dump({"id_mode": "keys"}, f)
+    _write_tombstone(idx, np.array([1, 2], dtype=np.uint64))
+    _write_tombstone(idx, np.array([3], dtype=np.uint64))
+    files = _glob.glob(_os.path.join(idx, "tombstones", "*.parquet"))
+    assert len(files) == 2
+    from pisa_ray.delete import load_tombstones
+
+    assert load_tombstones(idx).tolist() == [1, 2, 3]
