@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--concurrency", type=int, default=4)
     q.add_argument("--out", default=None, help="output parquet dir (default: stdout)")
     q.add_argument("--filter", default=None, help="col=value metadata predicate")
+    q.add_argument(
+        "--expand",
+        default=None,
+        choices=["prefix", "fuzzy1"],
+        help="query-time term expansion (merg* prefixes / typo tolerance)",
+    )
 
     s = sub.add_parser(
         "serve",
@@ -191,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             method=args.method,
             concurrency=args.concurrency,
             doc_filter=doc_filter,
+            expand=args.expand,
         )
         if args.out:
             hits.write_parquet(args.out)

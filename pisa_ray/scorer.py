@@ -1066,12 +1066,106 @@ def score_bmw(
 # --------------------------------------------------------------------------
 
 
+class TermExpander:
+    """Query-time term expansion against the actor-resident lexicon.
+
+    - ``prefix(p)``: every vocabulary term starting with ``p`` — one
+      searchsorted range over the sorted term array, no scan.
+    - ``fuzzy1(q)``: every vocabulary term within Levenshtein distance
+      1 of ``q`` — candidates from the deletion-neighborhood map
+      (SymSpell's public idea: two words within one edit share a
+      1-deletion variant; no code consulted), then an exact ED<=1
+      verify (the shared-variant test alone admits distance-2 pairs).
+
+    State discipline: the sorted term array is built at construction
+    (cheap); the deletion map — O(vocab x avg_len) entries — is built
+    LAZILY on the first fuzzy query and reused for the actor's
+    lifetime. At 10^12-doc scale the vocabulary is sharded with the
+    lexicon, so each scorer expands against its shard's terms.
+
+    ``max_expand`` caps pathological expansions (e.g. prefix ``a*``):
+    the highest-df terms are kept (they dominate the candidate set a
+    user's query would reach), ties by term for determinism.
+    """
+
+    def __init__(self, df: dict, max_expand: int = 64):
+        self.terms = np.array(sorted(df), dtype=object)
+        self.df = df
+        self.max_expand = max_expand
+        self._del_index: dict[str, list[str]] | None = None
+
+    def _cap(self, cand: list) -> list[str]:
+        if len(cand) > self.max_expand:
+            cand = sorted(cand, key=lambda t: (-int(self.df[t]), t))[
+                : self.max_expand
+            ]
+        return sorted(cand)
+
+    def prefix(self, p: str) -> list[str]:
+        if not p:
+            return []
+        lo = int(np.searchsorted(self.terms, p))
+        hi = int(np.searchsorted(self.terms, p + "￿"))
+        return self._cap(self.terms[lo:hi].tolist())
+
+    @staticmethod
+    def _dels(w: str):
+        yield w
+        for i in range(len(w)):
+            yield w[:i] + w[i + 1 :]
+
+    @staticmethod
+    def _ed1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if a == b:
+            return True
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # exactly one substitution
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # b = a with one insertion: two-pointer single skip
+        i = j = 0
+        skipped = False
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            elif skipped:
+                return False
+            else:
+                skipped = True
+                j += 1
+        return True
+
+    def fuzzy1(self, q: str) -> list[str]:
+        if self._del_index is None:
+            idx: dict[str, list[str]] = {}
+            for t in self.terms:
+                for v in self._dels(t):
+                    idx.setdefault(v, []).append(t)
+            self._del_index = idx
+        cand: set[str] = set()
+        for v in self._dels(q):
+            cand.update(self._del_index.get(v, ()))
+        return self._cap([t for t in cand if self._ed1(q, t)])
+
+
 class BM25Scorer:
     """Callable class for ``map_batches`` actor pools.
 
     ``__init__`` (once per actor): load the whole index.
     ``__call__`` (per batch): score a batch of (query_id, text) rows,
     return (query_id, rank, doc_id, score) hit rows.
+
+    ``expand``: None (exact terms), ``"prefix"`` (a query token ending
+    in ``*`` scores as the OR of every vocabulary term with that
+    prefix) or ``"fuzzy1"`` (a token NOT in the vocabulary scores as
+    the OR of its edit-distance-1 neighbors — classic typo tolerance;
+    in-vocabulary tokens stay exact). Expanded terms simply join the
+    query's term list, so scoring, pruning, filtering and the result
+    memo all work unchanged (results are a pure function of the text).
     """
 
     def __init__(
@@ -1083,7 +1177,12 @@ class BM25Scorer:
         reader_ref=None,
         doc_mask_ref=None,
         memo: bool = True,
+        expand: str | None = None,
     ):
+        if expand not in (None, "prefix", "fuzzy1"):
+            raise ValueError(f"unknown expand mode {expand!r}")
+        self.expand = expand
+        self._expander: TermExpander | None = None
         if reader_ref is not None:
             # broadcast path: the driver loaded the index ONCE and
             # ray.put() it; each actor deserializes from local plasma
@@ -1153,12 +1252,35 @@ class BM25Scorer:
         total = sum(int(self.reader.df[t]) for t in terms)
         return score_bmw if total < max(128, self.reader.n_local // 2000) else score_taat
 
+    def _query_terms(self, text: str) -> list[str]:
+        if self.expand is None:
+            return tokenize_py(text)
+        if self._expander is None:
+            self._expander = TermExpander(self.reader.df)
+        if self.expand == "prefix":
+            out: list[str] = []
+            for raw in text.split():
+                toks = tokenize_py(raw)
+                if raw.endswith("*") and toks:
+                    out.extend(toks[:-1])
+                    out.extend(self._expander.prefix(toks[-1]))
+                else:
+                    out.extend(toks)
+            return out
+        out = []
+        for t in tokenize_py(text):  # fuzzy1: OOV tokens only
+            if t in self.reader.df:
+                out.append(t)
+            else:
+                out.extend(self._expander.fuzzy1(t))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, text in zip(qids, texts):
-            canon = tuple(sorted(set(tokenize_py(text))))
+            canon = tuple(sorted(set(self._query_terms(text))))
             hits = self._result_memo.get(canon)
             if hits is None:
                 terms = list(canon)
@@ -1320,8 +1442,13 @@ def query_index(
     broadcast: bool = True,
     doc_filter: tuple[str, object] | None = None,
     memo: bool = True,
+    expand: str | None = None,
 ):
     """queries Dataset (query_id, text) -> hits Dataset via actor pool.
+
+    ``expand``: query-time term expansion — ``"prefix"`` (``merg*``
+    syntax) or ``"fuzzy1"`` (typo tolerance for out-of-vocabulary
+    tokens); see :class:`BM25Scorer`/:class:`TermExpander`.
 
     ``broadcast=True`` loads the index once on the driver and ships it
     through the object store (zero-copy numpy in plasma) — actors start
@@ -1336,7 +1463,7 @@ def query_index(
         kwargs: dict = {"reader_ref": _broadcast_reader(index_dir)}
     else:
         kwargs = {"index_dir": index_dir}
-    kwargs.update({"k": k, "method": method, "memo": memo})
+    kwargs.update({"k": k, "method": method, "memo": memo, "expand": expand})
     if doc_filter is not None:
         import ray
 

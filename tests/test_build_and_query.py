@@ -601,3 +601,127 @@ def test_sharded_serve_tier_identical_to_broadcast(tiny_index):
         .astype({col: a[col].dtype for col in a.columns})
     )
     pd.testing.assert_frame_equal(a, c)
+
+
+# -- query-time term expansion (prefix / fuzzy) ----------------------------
+
+
+def test_term_expander_prefix_and_fuzzy_vs_brute(tiny_oracle):
+    from pisa_ray.scorer import TermExpander
+
+    vocab = sorted(tiny_oracle.df)
+    exp = TermExpander(dict(tiny_oracle.df), max_expand=len(vocab))
+    # prefix == brute startswith filter, for several prefix lengths
+    for p in {v[:n] for v in vocab[:40] for n in (1, 2, 4)}:
+        assert exp.prefix(p) == sorted(t for t in vocab if t.startswith(p)), p
+
+    def brute_ed1(a: str, b: str) -> bool:
+        # full Levenshtein, thresholded at 1
+        if abs(len(a) - len(b)) > 1:
+            return False
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1] <= 1
+
+    probes = vocab[:15] + [v + "x" for v in vocab[:5]] + [
+        v[1:] for v in vocab[:5] if len(v) > 2
+    ] + ["q" + v[1:] for v in vocab[:5]]
+    for q in probes:
+        want = sorted(t for t in vocab if brute_ed1(q, t))
+        assert exp.fuzzy1(q) == want, q
+
+
+def test_term_expander_cap_keeps_highest_df():
+    from pisa_ray.scorer import TermExpander
+
+    df = {"aa": 5, "ab": 50, "ac": 2, "ad": 50, "b": 1}
+    exp = TermExpander(df, max_expand=2)
+    assert exp.prefix("a") == ["ab", "ad"]  # df desc, term tie-break
+
+
+def test_prefix_query_rank_identical_to_expanded_oracle(tiny_index, tiny_oracle):
+    from pisa_ray.scorer import IndexReader, score_taat
+
+    reader = IndexReader(tiny_index)
+    vocab = sorted(tiny_oracle.df)
+    base = vocab[len(vocab) // 2]
+    prefix, expanded = None, []
+    for n in range(len(base), 0, -1):  # longest prefix with 2..64 matches
+        expanded = sorted(t for t in vocab if t.startswith(base[:n]))
+        if 1 < len(expanded) <= 64:
+            prefix = base[:n]
+            break
+    assert prefix, "fixture vocab has no prefix expanding to 2..64 terms"
+    import ray.data as _rd
+
+    from pisa_ray.scorer import query_index
+
+    hits = (
+        query_index(
+            _rd.from_items([{"query_id": 0, "text": prefix + "*"}]),
+            tiny_index,
+            k=10,
+            concurrency=2,
+            expand="prefix",
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    golden = tiny_oracle.score_query(" ".join(expanded), 10)
+    assert len(hits) == len(golden)
+    for (gd, gs), ed, es in zip(golden, hits["doc_id"], hits["score"]):
+        assert gd == ed and abs(gs - es) <= 1e-9
+
+
+def test_fuzzy_query_corrects_typo(tiny_index, tiny_oracle):
+    from pisa_ray.scorer import BM25Scorer
+
+    vocab = sorted(tiny_oracle.df, key=lambda t: (-len(t), t))
+    term = vocab[0]  # longest term: its ED<=1 neighborhood is small
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y") + term[-1]  # insertion
+    scorer = BM25Scorer(index_dir=tiny_index, k=10, expand="fuzzy1")
+    expanded = scorer._query_terms(typo)
+    assert term in expanded
+    hits = scorer(
+        pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array([typo])})
+    )
+    golden = tiny_oracle.score_query(" ".join(sorted(set(expanded))), 10)
+    assert hits.num_rows == len(golden)
+    for (gd, gs), ed, es in zip(
+        golden, hits["doc_id"].to_pylist(), hits["score"].to_pylist()
+    ):
+        assert gd == ed and abs(gs - es) <= 1e-9
+    # exact (in-vocabulary) tokens are NOT expanded
+    assert scorer._query_terms(term) == [term]
+
+
+def test_serve_expand_prefix_matches_dataset_path(tiny_index):
+    from pisa_ray import BM25Service, query_index
+
+    qt = pa.table(
+        {"query_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["var_12* def", "zz_nothing*"])}
+    )
+    svc = BM25Service(tiny_index, k=10, num_actors=1, expand="prefix")
+    try:
+        a = (
+            svc.query(qt, batch_size=8)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    finally:
+        svc.shutdown()
+    b = (
+        query_index(
+            rd.from_arrow(qt), tiny_index, k=10, concurrency=1, expand="prefix"
+        )
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
