@@ -198,6 +198,29 @@ def main() -> None:
         results["bm25_filtered_qps"] = round(N_QUERIES / dt, 1)
         results["bm25_filtered_hits"] = len(fhits)
 
+        # ---- boolean (AND/OR/NOT) retrieval QPS -------------------------
+        # five predicate shapes over mixed-rank operands; cost is
+        # bounded by the involved postings (sorted-set algebra), so
+        # boolean QPS should sit near conjunctive, far above dense TAAT
+        from pisa_ray.synth import make_bool_queries
+
+        bqt = make_bool_queries(N_QUERIES)
+        wait_cpus_free(pool)
+        t0 = time.perf_counter()
+        bhits = query_index(
+            rd.from_arrow(bqt),
+            idx_dir,
+            k=10,
+            method="bool",
+            concurrency=pool,
+            batch_size=32,
+            memo=use_memo,
+        ).to_pandas()
+        dt = time.perf_counter() - t0
+        results["bm25_bool_sec"] = round(dt, 3)
+        results["bm25_bool_qps"] = round(N_QUERIES / dt, 1)
+        results["bm25_bool_hits"] = len(bhits)
+
     # ---- serving-tier QPS (persistent actor pool) -----------------------
     # the steady-state serving shape: pool built ONCE (untimed, as a
     # server is), then the full query set in one timed burst with cold

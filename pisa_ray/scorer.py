@@ -1066,6 +1066,184 @@ def score_bmw(
 # --------------------------------------------------------------------------
 
 
+def _parse_bool_query(text: str):
+    """Recursive-descent parse of a boolean query into an AST of
+    ``("term", t) | ("and"|"or", [children]) | ("not", child)`` nodes.
+
+    Grammar (operators are UPPERCASE keywords; everything else goes
+    through the standard tokenizer):
+
+        expr := and ("OR" and)*
+        and  := not (("AND")? not)*     # adjacency = implicit AND
+        not  := "NOT" not | "(" expr ")" | WORD
+
+    A WORD that tokenizes into several terms (``foo.bar``) becomes the
+    AND of its subterms. Raises on empty/malformed input.
+    """
+    import re as _re
+
+    raw = _re.findall(r"\(|\)|[^\s()]+", text)
+    pos = 0
+
+    def peek():
+        return raw[pos] if pos < len(raw) else None
+
+    def take():
+        nonlocal pos
+        tok = raw[pos]
+        pos += 1
+        return tok
+
+    def parse_or():
+        node = parse_and()
+        while peek() == "OR":
+            take()
+            rhs = parse_and()
+            if node[0] == "or":
+                node[1].append(rhs)
+            else:
+                node = ("or", [node, rhs])
+        return node
+
+    def parse_and():
+        parts = [parse_not()]
+        while peek() is not None and peek() not in (")", "OR"):
+            if peek() == "AND":
+                take()
+            parts.append(parse_not())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_not():
+        tok = peek()
+        if tok is None:
+            raise ValueError(f"boolean query ended unexpectedly: {text!r}")
+        if tok == "NOT":
+            take()
+            return ("not", parse_not())
+        if tok == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parentheses in {text!r}")
+            take()
+            return node
+        if tok in (")", "AND", "OR"):
+            raise ValueError(f"misplaced {tok!r} in boolean query {text!r}")
+        word = take()
+        terms = tokenize_py(word)
+        if not terms:
+            raise ValueError(f"word {word!r} tokenizes to nothing")
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("and", [("term", t) for t in terms])
+
+    node = parse_or()
+    if pos != len(raw):
+        raise ValueError(f"trailing tokens in boolean query {text!r}")
+    return node
+
+
+def score_boolean(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    doc_mask: np.ndarray | None = None,
+    terms: list[str] | None = None,
+) -> list[tuple[int, float]]:
+    """Boolean-predicate retrieval: documents matching an AND/OR/NOT
+    expression (``merge AND (sort OR join) NOT window``), ranked by the
+    BM25 sum of the query's POSITIVE terms over the matching set —
+    float64 sorted-term accumulation and (score desc, id asc)
+    tie-break, so a doc's score equals what TAAT gives it for the same
+    positive terms.
+
+    Evaluation is pure sorted-set algebra over docmap POSITIONS
+    (term postings are position arrays): AND intersects, OR unions,
+    NOT tracks a lazy complement polarity so De Morgan combinations
+    never materialize a corpus-sized set — ``a AND NOT b`` is one
+    setdiff, ``NOT a OR NOT b`` stays a complement of an intersection.
+    A query whose whole result is a complement (``NOT x``) is rejected:
+    it has no positive terms to rank. Cost is bounded by the involved
+    postings, never the corpus.
+    """
+    doc_mask = _fold_live(reader, doc_mask)
+    node = _parse_bool_query(text)
+
+    def leaf(t: str) -> np.ndarray:
+        _, _, pos = reader.term_contributions(t)
+        return pos.astype(np.int64, copy=False)
+
+    def ev(n) -> tuple[bool, np.ndarray]:
+        """-> (is_complement, sorted position array)."""
+        kind = n[0]
+        if kind == "term":
+            return False, leaf(n[1])
+        if kind == "not":
+            neg, arr = ev(n[1])
+            return not neg, arr
+        parts = [ev(c) for c in n[1]]
+        want_and = kind == "and"
+        # fold: representation (neg?, arr); complements via De Morgan
+        neg, arr = parts[0]
+        for nneg, narr in parts[1:]:
+            if want_and:
+                if not neg and not nneg:
+                    arr = np.intersect1d(arr, narr, assume_unique=True)
+                elif not neg and nneg:
+                    arr = np.setdiff1d(arr, narr, assume_unique=True)
+                elif neg and not nneg:
+                    neg, arr = False, np.setdiff1d(narr, arr, assume_unique=True)
+                else:  # ~a & ~b = ~(a | b)
+                    arr = np.union1d(arr, narr)
+            else:
+                if not neg and not nneg:
+                    arr = np.union1d(arr, narr)
+                elif not neg and nneg:  # a | ~b = ~(b \ a)
+                    neg, arr = True, np.setdiff1d(narr, arr, assume_unique=True)
+                elif neg and not nneg:  # ~a | b = ~(a \ b)
+                    arr = np.setdiff1d(arr, narr, assume_unique=True)
+                else:  # ~a | ~b = ~(a & b)
+                    arr = np.intersect1d(arr, narr, assume_unique=True)
+        return neg, arr
+
+    neg, cand = ev(node)
+    if neg:
+        raise ValueError(
+            "pure-negative boolean query (a complement of the corpus) "
+            "has no positive terms to rank; add a positive clause"
+        )
+    if doc_mask is not None and cand.size:
+        cand = cand[doc_mask[cand]]
+    if cand.size == 0:
+        return []
+
+    def positive_terms(n, flipped=False, out=None):
+        if out is None:
+            out = set()
+        if n[0] == "term":
+            if not flipped:
+                out.add(n[1])
+        elif n[0] == "not":
+            positive_terms(n[1], not flipped, out)
+        else:
+            for c in n[1]:
+                positive_terms(c, flipped, out)
+        return out
+
+    from .shuffle import sorted_lookup
+
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in sorted(positive_terms(node)):
+        _, contrib, pos = reader.term_contributions(t)
+        if pos.size == 0:
+            continue
+        hit, idx = sorted_lookup(pos, cand)
+        score[hit] += contrib[idx[hit]]
+    out = reader.out_ids(reader.doc_sorted[cand])
+    order = np.lexsort((out, -score))[: min(k, cand.size)]
+    return [(int(out[i]), float(score[i])) for i in order]
+
+
 class TermExpander:
     """Query-time term expansion against the actor-resident lexicon.
 
@@ -1235,6 +1413,8 @@ class BM25Scorer:
         are filter-aware (score_bmw gates full evaluation on the mask)."""
         if self.method == "conj":
             return score_conj
+        if self.method == "bool":
+            return score_boolean
         if self.method != "auto":
             return score_bmw if self.method == "bmw" else score_taat
         terms = [t for t in terms if t in self.reader.df]
@@ -1280,10 +1460,17 @@ class BM25Scorer:
         texts = batch["text"].to_pylist()
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, text in zip(qids, texts):
-            canon = tuple(sorted(set(self._query_terms(text))))
+            if self.method == "bool":
+                # operators are load-bearing: memo on the raw text, and
+                # let score_boolean parse it (term canon would collide
+                # "a AND b" with "a OR b")
+                canon = ("\x00bool", text)
+                terms = None
+            else:
+                canon = tuple(sorted(set(self._query_terms(text))))
+                terms = list(canon)
             hits = self._result_memo.get(canon)
             if hits is None:
-                terms = list(canon)
                 fn = self._pick(terms)
                 hits = fn(
                     self.reader, text, self.k, doc_mask=self.doc_mask, terms=terms

@@ -163,3 +163,41 @@ def make_queries(n: int = 200, seed: int = 43, vocab_size: int = 30_000) -> pa.T
             "text": pa.array(texts, type=pa.string()),
         }
     )
+
+
+def make_bool_queries(n: int = 200, seed: int = 47, vocab_size: int = 30_000) -> pa.Table:
+    """Boolean (AND/OR/NOT) benchmark query set: five predicate shapes
+    cycling by query id, operands mixing common / mid / rare vocabulary
+    ranks. Never emits a pure-negative query (those are rejected by the
+    engine). Deterministic in (n, seed)."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(vocab_size)
+
+    def common() -> str:
+        return vocab[int(rng.integers(5, 200))]
+
+    def mid() -> str:
+        return vocab[int(rng.integers(200, 5000))]
+
+    def rare() -> str:
+        return vocab[int(rng.integers(vocab_size // 2, vocab_size))]
+
+    texts = []
+    for qid in range(n):
+        kind = qid % 5
+        if kind == 0:
+            texts.append(f"{common()} AND {mid()}")
+        elif kind == 1:
+            texts.append(f"{mid()} OR {rare()}")
+        elif kind == 2:
+            texts.append(f"{common()} AND ({mid()} OR {mid()})")
+        elif kind == 3:
+            texts.append(f"{mid()} AND NOT {common()}")
+        else:
+            texts.append(f"({common()} OR {mid()}) AND NOT ({common()} OR {rare()})")
+    return pa.table(
+        {
+            "query_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )

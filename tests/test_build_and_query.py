@@ -725,3 +725,194 @@ def test_serve_expand_prefix_matches_dataset_path(tiny_index):
 
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# Boolean (AND/OR/NOT) retrieval
+# --------------------------------------------------------------------------
+
+
+def _bool_expected(reader, pos_set, pos_terms, k, doc_mask=None):
+    """Independent expected result: explicit Python-set predicate
+    evaluation + float64 sorted-positive-term BM25 sum + (score desc,
+    id asc) tie-break."""
+    if doc_mask is not None:
+        pos_set = {p for p in pos_set if doc_mask[p]}
+    if not pos_set:
+        return []
+    cand = np.array(sorted(pos_set), dtype=np.int64)
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in sorted(set(pos_terms.split())):
+        _, contrib, pos = reader.term_contributions(t)
+        if pos.size == 0:
+            continue
+        m = np.isin(cand, pos)
+        idx = np.searchsorted(pos, cand[m])
+        score[m] += contrib[idx]
+    out = reader.out_ids(reader.doc_sorted[cand])
+    order = np.lexsort((out, -score))[: min(k, cand.size)]
+    return [(int(out[i]), float(score[i])) for i in order]
+
+
+def _bool_cases(reader):
+    """(query text, expected position set, positive-term string) —
+    expected sets built with PLAIN PYTHON SET ALGEBRA (no parser, no
+    De Morgan polarity folding), so the two evaluations are
+    independent."""
+
+    def docs(t):
+        _, _, pos = reader.term_contributions(t)
+        return set(pos.tolist())
+
+    universe = set(range(reader.n_local))
+    return [
+        ("class AND import", docs("class") & docs("import"), "class import"),
+        ("class import", docs("class") & docs("import"), "class import"),
+        ("class OR lambda", docs("class") | docs("lambda"), "class lambda"),
+        ("class AND NOT import", docs("class") - docs("import"), "class"),
+        # precedence: adjacency/AND binds tighter than OR
+        (
+            "class OR import NOT lambda",
+            docs("class") | (docs("import") - docs("lambda")),
+            "class import",
+        ),
+        (
+            "(class OR lambda) AND NOT (import OR yield)",
+            (docs("class") | docs("lambda")) - (docs("import") | docs("yield")),
+            "class lambda",
+        ),
+        ("NOT import AND class", docs("class") - docs("import"), "class"),
+        # double negation through De Morgan: ~( ~class | ~lambda )
+        (
+            "NOT (NOT class OR NOT lambda)",
+            (universe - ((universe - docs("class")) | (universe - docs("lambda")))),
+            "class lambda",
+        ),
+        ("class AND zz_absent_token", set(), "class"),
+        ("class OR zz_absent_token", docs("class"), "class"),
+        # dotted word = AND of its subtokens
+        ("class.import", docs("class") & docs("import"), "class import"),
+    ]
+
+
+def test_boolean_matches_set_algebra_oracle(tiny_index):
+    from pisa_ray.scorer import score_boolean
+
+    reader = IndexReader(tiny_index)
+    nonempty = 0
+    for text, want_set, pos_terms in _bool_cases(reader):
+        got = score_boolean(reader, text, k=10)
+        want = _bool_expected(reader, want_set, pos_terms, k=10)
+        assert got == want, text
+        nonempty += bool(want)
+    assert nonempty >= 8  # the mix must actually exercise hits
+
+
+def test_boolean_respects_doc_mask(tiny_index):
+    from pisa_ray.scorer import score_boolean
+
+    reader = IndexReader(tiny_index)
+    rng = np.random.default_rng(7)
+    for selectivity in (0.1, 0.6):
+        mask = rng.random(reader.n_local) < selectivity
+        for text, want_set, pos_terms in _bool_cases(reader):
+            got = score_boolean(reader, text, k=10, doc_mask=mask)
+            want = _bool_expected(reader, want_set, pos_terms, k=10, doc_mask=mask)
+            assert got == want, (text, selectivity)
+
+
+def test_boolean_pure_and_bit_identical_to_conjunctive(tiny_index):
+    """An operator-free boolean query IS a conjunctive query: same
+    docs, scores bit-identical (both use float64 sorted-term sums)."""
+    from pisa_ray.scorer import score_boolean, score_conj
+
+    reader = IndexReader(tiny_index)
+    for text in ("class import", "def return self", "lambda yield while"):
+        assert score_boolean(reader, text, k=10) == score_conj(reader, text, k=10)
+
+
+def test_boolean_rejects_pure_negative_and_malformed(tiny_index):
+    from pisa_ray.scorer import score_boolean
+
+    reader = IndexReader(tiny_index)
+    for bad in (
+        "NOT class",
+        "NOT (class OR import)",
+        "NOT class AND NOT import",  # ~a & ~b is still a complement
+        "class AND",
+        "(class",
+        "class )",
+        "AND class",
+        "class OR OR import",
+        "",
+    ):
+        with pytest.raises(ValueError):
+            score_boolean(reader, bad, k=10)
+
+
+def test_boolean_actor_pool_and_memo(tiny_index):
+    """method='bool' through the Dataset actor pool; the result memo
+    must key on the RAW text (operators are load-bearing: 'a AND b'
+    and 'a OR b' share a term set but not a result)."""
+    from pisa_ray.scorer import BM25Scorer, query_index, score_boolean
+
+    qt = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "class AND zz_absent_token",
+                    "class OR zz_absent_token",
+                    "class AND zz_absent_token",  # memo hit
+                    "(class OR lambda) AND NOT import",
+                ]
+            ),
+        }
+    )
+    hits = (
+        query_index(rd.from_arrow(qt), tiny_index, k=10, method="bool", concurrency=1)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    reader = IndexReader(tiny_index)
+    for qid, text in zip(qt["query_id"].to_pylist(), qt["text"].to_pylist()):
+        want = score_boolean(reader, text, k=10)
+        sub = hits[hits["query_id"] == qid]
+        got = list(zip(sub["doc_id"].astype("uint64"), sub["score"]))
+        assert len(got) == len(want)
+        for (gd, gs), (ed, es) in zip(want, got):
+            assert gd == ed and abs(gs - es) <= 1e-12
+    # AND and OR over the same term SET must differ (a term-canonical
+    # memo key would collide them: empty AND vs non-empty OR)
+    assert len(hits[hits["query_id"] == 0]) == 0
+    assert len(hits[hits["query_id"] == 1]) == 10
+
+
+def test_boolean_sharded_matches_broadcast(tiny_index):
+    from pisa_ray.scorer import query_index, query_index_sharded
+
+    qt = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                ["class AND NOT import", "(class OR lambda) NOT yield"]
+            ),
+        }
+    )
+    a = (
+        query_index(rd.from_arrow(qt), tiny_index, k=10, method="bool", concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        query_index_sharded(
+            rd.from_arrow(qt), tiny_index, shards=[{0, 1}, {2, 3}], k=10, method="bool"
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["query_id", "rank", "doc_id"]].equals(b[["query_id", "rank", "doc_id"]])
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+    assert len(a) > 0
