@@ -502,6 +502,7 @@ def make_encode_group_fn(
                 "term": term_vals,
                 "bucket": pa.array(np.full(T, bkt, dtype=np.uint32)),
                 "df": pa.array(counts.astype(np.uint64)),
+                "cf": pa.array(np.add.reduceat(tf.astype(np.uint64), starts)),
                 "doc_blob": _blob_arr(doc_cum, doc_bytes),
                 "tf_blob": _blob_arr(tf_cum, tf_bytes),
                 "block_last_doc": _list_arr(last_b, pa.uint64()),
@@ -837,10 +838,10 @@ def _merge_task_fns():
         # (that pass was ~1-2 s of CONSTANT wall — pure Amdahl loss at
         # the high-parallelism leg)
         lex = (
-            seg.select(["term", "df"])
+            seg.select(["term", "df", "cf"])
             .group_by("term")
-            .aggregate([("df", "sum")])
-            .rename_columns(["term", "df"])
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .rename_columns(["term", "df", "cf"])
         )
         return (
             seg.num_rows,
@@ -939,8 +940,8 @@ def _fused_shuffle_merge(
         lex = (
             pa.concat_tables([r[1] for r in results])
             .group_by("term")
-            .aggregate([("df", "sum")])
-            .rename_columns(["term", "df"])
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .rename_columns(["term", "df", "cf"])
         )
         ltmp = lex_dir + ".tmp"
         shutil.rmtree(ltmp, ignore_errors=True)
@@ -1250,7 +1251,7 @@ def _write_lexicon(
     if n_rows <= 5_000_000:
         from .schema import LEXICON
 
-        cols = ["term", "df"] + (["doc_blob", "tf_blob"] if with_metrics else [])
+        cols = ["term", "df", "cf"] + (["doc_blob", "tf_blob"] if with_metrics else [])
         tables = [pq.read_table(f, columns=cols) for f in seg_files]
         t = (
             pa.concat_tables(tables)
@@ -1275,8 +1276,12 @@ def _write_lexicon(
                 ),
                 "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
             }
-            t = t.select(["term", "df"])
-        lex = t.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
+            t = t.select(["term", "df", "cf"])
+        lex = (
+            t.group_by("term")
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .rename_columns(["term", "df", "cf"])
+        )
         tmp = lex_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
@@ -1287,9 +1292,9 @@ def _write_lexicon(
     from ray.data.aggregate import Sum
 
     lex = (
-        rd.read_parquet(seg_files, columns=["term", "df"])
+        rd.read_parquet(seg_files, columns=["term", "df", "cf"])
         .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
     )
     _atomic_write(lex, lex_dir)
     if with_metrics:

@@ -29,12 +29,14 @@ class OracleIndex:
         self.doc_ids = np.asarray(doc_ids, dtype=np.uint64)[order]
         self.tf: list[Counter] = []
         self.df: Counter = Counter()
+        self.cf: Counter = Counter()  # collection term frequency (QLD)
         lengths = []
         for i in order:
             toks = tokenize_py(contents[int(i)])
             c = Counter(toks)
             self.tf.append(c)
             self.df.update(c.keys())
+            self.cf.update(c)
             lengths.append(len(toks))
         self.dl = np.array(lengths, dtype=np.float64)
         self.n_docs = len(contents)
@@ -59,6 +61,34 @@ class OracleIndex:
                 contrib = np.where(tf > 0.0, idf * (tf * (K1 + 1.0) / denom), 0.0)
             scores = scores + contrib
         hit = np.flatnonzero(scores > 0.0)
+        if hit.size == 0:
+            return []
+        order = np.lexsort((self.doc_ids[hit], -scores[hit]))[:k]
+        sel = hit[order]
+        return [(int(self.doc_ids[i]), float(scores[i])) for i in sel]
+
+    def score_query_qld(
+        self, text: str, k: int = 10, mu: float = 1000.0
+    ) -> list[tuple[int, float]]:
+        """Dirichlet-smoothed query likelihood, mirroring the engine's
+        ``score_qld`` contract exactly: ranked set = docs matching >=1
+        indexed query term, score = sum ln(1 + tf/(mu*cf/C)) +
+        m*ln(mu/(dl+mu)) with C = avgdl*n_docs and m = # distinct
+        indexed query terms."""
+        terms = [t for t in sorted(set(tokenize_py(text))) if self.df.get(t, 0)]
+        if not terms:
+            return []
+        m = len(terms)
+        c_total = self.avgdl * self.n_docs
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        matched = np.zeros(self.n_docs, dtype=bool)
+        for t in terms:
+            p_t = self.cf[t] / c_total
+            tf = np.array([c.get(t, 0) for c in self.tf], dtype=np.float64)
+            scores += np.where(tf > 0.0, np.log1p(tf / (mu * p_t)), 0.0)
+            matched |= tf > 0.0
+        scores = scores + m * np.log(mu / (self.dl + mu))
+        hit = np.flatnonzero(matched)
         if hit.size == 0:
             return []
         order = np.lexsort((self.doc_ids[hit], -scores[hit]))[:k]

@@ -61,6 +61,13 @@ SEGMENT = pa.schema(
         ("term", pa.string()),
         ("bucket", pa.uint32()),
         ("df", pa.uint64()),
+        # collection frequency (total tf across the run's postings):
+        # summed into the lexicon, it is the term-dictionary statistic
+        # the query-likelihood (Dirichlet) ranker needs — stored at
+        # build time like any real engine's term dictionary, because a
+        # doc-range-sharded scorer cannot reconstruct a GLOBAL cf from
+        # its shard's postings at query time.
+        ("cf", pa.uint64()),
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
         ("block_last_doc", pa.large_list(pa.uint64())),
@@ -76,7 +83,9 @@ SEGMENT = pa.schema(
     ]
 )
 
-LEXICON = pa.schema([("term", pa.string()), ("df", pa.uint64())])
+LEXICON = pa.schema(
+    [("term", pa.string()), ("df", pa.uint64()), ("cf", pa.uint64())]
+)
 
 QUERIES = pa.schema([("query_id", pa.int64()), ("text", pa.string())])
 

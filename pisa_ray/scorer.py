@@ -80,9 +80,17 @@ class IndexReader:
         from .schema import LEXICON
 
         lex = pa.concat_tables(lex_tables) if lex_tables else LEXICON.empty_table()
-        self.df = dict(
-            zip(lex["term"].to_pylist(), lex["df"].to_numpy(zero_copy_only=False))
+        lex_terms = lex["term"].to_pylist()
+        self.df = dict(zip(lex_terms, lex["df"].to_numpy(zero_copy_only=False)))
+        # collection frequency (total tf) per term — the Dirichlet/QLD
+        # ranker's term-dictionary statistic. Absent in pre-v5 indexes;
+        # score_qld raises a clear rebuild message in that case.
+        self.cf = (
+            dict(zip(lex_terms, lex["cf"].to_numpy(zero_copy_only=False)))
+            if "cf" in lex.column_names
+            else None
         )
+        self._qld_cache: dict = {}
 
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
@@ -369,6 +377,10 @@ class IndexReader:
         lexicon = sys.getsizeof(self.df) + sum(
             sys.getsizeof(k) + sys.getsizeof(v) for k, v in self.df.items()
         )
+        if self.cf is not None:
+            lexicon += sys.getsizeof(self.cf) + sum(
+                sys.getsizeof(k) + sys.getsizeof(v) for k, v in self.cf.items()
+            )
         return {
             "postings": postings,
             "term_meta": term_meta,
@@ -492,6 +504,40 @@ class IndexReader:
             out = (docs, self.idf(term) * bm25_wnorm(tfs, dl, self.avgdl), pos)
         if len(self._contrib_cache) < 4096:
             self._contrib_cache[term] = out
+        return out
+
+    def qld_contributions(
+        self, term: str, mu: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(positions into doc_sorted, Dirichlet term contributions)
+        for a term: ``ln(1 + tf / (mu * cf_t / C))`` with
+        ``p(t|C) = cf_t / C`` the collection language model and
+        ``C = avgdl * n_docs`` the collection token count — both GLOBAL
+        term-dictionary statistics (the lexicon is replicated into
+        every shard, so doc-range-sharded scorers compute identical
+        contributions). Cached per (term, mu) like the BM25 cache."""
+        if self.cf is None:
+            raise ValueError(
+                "index lexicon has no cf column (built by a pre-v5 "
+                "format) — rebuild the index to enable method='qld'"
+            )
+        key = (term, float(mu))
+        cached = self._qld_cache.get(key)
+        if cached is not None:
+            return cached
+        docs, tfs = self.decode_term(term)
+        if docs.size == 0:
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        else:
+            if self.posting_space == "position":
+                pos = self.rank_to_local(docs.astype(np.int64))
+            else:
+                pos = np.searchsorted(self.doc_sorted, docs).astype(np.int64)
+            c_total = self.avgdl * self.n_docs
+            p_t = float(self.cf[term]) / c_total
+            out = (pos, np.log1p(tfs.astype(np.float64) / (mu * p_t)))
+        if len(self._qld_cache) < 4096:
+            self._qld_cache[key] = out
         return out
 
     def precompute_contributions(self, min_df_fraction: float = 0.005) -> None:
@@ -828,6 +874,82 @@ def score_conj(
     out = reader.out_ids(reader.doc_sorted[cand])
     order = np.lexsort((out, -exact))[: min(k, cand.size)]
     return [(int(out[i]), float(exact[i])) for i in order]
+
+
+QLD_MU = 1000.0
+
+
+def score_qld(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    doc_mask: np.ndarray | None = None,
+    terms: list[str] | None = None,
+    mu: float = QLD_MU,
+) -> list[tuple[int, float]]:
+    """Query likelihood with Dirichlet smoothing (QLD) — the second
+    standard ranker full-text engines ship next to BM25 (PISA's
+    ``--scorer qld``; Zhai & Lafferty 2001 smoothing):
+
+        score(q, d) = sum_{t in q, tf>0} ln(1 + tf_td / (mu * cf_t/C))
+                      + m * ln(mu / (|d| + mu))
+
+    with ``cf_t`` the term's collection frequency (stored in the
+    lexicon at build time), ``C = avgdl * n_docs`` the collection token
+    count, and ``m`` the number of DISTINCT query terms present in the
+    collection lexicon (OOV terms contribute nothing on either side,
+    so excluding them from ``m`` keeps the score a pure function of
+    the indexed vocabulary — rank-unchanged vs counting them, since
+    the shift is constant per query).
+
+    Ranked set: documents matching >=1 indexed query term (the union
+    of the terms' postings), the same convention as ``score_taat`` —
+    the doc-length penalty alone never ranks a termless document.
+    Scores are NEGATIVE (log-probabilities), so there is no
+    positive-contribution f32 select trick here: the kernel scores the
+    union exactly in float64, sorted-term accumulation order (cost
+    O(sum df) — selective queries are cheap; a stop-word query's union
+    approaches the shard, which is exactly dense TAAT's cost class).
+    Tie-break (score desc, out_id asc), identical to every other
+    kernel."""
+    doc_mask = _fold_live(reader, doc_mask)
+    if terms is None:
+        terms = sorted(set(tokenize_py(text)))
+    # m is GLOBAL (lexicon df, replicated into every shard) — a sharded
+    # reader may hold zero postings for an indexed term, but its docs'
+    # length penalty must still count that term or shard scores would
+    # diverge from the broadcast reader's.
+    live: list[tuple[np.ndarray, np.ndarray]] = []
+    m = 0
+    for t in terms:
+        if int(reader.df.get(t, 0)) == 0:
+            continue
+        m += 1
+        pos, contrib = reader.qld_contributions(t, mu)
+        if pos.size:
+            live.append((pos, contrib))
+    if not live:
+        return []
+    allpos = (
+        live[0][0]
+        if len(live) == 1
+        else np.unique(np.concatenate([p for p, _ in live]))
+    )
+    if doc_mask is not None:
+        allpos = allpos[doc_mask[allpos]]
+        if allpos.size == 0:
+            return []
+    acc = np.zeros(allpos.size, dtype=np.float64)
+    for pos, contrib in live:
+        idx = np.searchsorted(pos, allpos)
+        idx_c = np.minimum(idx, pos.size - 1)
+        hit = pos[idx_c] == allpos
+        acc[hit] += contrib[idx_c[hit]]
+    dl = reader.len_sorted[allpos].astype(np.float64)
+    score = acc + m * np.log(mu / (dl + mu))
+    out = reader.out_ids(reader.doc_sorted[allpos])
+    order = np.lexsort((out, -score))[: min(k, allpos.size)]
+    return [(int(out[i]), float(score[i])) for i in order]
 
 
 # --------------------------------------------------------------------------
@@ -1359,6 +1481,8 @@ class BM25Scorer:
     ):
         if expand not in (None, "prefix", "fuzzy1"):
             raise ValueError(f"unknown expand mode {expand!r}")
+        if method not in ("auto", "taat", "bmw", "conj", "bool", "qld"):
+            raise ValueError(f"unknown method {method!r}")
         self.expand = expand
         self._expander: TermExpander | None = None
         if reader_ref is not None:
@@ -1415,6 +1539,8 @@ class BM25Scorer:
             return score_conj
         if self.method == "bool":
             return score_boolean
+        if self.method == "qld":
+            return score_qld
         if self.method != "auto":
             return score_bmw if self.method == "bmw" else score_taat
         terms = [t for t in terms if t in self.reader.df]

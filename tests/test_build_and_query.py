@@ -916,3 +916,102 @@ def test_boolean_sharded_matches_broadcast(tiny_index):
     assert a[["query_id", "rank", "doc_id"]].equals(b[["query_id", "rank", "doc_id"]])
     assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
     assert len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# QLD (Dirichlet query likelihood) ranker
+# --------------------------------------------------------------------------
+
+
+def test_qld_rank_identity_vs_oracle(tiny_index, tiny_oracle):
+    """score_qld == the naive Dirichlet oracle on every query shape
+    (incl. OOV-only -> empty), scores equal to <= 1e-9."""
+    from pisa_ray.scorer import score_qld
+
+    reader = IndexReader(tiny_index)
+    queries = make_queries(120)
+    nonempty = 0
+    for text in queries["text"].to_pylist():
+        golden = tiny_oracle.score_query_qld(text, 10)
+        _check_rank_identical(golden, score_qld(reader, text, 10))
+        nonempty += bool(golden)
+    assert nonempty > 50
+
+
+def test_qld_ranks_differently_from_bm25_somewhere(tiny_index):
+    """QLD is a genuinely different ranker: at least one query's top-10
+    ordering differs from BM25's (guards against score_qld accidentally
+    delegating to the BM25 kernel)."""
+    from pisa_ray.scorer import score_qld
+
+    reader = IndexReader(tiny_index)
+    diff = 0
+    for text in make_queries(120)["text"].to_pylist():
+        a = [d for d, _ in score_taat(reader, text, 10)]
+        b = [d for d, _ in score_qld(reader, text, 10)]
+        diff += a != b
+    assert diff > 0
+
+
+def test_qld_respects_doc_mask(tiny_index):
+    """Per-doc QLD scores are mask-independent, so the masked top-k must
+    equal the unmasked full ranking filtered to allowed docs."""
+    from pisa_ray.scorer import score_qld
+
+    reader = IndexReader(tiny_index)
+    mask = np.zeros(reader.n_local, dtype=bool)
+    mask[::2] = True
+    allowed = set(int(i) for i in reader.out_ids(reader.doc_sorted[mask]))
+    for text in make_queries(40)["text"].to_pylist():
+        full = score_qld(reader, text, k=reader.n_local)
+        expected = [(d, s) for d, s in full if d in allowed][:10]
+        got = score_qld(reader, text, 10, doc_mask=mask)
+        assert got == expected
+
+
+def test_qld_sharded_matches_broadcast(tiny_index):
+    """Doc-sharded QLD merges to the broadcast pool's exact results —
+    exercises the GLOBAL doc-length-penalty multiplier m (a shard
+    holding zero postings for an indexed term must still count it)."""
+    from pisa_ray.scorer import query_index, query_index_sharded
+
+    q = make_queries(25)
+    a = (
+        query_index(rd.from_arrow(q), tiny_index, k=10, method="qld", concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        query_index_sharded(
+            rd.from_arrow(q), tiny_index, shards=[{0, 1}, {2, 3}], k=10, method="qld"
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["query_id", "rank", "doc_id"]].equals(b[["query_id", "rank", "doc_id"]])
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+    assert len(a) > 0
+
+
+def test_qld_requires_cf_lexicon(tiny_index):
+    """A pre-v5 index (no cf column) fails loudly, not wrongly."""
+    from pisa_ray.scorer import score_qld
+
+    reader = IndexReader(tiny_index)
+    reader.cf = None
+    reader._qld_cache.clear()
+    term = next(iter(sorted(reader.df)))  # guaranteed in-vocabulary
+    with pytest.raises(ValueError, match="cf"):
+        score_qld(reader, term, 10)
+
+
+def test_lexicon_cf_matches_tokenizer_totals(tiny_index, tiny_oracle):
+    """The lexicon's collection frequencies equal the oracle's exact
+    per-term token counts (build-side cf survives the fused shuffle)."""
+    reader = IndexReader(tiny_index)
+    assert reader.cf is not None
+    assert len(reader.cf) == len(tiny_oracle.cf)
+    for t, c in tiny_oracle.cf.items():
+        assert int(reader.cf[t]) == int(c), t
