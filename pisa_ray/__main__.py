@@ -88,7 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet with (query_id, text)")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--method", default="auto", choices=["auto", "taat", "bmw", "conj", "bool", "qld"])
+    q.add_argument(
+        "--method",
+        default="auto",
+        choices=["auto", "taat", "bmw", "conj", "bool", "qld", "maxscore"],
+    )
     q.add_argument("--concurrency", type=int, default=4)
     q.add_argument("--out", default=None, help="output parquet dir (default: stdout)")
     q.add_argument("--filter", default=None, help="col=value metadata predicate")
@@ -107,7 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True, help="parquet with (query_id, text)")
     s.add_argument("--k", type=int, default=10)
-    s.add_argument("--method", default="auto", choices=["auto", "taat", "bmw", "conj", "bool", "qld"])
+    s.add_argument(
+        "--method",
+        default="auto",
+        choices=["auto", "taat", "bmw", "conj", "bool", "qld", "maxscore"],
+    )
     s.add_argument("--actors", type=int, default=4, help="scorer actors (per shard)")
     s.add_argument(
         "--shards",

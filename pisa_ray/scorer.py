@@ -952,6 +952,112 @@ def score_qld(
     return [(int(out[i]), float(score[i])) for i in order]
 
 
+def score_maxscore(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    doc_mask: np.ndarray | None = None,
+    terms: list[str] | None = None,
+    stats: dict | None = None,
+) -> list[tuple[int, float]]:
+    """MaxScore (Turtle & Flood 1995) — the other classic DAAT pruning
+    strategy full-text engines ship next to WAND (PISA's
+    ``--algorithm maxscore``), recast over the vectorized kernels:
+
+    1. **Bootstrap θ**: exactly score the highest-upper-bound term's
+       postings (a valid top-k is a lower bound on the final k-th
+       score; BM25 upper bound per term = max of its contribution
+       array, a query-independent statistic cached with the
+       contributions themselves).
+    2. **Partition** the query's terms by descending upper bound into
+       the minimal ESSENTIAL prefix such that the remaining
+       (non-essential) terms' upper bounds sum strictly below θ — a
+       document appearing in no essential list scores at most that
+       sum, so it cannot reach the top k (nor tie into it).
+    3. **Score the essential union exactly** in float64 over ALL query
+       terms, sorted-term accumulation order — bit-identical to
+       ``score_taat``'s re-score and the oracle, same tie-break
+       (score desc, out_id asc).
+
+    The win over exhaustive TAAT is the candidate set: a query mixing
+    one rare term with stop words prunes the stop lists out of
+    candidate GENERATION (they still contribute to candidates'
+    scores via the vectorized sorted lookups). Like every kernel here
+    the pruning is shard-local and exact: upper bounds and θ are
+    computed per reader, so doc-sharded merges equal the broadcast
+    pool's results. A strict-inequality threshold with a relative f64
+    slack keeps summation rounding from ever pruning a true tie.
+
+    ``stats`` (optional, for tests/telemetry): filled with
+    ``n_terms`` (live query terms), ``n_essential`` and
+    ``n_candidates``."""
+    doc_mask = _fold_live(reader, doc_mask)
+    if terms is None:
+        terms = sorted(set(tokenize_py(text)))
+    live: list[tuple[np.ndarray, np.ndarray]] = []  # alphabetical order
+    ubs: list[float] = []
+    for t in terms:
+        _, contrib, pos = reader.term_contributions(t)
+        if pos.size == 0:
+            continue
+        live.append((pos, contrib))
+        ubs.append(float(contrib.max()))
+    if not live:
+        return []
+
+    def rescore(cand: np.ndarray) -> np.ndarray:
+        # EXACT float64 scores, sorted-term accumulation order —
+        # identical to score_taat's re-score pass
+        exact = np.zeros(cand.size, dtype=np.float64)
+        for pos, contrib in live:
+            idx = np.searchsorted(pos, cand)
+            idx_c = np.minimum(idx, pos.size - 1)
+            hit = pos[idx_c] == cand
+            exact[hit] += contrib[idx_c[hit]]
+        return exact
+
+    ub = np.asarray(ubs, dtype=np.float64)
+    by_ub = np.argsort(-ub, kind="stable")
+    n_ess = len(live)
+    if len(live) > 1:
+        seed = live[int(by_ub[0])][0]
+        if doc_mask is not None:
+            seed = seed[doc_mask[seed]]
+        if seed.size >= k:
+            s = rescore(seed)
+            theta = float(np.partition(s, seed.size - k)[seed.size - k])
+            # suffix[p] = sum of upper bounds of terms EXCLUDED by an
+            # essential prefix of length p; prune-safe when strictly
+            # below θ (with f64-rounding slack, so an exact tie at θ
+            # can never be cut by accumulated summation error)
+            suffix = np.cumsum(ub[by_ub][::-1])[::-1]
+            bar = theta * (1.0 - len(live) * 2.0 ** -48)
+            ok = np.flatnonzero(suffix < bar)
+            if ok.size:
+                # suffix[0] = Σ all ubs >= any achieved score, so the
+                # first valid prefix length is always >= 1: the seed
+                # list stays essential and θ's docs stay candidates
+                n_ess = int(ok[0])
+    ess = by_ub[:n_ess]
+    cand = (
+        live[int(ess[0])][0]
+        if n_ess == 1
+        else np.unique(np.concatenate([live[int(i)][0] for i in ess]))
+    )
+    if doc_mask is not None:
+        cand = cand[doc_mask[cand]]
+    if stats is not None:
+        stats["n_terms"] = len(live)
+        stats["n_essential"] = n_ess
+        stats["n_candidates"] = int(cand.size)
+    if cand.size == 0:
+        return []
+    exact = rescore(cand)
+    out = reader.out_ids(reader.doc_sorted[cand])
+    order = np.lexsort((out, -exact))[: min(k, cand.size)]
+    return [(int(out[i]), float(exact[i])) for i in order]
+
+
 # --------------------------------------------------------------------------
 # Block-Max WAND (document-at-a-time with block skipping)
 # --------------------------------------------------------------------------
@@ -1481,7 +1587,7 @@ class BM25Scorer:
     ):
         if expand not in (None, "prefix", "fuzzy1"):
             raise ValueError(f"unknown expand mode {expand!r}")
-        if method not in ("auto", "taat", "bmw", "conj", "bool", "qld"):
+        if method not in ("auto", "taat", "bmw", "conj", "bool", "qld", "maxscore"):
             raise ValueError(f"unknown method {method!r}")
         self.expand = expand
         self._expander: TermExpander | None = None
@@ -1541,6 +1647,8 @@ class BM25Scorer:
             return score_boolean
         if self.method == "qld":
             return score_qld
+        if self.method == "maxscore":
+            return score_maxscore
         if self.method != "auto":
             return score_bmw if self.method == "bmw" else score_taat
         terms = [t for t in terms if t in self.reader.df]

@@ -1015,3 +1015,90 @@ def test_lexicon_cf_matches_tokenizer_totals(tiny_index, tiny_oracle):
     assert len(reader.cf) == len(tiny_oracle.cf)
     for t, c in tiny_oracle.cf.items():
         assert int(reader.cf[t]) == int(c), t
+
+
+# --------------------------------------------------------------------------
+# MaxScore (essential/non-essential DAAT pruning)
+# --------------------------------------------------------------------------
+
+
+def test_maxscore_identical_to_taat(tiny_index):
+    """score_maxscore is bit-identical to exhaustive TAAT on every
+    query shape (incl. OOV-only -> empty): pruning is a performance
+    choice only."""
+    from pisa_ray.scorer import score_maxscore
+
+    reader = IndexReader(tiny_index)
+    for text in make_queries(150)["text"].to_pylist():
+        assert score_maxscore(reader, text, 10) == score_taat(reader, text, 10)
+
+
+def test_maxscore_actually_prunes(tiny_index):
+    """On a rare+common term mix the essential set must shrink below
+    the full term list and the candidate set below the postings union
+    (guards against the kernel silently degenerating to TAAT-over-
+    union)."""
+    from pisa_ray.scorer import score_maxscore
+
+    reader = IndexReader(tiny_index)
+    by_df = sorted(reader.df.items(), key=lambda kv: int(kv[1]))
+    common = by_df[-1][0]
+    pruned = False
+    for rare, df in by_df:
+        if int(df) < 10 or rare == common:
+            continue
+        stats: dict = {}
+        got = score_maxscore(reader, f"{rare} {common}", 5, stats=stats)
+        assert got == score_taat(reader, f"{rare} {common}", 5)
+        union = len(
+            set(reader.term_contributions(rare)[2].tolist())
+            | set(reader.term_contributions(common)[2].tolist())
+        )
+        if stats["n_essential"] < stats["n_terms"]:
+            assert stats["n_candidates"] < union
+            pruned = True
+            break
+    assert pruned, "no rare+common query pruned on the fixture corpus"
+
+
+def test_maxscore_respects_doc_mask(tiny_index):
+    """Masked top-k equals the unmasked full ranking filtered to
+    allowed docs (θ may only be bootstrapped from mask-allowed docs)."""
+    from pisa_ray.scorer import score_maxscore
+
+    reader = IndexReader(tiny_index)
+    mask = np.zeros(reader.n_local, dtype=bool)
+    mask[::3] = True
+    allowed = set(int(i) for i in reader.out_ids(reader.doc_sorted[mask]))
+    for text in make_queries(40)["text"].to_pylist():
+        full = score_maxscore(reader, text, k=reader.n_local)
+        expected = [(d, s) for d, s in full if d in allowed][:10]
+        assert score_maxscore(reader, text, 10, doc_mask=mask) == expected
+
+
+def test_maxscore_sharded_matches_broadcast(tiny_index):
+    """Doc-sharded MaxScore merges to the broadcast pool's exact
+    results: upper bounds and θ are shard-local, pruning stays exact."""
+    from pisa_ray.scorer import query_index, query_index_sharded
+
+    q = make_queries(25)
+    a = (
+        query_index(
+            rd.from_arrow(q), tiny_index, k=10, method="maxscore", concurrency=2
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        query_index_sharded(
+            rd.from_arrow(q), tiny_index, shards=[{0, 1}, {2, 3}], k=10,
+            method="maxscore",
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["query_id", "rank", "doc_id"]].equals(b[["query_id", "rank", "doc_id"]])
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+    assert len(a) > 0
