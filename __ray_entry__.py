@@ -233,6 +233,22 @@ def q_bm25_filtered(sf_dir: str):
     return _canon_topk(hits)
 
 
+def q_qld_topk(sf_dir: str):
+    """Dirichlet query-likelihood (QLD) top-10 on the same query set —
+    the engine's second ranker (method='qld'), scored end-to-end
+    through the actor pool against build-time collection-frequency
+    lexicon statistics."""
+    import ray.data as rd
+
+    from pisa_ray.scorer import query_index
+
+    idx = _index_dir(sf_dir)
+    hits = query_index(
+        rd.from_arrow(_bm25_query_table()), idx, k=50, concurrency=2, method="qld"
+    ).to_pandas()
+    return _canon_topk(hits)
+
+
 # --------------------------------------------------------------------------
 # relational queries (reference operator surface, SURVEY.md §2)
 # --------------------------------------------------------------------------
@@ -472,6 +488,22 @@ def q_events_hopping(sf_dir: str):
     out["sum_value"] = np.round(out["sum_value"].to_numpy(), 2)
     out["window"] = out["window"].astype("datetime64[us]")
     return out.astype({"n_events": "int64"})
+
+
+def q_events_windows(sf_dir: str):
+    """Tumbling (1h) AND hopping (2h size / 1h hop) window aggregates
+    over events in ONE driver entry, labeled by kind — consolidated so
+    both window families keep a CORRECTNESS row under the driver's
+    50-entry cap."""
+    import pandas as pd
+
+    parts = []
+    for kind, fn in (("tumbling", q_events_hourly), ("hopping", q_events_hopping)):
+        df = fn(sf_dir).copy()
+        df["kind"] = kind
+        parts.append(df.astype({"n_events": "int64"}))
+    out = pd.concat(parts, ignore_index=True)
+    return out[["kind", "window", "event_type", "n_events", "sum_value"]]
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1218,18 +1250,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_lexicon": q_index_lexicon,
         "index_docmap": q_docmap,
         "bm25_topk": q_bm25_topk,
+        "qld_topk": q_qld_topk,
         "bm25_filtered": q_bm25_filtered,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "order_membership": q_order_membership,
         "distinct_segments": q_distinct_segments,
-        "events_hourly": q_events_hourly,
+        "events_windows": q_events_windows,
         "events_by_type": q_events_by_type,
         "snapshot_counts": q_snapshot_counts,
         "sessions": q_sessions,
         "asof_last_error": q_asof_last_error,
         "price_bands": q_price_bands,
-        "events_hopping": q_events_hopping,
         "stratified_sample": q_stratified_sample,
         "quantiles": q_quantiles,
         "user_top_events": q_user_top_events,
@@ -1671,6 +1703,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_TOK}) AS length FROM documents
         """,
         "bm25_topk": bm25_topk_sql,
+        # Dirichlet query likelihood (Zhai & Lafferty 2001), replayed
+        # exactly: cf = per-term collection frequency, C = total token
+        # count, mu = 1000, ranked set = docs matching >=1 indexed
+        # query term, m = # distinct indexed query terms
+        "qld_topk": f"""
+            WITH tok AS ({tok_docs}),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+            cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+            ctot AS (SELECT sum(dl) AS c FROM dl),
+            q(query_id, term) AS (VALUES {bm25_values}),
+            qm AS (SELECT q.query_id, count(*)::DOUBLE AS m
+                   FROM q JOIN cf USING (term) GROUP BY q.query_id),
+            acc AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum(ln(1 + tf.tf / (1000.0 * cf.cf / ctot.c))) AS s
+                FROM q
+                JOIN tf USING (term)
+                JOIN cf USING (term)
+                CROSS JOIN ctot
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            scores AS (
+                SELECT a.query_id, a.doc_id,
+                       a.s + qm.m * ln(1000.0 / (dl.dl + 1000.0)) AS score
+                FROM acc a
+                JOIN dl USING (doc_id)
+                JOIN qm USING (query_id)
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score,
+                       row_number() OVER (
+                           PARTITION BY sc.query_id
+                           ORDER BY round(sc.score, 4) DESC, sc.doc_id
+                       ) AS rank
+                FROM scores sc
+            ) WHERE rank <= 10
+        """,
         # block-max WAND must be rank-identical to exhaustive BM25 —
         # the oracle is literally the same exhaustive-scoring SQL
         "bm25_bmw": bm25_topk_sql,
@@ -1787,10 +1857,23 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
         """,
-        "events_hourly": """
-            SELECT date_trunc('hour', ts) AS "window", event_type,
-                   count(*) AS n_events, round(sum(value), 2) AS sum_value
-            FROM events GROUP BY 1, 2
+        "events_windows": """
+            SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS "window",
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+            UNION ALL
+            -- hopping, size 2h / hop 1h: every event covers exactly 2
+            -- windows. epoch_us (not epoch(..)::BIGINT, which ROUNDS
+            -- sub-second fractions) so hour bucketing floors exactly
+            -- like the engine
+            SELECT 'hopping' AS kind,
+                   make_timestamp((epoch_us(ts) // 3600000000 - k)
+                                  * 3600000000) AS "window",
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events, (VALUES (0), (1)) t(k)
+            GROUP BY 1, 2, 3
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
@@ -1847,17 +1930,6 @@ def oracle_sql() -> dict[str, str]:
                  b(band, lo, hi)
               ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
             GROUP BY b.band
-        """,
-        "events_hopping": """
-            -- size 2h / hop 1h: every event covers exactly 2 windows.
-            -- epoch_us (not epoch(..)::BIGINT, which ROUNDS sub-second
-            -- fractions) so hour bucketing floors exactly like the engine
-            SELECT make_timestamp((epoch_us(ts) // 3600000000 - k)
-                                  * 3600000000) AS "window",
-                   event_type, count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
-            FROM events, (VALUES (0), (1)) t(k)
-            GROUP BY 1, 2
         """,
         "quantiles": """
             -- quantile params must be constants: list form + unnest

@@ -146,7 +146,13 @@ def main() -> None:
     # headline-only legs time taat + serve only: auto≡taat and the
     # filtered path are digest-checked per-round (32-CPU bench) and in
     # pytest; at a 2-CPU leg each extra 24k-query phase is ~2.5 min
-    methods = ("taat",) if os.environ.get("BENCH_HEADLINE_ONLY") else ("taat", "auto")
+    methods = (
+        ("taat",)
+        if os.environ.get("BENCH_HEADLINE_ONLY")
+        # maxscore must be digest-identical to taat (asserted below);
+        # qld is a different ranker with its own digest
+        else ("taat", "auto", "maxscore", "qld")
+    )
     for method in methods:
         wait_cpus_free(pool)
         t0 = time.perf_counter()
@@ -175,6 +181,11 @@ def main() -> None:
             )
         )
         results[f"bm25_{method}_digest"] = _hl.md5(payload.encode()).hexdigest()
+
+    if "maxscore" in methods:
+        results["bm25_maxscore_matches_taat"] = (
+            results["bm25_maxscore_digest"] == results["bm25_taat_digest"]
+        )
 
     # ---- filtered BM25 (filter-aware block-max pruning) -----------------
     # a selective metadata filter (~1/6 of docs) must keep ~unfiltered
