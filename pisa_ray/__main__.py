@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--meta-cols", default="lang")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--per-bucket-merge", action="store_true")
+    b.add_argument(
+        "--analyzer",
+        default="simple",
+        choices=["simple", "code"],
+        help="'code' splits camelCase/snake_case identifiers into sub-tokens",
+    )
 
     a = sub.add_parser("append", help="append a delta corpus as a new generation")
     a.add_argument("--corpus", required=True)
@@ -145,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
             key_cols=tuple(x for x in args.key_cols.split(",") if x) if not args.id_col else (),
             meta_cols=tuple(x for x in args.meta_cols.split(",") if x),
             per_bucket_merge=args.per_bucket_merge,
+            analyzer=args.analyzer,
         )
         man = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
         print(json.dumps(man["stats"]))

@@ -99,6 +99,13 @@ class IndexConfig:
     # back to exhaustive until compact_index re-ranks into the merged
     # docmap — same pruning-only degradation as docid-space appends).
     posting_space: str = "docid"
+    # "simple": identifiers stay whole ("parseJSON"/"foo_bar" one token
+    # each). "code": identifier-aware splitting (camelCase / ACRONYMCase
+    # / snake_case sub-tokens, the code-search convention) — chosen at
+    # build time, recorded in stats.json, and applied to every query by
+    # the readers (a query analyzed differently from the index silently
+    # misses).
+    analyzer: str = "simple"
 
 
 # --------------------------------------------------------------------------
@@ -114,6 +121,11 @@ def make_tokenize_fn(cfg: IndexConfig):
     id_bits = cfg.id_bits
     if id_bits < 64 and cfg.id_col is not None:
         raise ValueError("id_bits<64 requires keys-derived docIDs")
+    analyzer = cfg.analyzer
+    from .tokenizer import ANALYZERS
+
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
     def tokenize(batch: pa.Table) -> pa.Table:
         content = batch[content_col]
@@ -125,7 +137,7 @@ def make_tokenize_fn(cfg: IndexConfig):
             doc = doc & np.uint64(
                 (~((1 << (64 - id_bits)) - 1)) & 0xFFFFFFFFFFFFFFFF
             )
-        terms, tfs, dl = doc_term_counts(content)
+        terms, tfs, dl = doc_term_counts(content, analyzer)
         sha = sha256_column(content)
         # NOTE: when id_col is set, the engine doc_id is splitmix64(orig id)
         # — a bijection, so the original id is recoverable via
@@ -995,7 +1007,7 @@ def build_index(
         critical = (
             "bucket_bits", "term_parts", "key_cols", "id_col",
             "posting_space", "content_col", "block_size", "per_bucket_merge",
-            "id_bits", "check_collisions",
+            "id_bits", "check_collisions", "analyzer",
         )
         new_cfg = asdict(cfg)
         diffs = {
@@ -1150,6 +1162,7 @@ def build_index(
             "avgdl": (float(total_tokens) / n_docs) if n_docs else 0.0,
             "id_mode": "int" if cfg.id_col else "keys",
             "posting_space": cfg.posting_space,
+            "analyzer": cfg.analyzer,
         }
         man.data["stats"] = stats
         with open(os.path.join(index_dir, "stats.json"), "w") as f:

@@ -24,15 +24,18 @@ from .tokenizer import tokenize_py
 
 
 class OracleIndex:
-    def __init__(self, doc_ids: np.ndarray, contents: list[str]):
+    def __init__(
+        self, doc_ids: np.ndarray, contents: list[str], analyzer: str = "simple"
+    ):
         order = np.argsort(np.asarray(doc_ids, dtype=np.uint64), kind="stable")
         self.doc_ids = np.asarray(doc_ids, dtype=np.uint64)[order]
+        self.analyzer = analyzer
         self.tf: list[Counter] = []
         self.df: Counter = Counter()
         self.cf: Counter = Counter()  # collection term frequency (QLD)
         lengths = []
         for i in order:
-            toks = tokenize_py(contents[int(i)])
+            toks = tokenize_py(contents[int(i)], analyzer)
             c = Counter(toks)
             self.tf.append(c)
             self.df.update(c.keys())
@@ -47,7 +50,7 @@ class OracleIndex:
         return float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
 
     def score_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
-        terms = sorted(set(tokenize_py(text)))
+        terms = sorted(set(tokenize_py(text, self.analyzer)))
         scores = np.zeros(self.n_docs, dtype=np.float64)
         for t in terms:
             if self.df.get(t, 0) == 0:
@@ -75,7 +78,11 @@ class OracleIndex:
         indexed query term, score = sum ln(1 + tf/(mu*cf/C)) +
         m*ln(mu/(dl+mu)) with C = avgdl*n_docs and m = # distinct
         indexed query terms."""
-        terms = [t for t in sorted(set(tokenize_py(text))) if self.df.get(t, 0)]
+        terms = [
+            t
+            for t in sorted(set(tokenize_py(text, self.analyzer)))
+            if self.df.get(t, 0)
+        ]
         if not terms:
             return []
         m = len(terms)

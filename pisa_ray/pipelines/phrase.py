@@ -33,13 +33,33 @@ import ray
 import ray.data as rd
 
 from ..scorer import IndexReader, score_conj
-from ..tokenizer import TOKEN_SPLIT_RE, tokenize_py
+from ..tokenizer import tokenize_flat, tokenize_py
 
 
-def normalize_phrase(text: str) -> str:
+def _index_analyzer(index_dir: str) -> str:
+    """The analyzer the index was BUILT with (stats.json) — phrase /
+    proximity / snippet verification must tokenize docs and queries
+    exactly like the index did or candidates and matches diverge."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f).get("analyzer", "simple")
+
+
+def _flat_tokens(texts: pa.ChunkedArray | pa.Array, analyzer: str):
+    """(flat tokens, parent row indices) via the canonical build-side
+    byte kernel (empties already dropped, analyzer-aware)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, parents, _ = tokenize_flat(texts, analyzer)
+    return flat, parents
+
+
+def normalize_phrase(text: str, analyzer: str = "simple") -> str:
     """The phrase in index-token space: lowercase tokens joined by one
     space (the same normalization the verify pass applies to docs)."""
-    return " ".join(tokenize_py(text))
+    return " ".join(tokenize_py(text, analyzer))
 
 
 def _conj_candidates(
@@ -85,7 +105,8 @@ def phrase_search(
     contains the query phrase contiguously; deterministic order
     (query_id, doc_id). ``corpus`` must be the same table the index
     was built over (column-pruned by the caller to (id, text))."""
-    phrases = [(qid, normalize_phrase(text)) for qid, text in queries]
+    analyzer = _index_analyzer(index_dir)
+    phrases = [(qid, normalize_phrase(text, analyzer)) for qid, text in queries]
     phrases = [(qid, p) for qid, p in phrases if p]
     if not phrases:
         return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64")})
@@ -111,21 +132,14 @@ def phrase_search(
         )
         if batch.num_rows == 0:
             return empty
-        texts = batch[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(nonempty))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parents = parents[nonempty]
-        counts = np.zeros(batch.num_rows, dtype=np.int64)
-        np.add.at(counts, parents, 1)
+        flat, parents = _flat_tokens(batch[text_col], analyzer)
+        counts = np.bincount(parents, minlength=batch.num_rows).astype(np.int64)
         offs = np.concatenate(([0], np.cumsum(counts)))
-        lists = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), flat)
+        # binary_join has no large_list/large_string kernel: narrow the
+        # offsets (a verify batch's token bytes are far below 2 GiB)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), flat.cast(pa.string())
+        )
         joined = pc.binary_join(lists, " ")
         # sentinel spaces so substring probes are token-aligned
         joined = pc.binary_join_element_wise(" ", joined, " ", "")
@@ -161,6 +175,7 @@ def snippets(
     width: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer: str = "simple",
 ) -> pd.DataFrame:
     """Result highlighting: for every (query_id, doc_id) hit row, the
     best ``width``-token window of the doc — the window containing the
@@ -178,7 +193,7 @@ def snippets(
     space every index/oracle comparison in this repo uses)."""
     if isinstance(hits, pa.Table):
         hits = hits.to_pandas()
-    parsed = {qid: sorted(set(tokenize_py(text))) for qid, text in queries}
+    parsed = {qid: sorted(set(tokenize_py(text, analyzer))) for qid, text in queries}
     pairs = {
         (int(q), int(d))
         for q, d in zip(hits["query_id"], hits[id_col])
@@ -217,19 +232,8 @@ def snippets(
         batch = batch.filter(keep)
         if batch.num_rows == 0:
             return out_schema.empty_table()
-        texts = batch[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(nonempty))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parents = parents[nonempty]
-        counts = np.zeros(batch.num_rows, dtype=np.int64)
-        np.add.at(counts, parents, 1)
+        flat, parents = _flat_tokens(batch[text_col], analyzer)
+        counts = np.bincount(parents, minlength=batch.num_rows).astype(np.int64)
         offs = np.concatenate(([0], np.cumsum(counts)))
         flat_np = np.asarray(flat.to_pylist(), dtype=object)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -340,9 +344,10 @@ def proximity_search(
     corpus verify over candidate rows only — the positional-query
     capability engines get from positional postings, built on a
     position-free index."""
+    analyzer = _index_analyzer(index_dir)
     parsed = []
     for qid, text in queries:
-        terms = sorted(set(tokenize_py(text)))
+        terms = sorted(set(tokenize_py(text, analyzer)))
         if terms:
             parsed.append((qid, terms))
     empty_df = pd.DataFrame(
@@ -376,21 +381,10 @@ def proximity_search(
         batch = batch.filter(keep)
         if batch.num_rows == 0:
             return empty
-        texts = batch[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(nonempty))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parents = parents[nonempty]
+        flat, parents = _flat_tokens(batch[text_col], analyzer)
         n_rows = batch.num_rows
         # token position WITHIN its doc (prefix-count per parent row)
-        counts = np.zeros(n_rows, dtype=np.int64)
-        np.add.at(counts, parents, 1)
+        counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
         offs = np.concatenate(([0], np.cumsum(counts)))
         within = np.arange(parents.size, dtype=np.int64) - offs[parents]
         ids = batch[id_col].to_numpy(zero_copy_only=False)

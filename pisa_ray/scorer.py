@@ -56,6 +56,10 @@ class IndexReader:
             self.stats = json.load(f)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
+        # the analyzer is a BUILD-time choice recorded in stats.json;
+        # every query must be tokenized with the index's own analyzer
+        # (pre-analyzer indexes default to "simple")
+        self.analyzer = self.stats.get("analyzer", "simple")
         # "int" = index built over a pre-existing int64 key column; engine
         # ids are splitmix64(orig), a bijection — output (and tie-break)
         # uses the original id via the inverse mix.
@@ -478,6 +482,10 @@ class IndexReader:
     def idf(self, term: str) -> float:
         return float(bm25_idf(int(self.df.get(term, 0)), self.n_docs))
 
+    def tokenize(self, text: str) -> list[str]:
+        """Query tokenization with the INDEX's analyzer (stats.json)."""
+        return tokenize_py(text, self.analyzer)
+
     def out_ids(self, doc_ids: np.ndarray) -> np.ndarray:
         """Internal uint64 doc_ids -> user-visible ids (tie-break domain)."""
         if self.id_mode == "int":
@@ -678,7 +686,7 @@ def score_taat(
     over the exact scores; exact ties all survive the margin cut."""
     doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
-        terms = sorted(set(tokenize_py(text)))
+        terms = sorted(set(reader.tokenize(text)))
     # reuse one per-reader buffer: selective queries then cost O(Σdf)
     # memory traffic (targeted scatter + targeted reset) instead of two
     # full O(n_local) passes (zeroing + scan) per query
@@ -841,7 +849,7 @@ def score_conj(
     queries."""
     doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
-        terms = sorted(set(tokenize_py(text)))
+        terms = sorted(set(reader.tokenize(text)))
     if not terms:
         return []
     lists: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, contrib), term order
@@ -914,7 +922,7 @@ def score_qld(
     kernel."""
     doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
-        terms = sorted(set(tokenize_py(text)))
+        terms = sorted(set(reader.tokenize(text)))
     # m is GLOBAL (lexicon df, replicated into every shard) — a sharded
     # reader may hold zero postings for an indexed term, but its docs'
     # length penalty must still count that term or shard scores would
@@ -993,7 +1001,7 @@ def score_maxscore(
     ``n_candidates``."""
     doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
-        terms = sorted(set(tokenize_py(text)))
+        terms = sorted(set(reader.tokenize(text)))
     live: list[tuple[np.ndarray, np.ndarray]] = []  # alphabetical order
     ubs: list[float] = []
     for t in terms:
@@ -1165,7 +1173,7 @@ def score_bmw(
     /root/reference/src/Inference.py:85-156)."""
     doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
-        terms = sorted(set(tokenize_py(text)))
+        terms = sorted(set(reader.tokenize(text)))
     present = [t for t in terms if reader.has_term(t)]
     if any(not reader.term_bmw_safe(t) for t in present):
         # interleaved generation runs: exhaustive path (identical results)
@@ -1294,7 +1302,7 @@ def score_bmw(
 # --------------------------------------------------------------------------
 
 
-def _parse_bool_query(text: str):
+def _parse_bool_query(text: str, analyzer: str = "simple"):
     """Recursive-descent parse of a boolean query into an AST of
     ``("term", t) | ("and"|"or", [children]) | ("not", child)`` nodes.
 
@@ -1358,7 +1366,7 @@ def _parse_bool_query(text: str):
         if tok in (")", "AND", "OR"):
             raise ValueError(f"misplaced {tok!r} in boolean query {text!r}")
         word = take()
-        terms = tokenize_py(word)
+        terms = tokenize_py(word, analyzer)
         if not terms:
             raise ValueError(f"word {word!r} tokenizes to nothing")
         if len(terms) == 1:
@@ -1395,7 +1403,7 @@ def score_boolean(
     postings, never the corpus.
     """
     doc_mask = _fold_live(reader, doc_mask)
-    node = _parse_bool_query(text)
+    node = _parse_bool_query(text, reader.analyzer)
 
     def leaf(t: str) -> np.ndarray:
         _, _, pos = reader.term_contributions(t)
@@ -1668,13 +1676,13 @@ class BM25Scorer:
 
     def _query_terms(self, text: str) -> list[str]:
         if self.expand is None:
-            return tokenize_py(text)
+            return self.reader.tokenize(text)
         if self._expander is None:
             self._expander = TermExpander(self.reader.df)
         if self.expand == "prefix":
             out: list[str] = []
             for raw in text.split():
-                toks = tokenize_py(raw)
+                toks = self.reader.tokenize(raw)
                 if raw.endswith("*") and toks:
                     out.extend(toks[:-1])
                     out.extend(self._expander.prefix(toks[-1]))
@@ -1682,7 +1690,7 @@ class BM25Scorer:
                     out.extend(toks)
             return out
         out = []
-        for t in tokenize_py(text):  # fuzzy1: OOV tokens only
+        for t in self.reader.tokenize(text):  # fuzzy1: OOV tokens only
             if t in self.reader.df:
                 out.append(t)
             else:

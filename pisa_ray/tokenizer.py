@@ -25,6 +25,20 @@ TOKEN_SPLIT_RE = "[^a-z0-9_]+"
 # The same rule for DuckDB oracle SQL (regexp_split_to_array input).
 TOKEN_SPLIT_SQL = "[^a-z0-9_]+"
 
+# Analyzers (chosen at BUILD time, recorded in stats.json, applied to
+# queries by every reader — mixing analyzers between build and query
+# silently empties results, so the index carries the truth):
+#   "simple": lowercase, split on runs outside [a-z0-9_] (identifiers
+#             stay whole: "parse_json"/"parseJSON" -> one token each).
+#   "code":   identifier-aware (the Zoekt / GitHub-code-search
+#             convention): underscore is a separator, camelCase and
+#             ACRONYMCase transitions split BEFORE lowercasing —
+#             "parseJSONValue" -> parse/json/value, "foo_bar" ->
+#             foo/bar, "HTTPServer2" -> http/server2. Boundaries:
+#             non-alphanumeric byte; lower|digit -> Upper; Upper ->
+#             Upper+lower (acronym end). Digit<->letter stays joined.
+ANALYZERS = ("simple", "code")
+
 
 def tokenize_column(content: pa.ChunkedArray | pa.Array) -> pa.Array:
     """string column -> large_list<string> of lowercase tokens (may contain '')."""
@@ -73,21 +87,31 @@ _tune_malloc()
 
 def tokenize_flat(
     content: pa.ChunkedArray | pa.Array,
+    analyzer: str = "simple",
 ) -> tuple[pa.Array, np.ndarray, int]:
     """(flat non-empty tokens, doc parent indices, n_docs) — the hot
     build path, byte-vectorized.
 
-    Bit-identical to regex-splitting ``utf8_lower(content)`` on
-    ``TOKEN_SPLIT_RE`` and dropping empties (the ``tokenize_column``
-    rule): the token byte class is pure ASCII and every byte of a
-    multi-byte UTF-8 codepoint is >= 0x80 — a separator under both the
-    byte view and the codepoint regex. Replaces the RE2 split that was
-    ~63% of tokenize-kernel CPU with numpy boundary scans over the
-    lowered string buffer.
+    ``analyzer="simple"`` is bit-identical to regex-splitting
+    ``utf8_lower(content)`` on ``TOKEN_SPLIT_RE`` and dropping empties
+    (the ``tokenize_column`` rule): the token byte class is pure ASCII
+    and every byte of a multi-byte UTF-8 codepoint is >= 0x80 — a
+    separator under both the byte view and the codepoint regex.
+    Replaces the RE2 split that was ~63% of tokenize-kernel CPU with
+    numpy boundary scans over the lowered string buffer.
+
+    ``analyzer="code"`` scans the ORIGINAL bytes (case is the signal),
+    adds camelCase/ACRONYMCase token-start bits and treats ``_`` as a
+    separator, then ASCII-lowers only the gathered token bytes — same
+    one-pass cost shape, no regex anywhere (equivalence to the
+    two-regex pure-Python reference is pytest-pinned).
     """
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    lowered = pc.utf8_lower(content)
+    code = analyzer == "code"
+    lowered = content if code else pc.utf8_lower(content)
     n_docs = len(lowered)
     if n_docs == 0:
         return pa.array([], type=pa.large_string()), np.empty(0, dtype=np.int64), 0
@@ -104,20 +128,44 @@ def tokenize_flat(
     offs = offs - lo
     # nulls: their offsets are equal (zero-length span) -> no tokens,
     # matching the regex path where a null row flattens to nothing
-    v = _token_byte_class(buf)
+    if code:
+        upper = (buf - np.uint8(ord("A"))) < np.uint8(26)
+        low = (buf - np.uint8(ord("a"))) < np.uint8(26)
+        digit = (buf - np.uint8(ord("0"))) < np.uint8(10)
+        v = upper | low | digit
+    else:
+        v = _token_byte_class(buf)
     start = v.copy()
     start[1:] &= ~v[:-1]
-    end = v.copy()
-    end[:-1] &= ~v[1:]
-    # force token breaks at document boundaries: the byte buffer is
-    # contiguous across docs, and a doc may end and the next begin with
-    # token bytes. Boundaries at 0 or len(buf) (leading/trailing empty
-    # docs) need no forcing — start[0]/end[-1] are already correct.
+    # interior doc boundaries (the byte buffer is contiguous across
+    # docs), needed below for both boundary forcing and the code
+    # analyzer's lookahead masking
     inner = offs[1:-1]
     inner = inner[(inner > 0) & (inner < v.size)]
+    if code:
+        # camelCase: lower|digit -> Upper starts a token ("parseJSON").
+        # Lookbehind may cross into the previous doc, but then i IS a
+        # doc start and the boundary forcing below sets start[i] anyway.
+        start[1:] |= upper[1:] & (low[:-1] | digit[:-1])
+        if buf.size >= 3:
+            # acronym end: Upper -> Upper+lower ("HTTPServer" -> S
+            # starts). The LOOKAHEAD byte must belong to the same doc —
+            # a doc ending "..FS" followed by one starting "s.." must
+            # not split the acronym.
+            same_doc_next = np.ones(buf.size, dtype=bool)
+            if inner.size:
+                same_doc_next[inner - 1] = False
+            start[1:-1] |= (
+                upper[1:-1] & upper[:-2] & low[2:] & same_doc_next[1:-1]
+            )
+    # force token breaks at document boundaries. Boundaries at 0 or
+    # len(buf) (leading/trailing empty docs) need no forcing —
+    # start[0]/end[-1] are already correct.
     start[inner[v[inner]]] = True
-    prev = inner - 1
-    end[prev[v[prev]]] = True
+    # a token ends where the class run ends OR the next byte starts a
+    # new token (camel transition / forced doc boundary)
+    end = v.copy()
+    end[:-1] &= (~v[1:]) | start[1:]
     starts = np.flatnonzero(start)
     ends = np.flatnonzero(end) + 1
     if starts.size == 0:
@@ -131,12 +179,18 @@ def tokenize_flat(
     tok_off[0] = 0
     np.cumsum(lengths, out=tok_off[1:])
     # concatenated token bytes == all token-class bytes in buffer order
-    # (tokens are exactly the maximal runs of v), so a boolean mask
-    # replaces a per-byte gather index
+    # (tokens are exactly the maximal runs of v, split only at interior
+    # start bits — which drop no bytes), so a boolean mask replaces a
+    # per-byte gather index
+    tok_bytes = buf[v]
+    if code:
+        # ASCII-lower just the gathered token bytes (tokens are pure
+        # [a-zA-Z0-9], so +32 on A-Z is exact lowercasing)
+        tok_bytes[upper[v]] += np.uint8(32)
     flat = pa.Array.from_buffers(
         pa.large_string(),
         starts.size,
-        [None, pa.py_buffer(tok_off), pa.py_buffer(buf[v])],
+        [None, pa.py_buffer(tok_off), pa.py_buffer(tok_bytes)],
     )
     # parents: count tokens per doc (n_docs small searches into the
     # sorted starts) then repeat — ~6x cheaper than searchsorted per
@@ -151,6 +205,7 @@ def tokenize_flat(
 
 def doc_term_counts(
     content: pa.ChunkedArray | pa.Array,
+    analyzer: str = "simple",
 ) -> tuple[pa.LargeListArray, pa.LargeListArray, np.ndarray]:
     """Vectorized per-doc term counting.
 
@@ -158,7 +213,7 @@ def doc_term_counts(
     doc_len: int64 token count per doc). Terms within a doc are sorted
     lexicographically (deterministic layout at any parallelism).
     """
-    flat, parents, n_docs = tokenize_flat(content)
+    flat, parents, n_docs = tokenize_flat(content, analyzer)
 
     # doc lengths (token counts after dropping empties)
     doc_len = np.bincount(parents, minlength=n_docs).astype(np.int64)
@@ -230,8 +285,19 @@ def sha256_column(content: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, type=pa.binary(32))
 
 
-def tokenize_py(text: str) -> list[str]:
-    """Single-string reference tokenizer (oracle + query parsing)."""
+def tokenize_py(text: str, analyzer: str = "simple") -> list[str]:
+    """Single-string reference tokenizer (oracle + query parsing).
+
+    ``analyzer="code"`` is the two-regex formulation of the byte
+    kernel's rules: insert a break at lower|digit->Upper and at
+    Upper->Upper+lower, split on non-alphanumeric (underscore included)
+    in ORIGINAL case, then ASCII-lower each token."""
     import re
 
+    if analyzer == "code":
+        s = re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", text)
+        s = re.sub(r"([A-Z])([A-Z][a-z])", r"\1 \2", s)
+        return [t.lower() for t in re.split(r"[^a-zA-Z0-9]+", s) if t]
+    if analyzer != "simple":
+        raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
     return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
