@@ -1118,6 +1118,33 @@ def q_bm25_conjunctive(sf_dir: str):
     return _canon_topk(hits)
 
 
+def q_knn(sf_dir: str):
+    """Brute-force exact cosine AND IVF-Flat at full probe in ONE
+    labeled entry (consolidated under the driver's 50-entry cap):
+    full-probe IVF must reproduce the exact top-k (each doc lives in
+    exactly one cluster, every list probed — identity pytest-pinned),
+    so both ANN paths ride the same exact-cosine SQL oracle."""
+    import pandas as pd
+
+    a = q_knn_cosine(sf_dir).copy()
+    a["method"] = "brute"
+    b = q_ivf_knn(sf_dir).copy()
+    b["method"] = "ivf"
+    out = pd.concat([a, b], ignore_index=True)
+    return out[["method", *[c for c in out.columns if c != "method"]]]
+
+
+def q_facet_counts(sf_dir: str):
+    """Faceted search (aggregation-over-search): per BM25 query, the
+    count of docs matching ALL the query's terms, grouped by the
+    ``lang`` metadata column — docmap-aligned facet codes broadcast
+    once, zero shuffles."""
+    from pisa_ray.scorer import facet_counts
+
+    idx = _index_dir(sf_dir)
+    return facet_counts(BM25_QUERIES, idx, "lang", mode="conj", concurrency=2)
+
+
 def q_ivf_knn(sf_dir: str):
     """IVF-Flat ANN at FULL probe: k-means coarse quantizer
     (distributed Lloyd's), corpus shuffled once by cluster, every list
@@ -1278,7 +1305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_window": q_grouped_window,
         "hash_join": q_hash_join,
         "hybrid_search": q_hybrid_search,
-        "knn_cosine": q_knn_cosine,
+        "knn": q_knn,
+        "facet_counts": q_facet_counts,
         "text_stats": q_text_stats,
         "unigram_nll": q_unigram_nll,
         "tfidf_keywords": q_tfidf_keywords,
@@ -1297,7 +1325,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked block so the driver's 50-entry cap can never
         # silently drop an oracle row
         "semantic_dedup": q_semantic_dedup,
-        "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans,
         "multimodal_decode": q_multimodal,
     }
@@ -1741,6 +1768,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM scores sc
             ) WHERE rank <= 10
         """,
+        # faceted search: conjunctive match (docs containing ALL the
+        # query's distinct terms) grouped by the lang metadata column
+        "facet_counts": f"""
+            WITH tok AS ({tok_docs}),
+            q(query_id, term) AS (VALUES {bm25_values}),
+            nq AS (SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY 1),
+            m AS (
+                SELECT q.query_id, t.doc_id, count(*)::BIGINT AS hit
+                FROM q
+                JOIN (SELECT DISTINCT doc_id, term FROM tok) t USING (term)
+                GROUP BY 1, 2
+            )
+            SELECT m.query_id, d.lang, count(*) AS n_docs
+            FROM m
+            JOIN nq USING (query_id)
+            JOIN documents d USING (doc_id)
+            WHERE m.hit = nq.n
+            GROUP BY 1, 2
+        """,
         # block-max WAND must be rank-identical to exhaustive BM25 —
         # the oracle is literally the same exhaustive-scoring SQL
         "bm25_bmw": bm25_topk_sql,
@@ -2055,42 +2101,31 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[st+1:st+64], ' ') AS chunk_text
             FROM s
         """,
-        "knn_cosine": """
+        # brute-force AND IVF-Flat-at-full-probe ride the same
+        # exact-top-k oracle (full-probe IVF is exact — every doc lives
+        # in exactly one cluster and every list is probed; identity to
+        # brute_knn pytest-pinned)
+        "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings WHERE vec_id < 5)
-            SELECT query_id, rank, vec_id, cosine FROM (
-                SELECT q.query_id, e.vec_id,
-                       round(list_cosine_similarity(
-                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
-                       ), 5) AS cosine,
-                       row_number() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY round(list_cosine_similarity(
+                       FROM embeddings WHERE vec_id < 5),
+            exact AS (
+                SELECT query_id, rank, vec_id, cosine FROM (
+                    SELECT q.query_id, e.vec_id,
+                           round(list_cosine_similarity(
                                CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
-                           ), 5) DESC, e.vec_id
-                       ) AS rank
-                FROM q CROSS JOIN embeddings e
-            ) WHERE rank <= 5
-        """,
-        # IVF-Flat at full probe is exact (every doc lives in exactly
-        # one cluster and every list is probed — identity to brute_knn
-        # pytest-pinned), so the same exact-top-k oracle applies
-        "ivf_knn": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings WHERE vec_id < 5)
-            SELECT query_id, rank, vec_id, cosine FROM (
-                SELECT q.query_id, e.vec_id,
-                       round(list_cosine_similarity(
-                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
-                       ), 5) AS cosine,
-                       row_number() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY round(list_cosine_similarity(
-                               CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
-                           ), 5) DESC, e.vec_id
-                       ) AS rank
-                FROM q CROSS JOIN embeddings e
-            ) WHERE rank <= 5
+                           ), 5) AS cosine,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY round(list_cosine_similarity(
+                                   CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                               ), 5) DESC, e.vec_id
+                           ) AS rank
+                    FROM q CROSS JOIN embeddings e
+                ) WHERE rank <= 5
+            )
+            SELECT 'brute' AS method, * FROM exact
+            UNION ALL
+            SELECT 'ivf' AS method, * FROM exact
         """,
         # fingerprint is checked through its equivalence classes: the
         # FNV-1a token-stream hash groups (docs ∪ separator-mangled

@@ -18,6 +18,7 @@ from .serve import BM25Service
 from .scorer import (
     BM25Scorer,
     IndexReader,
+    facet_counts,
     query_index,
     query_index_sharded,
     score_bmw,

@@ -656,6 +656,147 @@ def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
     return eq.to_numpy(zero_copy_only=False).astype(bool)[order]
 
 
+def load_facet_codes(index_dir: str, col: str) -> tuple[np.ndarray, list]:
+    """(integer codes aligned with ``IndexReader.doc_sorted``,
+    category values) for a docmap metadata column — dictionary-encoded
+    ONCE on the driver and broadcast like a doc-filter mask (per
+    doc-range shard at 10^12-doc scale, same contract as
+    ``load_doc_filter``). Null metadata encodes as -1 (excluded from
+    facet output, matching SQL GROUP BY over an inner join)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    dm_files = sorted(
+        _glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+    ) or sorted(
+        _glob.glob(os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True)
+    )
+    dm = pa.concat_tables([pq.read_table(f, columns=["doc_id", col]) for f in dm_files])
+    docs = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(docs, kind="stable")
+    arr = dm[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = (
+        pc.fill_null(enc.indices.cast(pa.int64()), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return codes[order], enc.dictionary.to_pylist()
+
+
+def facet_counts(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    facet_col: str,
+    mode: str = "conj",
+    concurrency: int = 4,
+):
+    """Aggregation-over-search (the Elasticsearch terms-aggregation /
+    Solr facet analog): for each query, the count of MATCHING documents
+    per value of a docmap metadata column. ``mode="conj"``: docs
+    containing ALL the query's terms (a query with any unindexed term
+    matches nothing); ``"any"``: docs containing >= 1 indexed term.
+
+    Shape: the facet column is dictionary-encoded once on the driver
+    and broadcast (docmap-aligned int codes — the same per-shard
+    contract as ``load_doc_filter`` masks); queries fan out over raw
+    tasks against the broadcast reader; each task intersects/unions
+    sorted posting positions, gathers codes at matching positions and
+    bincounts. No shuffle anywhere; the result is O(queries x
+    categories). Deletion tombstones are folded in like every kernel.
+
+    -> pandas (query_id, <facet_col>, n_docs), sorted."""
+    import pandas as pd
+    import ray
+
+    if mode not in ("conj", "any"):
+        raise ValueError(f"facet_counts mode must be 'conj' or 'any', got {mode!r}")
+    codes, cats = load_facet_codes(index_dir, facet_col)
+    if not queries:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                facet_col: pd.Series(dtype="object"),
+                "n_docs": pd.Series(dtype="int64"),
+            }
+        )
+    reader_ref = _broadcast_reader(index_dir)
+    codes_ref = ray.put(codes)
+    n_cats = len(cats)
+
+    @ray.remote(num_cpus=1)
+    def part(qs: list[tuple[int, str]], rref, cref) -> list[tuple[int, int, int]]:
+        reader = rref if isinstance(rref, IndexReader) else ray.get(rref)
+        cds = cref if isinstance(cref, np.ndarray) else ray.get(cref)
+        live = _fold_live(reader, None)
+        out: list[tuple[int, int, int]] = []
+        for qid, text in qs:
+            terms = sorted(set(reader.tokenize(text)))
+            pos_lists = []
+            dead = False
+            for t in terms:
+                _, _, pos = reader.term_contributions(t)
+                if pos.size == 0:
+                    dead = True
+                    if mode == "conj":
+                        break
+                    continue
+                pos_lists.append(pos)
+            if mode == "conj":
+                if dead or not pos_lists:
+                    continue
+                pos_lists.sort(key=len)
+                cur = pos_lists[0]
+                for p in pos_lists[1:]:
+                    cur = cur[np.isin(cur, p, assume_unique=True)]
+                    if cur.size == 0:
+                        break
+                match = cur
+            else:
+                if not pos_lists:
+                    continue
+                match = (
+                    pos_lists[0]
+                    if len(pos_lists) == 1
+                    else np.unique(np.concatenate(pos_lists))
+                )
+            if live is not None:
+                match = match[live[match]]
+            if match.size == 0:
+                continue
+            c = cds[match]
+            cnt = np.bincount(c[c >= 0], minlength=n_cats)
+            for code in np.flatnonzero(cnt):
+                out.append((qid, int(code), int(cnt[code])))
+        return out
+
+    qlist = list(queries)
+    n_tasks = max(1, min(concurrency, len(qlist)))
+    chunks = [qlist[i::n_tasks] for i in range(n_tasks)]
+    rows = [r for ref in ray.get([part.remote(c, reader_ref, codes_ref) for c in chunks]) for r in ref]
+    df = pd.DataFrame(rows, columns=["query_id", "_code", "n_docs"])
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                facet_col: pd.Series(dtype="object"),
+                "n_docs": pd.Series(dtype="int64"),
+            }
+        )
+    df[facet_col] = df["_code"].map(lambda i: cats[i])
+    df = df[["query_id", facet_col, "n_docs"]].astype(
+        {"query_id": "int64", "n_docs": "int64"}
+    )
+    return df.sort_values(["query_id", facet_col], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def _fold_live(reader: IndexReader, doc_mask: np.ndarray | None) -> np.ndarray | None:
     """Fold the reader's deletion-tombstone live mask (delete.py) into a
     query's doc filter; None/None stays None so undeleted indexes keep

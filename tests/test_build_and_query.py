@@ -1102,3 +1102,52 @@ def test_maxscore_sharded_matches_broadcast(tiny_index):
     assert a[["query_id", "rank", "doc_id"]].equals(b[["query_id", "rank", "doc_id"]])
     assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
     assert len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# faceted search (aggregation-over-search)
+# --------------------------------------------------------------------------
+
+
+def test_facet_counts_matches_bruteforce(tiny_index, tiny_corpus):
+    """facet_counts == a per-query python brute force over the corpus
+    for both modes (conj: ALL terms; any: >=1 term), null-free lang
+    facet, including a query with an unindexed term (conj -> empty)."""
+    from pisa_ray.scorer import facet_counts
+    from pisa_ray.tokenizer import tokenize_py
+
+    texts = tiny_corpus["content"].to_pylist()
+    langs = tiny_corpus["lang"].to_pylist()
+    tokens = [set(tokenize_py(t)) for t in texts]
+    queries = [(0, texts[0].split()[0]), (1, " ".join(texts[1].split()[:2])),
+               (2, "zz_absent_token"), (3, texts[2].split()[0] + " zz_absent_token")]
+    for mode in ("conj", "any"):
+        got = facet_counts(queries, tiny_index, "lang", mode=mode, concurrency=2)
+        from collections import Counter
+
+        want_rows = []
+        for qid, q in queries:
+            terms = set(tokenize_py(q))
+            cnt = Counter()
+            for toks, lang in zip(tokens, langs):
+                ok = terms <= toks if mode == "conj" else bool(terms & toks)
+                if ok:
+                    cnt[lang] += 1
+            for lang in sorted(cnt):
+                want_rows.append((qid, lang, cnt[lang]))
+        got_rows = list(got.itertuples(index=False, name=None))
+        assert got_rows == want_rows, mode
+
+
+def test_facet_counts_bad_mode(tiny_index):
+    from pisa_ray.scorer import facet_counts
+
+    with pytest.raises(ValueError, match="mode"):
+        facet_counts([(0, "x")], tiny_index, "lang", mode="phrase")
+
+
+def test_facet_counts_empty_queries(tiny_index):
+    from pisa_ray.scorer import facet_counts
+
+    out = facet_counts([], tiny_index, "lang")
+    assert list(out.columns) == ["query_id", "lang", "n_docs"] and len(out) == 0
