@@ -90,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--quantiles", default="0.25,0.5,0.75")
     pr.add_argument("--top-k", type=int, default=10)
 
+    sg = sub.add_parser(
+        "suggest", help="search-box term completion from the index lexicon"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("--k", type=int, default=10)
+
     q = sub.add_parser("query", help="run BM25 top-k queries")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet with (query_id, text)")
@@ -182,6 +189,12 @@ def main(argv: list[str] | None = None) -> int:
                 ids = [int(x) for x in args.ids.split(",") if x]
             n = delete_docs(args.index, ids)
         print(json.dumps({"tombstoned": n}))
+    elif args.cmd == "suggest":
+        from pisa_ray.scorer import IndexReader
+
+        reader = IndexReader(args.index)
+        for term, df in reader.suggest(args.prefix, args.k):
+            print(json.dumps({"term": term, "df": df}))
     elif args.cmd == "profile":
         import ray.data as rd
 

@@ -486,6 +486,15 @@ class IndexReader:
         """Query tokenization with the INDEX's analyzer (stats.json)."""
         return tokenize_py(text, self.analyzer)
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Search-box term completion: top-k (term, df) by df desc,
+        term asc, over this reader's lexicon (expander built lazily
+        once per reader — the same one fuzzy/prefix expansion uses)."""
+        exp = getattr(self, "_suggest_expander", None)
+        if exp is None:
+            exp = self._suggest_expander = TermExpander(self.df)
+        return exp.suggest(prefix, k)
+
     def out_ids(self, doc_ids: np.ndarray) -> np.ndarray:
         """Internal uint64 doc_ids -> user-visible ids (tie-break domain)."""
         if self.id_mode == "int":
@@ -1662,6 +1671,20 @@ class TermExpander:
         lo = int(np.searchsorted(self.terms, p))
         hi = int(np.searchsorted(self.terms, p + "￿"))
         return self._cap(self.terms[lo:hi].tolist())
+
+    def suggest(self, p: str, k: int = 10) -> list[tuple[str, int]]:
+        """Search-box completion: the ``k`` highest-df vocabulary terms
+        starting with ``p``, as (term, df) rows — df desc, term asc.
+        Same searchsorted range as ``prefix`` (no vocabulary scan); at
+        10^12-doc scale the vocabulary is lexicon-sharded, so per-shard
+        suggestions merge by (df desc, term asc) exactly."""
+        if not p:
+            return []
+        lo = int(np.searchsorted(self.terms, p))
+        hi = int(np.searchsorted(self.terms, p + "￿"))
+        cand = self.terms[lo:hi].tolist()
+        cand.sort(key=lambda t: (-int(self.df[t]), t))
+        return [(t, int(self.df[t])) for t in cand[:k]]
 
     @staticmethod
     def _dels(w: str):

@@ -1151,3 +1151,19 @@ def test_facet_counts_empty_queries(tiny_index):
 
     out = facet_counts([], tiny_index, "lang")
     assert list(out.columns) == ["query_id", "lang", "n_docs"] and len(out) == 0
+
+
+def test_suggest_completion(tiny_index, tiny_oracle):
+    """reader.suggest == brute-force (df desc, term asc) over the
+    oracle's exact df table, for several prefixes incl. empty/absent."""
+    reader = IndexReader(tiny_index)
+    vocab = sorted(tiny_oracle.df)
+    prefixes = {t[:1] for t in vocab[:20]} | {vocab[0][:3], "zzz_absent", ""}
+    for p in sorted(prefixes):
+        want = sorted(
+            ((t, int(d)) for t, d in tiny_oracle.df.items() if t.startswith(p)),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        if not p:
+            want = []
+        assert reader.suggest(p, 10) == want, p
