@@ -1034,6 +1034,41 @@ def score_conj(
     return [(int(out[i]), float(exact[i])) for i in order]
 
 
+def score_after(
+    reader: IndexReader,
+    text: str,
+    k: int,
+    after: tuple[float, int],
+    method_fn,
+    doc_mask: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Deep pagination (the search_after cursor pattern): the top-k
+    hits strictly AFTER ``after = (score, doc_id)`` in the global
+    tie-break order (score desc, doc_id asc) — the cursor is the last
+    hit of the previous page, so pages never overlap or skip, even
+    across exact score ties (scores are deterministic float64, equal
+    across requests).
+
+    Kernel-agnostic and exact: call the underlying kernel with an
+    exponentially growing k until >= k results rank past the cursor or
+    the kernel returns fewer hits than asked (candidates exhausted).
+    Page K costs one kernel call at k' ~ 4*K*k — the classic
+    deep-paging degradation every engine has; per-actor contribution
+    caches make the repeated calls select-cost only."""
+    a_score, a_doc = float(after[0]), int(after[1])
+    kk = max(4 * k, 64)
+    while True:
+        hits = method_fn(reader, text, kk, doc_mask=doc_mask)
+        past = [
+            (d, s)
+            for d, s in hits
+            if s < a_score or (s == a_score and d > a_doc)
+        ]
+        if len(past) >= k or len(hits) < kk:
+            return past[:k]
+        kk *= 4
+
+
 QLD_MU = 1000.0
 
 
@@ -1864,8 +1899,20 @@ class BM25Scorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        # deep pagination: optional (after_score, after_doc) cursor
+        # columns — a non-null pair makes that query return the top-k
+        # strictly AFTER the cursor in tie-break order (score_after)
+        has_cursor = (
+            "after_score" in batch.column_names
+            and "after_doc" in batch.column_names
+        )
+        a_scores = batch["after_score"].to_pylist() if has_cursor else None
+        a_docs = batch["after_doc"].to_pylist() if has_cursor else None
         out_q, out_r, out_d, out_s = [], [], [], []
-        for qid, text in zip(qids, texts):
+        for i, (qid, text) in enumerate(zip(qids, texts)):
+            cursor = None
+            if has_cursor and a_scores[i] is not None and a_docs[i] is not None:
+                cursor = (float(a_scores[i]), int(a_docs[i]))
             if self.method == "bool":
                 # operators are load-bearing: memo on the raw text, and
                 # let score_boolean parse it (term canon would collide
@@ -1875,16 +1922,28 @@ class BM25Scorer:
             else:
                 canon = tuple(sorted(set(self._query_terms(text))))
                 terms = list(canon)
-            hits = self._result_memo.get(canon)
+            hits = self._result_memo.get(canon) if cursor is None else None
             if hits is None:
                 fn = self._pick(terms)
-                hits = fn(
-                    self.reader, text, self.k, doc_mask=self.doc_mask, terms=terms
-                )
-                if self._memo_cap:
-                    if len(self._result_memo) >= self._memo_cap:
-                        self._result_memo.clear()
-                    self._result_memo[canon] = hits
+                if cursor is not None:
+                    # score_after re-asks the kernel with growing k, so
+                    # it owns the (reader, text, k) call; memo is
+                    # bypassed (cursor-dependent results)
+                    def fn_terms(reader, text, k, doc_mask=None, _fn=fn, _t=terms):
+                        return _fn(reader, text, k, doc_mask=doc_mask, terms=_t)
+
+                    hits = score_after(
+                        self.reader, text, self.k, cursor, fn_terms,
+                        doc_mask=self.doc_mask,
+                    )
+                else:
+                    hits = fn(
+                        self.reader, text, self.k, doc_mask=self.doc_mask, terms=terms
+                    )
+                    if self._memo_cap:
+                        if len(self._result_memo) >= self._memo_cap:
+                            self._result_memo.clear()
+                        self._result_memo[canon] = hits
             for rank, (doc, score) in enumerate(hits, start=1):
                 out_q.append(qid)
                 out_r.append(rank)

@@ -1167,3 +1167,66 @@ def test_suggest_completion(tiny_index, tiny_oracle):
         if not p:
             want = []
         assert reader.suggest(p, 10) == want, p
+
+
+# --------------------------------------------------------------------------
+# deep pagination (search_after)
+# --------------------------------------------------------------------------
+
+
+def test_search_after_pages_tile_the_full_ranking(tiny_index):
+    """Concatenating search_after pages == one big top-k, exactly, for
+    several kernels (pages never overlap or skip, incl. across exact
+    score ties)."""
+    from pisa_ray.scorer import score_after, score_maxscore, score_qld
+
+    reader = IndexReader(tiny_index)
+    page = 7
+    for fn in (score_taat, score_qld, score_maxscore):
+        for text in make_queries(25)["text"].to_pylist():
+            full = fn(reader, text, reader.n_local)
+            pages = fn(reader, text, page)
+            got = list(pages)
+            while pages and len(got) < len(full):
+                cursor = (pages[-1][1], pages[-1][0])
+                pages = score_after(reader, text, page, cursor, fn)
+                got.extend(pages)
+            assert got == full, (fn.__name__, text)
+
+
+def test_search_after_through_query_index(tiny_index):
+    """Cursor columns on the query table page through the actor pool:
+    page 2 == rows k+1..2k of a double-size query."""
+    from pisa_ray.scorer import query_index
+
+    k = 5
+    qt = make_queries(10)
+    big = (
+        query_index(rd.from_arrow(qt), tiny_index, k=2 * k, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    # build page-2 cursors from page 1 (the first k rows per query)
+    page1 = big[big["rank"] <= k]
+    cur = page1[page1["rank"] == k].set_index("query_id")
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["query_id"].isin(cur.index)].copy()
+    qdf["after_score"] = cur.loc[qdf["query_id"], "score"].to_numpy()
+    qdf["after_doc"] = cur.loc[qdf["query_id"], "doc_id"].to_numpy()
+    got = (
+        query_index(
+            rd.from_arrow(pa.Table.from_pandas(qdf, preserve_index=False)),
+            tiny_index, k=k, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        big[(big["rank"] > k) & big["query_id"].isin(cur.index)]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert np.allclose(got["score"], want["score"], rtol=0, atol=0)
