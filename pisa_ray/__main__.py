@@ -90,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--quantiles", default="0.25,0.5,0.75")
     pr.add_argument("--top-k", type=int, default=10)
 
+    inf = sub.add_parser(
+        "info", help="index stats, config, components and memory breakdown"
+    )
+    inf.add_argument("--index", required=True)
+
     sg = sub.add_parser(
         "suggest", help="search-box term completion from the index lexicon"
     )
@@ -189,6 +194,40 @@ def main(argv: list[str] | None = None) -> int:
                 ids = [int(x) for x in args.ids.split(",") if x]
             n = delete_docs(args.index, ids)
         print(json.dumps({"tombstoned": n}))
+    elif args.cmd == "info":
+        import glob as _glob
+
+        from pisa_ray.delete import load_tombstones
+        from pisa_ray.scorer import IndexReader
+
+        reader = IndexReader(args.index)
+        seg_files = _glob.glob(
+            os.path.join(args.index, "segments", "**", "*.parquet"), recursive=True
+        )
+        gens = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(args.index, "generations", "*"))
+        )
+        tomb = load_tombstones(args.index)
+        man_path = os.path.join(args.index, "manifest.json")
+        cfg = {}
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                cfg = json.load(f).get("config", {})
+        print(
+            json.dumps(
+                {
+                    "stats": reader.stats,
+                    "config": cfg,
+                    "n_terms": len(reader.df),
+                    "n_segment_files": len(seg_files),
+                    "segment_bytes": sum(os.path.getsize(f) for f in seg_files),
+                    "generations": gens,
+                    "n_tombstones": int(tomb.size) if tomb is not None else 0,
+                    "memory": reader.resident_bytes(),
+                }
+            )
+        )
     elif args.cmd == "suggest":
         from pisa_ray.scorer import IndexReader
 

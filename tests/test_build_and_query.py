@@ -346,6 +346,27 @@ def test_cli_build_and_query(tmp_path, tiny_corpus):
     rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
     assert len(rows) == 3 and rows[0]["rank"] == 1
 
+    # info: stats + config + component memory in one JSON line
+    out = subprocess.run(
+        [_sys.executable, "-m", "pisa_ray", "info", "--index", idx],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["stats"]["n_docs"] == tiny_corpus.num_rows
+    assert info["config"]["bucket_bits"] == 1
+    assert info["n_terms"] > 0 and info["memory"]["total"] > 0
+    assert info["n_segment_files"] > 0 and info["n_tombstones"] == 0
+
+    # suggest: df-ranked prefix completion
+    out = subprocess.run(
+        [_sys.executable, "-m", "pisa_ray", "suggest", "--index", idx,
+         "--prefix", "de", "--k", "3"],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    srows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert all(r["term"].startswith("de") and r["df"] > 0 for r in srows)
+    assert [r["df"] for r in srows] == sorted((r["df"] for r in srows), reverse=True)
+
 
 def test_cli_delete_profile_compact(tmp_path, tiny_corpus):
     """python -m pisa_ray delete/profile/compact — the lifecycle ops on
