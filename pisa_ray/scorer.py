@@ -1098,11 +1098,15 @@ def score_qld(
     Ranked set: documents matching >=1 indexed query term (the union
     of the terms' postings), the same convention as ``score_taat`` —
     the doc-length penalty alone never ranks a termless document.
-    Scores are NEGATIVE (log-probabilities), so there is no
-    positive-contribution f32 select trick here: the kernel scores the
-    union exactly in float64, sorted-term accumulation order (cost
-    O(sum df) — selective queries are cheap; a stop-word query's union
-    approaches the shard, which is exactly dense TAAT's cost class).
+    Kernel shape mirrors dense TAAT, but in FLOAT64 throughout (final
+    scores are negative log-probabilities, so the f32 select trick's
+    nonneg-margin argument doesn't apply — and none is needed: the
+    buffer IS the exact score): per-term contributions accumulate into
+    a reusable dense buffer (bincount for long lists, targeted scatter
+    for short ones — per-doc accumulation order stays sorted-term, so
+    scores are bit-identical to the sequential oracle), the matched
+    set is ``buf > 0`` (term contributions are strictly positive), and
+    the top-k cut partitions on the EXACT final score with ties kept.
     Tie-break (score desc, out_id asc), identical to every other
     kernel."""
     doc_mask = _fold_live(reader, doc_mask)
@@ -1123,26 +1127,45 @@ def score_qld(
             live.append((pos, contrib))
     if not live:
         return []
-    allpos = (
-        live[0][0]
-        if len(live) == 1
-        else np.unique(np.concatenate([p for p, _ in live]))
-    )
-    if doc_mask is not None:
-        allpos = allpos[doc_mask[allpos]]
-        if allpos.size == 0:
-            return []
-    acc = np.zeros(allpos.size, dtype=np.float64)
+    buf = getattr(reader, "_qld_buf", None)
+    if buf is None or buf.size != reader.n_local:
+        buf = reader._qld_buf = np.zeros(reader.n_local, dtype=np.float64)
+    touched: list[np.ndarray] = []
+    dense_used = False
     for pos, contrib in live:
-        idx = np.searchsorted(pos, allpos)
-        idx_c = np.minimum(idx, pos.size - 1)
-        hit = pos[idx_c] == allpos
-        acc[hit] += contrib[idx_c[hit]]
-    dl = reader.len_sorted[allpos].astype(np.float64)
-    score = acc + m * np.log(mu / (dl + mu))
-    out = reader.out_ids(reader.doc_sorted[allpos])
-    order = np.lexsort((out, -score))[: min(k, allpos.size)]
-    return [(int(out[i]), float(score[i])) for i in order]
+        if pos.size * 16 > reader.n_local:
+            buf += np.bincount(pos, weights=contrib, minlength=reader.n_local)
+            dense_used = True
+        else:
+            np.add.at(buf, pos, contrib)
+            touched.append(pos)
+    try:
+        matched = (
+            np.flatnonzero(buf > 0.0)
+            if dense_used
+            else (touched[0] if len(touched) == 1 else np.unique(np.concatenate(touched)))
+        )
+        if doc_mask is not None:
+            matched = matched[doc_mask[matched]]
+            if matched.size == 0:
+                return []
+        dl = reader.len_sorted[matched].astype(np.float64)
+        score = buf[matched] + m * np.log(mu / (dl + mu))
+        if matched.size > k:
+            # exact-score cut (ties kept): score IS the final ranking
+            # key, so no rounding margin is needed
+            t_k = float(np.partition(score, matched.size - k)[matched.size - k])
+            keep = score >= t_k
+            matched, score = matched[keep], score[keep]
+        out = reader.out_ids(reader.doc_sorted[matched])
+        order = np.lexsort((out, -score))[: min(k, matched.size)]
+        return [(int(out[i]), float(score[i])) for i in order]
+    finally:
+        if dense_used:
+            buf[:] = 0.0
+        else:
+            for pos in touched:
+                buf[pos] = 0.0
 
 
 def score_maxscore(
