@@ -1100,6 +1100,14 @@ def build_index(
                     f.result()
         man.mark_stage("tokenized")
 
+    if not glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True):
+        raise ValueError(
+            f"corpus {source!r} produced zero tokenized rows — an index "
+            "needs at least one document (empty deltas: skip the "
+            "build_incremental call instead of appending an empty "
+            "generation)"
+        )
+
     # ---- stage 1.5: docID collision detect + resolve -------------------
     if cfg.check_collisions and not man.stage_done("collisions"):
         t = StageTimer()

@@ -297,7 +297,14 @@ def tokenize_py(text: str, analyzer: str = "simple") -> list[str]:
     if analyzer == "code":
         s = re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", text)
         s = re.sub(r"([A-Z])([A-Z][a-z])", r"\1 \2", s)
+        # tokens are pure [a-zA-Z0-9]; .lower() on them is exact ASCII
         return [t.lower() for t in re.split(r"[^a-zA-Z0-9]+", s) if t]
     if analyzer != "simple":
         raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
-    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    # lowercase through pyarrow (utf8proc SIMPLE case mapping), NOT
+    # str.lower() (full mapping): the build kernel lowers with
+    # pc.utf8_lower, and the two differ on e.g. U+0130 'İ' (simple: i;
+    # full: i + combining dot, which would split the token) — queries
+    # must tokenize EXACTLY like the indexed docs did.
+    lowered = pc.utf8_lower(pa.array([text], type=pa.string()))[0].as_py()
+    return [t for t in re.split(TOKEN_SPLIT_RE, lowered) if t]

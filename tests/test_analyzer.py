@@ -256,3 +256,17 @@ def test_phrase_search_uses_index_analyzer(code_index):
         if "parseJSONValue" in t or "parse_json_value" in t
     }
     assert set(out["doc_id"].tolist()) == want and len(want) > 0
+
+
+def test_simple_analyzer_casemap_matches_build_kernel_unicode():
+    """tokenize_py must lower through the SAME casemap as the build
+    kernel (pyarrow utf8proc simple mapping): U+0130 'İ' lowers to a
+    plain 'i' on both sides — str.lower()'s full mapping would insert
+    a combining dot and split the token, making queries miss indexed
+    docs."""
+    cases = ["İstanbul matches", "ÉTÉ üFoo", "Émile naïveBayes", "ẞß ΣΤΙΓΜΑΣ"]
+    for analyzer in ANALYZERS:
+        arr = pa.array(cases, type=pa.large_string())
+        got = _flatten(arr, analyzer)
+        assert got == [tokenize_py(c, analyzer) for c in cases], analyzer
+    assert tokenize_py("İstanbul", "simple") == ["istanbul"]

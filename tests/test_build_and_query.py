@@ -1251,3 +1251,20 @@ def test_search_after_through_query_index(tiny_index):
     assert len(got) == len(want) and len(got) > 0
     assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
     assert np.allclose(got["score"], want["score"], rtol=0, atol=0)
+
+
+def test_empty_corpus_build_fails_loudly(tmp_path):
+    """Zero-document corpora raise a clear error (not an obscure
+    read_parquet path failure mid-pipeline)."""
+    from pisa_ray.build import IndexConfig, build_index
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())}
+    )
+    with pytest.raises(ValueError, match="zero tokenized rows"):
+        build_index(
+            empty, str(tmp_path / "idx"),
+            IndexConfig(bucket_bits=1, term_parts=2, lineage_parts=1,
+                        id_col="doc_id", key_cols=(), content_col="text",
+                        meta_cols=()),
+        )
