@@ -1784,7 +1784,9 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             JOIN nq USING (query_id)
             JOIN documents d USING (doc_id)
-            WHERE m.hit = nq.n
+            -- the engine excludes null facet values (code -1) from
+            -- the output; mirror that here
+            WHERE m.hit = nq.n AND d.lang IS NOT NULL
             GROUP BY 1, 2
         """,
         # block-max WAND must be rank-identical to exhaustive BM25 —

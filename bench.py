@@ -186,6 +186,11 @@ def main() -> None:
         results["bm25_maxscore_matches_taat"] = (
             results["bm25_maxscore_digest"] == results["bm25_taat_digest"]
         )
+        # hard gate, not just a recorded boolean: maxscore diverging
+        # from TAAT is a correctness regression, fail the bench loudly
+        assert results["bm25_maxscore_matches_taat"], (
+            "maxscore digest != taat digest — pruning changed results"
+        )
 
     # ---- filtered BM25 (filter-aware block-max pruning) -----------------
     # a selective metadata filter (~1/6 of docs) must keep ~unfiltered

@@ -1267,6 +1267,15 @@ def _write_lexicon(
     that, the Ray path runs."""
     import pyarrow.parquet as pq
 
+    # pre-v5 segments lack the cf column; fail with the same clear
+    # rebuild message score_qld gives, not a raw Arrow field error
+    # (compact_index / build_incremental read EXISTING segments)
+    if seg_files and "cf" not in pads.dataset(seg_files[0]).schema.names:
+        raise ValueError(
+            "index segments have no cf column (built by a pre-v5 "
+            "format) — rebuild the index with this version before "
+            "compacting or appending to it"
+        )
     n_rows = sum(pads.dataset(f).count_rows() for f in seg_files)
     metrics = None
     if n_rows <= 5_000_000:

@@ -176,6 +176,7 @@ def snippets(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer: str = "simple",
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
     """Result highlighting: for every (query_id, doc_id) hit row, the
     best ``width``-token window of the doc — the window containing the
@@ -190,7 +191,14 @@ def snippets(
     window choice is a two-pointer sweep over a doc's QUERY-TERM
     occurrences only (candidate-bounded, same argument as
     ``phrase_search``). Snippets are in normalized token space (the
-    space every index/oracle comparison in this repo uses)."""
+    space every index/oracle comparison in this repo uses).
+
+    Pass ``index_dir`` when the hits came from an index (the usual
+    case): the analyzer is then read from its stats.json, overriding
+    ``analyzer`` — highlighting must tokenize like the index that
+    produced the hits or query terms never match the token stream."""
+    if index_dir is not None:
+        analyzer = _index_analyzer(index_dir)
     if isinstance(hits, pa.Table):
         hits = hits.to_pandas()
     parsed = {qid: sorted(set(tokenize_py(text, analyzer))) for qid, text in queries}

@@ -95,6 +95,7 @@ class IndexReader:
             else None
         )
         self._qld_cache: dict = {}
+        self._ub_cache: dict[str, float] = {}
 
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
@@ -486,20 +487,34 @@ class IndexReader:
         """Query tokenization with the INDEX's analyzer (stats.json)."""
         return tokenize_py(text, self.analyzer)
 
+    def term_expander(self) -> "TermExpander":
+        """The reader's lazily-built TermExpander — ONE per reader,
+        shared by suggestion AND query expansion (the sorted vocab
+        array is O(vocab); two copies per actor would double it)."""
+        exp = getattr(self, "_expander", None)
+        if exp is None:
+            exp = self._expander = TermExpander(self.df)
+        return exp
+
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """Search-box term completion: top-k (term, df) by df desc,
-        term asc, over this reader's lexicon (expander built lazily
-        once per reader — the same one fuzzy/prefix expansion uses)."""
-        exp = getattr(self, "_suggest_expander", None)
-        if exp is None:
-            exp = self._suggest_expander = TermExpander(self.df)
-        return exp.suggest(prefix, k)
+        term asc, over this reader's lexicon."""
+        return self.term_expander().suggest(prefix, k)
 
     def out_ids(self, doc_ids: np.ndarray) -> np.ndarray:
         """Internal uint64 doc_ids -> user-visible ids (tie-break domain)."""
         if self.id_mode == "int":
             return unsplitmix64(doc_ids).astype(np.int64)
         return np.asarray(doc_ids, dtype=np.uint64)
+
+    def _positions_of(self, docs: np.ndarray) -> np.ndarray:
+        """Decoded posting values -> indices into ``doc_sorted`` — THE
+        single definition of the posting→docmap-position mapping
+        (position space: values ARE global ranks), shared by every
+        contribution builder so ranking kernels can never diverge."""
+        if self.posting_space == "position":
+            return self.rank_to_local(docs.astype(np.int64))
+        return np.searchsorted(self.doc_sorted, docs).astype(np.int64)
 
     def term_contributions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, idf*wnorm contributions, positions into doc_sorted) for
@@ -512,16 +527,25 @@ class IndexReader:
         if docs.size == 0:
             out = (docs, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64))
         else:
-            if self.posting_space == "position":
-                # decoded values ARE global ranks; map to local indices
-                pos = self.rank_to_local(docs.astype(np.int64))
-            else:
-                pos = np.searchsorted(self.doc_sorted, docs).astype(np.int64)
+            pos = self._positions_of(docs)
             dl = self.len_sorted[pos]
             out = (docs, self.idf(term) * bm25_wnorm(tfs, dl, self.avgdl), pos)
         if len(self._contrib_cache) < 4096:
             self._contrib_cache[term] = out
         return out
+
+    def term_upper_bound(self, term: str) -> float:
+        """max BM25 contribution of a term (MaxScore's pruning bound) —
+        query-independent, cached alongside the contributions (one
+        O(df) max pass per term per actor, not per query)."""
+        cached = self._ub_cache.get(term)
+        if cached is not None:
+            return cached
+        _, contrib, _ = self.term_contributions(term)
+        ub = float(contrib.max()) if contrib.size else 0.0
+        if len(self._ub_cache) < 65536:
+            self._ub_cache[term] = ub
+        return ub
 
     def qld_contributions(
         self, term: str, mu: float
@@ -546,10 +570,7 @@ class IndexReader:
         if docs.size == 0:
             out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         else:
-            if self.posting_space == "position":
-                pos = self.rank_to_local(docs.astype(np.int64))
-            else:
-                pos = np.searchsorted(self.doc_sorted, docs).astype(np.int64)
+            pos = self._positions_of(docs)
             c_total = self.avgdl * self.n_docs
             p_t = float(self.cf[term]) / c_total
             out = (pos, np.log1p(tfs.astype(np.float64) / (mu * p_t)))
@@ -642,13 +663,11 @@ class IndexReader:
 # --------------------------------------------------------------------------
 
 
-def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
-    """Boolean mask over docmap positions (aligned with
-    ``IndexReader.doc_sorted``) for a metadata predicate — the engine's
-    analog of the reference's user-group-restricted evaluation
-    (/root/reference/src/Inference.py:85-88) and exclusion masking
-    (/root/reference/src/Inference.py:233-238). BM25 stats stay GLOBAL;
-    only the candidate set is restricted."""
+def _load_docmap_col(index_dir: str, col: str) -> tuple[pa.Array, np.ndarray]:
+    """(metadata column values, doc_id-sorted order indices) for a
+    docmap column — THE single definition of the docmap→``doc_sorted``
+    alignment contract, shared by doc filters and facet codes so the
+    two can never desynchronize."""
     import glob as _glob
 
     dm_files = sorted(
@@ -656,12 +675,25 @@ def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
     ) or sorted(
         _glob.glob(os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True)
     )
-    import pyarrow.compute as pc
-
     dm = pa.concat_tables([pq.read_table(f, columns=["doc_id", col]) for f in dm_files])
     docs = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    eq = pc.fill_null(pc.equal(dm[col], value), False)
-    order = np.argsort(docs, kind="stable")
+    arr = dm[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr, np.argsort(docs, kind="stable")
+
+
+def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
+    """Boolean mask over docmap positions (aligned with
+    ``IndexReader.doc_sorted``) for a metadata predicate — the engine's
+    analog of the reference's user-group-restricted evaluation
+    (/root/reference/src/Inference.py:85-88) and exclusion masking
+    (/root/reference/src/Inference.py:233-238). BM25 stats stay GLOBAL;
+    only the candidate set is restricted."""
+    import pyarrow.compute as pc
+
+    arr, order = _load_docmap_col(index_dir, col)
+    eq = pc.fill_null(pc.equal(arr, value), False)
     return eq.to_numpy(zero_copy_only=False).astype(bool)[order]
 
 
@@ -670,23 +702,12 @@ def load_facet_codes(index_dir: str, col: str) -> tuple[np.ndarray, list]:
     category values) for a docmap metadata column — dictionary-encoded
     ONCE on the driver and broadcast like a doc-filter mask (per
     doc-range shard at 10^12-doc scale, same contract as
-    ``load_doc_filter``). Null metadata encodes as -1 (excluded from
-    facet output, matching SQL GROUP BY over an inner join)."""
-    import glob as _glob
-
+    ``load_doc_filter``). Null metadata encodes as -1 and is EXCLUDED
+    from facet output (the driver oracle mirrors this with an
+    ``IS NOT NULL`` filter)."""
     import pyarrow.compute as pc
 
-    dm_files = sorted(
-        _glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
-    ) or sorted(
-        _glob.glob(os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True)
-    )
-    dm = pa.concat_tables([pq.read_table(f, columns=["doc_id", col]) for f in dm_files])
-    docs = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    order = np.argsort(docs, kind="stable")
-    arr = dm[col]
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+    arr, order = _load_docmap_col(index_dir, col)
     enc = arr.dictionary_encode()
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
@@ -1217,7 +1238,7 @@ def score_maxscore(
         if pos.size == 0:
             continue
         live.append((pos, contrib))
-        ubs.append(float(contrib.max()))
+        ubs.append(reader.term_upper_bound(t))
     if not live:
         return []
 
@@ -1900,7 +1921,7 @@ class BM25Scorer:
         if self.expand is None:
             return self.reader.tokenize(text)
         if self._expander is None:
-            self._expander = TermExpander(self.reader.df)
+            self._expander = self.reader.term_expander()
         if self.expand == "prefix":
             out: list[str] = []
             for raw in text.split():

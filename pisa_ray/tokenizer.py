@@ -301,6 +301,10 @@ def tokenize_py(text: str, analyzer: str = "simple") -> list[str]:
         return [t.lower() for t in re.split(r"[^a-zA-Z0-9]+", s) if t]
     if analyzer != "simple":
         raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
+    if text.isascii():
+        # ASCII fast path (virtually every query): simple and full
+        # case mappings agree, skip the pyarrow kernel dispatch
+        return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
     # lowercase through pyarrow (utf8proc SIMPLE case mapping), NOT
     # str.lower() (full mapping): the build kernel lowers with
     # pc.utf8_lower, and the two differ on e.g. U+0130 'İ' (simple: i;
