@@ -10,7 +10,7 @@ caller (driver, bench.py, tests' conftest) owns the Ray session.
 
 # bump when the on-disk segment/docmap layout changes (callers key
 # their /tmp index caches by this so stale-format dirs are never reused)
-INDEX_FORMAT_VERSION = 5
+INDEX_FORMAT_VERSION = 6  # v6: positional posting payload (pos_blob)
 
 from .build import IndexConfig, build_incremental, build_index, compact_index
 from .delete import delete_docs, delete_where, load_tombstones

@@ -106,6 +106,16 @@ class IndexConfig:
     # the readers (a query analyzed differently from the index silently
     # misses).
     analyzer: str = "simple"
+    # True: store within-doc token positions per posting (varint gap
+    # blobs, ~1-2 B/occurrence), enabling INDEX-NATIVE phrase and
+    # proximity queries (pipelines/phrase.py) with no corpus re-read —
+    # the posting-payload pattern real engines (PISA/Lucene) use. The
+    # blobs are encoded once at tokenize time and travel as opaque
+    # bytes through the merge shuffle (concatenated per term at encode,
+    # never re-coded). False keeps the docs+tf-only format; phrase
+    # queries then fall back to the conjunctive-prune + corpus-verify
+    # composition.
+    positions: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -122,6 +132,7 @@ def make_tokenize_fn(cfg: IndexConfig):
     if id_bits < 64 and cfg.id_col is not None:
         raise ValueError("id_bits<64 requires keys-derived docIDs")
     analyzer = cfg.analyzer
+    with_positions = cfg.positions
     from .tokenizer import ANALYZERS
 
     if analyzer not in ANALYZERS:
@@ -137,7 +148,13 @@ def make_tokenize_fn(cfg: IndexConfig):
             doc = doc & np.uint64(
                 (~((1 << (64 - id_bits)) - 1)) & 0xFFFFFFFFFFFFFFFF
             )
-        terms, tfs, dl = doc_term_counts(content, analyzer)
+        if with_positions:
+            terms, tfs, dl, poslists = doc_term_counts(
+                content, analyzer, with_positions=True
+            )
+        else:
+            terms, tfs, dl = doc_term_counts(content, analyzer)
+            poslists = None
         sha = sha256_column(content)
         # NOTE: when id_col is set, the engine doc_id is splitmix64(orig id)
         # — a bijection, so the original id is recoverable via
@@ -153,6 +170,8 @@ def make_tokenize_fn(cfg: IndexConfig):
         cols["content_sha256"] = sha
         cols["term"] = terms
         cols["tf"] = tfs
+        if poslists is not None:
+            cols["pos"] = poslists
         return pa.table(cols)
 
     return tokenize
@@ -223,6 +242,13 @@ def make_explode_fn(cfg: IndexConfig, with_bucket: bool = False, emit_dl: bool =
             "doc_id": pa.array(doc, type=pa.uint64()),
             "tf": flat_tf.cast(pa.uint32()),
         }
+        if "pos" in batch.column_names:
+            # opaque pre-encoded position-gap bytes ride the shuffle
+            # per posting; the encode stage concatenates them per term
+            poss = batch["pos"]
+            if isinstance(poss, pa.ChunkedArray):
+                poss = poss.combine_chunks()
+            cols["pos"] = pc.list_flatten(poss)
         if emit_dl:
             dl = batch["length"].to_numpy(zero_copy_only=False)[parents]
             cols["dl"] = pa.array(dl.astype(np.uint32))
@@ -508,6 +534,37 @@ def make_encode_group_fn(
                 [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
             )
 
+        # positional payload: per-posting pre-encoded varint gap bytes
+        # arrive as an opaque binary column; gather them in the same
+        # (term, doc) sort order and concatenate per term — no decode or
+        # re-encode (within-doc gaps are ordering-independent)
+        if "pos" in tbl.column_names:
+            pos_col = tbl["pos"]
+            if isinstance(pos_col, pa.ChunkedArray):
+                pos_col = pos_col.combine_chunks()
+            taken = pos_col.take(pa.array(order))
+            poffs = np.frombuffer(taken.buffers()[1], dtype=np.int64)[
+                taken.offset : taken.offset + len(taken) + 1
+            ]
+            pdata_buf = taken.buffers()[2]
+            pos_data = (
+                np.frombuffer(pdata_buf, dtype=np.uint8)[poffs[0] : poffs[-1]]
+                if pdata_buf is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            pos_cum = (poffs - poffs[0]).astype(np.int64)
+            pos_blob = _blob_arr(pos_cum, pos_data)
+        else:
+            pos_blob = pa.Array.from_buffers(
+                pa.large_binary(),
+                T,
+                [
+                    None,
+                    pa.py_buffer(np.zeros(T + 1, dtype=np.int64).tobytes()),
+                    pa.py_buffer(b""),
+                ],
+            )
+
         term_vals = vocab.take(pa.array(codes[starts])).cast(pa.string())
         return pa.table(
             {
@@ -517,6 +574,7 @@ def make_encode_group_fn(
                 "cf": pa.array(np.add.reduceat(tf.astype(np.uint64), starts)),
                 "doc_blob": _blob_arr(doc_cum, doc_bytes),
                 "tf_blob": _blob_arr(tf_cum, tf_bytes),
+                "pos_blob": pos_blob,
                 "block_last_doc": _list_arr(last_b, pa.uint64()),
                 "block_doc_off": _list_arr(doff_b, pa.uint32()),
                 "block_tf_off": _list_arr(toff_b, pa.uint32()),
@@ -778,10 +836,10 @@ def _merge_task_fns():
         import pyarrow.parquet as _pq
 
         explode = make_explode_fn(cfg, with_bucket=True, emit_dl=False)
-        tbls = [
-            explode(_pq.read_table(f, columns=["doc_id", "length", "term", "tf"]))
-            for f in files
-        ]
+        tok_cols = ["doc_id", "length", "term", "tf"] + (
+            ["pos"] if cfg.positions else []
+        )
+        tbls = [explode(_pq.read_table(f, columns=tok_cols)) for f in files]
         t = pa.concat_tables(tbls).combine_chunks() if len(tbls) > 1 else tbls[0]
         n_grp = cfg.term_parts * (1 << cfg.bucket_bits)
         grp = t.column("grp").to_numpy(zero_copy_only=False)
@@ -1007,7 +1065,7 @@ def build_index(
         critical = (
             "bucket_bits", "term_parts", "key_cols", "id_col",
             "posting_space", "content_col", "block_size", "per_bucket_merge",
-            "id_bits", "check_collisions", "analyzer",
+            "id_bits", "check_collisions", "analyzer", "positions",
         )
         new_cfg = asdict(cfg)
         diffs = {
@@ -1143,7 +1201,7 @@ def build_index(
         t = StageTimer()
         tok_files = sorted(glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True))
         all_cols = pads.dataset(tok_files[0]).schema.names
-        dm_cols = [c for c in all_cols if c not in ("term", "tf")]
+        dm_cols = [c for c in all_cols if c not in ("term", "tf", "pos")]
         if cfg.write_docmap:
             dm = rd.read_parquet(
                 tok_files, columns=dm_cols, override_num_blocks=2 * ncpus
@@ -1171,6 +1229,7 @@ def build_index(
             "id_mode": "int" if cfg.id_col else "keys",
             "posting_space": cfg.posting_space,
             "analyzer": cfg.analyzer,
+            "positions": bool(cfg.positions),
         }
         man.data["stats"] = stats
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
@@ -1224,7 +1283,8 @@ def build_index(
                 continue
             tk = rd.read_parquet(
                 bfiles,
-                columns=["doc_id", "length", "term", "tf"],
+                columns=["doc_id", "length", "term", "tf"]
+                + (["pos"] if cfg.positions else []),
                 override_num_blocks=2 * ncpus,
             )
             triples = tk.map_batches(explode_fn, batch_format="pyarrow")
@@ -1580,13 +1640,17 @@ def compact_index(index_dir: str) -> dict:
     )
     n_parts = cfg.term_parts
 
+    with_pos = bool(getattr(cfg, "positions", False))
+
     def make_decode_rows(gen_idx: int):
         def decode_rows(batch: pa.Table) -> pa.Table:
             from .codec import decode_postings
 
             terms_out, docs_out, tfs_out = [], [], []
+            pos_parts, pos_len_parts = [], []
             doc_blobs = batch["doc_blob"].to_pylist()
             tf_blobs = batch["tf_blob"].to_pylist()
+            pos_blobs = batch["pos_blob"].to_pylist() if with_pos else None
             cnt_col = batch["block_count"]
             if isinstance(cnt_col, pa.ChunkedArray):
                 cnt_col = cnt_col.combine_chunks()
@@ -1599,19 +1663,46 @@ def compact_index(index_dir: str) -> dict:
                 docs_out.append(d)
                 tfs_out.append(tf)
                 terms_out.append(np.full(d.size, i, dtype=np.int64))
+                if with_pos:
+                    # re-split the term's position blob into per-posting
+                    # byte spans WITHOUT decoding: a varint ends on the
+                    # first byte with the continuation bit clear, and
+                    # posting j owns the next tf_j varints
+                    blob = np.frombuffer(pos_blobs[i], dtype=np.uint8)
+                    pos_parts.append(blob)
+                    if tf.size:
+                        vend = np.flatnonzero(blob < 128) + 1
+                        cut = vend[np.cumsum(tf.astype(np.int64)) - 1]
+                        pos_len_parts.append(
+                            np.diff(np.concatenate(([0], cut)))
+                        )
+                    else:
+                        pos_len_parts.append(np.empty(0, dtype=np.int64))
             if not docs_out:
-                return pa.table(
-                    {
-                        "grp": pa.array([], type=pa.uint32()),
-                        "term": pa.array([], type=pa.string()),
-                        "doc_id": pa.array([], type=pa.uint64()),
-                        "tf": pa.array([], type=pa.uint32()),
-                        "dl": pa.array([], type=pa.uint32()),
-                    }
-                )
+                cols0 = {
+                    "grp": pa.array([], type=pa.uint32()),
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.uint64()),
+                    "tf": pa.array([], type=pa.uint32()),
+                    "dl": pa.array([], type=pa.uint32()),
+                }
+                if with_pos:
+                    cols0["pos"] = pa.array([], type=pa.large_binary())
+                return pa.table(cols0)
             row_idx = np.concatenate(terms_out)
             docs = np.concatenate(docs_out)
             tfs = np.concatenate(tfs_out)
+            if with_pos:
+                pdata = (
+                    np.concatenate(pos_parts)
+                    if pos_parts
+                    else np.empty(0, dtype=np.uint8)
+                )
+                plens = (
+                    np.concatenate(pos_len_parts).astype(np.int64)
+                    if pos_len_parts
+                    else np.empty(0, dtype=np.int64)
+                )
             if position:
                 if gen_ref is not None:
                     gi, gl = ray.get(gen_ref)
@@ -1629,21 +1720,44 @@ def compact_index(index_dir: str) -> dict:
                 if tmb.size:
                     p = np.minimum(np.searchsorted(tmb, docs), tmb.size - 1)
                     keep = tmb[p] != docs
+                    if with_pos and not keep.all():
+                        # gather the surviving postings' variable-length
+                        # byte spans (vectorized repeat/cumsum gather)
+                        offs = np.concatenate(([0], np.cumsum(plens)))
+                        sel = np.flatnonzero(keep)
+                        kl = plens[sel]
+                        total = int(kl.sum())
+                        within = np.arange(total, dtype=np.int64) - np.repeat(
+                            np.concatenate(([0], np.cumsum(kl)[:-1])), kl
+                        )
+                        pdata = pdata[np.repeat(offs[sel], kl) + within]
+                        plens = kl
                     row_idx, docs, tfs, dl = (
                         row_idx[keep], docs[keep], tfs[keep], dl[keep]
                     )
             term_arr = pa.array(terms, type=pa.string()).take(pa.array(row_idx))
             th = term_group_hash(pa.array(terms, type=pa.string()), n_parts)
             grp = th[row_idx] * np.uint32(n_buckets) + bucket_of(docs, cfg.bucket_bits)
-            return pa.table(
-                {
-                    "grp": pa.array(grp, type=pa.uint32()),
-                    "term": term_arr,
-                    "doc_id": pa.array(docs, type=pa.uint64()),
-                    "tf": pa.array(tfs.astype(np.uint32)),
-                    "dl": pa.array(dl.astype(np.uint32)),
-                }
-            )
+            cols = {
+                "grp": pa.array(grp, type=pa.uint32()),
+                "term": term_arr,
+                "doc_id": pa.array(docs, type=pa.uint64()),
+                "tf": pa.array(tfs.astype(np.uint32)),
+                "dl": pa.array(dl.astype(np.uint32)),
+            }
+            if with_pos:
+                cols["pos"] = pa.Array.from_buffers(
+                    pa.large_binary(),
+                    plens.size,
+                    [
+                        None,
+                        pa.py_buffer(
+                            np.concatenate(([0], np.cumsum(plens))).tobytes()
+                        ),
+                        pa.py_buffer(np.ascontiguousarray(pdata)),
+                    ],
+                )
+            return pa.table(cols)
 
         return decode_rows
 

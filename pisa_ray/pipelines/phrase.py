@@ -437,3 +437,250 @@ def proximity_search(
     return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
         drop=True
     )
+
+
+# --------------------------------------------------------------------------
+# index-native positional kernels (IndexConfig(positions=True))
+# --------------------------------------------------------------------------
+#
+# When the index stores positional postings, phrase and proximity
+# queries resolve ENTIRELY from the index — no corpus re-read. At
+# 100 TB the corpus-verify composition above re-streams candidate
+# rows' full text per query batch; the positional path touches only
+# the query terms' posting lists (the payload pattern real engines —
+# PISA, Lucene — use for positional queries).
+
+_POS_SHIFT = np.int64(1) << np.int64(32)  # doc-slot key packing; assumes
+# within-doc token positions < 2^32 (a single doc with 4G+ tokens is
+# rejected far earlier by batch sizing)
+
+
+def _candidate_positions(reader: IndexReader, uniq_terms: list[str], doc_mask):
+    """Conjunctive candidate docmap positions + per-term positional
+    decodes. Returns (cand, per_term) or (empty, None) when any term
+    is OOV / the intersection dies. Smallest-list-first intersection —
+    cost bounded by the rarest term, same as ``score_conj``."""
+    from ..scorer import _fold_live
+
+    per: dict[str, tuple] = {}
+    for t in uniq_terms:
+        pos, _tfs, poff, tokpos = reader.decode_term_positions(t)
+        if pos.size == 0:
+            return np.empty(0, dtype=np.int64), None
+        per[t] = (pos, poff, tokpos)
+    mask = _fold_live(reader, doc_mask)
+    cand = None
+    for t in sorted(uniq_terms, key=lambda x: per[x][0].size):
+        p = per[t][0]
+        if cand is None:
+            cand = p
+        else:
+            idx = np.minimum(np.searchsorted(p, cand), p.size - 1)
+            cand = cand[p[idx] == cand]
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64), None
+    if mask is not None:
+        cand = cand[mask[cand]]
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64), None
+    return cand.astype(np.int64), per
+
+
+def _gather_occurrences(per_term_entry, cand: np.ndarray):
+    """All within-doc token positions of one term in the candidate
+    docs -> (cand_slot, tokpos) flat arrays (vectorized variable-length
+    gather; every candidate is in the term's posting list)."""
+    pos, poff, tokpos = per_term_entry
+    idx = np.searchsorted(pos, cand)
+    lens = poff[idx + 1] - poff[idx]
+    total = int(lens.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+    )
+    flat_idx = np.repeat(poff[idx], lens) + within
+    slots = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+    return slots, tokpos[flat_idx]
+
+
+def score_phrase(
+    reader: IndexReader, text: str, doc_mask: np.ndarray | None = None
+) -> np.ndarray:
+    """Docmap positions (ascending) of every live doc whose token
+    stream contains the query phrase contiguously — resolved purely
+    from positional postings.
+
+    Exact adjacency by sorted-set algebra: occurrence of token i at
+    position p contributes key (doc_slot, p - i); a phrase match is a
+    key present for EVERY i (successive ``np.intersect1d`` over unique
+    key sets). Repeated phrase tokens work unchanged (same list,
+    different shifts). Cost: the query terms' postings + positions
+    only."""
+    tokens = reader.tokenize(text)
+    if not tokens:
+        return np.empty(0, dtype=np.int64)
+    cand, per = _candidate_positions(reader, sorted(set(tokens)), doc_mask)
+    if cand.size == 0:
+        return cand
+    if len(tokens) == 1:
+        return cand
+    cur = None
+    for i, t in enumerate(tokens):
+        slots, p = _gather_occurrences(per[t], cand)
+        ok = p >= i
+        keys = slots[ok] * _POS_SHIFT + (p[ok] - np.int64(i))
+        cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+        if cur.size == 0:
+            return np.empty(0, dtype=np.int64)
+    return cand[np.unique(cur >> np.int64(32))]
+
+
+def phrase_search_index(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Index-native ``phrase_search``: same (query_id, doc_id) result
+    rows, zero corpus access (requires an index built with
+    ``IndexConfig(positions=True)``). doc_id is the index's
+    user-visible id domain (original int64 ids in ``id_col`` mode —
+    the mode parity tests use; raw 64-bit hashed ids in keys mode).
+    Distributed over the query axis: each task holds the broadcast
+    reader and resolves its query slice."""
+    from ..scorer import _broadcast_reader
+
+    if not queries:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64")}
+        )
+    reader_ref = _broadcast_reader(index_dir)
+
+    @ray.remote(num_cpus=1)
+    def part(qs: list[tuple[int, str]], ref) -> pa.Table:
+        reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
+        qids, docs = [], []
+        for qid, text in qs:
+            m = score_phrase(reader, text)
+            if m.size:
+                qids.append(np.full(m.size, qid, dtype=np.int64))
+                docs.append(
+                    reader.out_ids(reader.doc_sorted[m]).astype(np.int64)
+                )
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids)),
+                "doc_id": pa.array(np.concatenate(docs)),
+            }
+        )
+
+    n = max(1, min(concurrency, len(queries)))
+    chunks = [queries[i::n] for i in range(n)]
+    parts = ray.get([part.remote(c, reader_ref) for c in chunks if c])
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def score_proximity(
+    reader: IndexReader,
+    text: str,
+    window: int,
+    doc_mask: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docmap positions, minimal cover spans) of every live doc whose
+    token stream contains ALL query terms within ``span <= window``
+    tokens — ``proximity_search`` semantics (unordered min-cover,
+    ``_min_cover_span``), resolved purely from positional postings."""
+    terms = sorted(set(reader.tokenize(text)))
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    cand, per = _candidate_positions(reader, terms, doc_mask)
+    if cand.size == 0:
+        return cand, np.empty(0, dtype=np.int64)
+    k = len(terms)
+    slot_parts, pos_parts, lab_parts = [], [], []
+    for i, t in enumerate(terms):
+        slots, p = _gather_occurrences(per[t], cand)
+        slot_parts.append(slots)
+        pos_parts.append(p)
+        lab_parts.append(np.full(slots.size, i, dtype=np.int64))
+    slots = np.concatenate(slot_parts)
+    poss = np.concatenate(pos_parts)
+    labs = np.concatenate(lab_parts)
+    order = np.lexsort((poss, slots))
+    slots, poss, labs = slots[order], poss[order], labs[order]
+    starts = np.concatenate(([0], np.cumsum(np.bincount(slots, minlength=cand.size))))
+    out_d, out_s = [], []
+    for d in range(cand.size):
+        lo, hi = starts[d], starts[d + 1]
+        span = _min_cover_span(poss[lo:hi], labs[lo:hi], k)
+        if span <= window:
+            out_d.append(int(cand[d]))
+            out_s.append(span)
+    return (
+        np.asarray(out_d, dtype=np.int64),
+        np.asarray(out_s, dtype=np.int64),
+    )
+
+
+def proximity_search_index(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    window: int,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Index-native ``proximity_search``: same (query_id, doc_id, span)
+    rows, zero corpus access (positional index required)."""
+    from ..scorer import _broadcast_reader
+
+    empty_df = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "span": pd.Series(dtype="int64"),
+        }
+    )
+    if not queries:
+        return empty_df
+    reader_ref = _broadcast_reader(index_dir)
+
+    @ray.remote(num_cpus=1)
+    def part(qs: list[tuple[int, str]], ref) -> pa.Table:
+        reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
+        qids, docs, spans = [], [], []
+        for qid, text in qs:
+            m, sp = score_proximity(reader, text, window)
+            if m.size:
+                qids.append(np.full(m.size, qid, dtype=np.int64))
+                docs.append(reader.out_ids(reader.doc_sorted[m]).astype(np.int64))
+                spans.append(sp)
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "span": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids)),
+                "doc_id": pa.array(np.concatenate(docs)),
+                "span": pa.array(np.concatenate(spans)),
+            }
+        )
+
+    n = max(1, min(concurrency, len(queries)))
+    chunks = [queries[i::n] for i in range(n)]
+    parts = ray.get([part.remote(c, reader_ref) for c in chunks if c])
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )

@@ -70,6 +70,12 @@ SEGMENT = pa.schema(
         ("cf", pa.uint64()),
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
+        # within-doc token positions (IndexConfig.positions=True):
+        # varint gap streams concatenated in posting order — posting i
+        # owns the next tf_i varints, so no per-posting offsets are
+        # stored. Empty per term when the index was built without
+        # positions (readers gate on stats.json "positions").
+        ("pos_blob", pa.large_binary()),
         ("block_last_doc", pa.large_list(pa.uint64())),
         ("block_doc_off", pa.large_list(pa.uint32())),
         ("block_tf_off", pa.large_list(pa.uint32())),

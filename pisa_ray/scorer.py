@@ -185,6 +185,15 @@ class IndexReader:
 
         self.doc_data, self.doc_offs = _flat_binary(t["doc_blob"])
         self.tf_data, self.tf_offs = _flat_binary(t["tf_blob"])
+        # positional payload (format v6, IndexConfig.positions=True);
+        # pre-v6 segment files lack the column entirely
+        self.has_positions = bool(self.stats.get("positions", False))
+        if self.has_positions and "pos_blob" in t.column_names:
+            self.pos_data, self.pos_offs = _flat_binary(t["pos_blob"])
+        else:
+            self.pos_data, self.pos_offs = None, None
+            self.has_positions = False
+        self._pos_cache: dict = {}
         self.blk_last, self.blk_offs = _flat(t["block_last_doc"], np.uint64)
         self.blk_doff, _ = _flat(t["block_doc_off"])
         self.blk_toff, _ = _flat(t["block_tf_off"])
@@ -437,6 +446,11 @@ class IndexReader:
                     "gen": int(self.run_gen[r]),
                     "doc_blob": self.doc_data[self.doc_offs[r]:self.doc_offs[r + 1]],
                     "tf_blob": self.tf_data[self.tf_offs[r]:self.tf_offs[r + 1]],
+                    "pos_blob": (
+                        self.pos_data[self.pos_offs[r]:self.pos_offs[r + 1]]
+                        if self.pos_offs is not None
+                        else None
+                    ),
                     "last": self.blk_last[b0:b1],
                     "doff": self.blk_doff[b0:b1],
                     "toff": self.blk_toff[b0:b1],
@@ -656,6 +670,84 @@ class IndexReader:
             order = np.argsort(docs, kind="stable")
             docs, tfs = docs[order], tfs[order]
         return docs, tfs
+
+    def decode_term_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Full positional decode of a term across all runs.
+
+        Returns ``(pos, tfs, poff, tokpos)``: ``pos`` = docmap
+        positions (``doc_sorted`` indices, ascending), ``tfs`` =
+        occurrence counts, ``poff`` = int64 posting offsets into
+        ``tokpos`` (posting i owns ``tokpos[poff[i]:poff[i+1]]``), and
+        ``tokpos`` = within-doc 0-based token positions (ascending per
+        posting). Run stitching, generation translation and interleave
+        re-sorting follow ``decode_term`` exactly; the variable-length
+        position lists are permuted with a vectorized repeat/cumsum
+        gather. Cached per actor (phrase batches repeat terms)."""
+        if not self.has_positions:
+            raise ValueError(
+                "index has no positional payload — rebuild with "
+                "IndexConfig(positions=True) for index-native phrase/"
+                "proximity queries (corpus-verify phrase_search works "
+                "without it)"
+            )
+        cached = self._pos_cache.get(term)
+        if cached is not None:
+            return cached
+        runs = self.runs_of(term)
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+        if not runs:
+            return empty
+        translate = bool(self.gens) and self.posting_space == "position"
+        ds, ts, fs = [], [], []
+        from .codec import varint_decode
+
+        for r in runs:
+            d, t = decode_postings(r["doc_blob"], r["tf_blob"], r["cnt"])
+            if d.size == 0:
+                continue
+            gaps = varint_decode(r["pos_blob"]).astype(np.int64)
+            lens = t.astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            cum = np.cumsum(gaps)
+            base = cum[starts] - gaps[starts]
+            tokpos = cum - np.repeat(base, lens)
+            if translate:
+                ids_g = self.gen_ids[r["gen"]]
+                d = np.searchsorted(
+                    self.doc_sorted, ids_g[d.astype(np.int64)]
+                ).astype(np.uint64)
+            ds.append(d)
+            ts.append(t)
+            fs.append(tokpos)
+        if not ds:
+            return empty
+        docs = np.concatenate(ds)
+        tfs = np.concatenate(ts)
+        tokpos = np.concatenate(fs)
+        pos = self._positions_of(docs)
+        if pos.size > 1 and not np.all(pos[1:] > pos[:-1]):
+            order = np.argsort(pos, kind="stable")
+            lens = tfs.astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            kl = lens[order]
+            total = int(kl.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(kl)[:-1])), kl
+            )
+            tokpos = tokpos[np.repeat(offs[order], kl) + within]
+            pos, tfs = pos[order], tfs[order]
+        poff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        out = (pos, tfs, poff, tokpos)
+        if len(self._pos_cache) < 1024:
+            self._pos_cache[term] = out
+        return out
 
 
 # --------------------------------------------------------------------------

@@ -206,13 +206,22 @@ def tokenize_flat(
 def doc_term_counts(
     content: pa.ChunkedArray | pa.Array,
     analyzer: str = "simple",
-) -> tuple[pa.LargeListArray, pa.LargeListArray, np.ndarray]:
+    with_positions: bool = False,
+) -> tuple:
     """Vectorized per-doc term counting.
 
     Returns (terms: list<string> per doc, tfs: list<uint32> per doc,
     doc_len: int64 token count per doc). Terms within a doc are sorted
     lexicographically (deterministic layout at any parallelism).
-    """
+
+    ``with_positions=True`` appends a 4th element: per-doc
+    ``list<large_binary>`` aligned with ``terms`` — each entry is the
+    VARINT-encoded gap stream of the term's within-doc token positions
+    (0-based, post-empty-drop; first value absolute, rest deltas, so
+    the bytes are ready to concatenate into the index's positional
+    posting blobs with no re-encode). tf == number of positions by
+    construction, which is what lets readers split the flat stream
+    without storing per-posting offsets."""
     flat, parents, n_docs = tokenize_flat(content, analyzer)
 
     # doc lengths (token counts after dropping empties)
@@ -225,6 +234,12 @@ def doc_term_counts(
         empty_tfs = pa.LargeListArray.from_arrays(
             np.zeros(n_docs + 1, dtype=np.int64), pa.array([], type=pa.uint32())
         )
+        if with_positions:
+            empty_pos = pa.LargeListArray.from_arrays(
+                np.zeros(n_docs + 1, dtype=np.int64),
+                pa.array([], type=pa.large_binary()),
+            )
+            return empty_terms, empty_tfs, doc_len, empty_pos
         return empty_terms, empty_tfs, doc_len
 
     # dictionary-encode tokens -> integer codes, then count (doc, code)
@@ -251,7 +266,14 @@ def doc_term_counts(
         key = parents.astype(np.uint32) * np.uint32(V) + ranks.astype(np.uint32)
     else:
         key = parents.astype(np.int64) * np.int64(V) + ranks
-    skey = np.sort(key, kind="stable")
+    if with_positions:
+        # positions need the permutation, not just the sorted keys: a
+        # stable argsort keeps each (doc, term) group's occurrences in
+        # original token order, i.e. strictly increasing position
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+    else:
+        skey = np.sort(key, kind="stable")
     mask = np.empty(skey.size, dtype=bool)
     mask[0] = True
     np.not_equal(skey[1:], skey[:-1], out=mask[1:])
@@ -270,7 +292,30 @@ def doc_term_counts(
     tf_vals = pa.array(counts.astype(np.uint32))
     terms = pa.LargeListArray.from_arrays(offsets, term_vals)
     tfs = pa.LargeListArray.from_arrays(offsets, tf_vals)
-    return terms, tfs, doc_len
+    if not with_positions:
+        return terms, tfs, doc_len
+
+    from .codec import varint_encode, varint_lengths
+
+    # within-doc token position of every flat token, gathered into the
+    # sorted (doc, term) stream; gaps reset at group starts (`first`)
+    doc_starts = np.concatenate(([0], np.cumsum(doc_len[:-1])))
+    spos = (np.arange(parents.size, dtype=np.int64) - doc_starts[parents])[order]
+    gaps = spos.copy()
+    gaps[1:] -= spos[:-1]
+    gaps[first] = spos[first]
+    gaps_u = gaps.astype(np.uint64)
+    blens = varint_lengths(gaps_u)
+    pbytes = varint_encode(gaps_u, _nbytes=blens)
+    goffs = np.zeros(first.size + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(blens, first), out=goffs[1:])
+    pos_bin = pa.Array.from_buffers(
+        pa.large_binary(),
+        first.size,
+        [None, pa.py_buffer(goffs), pa.py_buffer(np.ascontiguousarray(pbytes))],
+    )
+    poslists = pa.LargeListArray.from_arrays(offsets, pos_bin)
+    return terms, tfs, doc_len, poslists
 
 
 def sha256_column(content: pa.ChunkedArray | pa.Array) -> pa.Array:
