@@ -87,6 +87,8 @@ def _index_dir(sf_dir: str) -> str:
             bucket_bits=2,
             term_parts=16,
             posting_space="position",  # rank-gap postings (4x smaller)
+            positions=True,  # positional payload: phrase/proximity
+            # entries resolve index-natively (no corpus re-read)
         ),
         resume=True,
     )
@@ -1176,14 +1178,15 @@ DECONTAM_K = 3  # token k-gram width (3 keeps the 26-word synthetic vocab discri
 
 
 def q_phrase_search(sf_dir: str):
-    """Exact phrase (contiguous token sequence) matching: conjunctive
-    index prune + vectorized corpus verify (pipelines/phrase.py)."""
-    from pisa_ray.pipelines.phrase import phrase_search
+    """Exact phrase (contiguous token sequence) matching, resolved
+    INDEX-NATIVELY from positional postings (IndexConfig(positions=
+    True), pipelines/phrase.py score_phrase) — zero corpus access; the
+    DuckDB oracle still verifies against the raw text, so the entire
+    positional pipeline (tokenize-time gap encode, shuffle, segment
+    pos_blob, reader decode, adjacency set algebra) is hash-checked."""
+    from pisa_ray.pipelines.phrase import phrase_search_index
 
-    idx = _index_dir(sf_dir)
-    return phrase_search(
-        PHRASE_QUERIES, idx, _docs(sf_dir, ["doc_id", "text"])
-    )
+    return phrase_search_index(PHRASE_QUERIES, _index_dir(sf_dir))
 
 
 def q_decontaminate(sf_dir: str):

@@ -394,10 +394,32 @@ def main() -> None:
 
         E._index_dir(sf_dir)  # warm the documents index (cached across
         # rounds) so phrase_search_sec times the query, not a build
+        # index-native positional paths (the entry surface)...
         timed("phrase_search_sec", E.q_phrase_search)
         timed("hybrid_search_sec", E.q_hybrid_search)
 
-        def prox(sf):
+        def prox_index(sf):
+            from pisa_ray.pipelines.phrase import proximity_search_index
+
+            return proximity_search_index(
+                [(i, t) for i, (_, t) in enumerate(E.PHRASE_QUERIES[:3])],
+                E._index_dir(sf),
+                window=12,
+            )
+
+        timed("proximity_search_sec", prox_index)
+
+        # ...vs the position-free composition (conjunctive prune +
+        # corpus verify), kept on the record to show what positional
+        # payloads buy: the corpus re-read disappears from the query
+        def phrase_corpus(sf):
+            from pisa_ray.pipelines.phrase import phrase_search
+
+            return phrase_search(
+                E.PHRASE_QUERIES, E._index_dir(sf), E._docs(sf, ["doc_id", "text"])
+            )
+
+        def prox_corpus(sf):
             from pisa_ray.pipelines.phrase import proximity_search
 
             return proximity_search(
@@ -407,7 +429,8 @@ def main() -> None:
                 window=12,
             )
 
-        timed("proximity_search_sec", prox)
+        timed("phrase_corpus_verify_sec", phrase_corpus)
+        timed("proximity_corpus_verify_sec", prox_corpus)
 
     headline = results["index_build_sec"] + results["bm25_taat_sec"]
     print(
