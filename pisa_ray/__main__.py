@@ -51,10 +51,17 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--per-bucket-merge", action="store_true")
     b.add_argument(
+        "--positions",
+        action="store_true",
+        help="store within-doc token positions (index-native phrase/"
+        "proximity queries)",
+    )
+    b.add_argument(
         "--analyzer",
         default="simple",
-        choices=["simple", "code"],
-        help="'code' splits camelCase/snake_case identifiers into sub-tokens",
+        choices=["simple", "code", "porter", "code_porter"],
+        help="'code' splits camelCase/snake_case identifiers into "
+        "sub-tokens; 'porter'/'code_porter' add Porter stemming",
     )
 
     a = sub.add_parser("append", help="append a delta corpus as a new generation")
@@ -164,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
             meta_cols=tuple(x for x in args.meta_cols.split(",") if x),
             per_bucket_merge=args.per_bucket_merge,
             analyzer=args.analyzer,
+            positions=args.positions,
         )
         man = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
         print(json.dumps(man["stats"]))

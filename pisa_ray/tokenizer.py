@@ -37,7 +37,10 @@ TOKEN_SPLIT_SQL = "[^a-z0-9_]+"
 #             foo/bar, "HTTPServer2" -> http/server2. Boundaries:
 #             non-alphanumeric byte; lower|digit -> Upper; Upper ->
 #             Upper+lower (acronym end). Digit<->letter stays joined.
-ANALYZERS = ("simple", "code")
+# "porter" = simple tokenization + Porter stemming; "code_porter" =
+# code-aware identifier splitting + Porter stemming (stem.py). The
+# stem is applied per unique token (dictionary), not per occurrence.
+ANALYZERS = ("simple", "code", "porter", "code_porter")
 
 
 def tokenize_column(content: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -110,7 +113,8 @@ def tokenize_flat(
         raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    code = analyzer == "code"
+    code = analyzer in ("code", "code_porter")
+    stem = analyzer in ("porter", "code_porter")
     lowered = content if code else pc.utf8_lower(content)
     n_docs = len(lowered)
     if n_docs == 0:
@@ -192,6 +196,19 @@ def tokenize_flat(
         starts.size,
         [None, pa.py_buffer(tok_off), pa.py_buffer(tok_bytes)],
     )
+    if stem:
+        # stem the batch's token DICTIONARY (unique tokens ≪
+        # occurrences) and gather back — token COUNT and positions are
+        # unchanged (stemming is 1:1), so parents/doc lengths hold
+        from .stem import stem_tokens
+
+        denc = flat.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        stemmed = pa.array(
+            stem_tokens(denc.dictionary.to_pylist()), type=pa.large_string()
+        )
+        flat = stemmed.take(denc.indices)
     # parents: count tokens per doc (n_docs small searches into the
     # sorted starts) then repeat — ~6x cheaper than searchsorted per
     # token. A start exactly at an inner doc boundary counts as < the
@@ -339,13 +356,18 @@ def tokenize_py(text: str, analyzer: str = "simple") -> list[str]:
     in ORIGINAL case, then ASCII-lower each token."""
     import re
 
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
+    if analyzer in ("porter", "code_porter"):
+        from .stem import porter_stem
+
+        base = "code" if analyzer == "code_porter" else "simple"
+        return [porter_stem(t) for t in tokenize_py(text, base)]
     if analyzer == "code":
         s = re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", text)
         s = re.sub(r"([A-Z])([A-Z][a-z])", r"\1 \2", s)
         # tokens are pure [a-zA-Z0-9]; .lower() on them is exact ASCII
         return [t.lower() for t in re.split(r"[^a-zA-Z0-9]+", s) if t]
-    if analyzer != "simple":
-        raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
     if text.isascii():
         # ASCII fast path (virtually every query): simple and full
         # case mappings agree, skip the pyarrow kernel dispatch
