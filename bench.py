@@ -237,6 +237,27 @@ def main() -> None:
         results["bm25_bool_qps"] = round(N_QUERIES / dt, 1)
         results["bm25_bool_hits"] = len(bhits)
 
+        # ---- RM3 pseudo-relevance feedback ------------------------------
+        # two retrieval passes + fb_docs forward-store lookups per
+        # query, so a smaller burst; QPS contextualizes the expansion
+        # overhead vs plain TAAT (expect ~3-5x per-query cost)
+        from pisa_ray.pipelines.feedback import query_index_rm3
+
+        n_rm3 = max(64, N_QUERIES // 16)
+        rq = [
+            (int(q), str(t))
+            for q, t in zip(
+                qt["query_id"].to_pylist()[:n_rm3], qt["text"].to_pylist()[:n_rm3]
+            )
+        ]
+        wait_cpus_free(pool)
+        t0 = time.perf_counter()
+        rhits = query_index_rm3(rq, idx_dir, k=10, concurrency=pool)
+        dt = time.perf_counter() - t0
+        results["bm25_rm3_sec"] = round(dt, 3)
+        results["bm25_rm3_qps"] = round(n_rm3 / dt, 1)
+        results["bm25_rm3_hits"] = len(rhits)
+
     # ---- serving-tier QPS (persistent actor pool) -----------------------
     # the steady-state serving shape: pool built ONCE (untimed, as a
     # server is), then the full query set in one timed burst with cold
