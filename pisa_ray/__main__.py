@@ -116,9 +116,15 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--method",
         default="auto",
-        choices=["auto", "taat", "bmw", "conj", "bool", "qld", "maxscore"],
+        choices=["auto", "taat", "bmw", "conj", "bool", "qld", "maxscore", "rm3"],
     )
     q.add_argument("--concurrency", type=int, default=4)
+    q.add_argument("--fb-docs", type=int, default=10, help="rm3: feedback docs")
+    q.add_argument("--fb-terms", type=int, default=10, help="rm3: expansion terms")
+    q.add_argument(
+        "--orig-weight", type=float, default=0.5,
+        help="rm3: original-query interpolation weight (1.0 = no feedback)",
+    )
     q.add_argument("--out", default=None, help="output parquet dir (default: stdout)")
     q.add_argument("--filter", default=None, help="col=value metadata predicate")
     q.add_argument(
@@ -265,6 +271,37 @@ def main(argv: list[str] | None = None) -> int:
         if args.filter:
             col, _, val = args.filter.partition("=")
             doc_filter = (col, val)
+        if args.method == "rm3":
+            import pyarrow.parquet as pq
+
+            from pisa_ray.pipelines.feedback import query_index_rm3
+
+            if doc_filter or args.expand:
+                raise SystemExit("--method rm3 does not combine with --filter/--expand")
+            qt = pq.read_table(args.queries)
+            df = query_index_rm3(
+                [
+                    (int(a), str(b))
+                    for a, b in zip(
+                        qt["query_id"].to_pylist(), qt["text"].to_pylist()
+                    )
+                ],
+                args.index,
+                k=args.k,
+                fb_docs=args.fb_docs,
+                fb_terms=args.fb_terms,
+                orig_weight=args.orig_weight,
+                concurrency=args.concurrency,
+            )
+            if args.out:
+                import pyarrow as pa_
+
+                pq.write_table(pa_.Table.from_pandas(df), args.out)
+                print(json.dumps({"rows": len(df), "out": args.out}))
+            else:
+                for row in df.itertuples(index=False):
+                    print(json.dumps(row._asdict()))
+            return 0
         hits = query_index(
             rd.read_parquet(args.queries),
             args.index,

@@ -1337,11 +1337,16 @@ def _write_lexicon(
             "compacting or appending to it"
         )
     n_rows = sum(pads.dataset(f).count_rows() for f in seg_files)
+    has_pos = bool(seg_files) and "pos_blob" in pads.dataset(seg_files[0]).schema.names
     metrics = None
     if n_rows <= 5_000_000:
         from .schema import LEXICON
 
-        cols = ["term", "df", "cf"] + (["doc_blob", "tf_blob"] if with_metrics else [])
+        cols = ["term", "df", "cf"] + (
+            ["doc_blob", "tf_blob"] + (["pos_blob"] if has_pos else [])
+            if with_metrics
+            else []
+        )
         tables = [pq.read_table(f, columns=cols) for f in seg_files]
         t = (
             pa.concat_tables(tables)
@@ -1355,6 +1360,11 @@ def _write_lexicon(
                 t = SEGMENT.empty_table()
             doc_bytes = int(pc.sum(pc.binary_length(t["doc_blob"])).as_py() or 0)
             tf_bytes = int(pc.sum(pc.binary_length(t["tf_blob"])).as_py() or 0)
+            pos_bytes = (
+                int(pc.sum(pc.binary_length(t["pos_blob"])).as_py() or 0)
+                if has_pos and "pos_blob" in t.column_names
+                else 0
+            )
             postings = int(pc.sum(t["df"]).as_py() or 0)
             metrics = {
                 "segment_rows": t.num_rows,
@@ -1366,6 +1376,11 @@ def _write_lexicon(
                 ),
                 "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
             }
+            if pos_bytes:
+                metrics["pos_blob_bytes"] = pos_bytes
+                metrics["pos_bytes_per_occurrence"] = round(
+                    pos_bytes / max(1, int(pc.sum(t["cf"]).as_py() or 0)), 3
+                )
             t = t.select(["term", "df", "cf"])
         lex = (
             t.group_by("term")
@@ -1404,11 +1419,23 @@ def _write_lexicon(
                         [int(pc.sum(pc.binary_length(b["tf_blob"])).as_py() or 0)],
                         type=pa.int64(),
                     ),
+                    "pos_b": pa.array(
+                        [
+                            int(pc.sum(pc.binary_length(b["pos_blob"])).as_py() or 0)
+                            if "pos_blob" in b.column_names
+                            else 0
+                        ],
+                        type=pa.int64(),
+                    ),
                 }
             )
 
         agg = (
-            rd.read_parquet(seg_files, columns=["df", "doc_blob", "tf_blob"])
+            rd.read_parquet(
+                seg_files,
+                columns=["df", "doc_blob", "tf_blob"]
+                + (["pos_blob"] if has_pos else []),
+            )
             .map_batches(sizes, batch_format="pyarrow")
             .to_pandas()
             .sum()
@@ -1423,6 +1450,8 @@ def _write_lexicon(
             ),
             "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
         }
+        if int(agg["pos_b"]):
+            metrics["pos_blob_bytes"] = int(agg["pos_b"])
     return metrics
 
 

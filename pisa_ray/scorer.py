@@ -371,6 +371,8 @@ class IndexReader:
                 self.run_avgdl,
             )
         )
+        if self.pos_data is not None:
+            postings += self.pos_data.nbytes + self.pos_offs.nbytes
         docmap = self.doc_sorted.nbytes + self.len_sorted.nbytes
         docmap += sum(g.nbytes for g in self.gen_ids)
         docmap += sum(g.nbytes for g in self.gen_lens)
