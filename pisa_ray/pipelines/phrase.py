@@ -616,18 +616,35 @@ def score_proximity(
     labs = np.concatenate(lab_parts)
     order = np.lexsort((poss, slots))
     slots, poss, labs = slots[order], poss[order], labs[order]
-    starts = np.concatenate(([0], np.cumsum(np.bincount(slots, minlength=cand.size))))
-    out_d, out_s = [], []
-    for d in range(cand.size):
-        lo, hi = starts[d], starts[d + 1]
-        span = _min_cover_span(poss[lo:hi], labs[lo:hi], k)
-        if span <= window:
-            out_d.append(int(cand[d]))
-            out_s.append(span)
-    return (
-        np.asarray(out_d, dtype=np.int64),
-        np.asarray(out_s, dtype=np.int64),
-    )
+    # vectorized min-cover across ALL candidate docs at once (replaces
+    # a per-doc Python sweep): the minimal covering window ENDING at
+    # occurrence j uses, per label, that label's latest occurrence <= j
+    # in the same doc; span_j = pos[j] - min_label(latest_pos) + 1, and
+    # the doc's min-cover is the min span_j over its occurrences —
+    # identical to the _min_cover_span two-pointer result.
+    n = slots.size
+    j = np.arange(n, dtype=np.int64)
+    min_prev = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
+    for lab in range(k):
+        iL = np.flatnonzero(labs == lab)
+        idx = np.searchsorted(iL, j, side="right") - 1
+        ok = idx >= 0
+        src = iL[np.maximum(idx, 0)]
+        ok &= slots[src] == slots
+        valid &= ok
+        lp = np.where(ok, poss[src], np.iinfo(np.int64).max)
+        np.minimum(min_prev, lp, out=min_prev)
+    span = np.where(valid, poss - min_prev + 1, np.iinfo(np.int64).max)
+    counts = np.bincount(slots, minlength=cand.size)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    best = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
+    nonempty = counts > 0  # every candidate has >=k occurrences, but be safe
+    if n:
+        red = np.minimum.reduceat(span, starts[:-1][nonempty])
+        best[nonempty] = red
+    hit = best <= window
+    return cand[hit].astype(np.int64), best[hit]
 
 
 def proximity_search_index(

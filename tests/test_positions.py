@@ -243,3 +243,41 @@ def test_phrase_repeated_and_oov_tokens(tmp_path):
     assert hits("gadget") == [1, 2, 4]
     assert hits("go zzz_unseen") == []
     assert hits("") == []
+
+
+def test_vectorized_min_cover_matches_two_pointer(tmp_path):
+    """score_proximity's vectorized all-docs min-cover == the
+    two-pointer _min_cover_span per doc, across windows/term counts."""
+    from pisa_ray.pipelines.phrase import (
+        _gather_occurrences,
+        _candidate_positions,
+        _min_cover_span,
+        score_proximity,
+    )
+    from pisa_ray.scorer import IndexReader
+
+    rows = _rows(31, 1, 251, VOCAB)
+    idx = _build(tmp_path, rows, name="mincover")
+    r = IndexReader(idx)
+    for text in ("merge sort", "parse json tree", "hash map node tree", "sort"):
+        terms = sorted(set(r.tokenize(text)))
+        cand, per = _candidate_positions(r, terms, None)
+        ref = {}
+        if cand.size:
+            occ = {int(c): ([], []) for c in cand}
+            for i, t in enumerate(terms):
+                slots, p = _gather_occurrences(per[t], cand)
+                for s, pp in zip(slots, p):
+                    occ[int(cand[s])][0].append(int(pp))
+                    occ[int(cand[s])][1].append(i)
+            for c, (ps, ls) in occ.items():
+                o = np.argsort(ps, kind="stable")
+                ref[c] = _min_cover_span(
+                    np.asarray(ps)[o], np.asarray(ls)[o], len(terms)
+                )
+        for window in (1, 2, 4, 9, 30):
+            docs, spans = score_proximity(r, text, window)
+            want = sorted(
+                (c, s) for c, s in ref.items() if s <= window
+            )
+            assert sorted(zip(docs.tolist(), spans.tolist())) == want, (text, window)
