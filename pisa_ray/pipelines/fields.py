@@ -1,0 +1,133 @@
+"""Multi-field weighted search: rank documents by a weighted sum of
+per-field BM25 scores (content + path + ... ), each field served by
+its own index over the SAME corpus.
+
+This is the composition form of fielded ranking (Lucene's
+per-field-query boolean-should shape): every field is a complete
+pisa_ray index built over the same documents with the same identity
+(same ``id_col``, or same ``key_cols`` — keys-derived docIDs are a
+pure function of the key columns, so indexes over different CONTENT
+columns of one corpus share the id domain by construction).
+
+  score(d) = Σ_f  w_f · BM25_f(q, d)
+
+with union semantics (a doc scoring in any field is a candidate; a
+field without the doc contributes 0) and the engine's standard
+(score desc, id asc) tie-break. Exact float64 — per field the full
+query-term posting union is scored (the same work TAAT does), then the
+sparse per-field score maps merge by doc id.
+
+True BM25F (per-field tf blended BEFORE saturation) needs per-field
+lengths in one posting payload — a different index format; the
+weighted-sum form is what compositional engines actually ship and is
+exactly reproducible from the per-field indexes this engine already
+builds. Scale shape: one broadcast reader per field, queries fan out
+over raw tasks, each task scores its query slice against every field
+reader — no shuffles, no corpus access.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..scorer import IndexReader, score_taat
+
+
+def score_multifield(
+    readers: list[tuple[IndexReader, float]],
+    text: str,
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    """Weighted-sum fielded BM25 for one query. ``readers`` =
+    [(field reader, weight), ...]; weights may differ per call."""
+    acc: dict[int, float] = {}
+    for reader, w in readers:
+        if w == 0.0:
+            continue
+        # full sparse scores over the query-term posting union: TAAT
+        # with k = corpus size returns every nonzero-scoring doc
+        for d, s in score_taat(reader, text, reader.n_docs or 1):
+            acc[d] = acc.get(d, 0.0) + w * s
+    if not acc:
+        return []
+    # tie-break on the USER-visible id domain: raw uint64 in keys mode
+    # (values exceed int64), original int64 in id_col mode
+    id_dtype = (
+        np.int64 if readers and readers[0][0].id_mode == "int" else np.uint64
+    )
+    ids = np.fromiter(acc.keys(), dtype=id_dtype, count=len(acc))
+    scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+    order = np.lexsort((ids, -scores))[: min(k, ids.size)]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+def multifield_search(
+    queries: list[tuple[int, str]],
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Batch fielded search -> (query_id, rank, doc_id, score) rows.
+
+    ``fields`` = [(index_dir, weight), ...]. All field indexes must
+    share the id domain (same ``id_mode``; build them over the same
+    corpus with the same id/key configuration)."""
+    from ..scorer import _broadcast_reader
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+    )
+    if not queries or not fields:
+        return empty
+    refs = [(_broadcast_reader(d), float(w)) for d, w in fields]
+    # id-domain rail: mixing an id_col index with a keys index would
+    # silently merge disjoint id spaces into nonsense rankings
+    modes = {
+        (r if isinstance(r, IndexReader) else ray.get(r)).id_mode for r, _ in refs
+    }
+    if len(modes) > 1:
+        raise ValueError(
+            f"field indexes disagree on id_mode ({sorted(modes)}) — build "
+            "every field over the same corpus with the same id/key config"
+        )
+    id_mode = next(iter(modes))
+
+    @ray.remote(num_cpus=1)
+    def part(qs, rrefs) -> pa.Table:
+        readers = [
+            (r if isinstance(r, IndexReader) else ray.get(r), w) for r, w in rrefs
+        ]
+        rows_q, rows_r, rows_d, rows_s = [], [], [], []
+        for qid, text in qs:
+            for rk, (d, s) in enumerate(
+                score_multifield(readers, text, k=k), start=1
+            ):
+                rows_q.append(qid)
+                rows_r.append(rk)
+                rows_d.append(d)
+                rows_s.append(s)
+        id_type = pa.int64() if id_mode == "int" else pa.uint64()
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "rank": pa.array(rows_r, type=pa.int32()),
+                "doc_id": pa.array(rows_d, type=id_type),
+                "score": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    n = max(1, min(concurrency, len(queries)))
+    chunks = [queries[i::n] for i in range(n)]
+    parts = ray.get([part.remote(c, refs) for c in chunks if c])
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values(["query_id", "rank"], kind="mergesort").reset_index(
+        drop=True
+    )
