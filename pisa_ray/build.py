@@ -882,7 +882,7 @@ def _merge_task_fns():
             from .schema import LEXICON
 
             _pq.write_table(SEGMENT.empty_table(), out_path)
-            return (0, LEXICON.empty_table(), 0, 0, 0)
+            return (0, LEXICON.empty_table(), 0, 0, 0, 0)
         # shards arrive grp-sorted (map sorts by grp), so each grp's
         # rows are one contiguous run per shard: searchsorted + slice
         # assembles every group zero-copy — no reduce-side sort/gather
@@ -919,6 +919,7 @@ def _merge_task_fns():
             int(pc.sum(seg["df"]).as_py() or 0),
             int(pc.sum(pc.binary_length(seg["doc_blob"])).as_py() or 0),
             int(pc.sum(pc.binary_length(seg["tf_blob"])).as_py() or 0),
+            int(pc.sum(pc.binary_length(seg["pos_blob"])).as_py() or 0),
         )
 
     _MERGE_TASKS = (merge_map, merge_reduce)
@@ -1022,6 +1023,7 @@ def _fused_shuffle_merge(
         postings = sum(r[2] for r in results)
         doc_bytes = sum(r[3] for r in results)
         tf_bytes = sum(r[4] for r in results)
+        pos_bytes = sum(r[5] for r in results)
         seg_files = glob.glob(os.path.join(final_dir, "*.parquet"))
         metrics = {
             "segment_rows": rows,
@@ -1033,6 +1035,8 @@ def _fused_shuffle_merge(
             ),
             "disk_bytes": sum(os.path.getsize(f) for f in seg_files),
         }
+        if pos_bytes:
+            metrics["pos_blob_bytes"] = pos_bytes
     return rows, metrics
 
 
