@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--per-bucket-merge", action="store_true")
     b.add_argument(
+        "--codec",
+        default="varint",
+        choices=["varint", "packed"],
+        help="posting-stream codec: LEB128 varints or block-wise "
+        "bit packing (SIMD-BP128-style)",
+    )
+    b.add_argument(
         "--positions",
         action="store_true",
         help="store within-doc token positions (index-native phrase/"
@@ -178,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
             per_bucket_merge=args.per_bucket_merge,
             analyzer=args.analyzer,
             positions=args.positions,
+            codec=args.codec,
         )
         man = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
         print(json.dumps(man["stats"]))

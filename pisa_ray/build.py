@@ -106,6 +106,14 @@ class IndexConfig:
     # the readers (a query analyzed differently from the index silently
     # misses).
     analyzer: str = "simple"
+    # Posting-stream codec: "varint" (LEB128, the default) or "packed"
+    # (block-wise bit packing, the SIMD-BP128 family's layout: per
+    # block one width byte + varint absolute first doc + gaps/tfs at
+    # the block-max bit width). Packed wins most in position space
+    # (doc gaps ~N/df -> log2 bits) and on tf streams (1-4 bits vs a
+    # 1-byte varint); raw docid-space gaps stay ~60 bits wide. Recorded
+    # in stats.json; readers pick the decode path per index.
+    codec: str = "varint"
     # True: store within-doc token positions per posting (varint gap
     # blobs, ~1-2 B/occurrence), enabling INDEX-NATIVE phrase and
     # proximity queries (pipelines/phrase.py) with no corpus re-read —
@@ -133,6 +141,8 @@ def make_tokenize_fn(cfg: IndexConfig):
         raise ValueError("id_bits<64 requires keys-derived docIDs")
     analyzer = cfg.analyzer
     with_positions = cfg.positions
+    if cfg.codec not in ("varint", "packed"):
+        raise ValueError(f"unknown codec {cfg.codec!r} (choose varint or packed)")
     from .tokenizer import ANALYZERS
 
     if analyzer not in ANALYZERS:
@@ -417,6 +427,7 @@ def make_encode_group_fn(
     n_buckets: int = 1,
     rank_map=None,
     use_ranks: bool | None = None,
+    codec: str = "varint",
 ):
     """Encode every term of one (grp, bucket) shuffle group.
 
@@ -503,13 +514,6 @@ def make_encode_group_fn(
         prev[1:] = doc[:-1]
         vals = np.where(block_start, doc, doc - prev)
 
-        dlen = varint_lengths(vals)
-        tlen = varint_lengths(tf)
-        doc_bytes = varint_encode(vals, _nbytes=dlen)
-        tf_bytes = varint_encode(tf, _nbytes=tlen)
-        doc_cum = np.concatenate(([0], np.cumsum(dlen)))
-        tf_cum = np.concatenate(([0], np.cumsum(tlen)))
-
         bpos = np.flatnonzero(block_start)
         bend = np.concatenate((bpos[1:], [n]))
         bterm = np.searchsorted(starts, bpos, side="right") - 1
@@ -517,21 +521,50 @@ def make_encode_group_fn(
         maxw_b = np.maximum.reduceat(wnorm, bpos)
         last_b = doc[bend - 1]
         cnt_b = (bend - bpos).astype(np.uint32)
-        doff_b = (doc_cum[bpos] - doc_cum[starts][bterm]).astype(np.uint32)
-        toff_b = (tf_cum[bpos] - tf_cum[starts][bterm]).astype(np.uint32)
         tb = np.searchsorted(bpos, starts_ext).astype(np.int64)  # T+1
+
+        if codec == "packed":
+            # block-wise bit packing (SIMD-BP128-family layout): byte
+            # lengths are per BLOCK, so block/term offsets come from
+            # the per-block length cumsum instead of per-value lengths
+            from .codec import pack_stream
+
+            doc_bytes, dblk = pack_stream(vals, bpos, bend, with_first=True)
+            tf_bytes, tblk = pack_stream(tf, bpos, bend, with_first=False)
+            dblk_cum = np.concatenate(([0], np.cumsum(dblk)))
+            tblk_cum = np.concatenate(([0], np.cumsum(tblk)))
+            term_d0 = dblk_cum[tb[:-1]]  # per-term blob start (T)
+            term_t0 = tblk_cum[tb[:-1]]
+            doff_b = (dblk_cum[:-1] - term_d0[bterm]).astype(np.uint32)
+            toff_b = (tblk_cum[:-1] - term_t0[bterm]).astype(np.uint32)
+            d_offs_term = dblk_cum[tb]
+            t_offs_term = tblk_cum[tb]
+        else:
+            dlen = varint_lengths(vals)
+            tlen = varint_lengths(tf)
+            doc_bytes = varint_encode(vals, _nbytes=dlen)
+            tf_bytes = varint_encode(tf, _nbytes=tlen)
+            doc_cum = np.concatenate(([0], np.cumsum(dlen)))
+            tf_cum = np.concatenate(([0], np.cumsum(tlen)))
+            doff_b = (doc_cum[bpos] - doc_cum[starts][bterm]).astype(np.uint32)
+            toff_b = (tf_cum[bpos] - tf_cum[starts][bterm]).astype(np.uint32)
+            d_offs_term = doc_cum[starts_ext]
+            t_offs_term = tf_cum[starts_ext]
 
         def _list_arr(values: np.ndarray, pa_type) -> pa.LargeListArray:
             return pa.LargeListArray.from_arrays(
                 pa.array(tb, type=pa.int64()), pa.array(values, type=pa_type)
             )
 
-        def _blob_arr(cum: np.ndarray, data: np.ndarray) -> pa.Array:
-            offs = cum[starts_ext].astype(np.int64)
+        def _blob_arr(offs: np.ndarray, data: np.ndarray) -> pa.Array:
             return pa.Array.from_buffers(
                 pa.large_binary(),
                 T,
-                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
+                [
+                    None,
+                    pa.py_buffer(offs.astype(np.int64).tobytes()),
+                    pa.py_buffer(data.tobytes()),
+                ],
             )
 
         # positional payload: per-posting pre-encoded varint gap bytes
@@ -553,7 +586,7 @@ def make_encode_group_fn(
                 else np.empty(0, dtype=np.uint8)
             )
             pos_cum = (poffs - poffs[0]).astype(np.int64)
-            pos_blob = _blob_arr(pos_cum, pos_data)
+            pos_blob = _blob_arr(pos_cum[starts_ext], pos_data)
         else:
             pos_blob = pa.Array.from_buffers(
                 pa.large_binary(),
@@ -572,8 +605,8 @@ def make_encode_group_fn(
                 "bucket": pa.array(np.full(T, bkt, dtype=np.uint32)),
                 "df": pa.array(counts.astype(np.uint64)),
                 "cf": pa.array(np.add.reduceat(tf.astype(np.uint64), starts)),
-                "doc_blob": _blob_arr(doc_cum, doc_bytes),
-                "tf_blob": _blob_arr(tf_cum, tf_bytes),
+                "doc_blob": _blob_arr(d_offs_term, doc_bytes),
+                "tf_blob": _blob_arr(t_offs_term, tf_bytes),
                 "pos_blob": pos_blob,
                 "block_last_doc": _list_arr(last_b, pa.uint64()),
                 "block_doc_off": _list_arr(doff_b, pa.uint32()),
@@ -869,6 +902,7 @@ def _merge_task_fns():
         n_buckets: int,
         rank_map,
         use_ranks: bool,
+        codec: str,
         *shards: pa.Table,
     ) -> int:
         """concat this reducer's shards -> split into grp runs ->
@@ -889,7 +923,7 @@ def _merge_task_fns():
         grps = [s.column("grp").to_numpy(zero_copy_only=False) for s in live]
         uniq = np.unique(np.concatenate([np.unique(g) for g in grps]))
         encode = make_encode_group_fn(
-            avgdl, None, n_buckets, rank_map, use_ranks=use_ranks
+            avgdl, None, n_buckets, rank_map, use_ranks=use_ranks, codec=codec
         )
         outs = []
         for gv in uniq:
@@ -993,6 +1027,7 @@ def _fused_shuffle_merge(
             1 << cfg.bucket_bits,
             rank_map,
             use_ranks,
+            cfg.codec,
             *[sl[p] for sl in shard_lists],
         )
         for p in range(n_red)
@@ -1069,7 +1104,7 @@ def build_index(
         critical = (
             "bucket_bits", "term_parts", "key_cols", "id_col",
             "posting_space", "content_col", "block_size", "per_bucket_merge",
-            "id_bits", "check_collisions", "analyzer", "positions",
+            "id_bits", "check_collisions", "analyzer", "positions", "codec",
         )
         new_cfg = asdict(cfg)
         diffs = {
@@ -1234,6 +1269,7 @@ def build_index(
             "posting_space": cfg.posting_space,
             "analyzer": cfg.analyzer,
             "positions": bool(cfg.positions),
+            "codec": cfg.codec,
         }
         man.data["stats"] = stats
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
@@ -1294,7 +1330,8 @@ def build_index(
             triples = tk.map_batches(explode_fn, batch_format="pyarrow")
             seg = triples.groupby("grp").map_groups(
                 make_encode_group_fn(
-                    stats["avgdl"], b, rank_map=rank_map, use_ranks=use_ranks
+                    stats["avgdl"], b, rank_map=rank_map, use_ranks=use_ranks,
+                    codec=cfg.codec,
                 ),
                 batch_format="pyarrow",
             )
@@ -1674,25 +1711,38 @@ def compact_index(index_dir: str) -> dict:
     n_parts = cfg.term_parts
 
     with_pos = bool(getattr(cfg, "positions", False))
+    idx_codec = getattr(cfg, "codec", "varint")
 
     def make_decode_rows(gen_idx: int):
         def decode_rows(batch: pa.Table) -> pa.Table:
-            from .codec import decode_postings
+            from .codec import decode_run
+
+            def _list_col(name):
+                col = batch[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return (
+                    col.values.to_numpy(zero_copy_only=False),
+                    col.offsets.to_numpy(),
+                )
 
             terms_out, docs_out, tfs_out = [], [], []
             pos_parts, pos_len_parts = [], []
             doc_blobs = batch["doc_blob"].to_pylist()
             tf_blobs = batch["tf_blob"].to_pylist()
             pos_blobs = batch["pos_blob"].to_pylist() if with_pos else None
-            cnt_col = batch["block_count"]
-            if isinstance(cnt_col, pa.ChunkedArray):
-                cnt_col = cnt_col.combine_chunks()
-            cnt_vals = cnt_col.values.to_numpy(zero_copy_only=False)
-            cnt_offs = cnt_col.offsets.to_numpy()
+            cnt_vals, cnt_offs = _list_col("block_count")
+            doff_vals, _ = _list_col("block_doc_off")
+            toff_vals, _ = _list_col("block_tf_off")
             terms = batch["term"].to_pylist()
             for i in range(batch.num_rows):
                 cnts = cnt_vals[cnt_offs[i]:cnt_offs[i + 1]]
-                d, tf = decode_postings(doc_blobs[i], tf_blobs[i], cnts)
+                d, tf = decode_run(
+                    doc_blobs[i], tf_blobs[i], cnts,
+                    doff_vals[cnt_offs[i]:cnt_offs[i + 1]],
+                    toff_vals[cnt_offs[i]:cnt_offs[i + 1]],
+                    codec=idx_codec,
+                )
                 docs_out.append(d)
                 tfs_out.append(tf)
                 terms_out.append(np.full(d.size, i, dtype=np.int64))
@@ -1822,7 +1872,8 @@ def compact_index(index_dir: str) -> dict:
         else None
     )
     seg = triples.groupby("grp").map_groups(
-        make_encode_group_fn(avgdl, None, n_buckets, rank_map), batch_format="pyarrow"
+        make_encode_group_fn(avgdl, None, n_buckets, rank_map, codec=cfg.codec),
+        batch_format="pyarrow",
     )
     _atomic_write(seg, os.path.join(index_dir, "segments_compacted"))
 

@@ -224,3 +224,239 @@ def decode_block(
     dvals = varint_decode(np.frombuffer(doc_blob[int(doc_off[i]):d_end], dtype=np.uint8))
     tvals = varint_decode(np.frombuffer(tf_blob[int(tf_off[i]):t_end], dtype=np.uint8))
     return np.cumsum(dvals, dtype=np.uint64), tvals
+
+
+# --------------------------------------------------------------------------
+# "packed" codec: block-wise bit-packing (the SIMD-BP128 family's layout,
+# vectorized with numpy packbits/unpackbits instead of SIMD intrinsics)
+# --------------------------------------------------------------------------
+#
+# Per block of <= BLOCK_SIZE postings:
+#   doc stream: [1B width w][varint(first_doc)][pack_w(gap_1..gap_{m-1})]
+#   tf  stream: [1B width w][pack_w(tf_1..tf_m)]
+# where pack_w stores each value in exactly w bits (w = bit length of
+# the block's max value), little-endian value-major, padded per block
+# to an 8-VALUE boundary so whole width-groups pack/unpack through one
+# numpy packbits/unpackbits call — no per-block Python in the group
+# path. Blocks stay self-contained and byte-addressable through the
+# existing block_doc_off/block_tf_off columns, so block-max WAND
+# skipping, run concatenation and the sharded readers work unchanged.
+#
+# Wins over varint: tf values are tiny (1-4 bits vs a 1-byte varint);
+# position-space doc gaps are ~N/df (log2(N/df) bits vs 1+ bytes).
+# Raw 64-bit docid-space gaps stay wide (~60 bits) — the codec is a
+# IndexConfig knob, defaulting to varint.
+
+_POW2_BITS = (np.uint64(1) << np.arange(1, 64, dtype=np.uint64)).astype(np.uint64)
+
+
+def bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Exact per-value bit length (uint64-safe; bit_length(0) -> 1 so
+    every packed width is >= 1)."""
+    v = np.ascontiguousarray(v, dtype=np.uint64)
+    return (np.searchsorted(_POW2_BITS, v, side="right") + 1).astype(np.int64)
+
+
+def _segment_gather_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat index array visiting lens[i] consecutive positions from
+    starts[i], in segment order (the repeat/cumsum variable-length
+    gather used throughout the engine)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+    )
+    return np.repeat(starts.astype(np.int64), lens) + within
+
+
+def pack_stream(
+    vals: np.ndarray,
+    bpos: np.ndarray,
+    bend: np.ndarray,
+    with_first: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a blocked value stream -> (blob uint8 array, per-block byte
+    lengths). ``vals`` is the group's flat per-block value stream
+    (block b owns vals[bpos[b]:bend[b]]); ``with_first=True`` stores
+    each block's first value as a varint absolute and bit-packs the
+    rest (doc streams), ``False`` bit-packs everything (tf streams)."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    bpos = np.asarray(bpos, dtype=np.int64)
+    bend = np.asarray(bend, dtype=np.int64)
+    nb = bpos.size
+    if nb == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    m = bend - bpos
+    if with_first:
+        firsts = vals[bpos]
+        pstart, plen = bpos + 1, m - 1
+        fbytes_len = varint_lengths(firsts)
+        fbytes = varint_encode(firsts, _nbytes=fbytes_len)
+    else:
+        firsts = None
+        pstart, plen = bpos, m
+        fbytes_len = np.zeros(nb, dtype=np.int64)
+        fbytes = np.empty(0, dtype=np.uint8)
+
+    # per-block width = bit length of the block's max packed value
+    packed_idx = _segment_gather_index(pstart, plen)
+    pvals = vals[packed_idx]
+    w = np.ones(nb, dtype=np.int64)
+    nz = plen > 0
+    if pvals.size:
+        bl = bit_lengths(pvals)
+        offs = np.concatenate(([0], np.cumsum(plen)))
+        red = np.maximum.reduceat(bl, offs[:-1][nz])
+        w[nz] = red
+    pc = ((plen + 7) // 8) * 8  # value counts padded to 8
+    packed_nbytes = w * pc // 8
+    blk_nbytes = 1 + fbytes_len + packed_nbytes
+
+    out = np.zeros(int(blk_nbytes.sum()), dtype=np.uint8)
+    blk_off = np.concatenate(([0], np.cumsum(blk_nbytes)[:-1]))
+    out[blk_off] = w.astype(np.uint8)
+    if with_first and fbytes.size:
+        out[_segment_gather_index(blk_off + 1, fbytes_len)] = fbytes
+
+    # width groups: pad each block's values to pc, pack the whole
+    # group's padded stream in ONE packbits call, scatter into out
+    pv_off = np.concatenate(([0], np.cumsum(plen)[:-1]))
+    for wv in np.unique(w[nz]):
+        sel = np.flatnonzero(nz & (w == wv))
+        padded_total = int(pc[sel].sum())
+        padded = np.zeros(padded_total, dtype=np.uint64)
+        # positions of real values inside the group's padded stream
+        pad_off = np.concatenate(([0], np.cumsum(pc[sel])[:-1]))
+        dst = _segment_gather_index(pad_off, plen[sel])
+        padded[dst] = pvals[_segment_gather_index(pv_off[sel], plen[sel])]
+        bits = (
+            (padded[:, None] >> np.arange(wv, dtype=np.uint64))
+            & np.uint64(1)
+        ).astype(np.uint8)
+        gbytes = np.packbits(bits.ravel(), bitorder="little")
+        out[
+            _segment_gather_index(
+                blk_off[sel] + 1 + fbytes_len[sel], packed_nbytes[sel]
+            )
+        ] = gbytes
+    return out, blk_nbytes
+
+
+def unpack_stream(
+    blob: np.ndarray | bytes,
+    block_offs: np.ndarray,
+    counts: np.ndarray,
+    with_first: bool,
+) -> np.ndarray:
+    """Inverse of ``pack_stream``: -> the flat per-block value stream
+    (with_first=True: absolute first + gaps, i.e. the same shape the
+    varint doc stream decodes to)."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    block_offs = np.asarray(block_offs, dtype=np.int64)
+    m = np.asarray(counts, dtype=np.int64)
+    nb = block_offs.size
+    total = int(m.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    if nb == 0 or total == 0:
+        return out
+    w = b[block_offs].astype(np.int64)
+    if with_first:
+        # vectorized varint parse at block_offs+1 (<=10 bytes each)
+        mat_idx = np.minimum(
+            block_offs[:, None] + 1 + np.arange(10, dtype=np.int64), b.size - 1
+        )
+        mat = b[mat_idx]
+        term = (mat & 0x80) == 0
+        vl = term.argmax(axis=1).astype(np.int64) + 1
+        payload = (mat & np.uint8(0x7F)).astype(np.uint64)
+        keep = np.arange(10) < vl[:, None]
+        firsts = (
+            (payload * keep) << (np.uint64(7) * np.arange(10, dtype=np.uint64))
+        ).sum(axis=1, dtype=np.uint64)
+        plen = m - 1
+        pk_off = block_offs + 1 + vl
+    else:
+        firsts = None
+        plen = m
+        pk_off = block_offs + 1
+    pc = ((plen + 7) // 8) * 8
+    packed_nbytes = w * pc // 8
+    stream_off = np.concatenate(([0], np.cumsum(m)[:-1]))
+    if with_first:
+        out[stream_off] = firsts
+        val_off = stream_off + 1
+    else:
+        val_off = stream_off
+    nz = plen > 0
+    for wv in np.unique(w[nz]):
+        sel = np.flatnonzero(nz & (w == wv))
+        gbytes = b[_segment_gather_index(pk_off[sel], packed_nbytes[sel])]
+        bits = np.unpackbits(gbytes, bitorder="little").astype(np.uint64)
+        padded = (
+            bits.reshape(-1, int(wv))
+            << np.arange(wv, dtype=np.uint64)
+        ).sum(axis=1, dtype=np.uint64)
+        pad_off = np.concatenate(([0], np.cumsum(pc[sel])[:-1]))
+        src = _segment_gather_index(pad_off, plen[sel])
+        out[_segment_gather_index(val_off[sel], plen[sel])] = padded[src]
+    return out
+
+
+def gaps_to_docs(vals: np.ndarray, block_counts: np.ndarray) -> np.ndarray:
+    """Blocked gap stream (absolute at block starts) -> absolute docs."""
+    counts = np.asarray(block_counts, dtype=np.int64)
+    if vals.size == 0:
+        return vals
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    c = np.cumsum(vals)
+    base = c[starts] - vals[starts]
+    return c - np.repeat(base, counts)
+
+
+def decode_run(
+    doc_blob,
+    tf_blob,
+    block_counts: np.ndarray,
+    doc_off: np.ndarray | None = None,
+    tf_off: np.ndarray | None = None,
+    codec: str = "varint",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Codec-aware full decode of one run -> (docs asc, tfs). The
+    packed codec needs the per-block byte offsets (the segment columns
+    the reader already holds); varint ignores them."""
+    if codec == "packed":
+        vals = unpack_stream(doc_blob, doc_off, block_counts, with_first=True)
+        tfs = unpack_stream(tf_blob, tf_off, block_counts, with_first=False)
+        return gaps_to_docs(vals, block_counts), tfs
+    return decode_postings(doc_blob, tf_blob, block_counts)
+
+
+def first_doc_of(doc_blob, codec: str = "varint") -> int:
+    """First (absolute) doc of a run's first block — one varint, at
+    offset 0 (varint codec) or after the width byte (packed)."""
+    off = 1 if codec == "packed" else 0
+    buf = np.frombuffer(doc_blob, dtype=np.uint8)[off : off + 10] if not isinstance(
+        doc_blob, np.ndarray
+    ) else doc_blob[off : off + 10]
+    return int(varint_decode(buf)[0])
+
+
+def decode_block_ex(
+    doc_blob,
+    tf_blob,
+    doc_off: np.ndarray,
+    tf_off: np.ndarray,
+    counts: np.ndarray,
+    i: int,
+    codec: str = "varint",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Codec-aware single-block decode (BMW's skip path)."""
+    if codec == "packed":
+        o = np.asarray([doc_off[i]], dtype=np.int64)
+        t = np.asarray([tf_off[i]], dtype=np.int64)
+        c = np.asarray([counts[i]], dtype=np.int64)
+        vals = unpack_stream(doc_blob, o, c, with_first=True)
+        tfs = unpack_stream(tf_blob, t, c, with_first=False)
+        return np.cumsum(vals, dtype=np.uint64), tfs
+    return decode_block(doc_blob, tf_blob, doc_off, tf_off, counts, i)

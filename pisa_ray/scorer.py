@@ -43,7 +43,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .codec import bm25_idf, bm25_wnorm, decode_block, decode_postings
+from .codec import (bm25_idf, bm25_wnorm, decode_block, decode_block_ex,
+                    decode_postings, decode_run, first_doc_of)
 from .docids import unsplitmix64
 from .tokenizer import tokenize_py
 
@@ -66,6 +67,9 @@ class IndexReader:
         self.id_mode = self.stats.get("id_mode", "keys")
         # "position": posting values are docmap ranks, not raw doc_ids
         self.posting_space = self.stats.get("posting_space", "docid")
+        # posting-stream codec ("varint" | "packed"), a build-time
+        # choice recorded in stats.json; pre-v7 indexes are varint
+        self.codec = self.stats.get("codec", "varint")
         # incremental generations: a generation's position-space runs
         # store ranks into ITS OWN docmap; the reader translates them to
         # global ranks at decode (docid-space runs need no translation)
@@ -482,9 +486,7 @@ class IndexReader:
         for r in runs:
             if r["last"].size == 0:
                 continue
-            from .codec import varint_decode
-
-            first_doc = int(varint_decode(r["doc_blob"][:10])[0])
+            first_doc = first_doc_of(r["doc_blob"], self.codec)
             if first_doc <= prev_last or not np.all(np.diff(r["last"].astype(np.int64)) > 0):
                 ok = False
                 break
@@ -657,7 +659,10 @@ class IndexReader:
         translate = bool(self.gens) and self.posting_space == "position"
         ds, ts = [], []
         for r in runs:
-            d, t = decode_postings(r["doc_blob"], r["tf_blob"], r["cnt"])
+            d, t = decode_run(
+                r["doc_blob"], r["tf_blob"], r["cnt"], r["doff"], r["toff"],
+                codec=self.codec,
+            )
             if translate:
                 ids_g = self.gen_ids[r["gen"]]
                 d = np.searchsorted(
@@ -711,7 +716,10 @@ class IndexReader:
         from .codec import varint_decode
 
         for r in runs:
-            d, t = decode_postings(r["doc_blob"], r["tf_blob"], r["cnt"])
+            d, t = decode_run(
+                r["doc_blob"], r["tf_blob"], r["cnt"], r["doff"], r["toff"],
+                codec=self.codec,
+            )
             if d.size == 0:
                 continue
             gaps = varint_decode(r["pos_blob"]).astype(np.int64)
@@ -1399,12 +1407,13 @@ class _Cursor:
 
     __slots__ = (
         "term", "idf", "last", "doff", "toff", "cnt", "maxw", "blobs",
-        "blk", "i", "docs", "tfs", "cur", "n_blocks", "blk_of",
+        "blk", "i", "docs", "tfs", "cur", "n_blocks", "blk_of", "codec",
     )
 
     def __init__(self, reader: IndexReader, term: str):
         runs = reader.runs_of(term)
         self.term = term
+        self.codec = reader.codec
         self.idf = reader.idf(term)
         self.last = np.concatenate([r["last"] for r in runs])
         self.maxw = np.concatenate([r["maxw"] for r in runs])
@@ -1428,8 +1437,9 @@ class _Cursor:
             return
         ri, bi = self.blk_of[b]
         r = self.blobs[ri]
-        self.docs, self.tfs = decode_block(
-            r["doc_blob"], r["tf_blob"], r["doff"], r["toff"], r["cnt"], bi
+        self.docs, self.tfs = decode_block_ex(
+            r["doc_blob"], r["tf_blob"], r["doff"], r["toff"], r["cnt"], bi,
+            codec=self.codec,
         )
         self.blk = b
         self.i = 0
