@@ -1,9 +1,15 @@
-"""Phrase search: exact contiguous-token-sequence matching, composed
-from the inverted index (prune) + a corpus verify pass.
+"""Phrase search: exact contiguous-token-sequence matching.
 
-The index stores no token positions (posting payloads are docID gaps +
-tf), so phrase matching is the classic two-stage composition real
-engines use when positions are absent:
+Two implementations, chosen by what the index stores:
+
+* **Index-native** (``phrase_search_index`` / ``score_phrase``, plus
+  the sharded variants): requires ``IndexConfig(positions=True)`` —
+  adjacency resolves purely from positional postings, zero corpus
+  access. This is the 100 TB path.
+* **Composition** (``phrase_search``, below): when the index stores no
+  token positions (posting payloads are docID gaps + tf), phrase
+  matching is the classic two-stage composition real engines use when
+  positions are absent:
 
 1. **Prune on the index**: a doc matching the phrase necessarily
    contains every phrase term, so the conjunctive candidate set
@@ -697,6 +703,119 @@ def proximity_search_index(
     n = max(1, min(concurrency, len(queries)))
     chunks = [queries[i::n] for i in range(n)]
     parts = ray.get([part.remote(c, reader_ref) for c in chunks if c])
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _bucket_shards(index_dir: str, n_shards: int) -> list[set[int]]:
+    bucket_bits = IndexReader._manifest_bucket_bits(index_dir)
+    n_buckets = 1 << (bucket_bits if bucket_bits is not None else 3)
+    n_shards = max(1, min(n_shards, n_buckets))
+    return [
+        {b for b in range(n_buckets) if b % n_shards == s}
+        for s in range(n_shards)
+    ]
+
+
+def phrase_search_sharded(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    n_shards: int = 2,
+) -> pd.DataFrame:
+    """Doc-sharded index-native phrase search — the multi-node shape:
+    each task loads ONLY its docID-range buckets (positions included;
+    per-shard memory ∝ 1/S, same contract as ``query_index_sharded``)
+    and answers every query over its shard. Phrase matching is
+    per-doc-local, so the union of per-shard matches is EXACT — no
+    cross-shard merge logic at all, unlike top-k. Results identical to
+    ``phrase_search_index`` (pytest-pinned)."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64")}
+    )
+    if not queries:
+        return empty
+
+    @ray.remote(num_cpus=1)
+    def shard_task(buckets: set[int]) -> pa.Table:
+        reader = IndexReader(index_dir, buckets=buckets)
+        qids, docs = [], []
+        for qid, text in queries:
+            m = score_phrase(reader, text)
+            if m.size:
+                qids.append(np.full(m.size, qid, dtype=np.int64))
+                docs.append(reader.out_ids(reader.doc_sorted[m]).astype(np.int64))
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids)),
+                "doc_id": pa.array(np.concatenate(docs)),
+            }
+        )
+
+    parts = ray.get(
+        [shard_task.remote(s) for s in _bucket_shards(index_dir, n_shards)]
+    )
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def proximity_search_sharded(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    window: int,
+    n_shards: int = 2,
+) -> pd.DataFrame:
+    """Doc-sharded ``proximity_search_index`` (min-cover spans are
+    per-doc-local, so the shard union is exact)."""
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "span": pd.Series(dtype="int64"),
+        }
+    )
+    if not queries:
+        return empty
+
+    @ray.remote(num_cpus=1)
+    def shard_task(buckets: set[int]) -> pa.Table:
+        reader = IndexReader(index_dir, buckets=buckets)
+        qids, docs, spans = [], [], []
+        for qid, text in queries:
+            m, sp = score_proximity(reader, text, window)
+            if m.size:
+                qids.append(np.full(m.size, qid, dtype=np.int64))
+                docs.append(reader.out_ids(reader.doc_sorted[m]).astype(np.int64))
+                spans.append(sp)
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "span": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids)),
+                "doc_id": pa.array(np.concatenate(docs)),
+                "span": pa.array(np.concatenate(spans)),
+            }
+        )
+
+    parts = ray.get(
+        [shard_task.remote(s) for s in _bucket_shards(index_dir, n_shards)]
+    )
     df = pa.concat_tables(parts).to_pandas()
     return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
         drop=True

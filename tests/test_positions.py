@@ -281,3 +281,26 @@ def test_vectorized_min_cover_matches_two_pointer(tmp_path):
                 (c, s) for c, s in ref.items() if s <= window
             )
             assert sorted(zip(docs.tolist(), spans.tolist())) == want, (text, window)
+
+
+@pytest.mark.parametrize("space", ["docid", "position"])
+def test_sharded_phrase_and_proximity_exact(tmp_path, space):
+    """Shard union == broadcast-reader results exactly, at 2 and 4
+    shards, both posting spaces (phrase/proximity are per-doc-local)."""
+    from pisa_ray.pipelines.phrase import (
+        phrase_search_index,
+        phrase_search_sharded,
+        proximity_search_index,
+        proximity_search_sharded,
+    )
+
+    rows = _rows(37, 1, 301, VOCAB)
+    idx = _build(tmp_path, rows, space=space, name=f"sh_{space}")
+    ref_p = phrase_search_index(QUERIES, idx)
+    ref_x = proximity_search_index(QUERIES, idx, window=4)
+    assert len(ref_p) > 0
+    for n_shards in (2, 4):
+        got_p = phrase_search_sharded(QUERIES, idx, n_shards=n_shards)
+        assert ref_p.values.tolist() == got_p.values.tolist(), (space, n_shards)
+        got_x = proximity_search_sharded(QUERIES, idx, window=4, n_shards=n_shards)
+        assert ref_x.values.tolist() == got_x.values.tolist(), (space, n_shards)
