@@ -140,6 +140,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=["prefix", "fuzzy1"],
         help="query-time term expansion (merg* prefixes / typo tolerance)",
     )
+    q.add_argument(
+        "--synonyms",
+        default=None,
+        help="JSON file mapping terms to synonym lists (query-time "
+        "OR expansion, analyzed with the index's analyzer)",
+    )
 
     s = sub.add_parser(
         "serve",
@@ -310,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
                 for row in df.itertuples(index=False):
                     print(json.dumps(row._asdict()))
             return 0
+        synonyms = None
+        if args.synonyms:
+            with open(args.synonyms) as f:
+                synonyms = json.load(f)
         hits = query_index(
             rd.read_parquet(args.queries),
             args.index,
@@ -318,6 +328,7 @@ def main(argv: list[str] | None = None) -> int:
             concurrency=args.concurrency,
             doc_filter=doc_filter,
             expand=args.expand,
+            synonyms=synonyms,
         )
         if args.out:
             hits.write_parquet(args.out)

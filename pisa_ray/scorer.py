@@ -1939,6 +1939,7 @@ class BM25Scorer:
         doc_mask_ref=None,
         memo: bool = True,
         expand: str | None = None,
+        synonyms: dict | None = None,
     ):
         if expand not in (None, "prefix", "fuzzy1"):
             raise ValueError(f"unknown expand mode {expand!r}")
@@ -1957,6 +1958,24 @@ class BM25Scorer:
             self.reader = IndexReader(index_dir, buckets=buckets)
         self.k = k
         self.method = method
+        # query-time synonym expansion (Lucene SynonymQuery shape, sum
+        # semantics): a one-directional map, canonicalized through the
+        # INDEX's analyzer on both sides at construction so lookups
+        # happen in index-token space; expansion terms join the query's
+        # term list exactly like prefix/fuzzy expansion. Fixed per
+        # scorer, so memoized results stay a pure function of the text.
+        self.synonyms: dict[str, list[str]] | None = None
+        if synonyms:
+            canon: dict[str, list[str]] = {}
+            for key, syns in synonyms.items():
+                for kt in self.reader.tokenize(str(key)):
+                    toks: list[str] = []
+                    for syn in syns:
+                        toks.extend(self.reader.tokenize(str(syn)))
+                    if toks:
+                        canon.setdefault(kt, [])
+                        canon[kt] = sorted(set(canon[kt]) | set(toks))
+            self.synonyms = canon or None
         # metadata-filtered queries: boolean mask over docmap positions
         # (broadcast once); filtered scoring uses the exhaustive kernel
         # (WAND bounds are not filter-aware)
@@ -2022,6 +2041,15 @@ class BM25Scorer:
         return score_bmw if total < max(128, self.reader.n_local // 2000) else score_taat
 
     def _query_terms(self, text: str) -> list[str]:
+        out = self._base_query_terms(text)
+        if self.synonyms:
+            extra: list[str] = []
+            for t in out:
+                extra.extend(self.synonyms.get(t, ()))
+            out = out + [t for t in extra if t not in out]
+        return out
+
+    def _base_query_terms(self, text: str) -> list[str]:
         if self.expand is None:
             return self.reader.tokenize(text)
         if self._expander is None:
@@ -2243,6 +2271,7 @@ def query_index(
     doc_filter: tuple[str, object] | None = None,
     memo: bool = True,
     expand: str | None = None,
+    synonyms: dict | None = None,
 ):
     """queries Dataset (query_id, text) -> hits Dataset via actor pool.
 
@@ -2263,7 +2292,10 @@ def query_index(
         kwargs: dict = {"reader_ref": _broadcast_reader(index_dir)}
     else:
         kwargs = {"index_dir": index_dir}
-    kwargs.update({"k": k, "method": method, "memo": memo, "expand": expand})
+    kwargs.update(
+        {"k": k, "method": method, "memo": memo, "expand": expand,
+         "synonyms": synonyms}
+    )
     if doc_filter is not None:
         import ray
 

@@ -92,11 +92,13 @@ class BM25Service:
         doc_filter: tuple[str, object] | None = None,
         memo: bool = True,
         expand: str | None = None,
+        synonyms: dict | None = None,
     ):
         self._index_dir = index_dir
         self._buckets = set(buckets) if buckets is not None else None
         self._doc_filter = doc_filter
-        kwargs: dict = {"k": k, "method": method, "memo": memo, "expand": expand}
+        kwargs: dict = {"k": k, "method": method, "memo": memo, "expand": expand,
+                        "synonyms": synonyms}
         if buckets is not None:
             kwargs.update({"index_dir": index_dir, "buckets": set(buckets)})
         else:

@@ -1268,3 +1268,37 @@ def test_empty_corpus_build_fails_loudly(tmp_path):
                         id_col="doc_id", key_cols=(), content_col="text",
                         meta_cols=()),
         )
+
+
+def test_synonym_expansion(tiny_index):
+    """Query-time synonyms: expansion terms join the query's term list
+    (sum semantics, same as prefix/fuzzy expansion), map canonicalized
+    through the index analyzer; scoring equals an explicitly expanded
+    query; non-matching keys are inert."""
+    import ray.data as rd
+
+    from pisa_ray.scorer import IndexReader, query_index, score_taat
+
+    r = IndexReader(tiny_index)
+    terms = sorted(r.df, key=lambda t: -r.df[t])
+    a, b, c = terms[0], terms[1], terms[2]
+    syn = {a: [b, c]}
+    q = rd.from_items([{"query_id": 0, "text": a}])
+    got = (
+        query_index(q, tiny_index, k=10, concurrency=2, synonyms=syn)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    want = score_taat(r, f"{a} {b} {c}", 10)
+    assert [int(x) for x in got["doc_id"]] == [d for d, _ in want]
+    assert [round(float(x), 9) for x in got["score"]] == [
+        round(s, 9) for s, in [(s,) for _, s in want]
+    ]
+    # a synonym key absent from the query changes nothing
+    got2 = (
+        query_index(q, tiny_index, k=10, concurrency=2, synonyms={b: [c]})
+        .to_pandas()
+        .sort_values("rank")
+    )
+    plain = score_taat(r, a, 10)
+    assert [int(x) for x in got2["doc_id"]] == [d for d, _ in plain]
