@@ -290,8 +290,10 @@ def main(argv: list[str] | None = None) -> int:
 
             from pisa_ray.pipelines.feedback import query_index_rm3
 
-            if doc_filter or args.expand:
-                raise SystemExit("--method rm3 does not combine with --filter/--expand")
+            if doc_filter or args.expand or args.synonyms:
+                raise SystemExit(
+                    "--method rm3 does not combine with --filter/--expand/--synonyms"
+                )
             qt = pq.read_table(args.queries)
             df = query_index_rm3(
                 [

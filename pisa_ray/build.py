@@ -1532,6 +1532,19 @@ def build_incremental(
             "incremental generations need write_docmap=True (the global "
             "docmap glob would miss the base corpus otherwise)"
         )
+    # format guard: new-code segments always carry pos_blob (v6);
+    # linking them next to pre-v6 base segments would give the reader
+    # a mixed schema (pa.concat_tables raises) and brick every query —
+    # fail BEFORE building the delta, with a rebuild message
+    base_seg = sorted(
+        glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+    )
+    if base_seg and "pos_blob" not in pads.dataset(base_seg[0]).schema.names:
+        raise ValueError(
+            "index segments lack the pos_blob column (built by a pre-v6 "
+            "format) — rebuild the index with this version before "
+            "appending generations to it"
+        )
     gen_dir = os.path.join(index_dir, "generations", generation)
     build_index(delta_source, gen_dir, cfg, resume=True)
 
@@ -1806,15 +1819,14 @@ def compact_index(index_dir: str) -> dict:
                     if with_pos and not keep.all():
                         # gather the surviving postings' variable-length
                         # byte spans (vectorized repeat/cumsum gather)
+                        from .codec import _segment_gather_index
+
                         offs = np.concatenate(([0], np.cumsum(plens)))
                         sel = np.flatnonzero(keep)
-                        kl = plens[sel]
-                        total = int(kl.sum())
-                        within = np.arange(total, dtype=np.int64) - np.repeat(
-                            np.concatenate(([0], np.cumsum(kl)[:-1])), kl
-                        )
-                        pdata = pdata[np.repeat(offs[sel], kl) + within]
-                        plens = kl
+                        pdata = pdata[
+                            _segment_gather_index(offs[sel], plens[sel])
+                        ]
+                        plens = plens[sel]
                     row_idx, docs, tfs, dl = (
                         row_idx[keep], docs[keep], tfs[keep], dl[keep]
                     )

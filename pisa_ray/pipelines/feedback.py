@@ -65,14 +65,29 @@ def doc_term_vectors(
     then a row-group-prunable ``isin`` filter."""
     if bucket_bits is None:
         bucket_bits = IndexReader._manifest_bucket_bits(index_dir)
-    tok_dir = os.path.join(index_dir, "tokenized")
-    files = sorted(glob.glob(os.path.join(tok_dir, "**", "*.parquet"), recursive=True))
+    # base forward store + every appended generation's (build_incremental
+    # keeps a generation's tokenized/ under generations/<g>/ — feedback
+    # docs can come from any generation)
+    files = sorted(
+        glob.glob(
+            os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True
+        )
+    ) + sorted(
+        glob.glob(
+            os.path.join(index_dir, "generations", "*", "tokenized", "**", "*.parquet"),
+            recursive=True,
+        )
+    )
     if bucket_bits is not None:
         want = {int(b) for b in bucket_of(engine_ids, bucket_bits)}
+        # exact path-segment match: "bucket=1" must not also keep
+        # bucket=12/bucket=19 (over-reading, not incorrect — but at
+        # scale it degrades the point read toward a scan)
+        seps = {f"{os.sep}bucket={b}{os.sep}" for b in want}
         pruned = [
             f
             for f in files
-            if any(f"bucket={b}" in f for b in want) or "bucket=" not in f
+            if any(sp in f for sp in seps) or "bucket=" not in f
         ]
         if pruned:
             files = pruned
@@ -117,7 +132,14 @@ def _rm3_weights(
     eids = _engine_ids(reader, [d for d, _ in base])
     rm: dict[str, float] = {}
     for w, eid in zip(wd, eids):
-        terms, tfs, dl = vecs[int(eid)]
+        try:
+            terms, tfs, dl = vecs[int(eid)]
+        except KeyError:
+            raise ValueError(
+                f"feedback doc {int(eid):#x} has no forward-store row — "
+                "the index's tokenized/ checkpoint is incomplete or was "
+                "deleted; RM3 needs the tokenized forward store"
+            ) from None
         if dl == 0:
             continue
         contrib = w * tfs / dl

@@ -33,7 +33,38 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..scorer import IndexReader, score_taat
+from ..scorer import IndexReader
+
+
+def _field_sparse_scores(
+    reader: IndexReader, text: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(user-visible ids, exact f64 BM25 scores) over the query-term
+    posting union of ONE field — the sparse score vector TAAT's top-k
+    cut would otherwise throw away. Sorted-term accumulation, live
+    mask folded, so per-doc values equal ``score_taat``'s exactly."""
+    from ..scorer import _fold_live
+
+    mask = _fold_live(reader, None)
+    live = []
+    for t in sorted(set(reader.tokenize(text))):
+        _, contrib, pos = reader.term_contributions(t)
+        if pos.size:
+            live.append((pos, contrib))
+    if not live:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    nz = np.unique(np.concatenate([p for p, _ in live]))
+    if mask is not None:
+        nz = nz[mask[nz]]
+        if nz.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    exact = np.zeros(nz.size, dtype=np.float64)
+    for pos, contrib in live:
+        idx = np.searchsorted(pos, nz)
+        idx_c = np.minimum(idx, pos.size - 1)
+        hit = pos[idx_c] == nz
+        exact[hit] += contrib[idx_c[hit]]
+    return reader.out_ids(reader.doc_sorted[nz]), exact
 
 
 def score_multifield(
@@ -42,24 +73,26 @@ def score_multifield(
     k: int = 10,
 ) -> list[tuple[int, float]]:
     """Weighted-sum fielded BM25 for one query. ``readers`` =
-    [(field reader, weight), ...]; weights may differ per call."""
-    acc: dict[int, float] = {}
-    for reader, w in readers:
-        if w == 0.0:
-            continue
-        # full sparse scores over the query-term posting union: TAAT
-        # with k = corpus size returns every nonzero-scoring doc
-        for d, s in score_taat(reader, text, reader.n_docs or 1):
-            acc[d] = acc.get(d, 0.0) + w * s
-    if not acc:
-        return []
-    # tie-break on the USER-visible id domain: raw uint64 in keys mode
-    # (values exceed int64), original int64 in id_col mode
+    [(field reader, weight), ...]; weights may differ per call.
+    Fully vectorized: per-field sparse (id, score) arrays merge by id
+    via one unique + weighted bincount — no per-doc Python objects."""
     id_dtype = (
         np.int64 if readers and readers[0][0].id_mode == "int" else np.uint64
     )
-    ids = np.fromiter(acc.keys(), dtype=id_dtype, count=len(acc))
-    scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+    id_parts, sc_parts = [], []
+    for reader, w in readers:
+        if w == 0.0:
+            continue
+        ids, scores = _field_sparse_scores(reader, text)
+        if ids.size:
+            id_parts.append(ids.astype(id_dtype))
+            sc_parts.append(w * scores)
+    if not id_parts:
+        return []
+    all_ids = np.concatenate(id_parts)
+    all_sc = np.concatenate(sc_parts)
+    ids, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.bincount(inv, weights=all_sc, minlength=ids.size)
     order = np.lexsort((ids, -scores))[: min(k, ids.size)]
     return [(int(ids[i]), float(scores[i])) for i in order]
 

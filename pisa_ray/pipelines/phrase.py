@@ -496,16 +496,25 @@ def _gather_occurrences(per_term_entry, cand: np.ndarray):
     """All within-doc token positions of one term in the candidate
     docs -> (cand_slot, tokpos) flat arrays (vectorized variable-length
     gather; every candidate is in the term's posting list)."""
+    from ..codec import _segment_gather_index
+
     pos, poff, tokpos = per_term_entry
     idx = np.searchsorted(pos, cand)
     lens = poff[idx + 1] - poff[idx]
-    total = int(lens.sum())
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
-    )
-    flat_idx = np.repeat(poff[idx], lens) + within
+    flat_idx = _segment_gather_index(poff[idx], lens)
     slots = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
     return slots, tokpos[flat_idx]
+
+
+def _hit_ids(reader: IndexReader, m: np.ndarray) -> tuple[np.ndarray, "pa.DataType"]:
+    """Matched docmap positions -> user-visible ids in the engine's id
+    domain (HITS convention): original int64 ids in ``id_col`` mode,
+    RAW uint64 hashed ids in keys mode — never wrapped through int64
+    (half the keys-mode id space is >= 2^63)."""
+    out = reader.out_ids(reader.doc_sorted[m])
+    if reader.id_mode == "int":
+        return out.astype(np.int64), pa.int64()
+    return out.astype(np.uint64), pa.uint64()
 
 
 def score_phrase(
@@ -549,7 +558,8 @@ def phrase_search_index(
     rows, zero corpus access (requires an index built with
     ``IndexConfig(positions=True)``). doc_id is the index's
     user-visible id domain (original int64 ids in ``id_col`` mode —
-    the mode parity tests use; raw 64-bit hashed ids in keys mode).
+    the mode parity tests use; raw UINT64 hashed ids in keys mode,
+    never wrapped through int64).
     Distributed over the query axis: each task holds the broadcast
     reader and resolves its query slice."""
     from ..scorer import _broadcast_reader
@@ -563,25 +573,24 @@ def phrase_search_index(
     @ray.remote(num_cpus=1)
     def part(qs: list[tuple[int, str]], ref) -> pa.Table:
         reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
+        id_type = pa.int64() if reader.id_mode == "int" else pa.uint64()
         qids, docs = [], []
         for qid, text in qs:
             m = score_phrase(reader, text)
             if m.size:
                 qids.append(np.full(m.size, qid, dtype=np.int64))
-                docs.append(
-                    reader.out_ids(reader.doc_sorted[m]).astype(np.int64)
-                )
+                docs.append(_hit_ids(reader, m)[0])
         if not qids:
             return pa.table(
                 {
                     "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=id_type),
                 }
             )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(qids)),
-                "doc_id": pa.array(np.concatenate(docs)),
+                "doc_id": pa.array(np.concatenate(docs), type=id_type),
             }
         )
 
@@ -677,25 +686,26 @@ def proximity_search_index(
     @ray.remote(num_cpus=1)
     def part(qs: list[tuple[int, str]], ref) -> pa.Table:
         reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
+        id_type = pa.int64() if reader.id_mode == "int" else pa.uint64()
         qids, docs, spans = [], [], []
         for qid, text in qs:
             m, sp = score_proximity(reader, text, window)
             if m.size:
                 qids.append(np.full(m.size, qid, dtype=np.int64))
-                docs.append(reader.out_ids(reader.doc_sorted[m]).astype(np.int64))
+                docs.append(_hit_ids(reader, m)[0])
                 spans.append(sp)
         if not qids:
             return pa.table(
                 {
                     "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=id_type),
                     "span": pa.array([], type=pa.int64()),
                 }
             )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(qids)),
-                "doc_id": pa.array(np.concatenate(docs)),
+                "doc_id": pa.array(np.concatenate(docs), type=id_type),
                 "span": pa.array(np.concatenate(spans)),
             }
         )
@@ -711,7 +721,15 @@ def proximity_search_index(
 
 def _bucket_shards(index_dir: str, n_shards: int) -> list[set[int]]:
     bucket_bits = IndexReader._manifest_bucket_bits(index_dir)
-    n_buckets = 1 << (bucket_bits if bucket_bits is not None else 3)
+    if bucket_bits is None:
+        # guessing here would silently DROP every bucket above the
+        # guess (each shard reader's isin-filter just selects nothing)
+        raise ValueError(
+            f"{index_dir}/manifest.json has no config.bucket_bits — "
+            "cannot shard by docID range (partial or corrupted index "
+            "dir?); use the unsharded phrase_search_index instead"
+        )
+    n_buckets = 1 << bucket_bits
     n_shards = max(1, min(n_shards, n_buckets))
     return [
         {b for b in range(n_buckets) if b % n_shards == s}
@@ -740,23 +758,24 @@ def phrase_search_sharded(
     @ray.remote(num_cpus=1)
     def shard_task(buckets: set[int]) -> pa.Table:
         reader = IndexReader(index_dir, buckets=buckets)
+        id_type = pa.int64() if reader.id_mode == "int" else pa.uint64()
         qids, docs = [], []
         for qid, text in queries:
             m = score_phrase(reader, text)
             if m.size:
                 qids.append(np.full(m.size, qid, dtype=np.int64))
-                docs.append(reader.out_ids(reader.doc_sorted[m]).astype(np.int64))
+                docs.append(_hit_ids(reader, m)[0])
         if not qids:
             return pa.table(
                 {
                     "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=id_type),
                 }
             )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(qids)),
-                "doc_id": pa.array(np.concatenate(docs)),
+                "doc_id": pa.array(np.concatenate(docs), type=id_type),
             }
         )
 
@@ -790,25 +809,26 @@ def proximity_search_sharded(
     @ray.remote(num_cpus=1)
     def shard_task(buckets: set[int]) -> pa.Table:
         reader = IndexReader(index_dir, buckets=buckets)
+        id_type = pa.int64() if reader.id_mode == "int" else pa.uint64()
         qids, docs, spans = [], [], []
         for qid, text in queries:
             m, sp = score_proximity(reader, text, window)
             if m.size:
                 qids.append(np.full(m.size, qid, dtype=np.int64))
-                docs.append(reader.out_ids(reader.doc_sorted[m]).astype(np.int64))
+                docs.append(_hit_ids(reader, m)[0])
                 spans.append(sp)
         if not qids:
             return pa.table(
                 {
                     "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=id_type),
                     "span": pa.array([], type=pa.int64()),
                 }
             )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(qids)),
-                "doc_id": pa.array(np.concatenate(docs)),
+                "doc_id": pa.array(np.concatenate(docs), type=id_type),
                 "span": pa.array(np.concatenate(spans)),
             }
         )

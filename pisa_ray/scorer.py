@@ -743,15 +743,12 @@ class IndexReader:
         tokpos = np.concatenate(fs)
         pos = self._positions_of(docs)
         if pos.size > 1 and not np.all(pos[1:] > pos[:-1]):
+            from .codec import _segment_gather_index
+
             order = np.argsort(pos, kind="stable")
             lens = tfs.astype(np.int64)
             offs = np.concatenate(([0], np.cumsum(lens)))
-            kl = lens[order]
-            total = int(kl.sum())
-            within = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(kl)[:-1])), kl
-            )
-            tokpos = tokpos[np.repeat(offs[order], kl) + within]
+            tokpos = tokpos[_segment_gather_index(offs[order], lens[order])]
             pos, tfs = pos[order], tfs[order]
         poff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
         out = (pos, tfs, poff, tokpos)

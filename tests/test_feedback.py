@@ -160,3 +160,39 @@ def test_rm3_keys_mode_forward_lookup(tiny_index):
     assert len(got) == 5
     got2 = score_rm3(r, tiny_index, text, k=5)
     assert got == got2
+
+
+def test_rm3_reaches_generation_docs(rm3_index, tmp_path):
+    """Feedback docs from an APPENDED generation must resolve in the
+    forward store (generations keep their tokenized/ under
+    generations/<g>/ — review finding: the lookup only globbed the
+    base store and KeyError'd on any delta feedback doc)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from pisa_ray.build import build_incremental
+    from pisa_ray.pipelines.feedback import score_rm3
+    from pisa_ray.scorer import IndexReader
+
+    base, rows = rm3_index
+    idx = str(tmp_path / "rm3_gen")
+    shutil.copytree(base, idx)
+    # a term that exists ONLY in the delta: every feedback doc for it
+    # is a generation doc, so the forward lookup MUST resolve them
+    delta = pa.table(
+        {
+            "doc_id": pa.array(list(range(9001, 9031)), type=pa.int64()),
+            "text": pa.array(["zzznew heap stack"] * 30),
+        }
+    )
+    build_incremental(delta, idx, "g1")
+    r = IndexReader(idx)
+    got = score_rm3(r, idx, "zzznew", k=10, fb_docs=8)
+    assert len(got) > 0
+    assert all(d >= 9001 for d, _ in got[:5])  # delta docs dominate
+    # and the expansion actually used their vectors (co-occurring terms)
+    from pisa_ray.pipelines.feedback import rm3_expand
+
+    weights = dict(rm3_expand(r, idx, "zzznew", fb_docs=8, fb_terms=5))
+    assert "heap" in weights and "stack" in weights

@@ -304,3 +304,49 @@ def test_sharded_phrase_and_proximity_exact(tmp_path, space):
         assert ref_p.values.tolist() == got_p.values.tolist(), (space, n_shards)
         got_x = proximity_search_sharded(QUERIES, idx, window=4, n_shards=n_shards)
         assert ref_x.values.tolist() == got_x.values.tolist(), (space, n_shards)
+
+
+def test_keys_mode_phrase_emits_uint64(tmp_path):
+    """Keys-derived doc ids are raw uint64 hashes (~half >= 2^63); the
+    positional phrase emitters must not wrap them through int64
+    (review finding) — dtype and values must match the HITS/query_index
+    convention."""
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.pipelines.phrase import phrase_search_index
+    from pisa_ray.scorer import IndexReader
+    from pisa_ray.synth import make_corpus
+
+    corpus = make_corpus(150, n_partitions=2)
+    idx = str(tmp_path / "keys_pos")
+    build_index(
+        corpus,
+        idx,
+        IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1, positions=True),
+    )
+    r = IndexReader(idx)
+    # two co-occurring common terms guarantee at least one adjacency hit
+    terms = sorted(r.df, key=lambda t: -r.df[t])[:2]
+    out = phrase_search_index([(0, terms[0])], idx)
+    assert len(out) > 0
+    assert out["doc_id"].dtype == np.uint64
+    assert int(out["doc_id"].max()) > 0
+
+
+def test_incremental_rejects_pre_v6_segments(tmp_path):
+    """Appending to an index whose segments lack pos_blob (pre-v6
+    format) must raise a clear rebuild error BEFORE touching the base
+    (review finding: mixed segment schemas brick the reader)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pisa_ray.build import build_incremental
+
+    rows = _rows(41, 1, 61, VOCAB)
+    idx = _build(tmp_path, rows, positions=False, name="prev6")
+    # simulate a pre-v6 index: strip the pos_blob column in place
+    for f in glob.glob(f"{idx}/segments/**/*.parquet", recursive=True):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["pos_blob"]), f)
+    with pytest.raises(ValueError, match="pos_blob"):
+        build_incremental(_tbl(_rows(43, 61, 81, VOCAB)), idx, "g1")
