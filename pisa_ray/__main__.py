@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     inf.add_argument("--index", required=True)
 
+    fs = sub.add_parser(
+        "fsck",
+        help="index integrity check: decode every run, verify df/cf/"
+        "block metadata, lexicon sums, docmap invariants",
+    )
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--max-errors", type=int, default=20)
+
     sg = sub.add_parser(
         "suggest", help="search-box term completion from the index lexicon"
     )
@@ -200,6 +208,12 @@ def main(argv: list[str] | None = None) -> int:
 
         man = build_incremental(args.corpus, args.index, args.generation)
         print(json.dumps(man["stats"]))
+    elif args.cmd == "fsck":
+        from pisa_ray.fsck import check_index
+
+        rep = check_index(args.index, max_errors=args.max_errors)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
     elif args.cmd == "compact":
         from pisa_ray.build import compact_index
 

@@ -516,3 +516,63 @@ def hybrid_search(
     return rerank_topk(
         cand, emb, query_vecs, query_ids, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[pd.DataFrame],
+    k: int = 10,
+    k0: float = 60.0,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009, the
+    standard score-free fusion for hybrid lexical+vector retrieval):
+
+        rrf(q, d) = Σ_lists 1 / (k0 + rank_list(q, d))
+
+    Each input frame carries (query_id, ``id_col``) rows where rank is
+    the 1-based row order within each (list, query_id) group — pass the
+    outputs of :func:`pisa_ray.scorer.query_index` (already ranked) or
+    any per-query-ordered candidate frame (``rank`` column used when
+    present). Docs absent from a list simply contribute nothing —
+    exactly the robustness argument for RRF over score interpolation
+    (no score calibration across systems needed). Returns (query_id,
+    rank, doc_id, rrf_score) rows, ties broken by doc_id ascending.
+
+    Driver-sized by contract: fusion runs over top-k lists (thousands
+    of rows), never over corpora — the heavy retrieval stages upstream
+    are the distributed parts."""
+    if k0 <= 0:
+        raise ValueError(f"k0 must be positive, got {k0}")
+    parts = []
+    for li, df in enumerate(ranked_lists):
+        if df is None or len(df) == 0:
+            continue
+        d = df[["query_id", id_col] + (["rank"] if "rank" in df.columns else [])].copy()
+        if "rank" not in d.columns:
+            d["rank"] = d.groupby("query_id").cumcount() + 1
+        d["__rr"] = 1.0 / (k0 + d["rank"].astype(np.float64))
+        parts.append(d[["query_id", id_col, "__rr"]])
+    if not parts:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int32"),
+                id_col: pd.Series(dtype="int64"),
+                "rrf_score": pd.Series(dtype="float64"),
+            }
+        )
+    allp = pd.concat(parts, ignore_index=True)
+    fused = (
+        allp.groupby(["query_id", id_col], as_index=False)["__rr"]
+        .sum()
+        .rename(columns={"__rr": "rrf_score"})
+    )
+    fused = fused.sort_values(
+        ["query_id", "rrf_score", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    fused["rank"] = fused.groupby("query_id").cumcount() + 1
+    fused = fused[fused["rank"] <= k].reset_index(drop=True)
+    return fused[["query_id", "rank", id_col, "rrf_score"]].astype(
+        {"rank": "int32"}
+    )

@@ -2265,3 +2265,70 @@ def test_tombstone_filenames_unique_per_writer(tmp_path):
     from pisa_ray.delete import load_tombstones
 
     assert load_tombstones(idx).tolist() == [1, 2, 3]
+
+
+def test_rrf_fuse_matches_hand_formula():
+    """RRF fusion: hand-computed 1/(k0+rank) sums, union semantics,
+    (score desc, id asc) tie-break, absent-doc robustness."""
+    import pandas as pd
+
+    from pisa_ray.pipelines.similarity import rrf_fuse
+
+    bm25 = pd.DataFrame(
+        {"query_id": [0, 0, 0, 1, 1], "rank": [1, 2, 3, 1, 2],
+         "doc_id": [10, 20, 30, 40, 50]}
+    )
+    vec = pd.DataFrame(
+        {"query_id": [0, 0, 1], "rank": [1, 2, 1], "doc_id": [20, 99, 50]}
+    )
+    out = rrf_fuse([bm25, vec], k=10, k0=60.0)
+    got = {
+        (int(q), int(d)): s
+        for q, d, s in zip(out["query_id"], out["doc_id"], out["rrf_score"])
+    }
+    assert abs(got[(0, 20)] - (1 / 62 + 1 / 61)) < 1e-12  # both lists
+    assert abs(got[(0, 99)] - 1 / 62) < 1e-12  # vector-only doc
+    assert abs(got[(1, 50)] - (1 / 62 + 1 / 61)) < 1e-12
+    # top of query 0 is doc 20 (sum of two reciprocal ranks beats rank-1 alone)
+    q0 = out[out["query_id"] == 0]
+    assert int(q0[q0["rank"] == 1]["doc_id"].iloc[0]) == 20
+    # rank column synthesized when absent (row order = rank)
+    out2 = rrf_fuse([bm25.drop(columns=["rank"]), vec], k=10)
+    assert out2.equals(out)
+    # rails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k0"):
+        rrf_fuse([bm25], k0=0)
+    assert len(rrf_fuse([], k=5)) == 0
+
+
+def test_rrf_fuse_end_to_end_hybrid(tiny_index):
+    """BM25 top-k fused with a synthetic second ranking over real index
+    output — ranks permute but the fused set stays within the union."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pisa_ray.pipelines.similarity import rrf_fuse
+    from pisa_ray.scorer import query_index
+    from pisa_ray.synth import make_queries
+
+    qt = make_queries(8)
+    hits = query_index(
+        rd.from_arrow(qt), tiny_index, k=10, concurrency=2
+    ).to_pandas()
+    # second system: same docs, reversed per-query order
+    rev = hits.sort_values(["query_id", "rank"], ascending=[True, False]).copy()
+    rev["rank"] = rev.groupby("query_id").cumcount() + 1
+    fused = rrf_fuse([hits, rev], k=5)
+    assert len(fused) > 0
+    union = set(zip(hits["query_id"], hits["doc_id"]))
+    assert set(zip(fused["query_id"], fused["doc_id"])) <= union
+    # symmetric contributions: forward rank r + reverse rank (n-r+1)
+    # make the MIDDLE doc win for odd-length lists
+    for q, grp in hits.groupby("query_id"):
+        n = len(grp)
+        if n % 2 == 1:
+            mid = grp[grp["rank"] == (n + 1) // 2]["doc_id"].iloc[0]
+            top = fused[(fused["query_id"] == q) & (fused["rank"] == 1)]
+            assert int(top["doc_id"].iloc[0]) == int(mid)
