@@ -12,7 +12,8 @@ caller (driver, bench.py, tests' conftest) owns the Ray session.
 # their /tmp index caches by this so stale-format dirs are never reused)
 INDEX_FORMAT_VERSION = 6  # v6: positional posting payload (pos_blob)
 
-from .build import IndexConfig, build_incremental, build_index, compact_index
+from .build import (IndexConfig, build_incremental, build_index,
+                    compact_index, maintain_index, upsert_docs)
 from .delete import delete_docs, delete_where, load_tombstones
 from .serve import BM25Service
 from .scorer import (
@@ -31,6 +32,8 @@ __all__ = [
     "build_index",
     "build_incremental",
     "compact_index",
+    "upsert_docs",
+    "maintain_index",
     "delete_docs",
     "delete_where",
     "load_tombstones",

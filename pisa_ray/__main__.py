@@ -76,6 +76,24 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--index", required=True)
     a.add_argument("--generation", required=True)
 
+    u = sub.add_parser(
+        "upsert",
+        help="replace existing versions of the delta's docs and add new "
+        "ones (delete -> compact -> append)",
+    )
+    u.add_argument("--corpus", required=True)
+    u.add_argument("--index", required=True)
+    u.add_argument("--generation", required=True)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="compaction policy: fold generations / purge tombstones "
+        "when thresholds are crossed",
+    )
+    mt.add_argument("--index", required=True)
+    mt.add_argument("--max-generations", type=int, default=4)
+    mt.add_argument("--max-tombstone-fraction", type=float, default=0.2)
+
     c = sub.add_parser(
         "compact",
         help="merge generations into single runs (and purge tombstones)",
@@ -208,6 +226,20 @@ def main(argv: list[str] | None = None) -> int:
 
         man = build_incremental(args.corpus, args.index, args.generation)
         print(json.dumps(man["stats"]))
+    elif args.cmd == "upsert":
+        from pisa_ray.build import upsert_docs
+
+        man = upsert_docs(args.corpus, args.index, args.generation)
+        print(json.dumps(man["stats"]))
+    elif args.cmd == "maintain":
+        from pisa_ray.build import maintain_index
+
+        ran = maintain_index(
+            args.index,
+            max_generations=args.max_generations,
+            max_tombstone_fraction=args.max_tombstone_fraction,
+        )
+        print(json.dumps({"compacted": bool(ran)}))
     elif args.cmd == "fsck":
         from pisa_ray.fsck import check_index
 

@@ -1949,3 +1949,120 @@ def compact_index(index_dir: str) -> dict:
     )
     man.mark_stage("compacted")
     return man.data
+
+
+def upsert_docs(
+    delta_source: str | Sequence[str] | rd.Dataset | pa.Table,
+    index_dir: str,
+    generation: str,
+) -> dict:
+    """Document UPDATE: replace existing versions of the delta's docs
+    (matched by the index's id derivation) and add new ones, without a
+    full rebuild.
+
+    Why this is delete -> compact -> append and not just
+    delete -> append: tombstones identify docs by ENGINE id, so if an
+    id's OLD postings and NEW postings coexisted, neither readers nor
+    the compaction purge could tell them apart (and the docmap would
+    hold duplicate ids, which every searchsorted lookup assumes away).
+    Compacting between the delete and the append physically removes
+    the old version and clears its tombstone, so the re-add is clean —
+    the log-structured "merge-on-update" policy. Cost model: ONE
+    compaction per upsert BATCH (proportional to index size) — batch
+    updates and amortize, exactly like any LSM merge. Pure inserts
+    (no id overlap) skip the compaction entirely and degrade to
+    ``build_incremental``.
+
+    Returns the manifest dict. Rank/score results after an upsert are
+    identical to a fresh build over the logically-current corpus
+    (pytest-pinned)."""
+    import pyarrow.parquet as pq
+
+    man = Manifest(index_dir)
+    cfg = IndexConfig(**{**man.data["config"]})
+
+    # ---- derive the delta's engine ids (same derivation as the build)
+    if isinstance(delta_source, pa.Table):
+        tbl = delta_source
+    elif isinstance(delta_source, rd.Dataset):
+        cols = [cfg.id_col] if cfg.id_col else list(cfg.key_cols)
+        tbl = pa.Table.from_pandas(delta_source.select_columns(cols).to_pandas())
+    else:
+        files = (
+            list(delta_source)
+            if isinstance(delta_source, (list, tuple))
+            else [delta_source]
+        )
+        cols = [cfg.id_col] if cfg.id_col else list(cfg.key_cols)
+        tbl = pads.dataset(files).to_table(columns=cols)
+    if cfg.id_col:
+        delta_ids = doc_ids_from_int(tbl[cfg.id_col])
+    else:
+        delta_ids = doc_ids_from_keys(*[tbl[c] for c in cfg.key_cols])
+    if cfg.id_bits < 64:
+        delta_ids = delta_ids & np.uint64(
+            (~((1 << (64 - cfg.id_bits)) - 1)) & 0xFFFFFFFFFFFFFFFF
+        )
+    delta_ids = np.unique(delta_ids)
+
+    # ---- which of them already live in the index? (narrow id read)
+    dm_files = sorted(
+        glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+    ) or sorted(
+        glob.glob(os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True)
+    )
+    existing_parts = []
+    for f in dm_files:
+        ids = (
+            pq.read_table(f, columns=["doc_id"])["doc_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        p = np.searchsorted(delta_ids, ids)
+        p = np.minimum(p, delta_ids.size - 1)
+        hit = ids[delta_ids[p] == ids]
+        if hit.size:
+            existing_parts.append(hit)
+
+    if existing_parts:
+        from .delete import _write_tombstone
+
+        stale = np.unique(np.concatenate(existing_parts))
+        _write_tombstone(index_dir, stale)
+        compact_index(index_dir)  # purge old versions + their tombstones
+
+    return build_incremental(delta_source, index_dir, generation)
+
+
+def maintain_index(
+    index_dir: str,
+    max_generations: int = 4,
+    max_tombstone_fraction: float = 0.2,
+) -> bool:
+    """Compaction POLICY — the piece a long-running ingest loop calls
+    after each ``build_incremental``/``upsert_docs``/``delete_docs``
+    batch: fold generations back into single per-(term, bucket) runs
+    when either trigger fires, exactly like an LSM engine's merge
+    policy. Returns True iff a compaction ran.
+
+    Triggers:
+    * ``len(generations) >= max_generations`` — interleaved generation
+      runs force scorers off block-max pruning (``term_bmw_safe``), so
+      unbounded appends decay query speed; compaction restores it.
+    * tombstoned ids >= ``max_tombstone_fraction`` of the corpus —
+      masked deletes cost a per-load searchsorted and keep stale stats;
+      past the threshold the purge pays for itself.
+    """
+    import json as _json
+
+    from .delete import load_tombstones
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = _json.load(f)
+    n_gens = len(stats.get("generations", []) or [])
+    n_docs = max(1, int(stats.get("n_docs", 1)))
+    n_tomb = int(load_tombstones(index_dir).size)
+    if n_gens >= max_generations or n_tomb / n_docs >= max_tombstone_fraction:
+        compact_index(index_dir)
+        return True
+    return False

@@ -245,3 +245,83 @@ def test_clear_tombstones_snapshot_preserves_later_files(tmp_path):
     compact_index(d)
     assert load_tombstones(d).size == 0
     assert IndexReader(d).n_docs == 100 - 3  # only the surviving file purged
+
+
+def test_upsert_docs_matches_fresh_build(tmp_path):
+    """upsert_docs (delete -> compact -> append): updated docs serve
+    their NEW text, pure inserts skip compaction, and post-upsert
+    rankings are identical (docs AND float64 scores) to a fresh build
+    over the logically-current corpus — the whole point of the
+    log-structured update path."""
+    import random
+
+    import pyarrow as pa
+
+    from pisa_ray.build import IndexConfig, build_index, upsert_docs
+    from pisa_ray.scorer import IndexReader, score_taat
+
+    rng = random.Random(7)
+    vocab = ["merge", "sort", "parse", "json", "tree", "node", "hash"]
+
+    def mk(ids, texts=None):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(
+                    texts
+                    if texts is not None
+                    else [
+                        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+                        for _ in ids
+                    ]
+                ),
+            }
+        )
+
+    base_ids = list(range(1, 201))
+    base = mk(base_ids)
+    cfg = dict(
+        id_col="doc_id", content_col="text", meta_cols=(),
+        bucket_bits=2, term_parts=8, lineage_parts=1,
+    )
+    idx = str(tmp_path / "up")
+    build_index(base, idx, IndexConfig(**cfg), resume=False)
+
+    # update 5 existing docs with DISTINCTIVE new text + insert 3 new
+    upd_ids = [3, 50, 77, 120, 200]
+    new_ids = [900, 901, 902]
+    delta = mk(
+        upd_ids + new_ids,
+        ["zzzfresh merge sort"] * len(upd_ids) + ["zzzfresh tree node"] * len(new_ids),
+    )
+    upsert_docs(delta, idx, "u1")
+
+    r = IndexReader(idx)
+    # the new term hits exactly the upserted docs
+    hits = {d for d, _ in score_taat(r, "zzzfresh", 50)}
+    assert hits == set(upd_ids + new_ids)
+    # old versions are gone: total corpus size is base + inserts
+    assert r.n_docs == len(base_ids) + len(new_ids)
+
+    # equivalence with a fresh build over the logically-current corpus
+    cur_rows = {i: t for i, t in zip(base["doc_id"].to_pylist(), base["text"].to_pylist())}
+    for i, t in zip(delta["doc_id"].to_pylist(), delta["text"].to_pylist()):
+        cur_rows[i] = t
+    fresh_tbl = mk(sorted(cur_rows), [cur_rows[i] for i in sorted(cur_rows)])
+    fresh = str(tmp_path / "fresh")
+    build_index(fresh_tbl, fresh, IndexConfig(**cfg), resume=False)
+    rf = IndexReader(fresh)
+    for q in ("merge sort", "zzzfresh", "tree node hash", "json"):
+        assert score_taat(r, q, 10) == score_taat(rf, q, 10), q
+
+    # pure insert (no overlap) must NOT trigger a compaction: the
+    # generation list grows instead of being folded
+    import json as _json
+    import os
+
+    upsert_docs(mk([950, 951]), idx, "u2")
+    with open(os.path.join(idx, "stats.json")) as f:
+        gens = _json.load(f).get("generations", [])
+    assert "u2" in gens
+    r2 = IndexReader(idx)
+    assert r2.n_docs == r.n_docs + 2

@@ -113,3 +113,62 @@ def test_compaction_restores_single_runs_and_identity(tmp_path, space):
         assert [g[0] for g in golden] == [e[0] for e in got]
         assert all(abs(g[1] - e[1]) <= 1e-9 for g, e in zip(golden, got))
         assert score_bmw(reader, text, 10) == got
+
+
+def test_maintain_index_policy(tmp_path):
+    """maintain_index compacts when the generation count or tombstone
+    fraction crosses its threshold — and not before."""
+    import random
+
+    import pyarrow as pa
+
+    from pisa_ray.build import (
+        IndexConfig, build_incremental, build_index, maintain_index,
+    )
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.scorer import IndexReader, score_taat
+
+    rng = random.Random(3)
+    vocab = ["merge", "sort", "tree", "node"]
+
+    def mk(lo, hi):
+        return pa.table(
+            {
+                "doc_id": pa.array(list(range(lo, hi)), type=pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 15)))
+                        for _ in range(lo, hi)
+                    ]
+                ),
+            }
+        )
+
+    idx = str(tmp_path / "m")
+    build_index(
+        mk(1, 101),
+        idx,
+        IndexConfig(
+            id_col="doc_id", content_col="text", meta_cols=(),
+            bucket_bits=2, term_parts=8, lineage_parts=1,
+        ),
+        resume=False,
+    )
+    before = score_taat(IndexReader(idx), "merge sort", 10)
+    lo = 101
+    for g in range(3):
+        build_incremental(mk(lo, lo + 20), idx, f"g{g}")
+        lo += 20
+        assert maintain_index(idx, max_generations=4) is False
+    build_incremental(mk(lo, lo + 20), idx, "g3")
+    assert maintain_index(idx, max_generations=4) is True
+    r = IndexReader(idx)
+    assert not r.gens  # folded
+    assert r.n_docs == 180
+    # results survive the policy-triggered compaction
+    assert {d for d, _ in before} <= {d for d, _ in score_taat(r, "merge sort", 40)}
+
+    # tombstone-fraction trigger
+    delete_docs(idx, list(range(1, 60)))
+    assert maintain_index(idx, max_generations=99, max_tombstone_fraction=0.2)
+    assert IndexReader(idx).n_docs == 180 - 59
