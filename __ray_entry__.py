@@ -64,9 +64,15 @@ def _tbl(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
-def _index_dir(sf_dir: str) -> str:
+def _index_dir(sf_dir: str, codec: str = "varint") -> str:
     """Build (or reuse — the manifest makes this idempotent) the
-    full-text index over the documents table of this sf_dir."""
+    full-text index over the documents table of this sf_dir.
+
+    ``codec="packed"`` builds a SECOND cached index with block-wise
+    bit-packed posting streams — the ``bm25_bmw`` entry queries it, so
+    the driver hash-checks the packed codec (including BMW's per-block
+    packed decode) directly against the DuckDB BM25 replay, not just
+    against the varint path's pytest bit-identity."""
     from pisa_ray.build import IndexConfig, build_index
 
     from pisa_ray import INDEX_FORMAT_VERSION
@@ -74,7 +80,7 @@ def _index_dir(sf_dir: str) -> str:
     out = os.path.join(
         f"/tmp/pisa_ray_idx/v{INDEX_FORMAT_VERSION}",
         os.path.basename(os.path.normpath(sf_dir)),
-        "documents",
+        "documents" if codec == "varint" else f"documents_{codec}",
     )
     build_index(
         os.path.join(sf_dir, "documents.parquet"),
@@ -89,6 +95,7 @@ def _index_dir(sf_dir: str) -> str:
             posting_space="position",  # rank-gap postings (4x smaller)
             positions=True,  # positional payload: phrase/proximity
             # entries resolve index-natively (no corpus re-read)
+            codec=codec,
         ),
         resume=True,
     )
@@ -1083,15 +1090,17 @@ def q_multimodal(sf_dir: str):
 
 
 def q_bm25_bmw(sf_dir: str):
-    """Same top-k via the block-max WAND path — SQL-checked against the
-    same exhaustive-BM25 oracle as bm25_topk, so the driver proves the
-    pruned scorer rank-identical to DuckDB (pytest additionally pins
-    BMW ≡ TAAT per query)."""
+    """Same top-k via the block-max WAND path, over a PACKED-codec
+    index — SQL-checked against the same exhaustive-BM25 oracle as
+    bm25_topk, so the driver proves both the pruned scorer AND the
+    bit-packed posting codec (including BMW's per-block packed decode)
+    rank-identical to DuckDB (pytest additionally pins BMW ≡ TAAT and
+    packed ≡ varint per query)."""
     import ray.data as rd
 
     from pisa_ray.scorer import query_index
 
-    idx = _index_dir(sf_dir)
+    idx = _index_dir(sf_dir, codec="packed")
     hits = query_index(
         rd.from_arrow(_bm25_query_table()), idx, k=50, method="bmw", concurrency=2
     ).to_pandas()
