@@ -142,6 +142,31 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--prefix", required=True)
     sg.add_argument("--k", type=int, default=10)
 
+    ph = sub.add_parser(
+        "phrase",
+        help="exact phrase (or proximity-window) matching; index-native "
+        "on positional indexes, prune+corpus-verify otherwise",
+    )
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--queries", required=True, help="parquet with (query_id, text)")
+    ph.add_argument(
+        "--window",
+        type=int,
+        default=None,
+        help="unordered proximity within this token span instead of "
+        "exact adjacency",
+    )
+    ph.add_argument(
+        "--corpus",
+        default=None,
+        help="corpus parquet (required only for a positions=False "
+        "index: the verify pass re-reads candidate text)",
+    )
+    ph.add_argument("--text-col", default="text")
+    ph.add_argument("--id-col", default="doc_id")
+    ph.add_argument("--shards", type=int, default=1)
+    ph.add_argument("--out", default=None)
+
     q = sub.add_parser("query", help="run BM25 top-k queries")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet with (query_id, text)")
@@ -226,6 +251,64 @@ def main(argv: list[str] | None = None) -> int:
 
         man = build_incremental(args.corpus, args.index, args.generation)
         print(json.dumps(man["stats"]))
+    elif args.cmd == "phrase":
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(args.index, "stats.json")) as f:
+            has_pos = bool(_json.load(f).get("positions", False))
+        qt = pq.read_table(args.queries)
+        qlist = [
+            (int(a), str(b))
+            for a, b in zip(qt["query_id"].to_pylist(), qt["text"].to_pylist())
+        ]
+        if has_pos:
+            from pisa_ray.pipelines import phrase as ph_mod
+
+            if args.window is not None:
+                df = (
+                    ph_mod.proximity_search_sharded(
+                        qlist, args.index, args.window, n_shards=args.shards
+                    )
+                    if args.shards > 1
+                    else ph_mod.proximity_search_index(qlist, args.index, args.window)
+                )
+            else:
+                df = (
+                    ph_mod.phrase_search_sharded(qlist, args.index, n_shards=args.shards)
+                    if args.shards > 1
+                    else ph_mod.phrase_search_index(qlist, args.index)
+                )
+        else:
+            if not args.corpus:
+                raise SystemExit(
+                    "this index has no positional payload; pass --corpus "
+                    "for the prune+verify path (or rebuild with --positions)"
+                )
+            import ray.data as rd
+
+            from pisa_ray.pipelines import phrase as ph_mod
+
+            corpus = rd.read_parquet(args.corpus)
+            if args.window is not None:
+                df = ph_mod.proximity_search(
+                    qlist, args.index, corpus, args.window,
+                    text_col=args.text_col, id_col=args.id_col,
+                )
+            else:
+                df = ph_mod.phrase_search(
+                    qlist, args.index, corpus,
+                    text_col=args.text_col, id_col=args.id_col,
+                )
+        if args.out:
+            import pyarrow as pa_
+
+            pq.write_table(pa_.Table.from_pandas(df), args.out)
+            print(json.dumps({"rows": len(df), "out": args.out}))
+        else:
+            for row in df.itertuples(index=False):
+                print(json.dumps(row._asdict()))
     elif args.cmd == "upsert":
         from pisa_ray.build import upsert_docs
 
