@@ -1,0 +1,338 @@
+"""Bigram language-model quality scoring + PMI collocations.
+
+CCNet-style LM-perplexity filtering (see ``text.unigram_model`` /
+``text.unigram_nll``) upgraded to a first-order (bigram) model with
+Jelinek-Mercer interpolation — the public n-gram-LM recipe (Jelinek &
+Mercer 1980; the KenLM-pipeline shape without the external binary):
+
+    p(w2 | w1) = lam * c(w1,w2)/c(w1, .) + (1 - lam) * p_uni(w2)
+
+Unseen bigrams fall back to the unigram term continuously (the ML term
+is 0), so count-pruned models stay well-defined: cutting rare pairs
+moves their mass to the unigram interpolant instead of breaking the
+distribution. ``p_uni`` comes from ``text.unigram_model`` and keeps
+its calibrated-OOV convention.
+
+Distributed shape (the 100-TB contract):
+- pair counting pre-aggregates per batch (distinct-pair partials), so
+  the ONE ``groupby(w1, w2).sum`` exchange moves batch-vocab-sized
+  rows, never the token stream;
+- the collected model is the declared driver-sized object (same
+  contract as ``unigram_model``); ``top_b`` cuts it to the B most
+  frequent pairs with a DISTRIBUTED sort+limit before anything
+  reaches the driver, while context totals c(w1, .) are aggregated
+  pre-cut so surviving ratios stay exactly calibrated;
+- scoring is an actor-pool stage: the models ship once via
+  ``ray.put``; each actor builds its packed lookup arrays ONCE in
+  ``__init__`` and scores batches with one ``pc.index_in`` over the
+  batch's distinct pairs (zero Python per token);
+- ``collocations`` never collects the pair distribution: PMI is
+  computed per counts-batch against the broadcast unigram table and
+  the top-k cut is a distributed sort+limit.
+
+Reference analog: the reference scores interaction plausibility with a
+learned model over (user, item) pairs (/root/reference/src/models/
+general/LGN.py:60-75); here the pair statistics themselves are the
+model — the data-engine analog of its co-occurrence signal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..tokenizer import TOKEN_SPLIT_RE
+from .text import unigram_model
+
+_SEP = "\x1f"  # cannot occur in tokens: the tokenizer splits on [^a-z0-9_]
+
+
+def _flat_tokens(texts: pa.Array):
+    """Shared tokenize: (flat tokens, parent doc indices), empties
+    dropped — byte-identical to ``unigram_model``'s stream."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parents[keep]
+
+
+def _batch_pairs(texts: pa.Array):
+    """Within-doc adjacent token pairs of one batch ->
+    (w1 array, w2 array, parent doc index per pair)."""
+    flat, parents = _flat_tokens(texts)
+    if len(flat) < 2:
+        e = pa.array([], type=pa.string())
+        return e, e, np.zeros(0, dtype=np.int64)
+    same = parents[1:] == parents[:-1]
+    idx = np.flatnonzero(same)
+    return flat.take(idx), flat.take(idx + 1), parents[idx]
+
+
+_EMPTY_COUNTS = pa.table(
+    {
+        "w1": pa.array([], type=pa.string()),
+        "w2": pa.array([], type=pa.string()),
+        "tf": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def bigram_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Corpus bigram counts -> Dataset (w1, w2, tf), one exchange.
+
+    Pairs never cross document boundaries. Per-batch partials are
+    pre-aggregated (distinct-pair rows, not occurrences) before the
+    single ``groupby.sum``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1, w2, _ = _batch_pairs(batch[text_col])
+        if len(w1) == 0:
+            return _EMPTY_COUNTS
+        joined = pc.binary_join_element_wise(w1, w2, _SEP)
+        vc = joined.value_counts()
+        vals = vc.field("values").cast(pa.string())
+        parts = pc.split_pattern(vals, _SEP)
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "tf": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["w1", "w2", "tf"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("tf")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def bigram_model(
+    ds: rd.Dataset, text_col: str = "text", top_b: int | None = None
+) -> pa.Table:
+    """Collected bigram model: (w1, w2, tf, ctx_tf) with
+    ``ctx_tf = c(w1, .)`` — the PRE-CUT context total, so
+    ``tf / ctx_tf`` is the exact ML conditional even on a
+    ``top_b``-capped model (cut pairs simply contribute 0 to the
+    interpolated probability; their mass rides the unigram term)."""
+    counts = bigram_counts(ds, text_col).materialize()
+    # context totals BEFORE any cap (vocab-sized, collected once)
+    ctx = counts.groupby("w1").sum("tf").to_pandas()
+    ctx_map = dict(zip(ctx["w1"], ctx["sum(tf)"].astype(np.int64)))
+    if top_b is not None:
+        kept = (
+            counts.sort(["tf", "w1", "w2"], descending=[True, False, False])
+            .limit(top_b)
+            .to_pandas()
+        )
+    else:
+        kept = counts.to_pandas()
+    w1 = kept["w1"].to_numpy()
+    return pa.table(
+        {
+            "w1": pa.array(w1, type=pa.string()),
+            "w2": pa.array(kept["w2"], type=pa.string()),
+            "tf": pa.array(kept["tf"].astype(np.int64)),
+            "ctx_tf": pa.array(
+                np.array([ctx_map[w] for w in w1], dtype=np.int64)
+            ),
+        }
+    )
+
+
+class _BigramScorer:
+    """Actor-pool scoring stage: lookup arrays built once per actor."""
+
+    def __init__(self, ref_uni, ref_big, lam: float, text_col: str, id_col: str):
+        import ray
+
+        self.lam = float(lam)
+        self.text_col = text_col
+        self.id_col = id_col
+        uni = ray.get(ref_uni[0])
+        big = ray.get(ref_big[0])
+        self.uni_terms = uni["term"].combine_chunks()
+        self.uni_logp = uni["logp"].to_numpy(zero_copy_only=False)
+        md = uni.schema.metadata or {}
+        if b"oov_logp" in md:
+            self.floor = float(md[b"oov_logp"])
+        else:
+            self.floor = float(self.uni_logp.min()) if len(self.uni_logp) else 0.0
+        self.big_keys = pc.binary_join_element_wise(
+            big["w1"].combine_chunks().cast(pa.string()),
+            big["w2"].combine_chunks().cast(pa.string()),
+            _SEP,
+        )
+        tf = big["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ctx = big["ctx_tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        self.ratio = np.where(ctx > 0, tf / np.maximum(ctx, 1.0), 0.0)
+
+    def _uni_p(self, terms: pa.Array) -> np.ndarray:
+        pos = pc.index_in(terms, value_set=self.uni_terms)
+        pos_np = pos.to_numpy(zero_copy_only=False).astype(np.float64)
+        logp = np.where(
+            np.isnan(pos_np),
+            self.floor,
+            self.uni_logp[np.nan_to_num(pos_np).astype(np.int64)],
+        )
+        return np.exp(logp)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w1, w2, par = _batch_pairs(batch[self.text_col])
+        n = len(batch)
+        n_pairs = np.zeros(n, dtype=np.int64)
+        nll_sum = np.zeros(n, dtype=np.float64)
+        if len(w1):
+            joined = pc.binary_join_element_wise(w1, w2, _SEP)
+            denc = joined.dictionary_encode()
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes = denc.indices.to_numpy(zero_copy_only=False)
+            # per distinct pair of this batch: ML ratio + unigram term
+            pos = pc.index_in(denc.dictionary, value_set=self.big_keys)
+            pos_np = pos.to_numpy(zero_copy_only=False).astype(np.float64)
+            ratio = np.where(
+                np.isnan(pos_np),
+                0.0,
+                self.ratio[np.nan_to_num(pos_np).astype(np.int64)],
+            )
+            dparts = pc.split_pattern(denc.dictionary.cast(pa.string()), _SEP)
+            p_uni2 = self._uni_p(pc.list_element(dparts, 1))
+            p = self.lam * ratio + (1.0 - self.lam) * p_uni2
+            pair_nll = -np.log(p)
+            np.add.at(n_pairs, par, 1)
+            np.add.at(nll_sum, par, pair_nll[codes])
+        has = n_pairs > 0
+        nll = np.round(nll_sum[has] / n_pairs[has], 6)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].filter(pa.array(has)),
+                "n_pairs": pa.array(n_pairs[has]),
+                "nll": pa.array(nll),
+            }
+        )
+
+
+def bigram_nll(
+    ds: rd.Dataset,
+    uni_model: pa.Table | None = None,
+    big_model: pa.Table | None = None,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Per-doc mean interpolated-bigram negative log-likelihood.
+
+    Defaults to self-scoring (both models built on ``ds``). Docs with
+    fewer than two tokens are omitted (no pairs — mean undefined,
+    matching a SQL ``GROUP BY`` over the pair stream). Output:
+    (id, n_pairs, nll) with nll rounded half-even at 6 decimals."""
+    import ray
+
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"bigram_nll: lam must be in (0, 1), got {lam}")
+    if uni_model is None:
+        uni_model = unigram_model(ds, text_col)
+    if big_model is None:
+        big_model = bigram_model(ds, text_col)
+    # box the refs: actor-constructor ObjectRef args are auto-resolved
+    ref_uni = [ray.put(uni_model)]
+    ref_big = [ray.put(big_model)]
+    return ds.map_batches(
+        _BigramScorer,
+        fn_constructor_args=(ref_uni, ref_big, lam, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def collocations(
+    ds: rd.Dataset,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+) -> pa.Table:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990):
+
+        pmi(w1, w2) = ln( (c12 / P) / ((c1 / T) * (c2 / T)) )
+
+    with c12 the bigram count, P total within-doc pairs, c1/c2 unigram
+    token counts, T total tokens. ``min_count`` drops rare pairs (PMI
+    is noise-dominated at tiny counts — the standard guard).
+
+    Distributed shape: the pair distribution NEVER reaches the driver —
+    PMI is computed per counts-batch against the broadcast unigram
+    table and the top-k cut is a distributed sort+limit. Returns
+    (w1, w2, tf, pmi) sorted by (pmi desc, w1, w2), pmi rounded
+    half-even at 6 decimals."""
+    import ray
+
+    if k < 1:
+        raise ValueError(f"collocations: k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(
+            f"collocations: min_count must be >= 1, got {min_count}"
+        )
+    counts = bigram_counts(ds, text_col).materialize()
+    total_pairs = int(counts.sum("tf") or 0)
+    empty = pa.table(
+        {
+            "w1": pa.array([], type=pa.string()),
+            "w2": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "pmi": pa.array([], type=pa.float64()),
+        }
+    )
+    if total_pairs == 0:
+        return empty
+    uni = unigram_model(ds, text_col)  # (term, logp) with p = tf/T
+    ref = [ray.put(uni)]
+    kept = counts.filter(expr=f"tf >= {int(min_count)}")
+
+    def pmi_batch(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref[0])
+        terms = m["term"].combine_chunks()
+        logp = m["logp"].to_numpy(zero_copy_only=False)
+
+        def lp(col) -> np.ndarray:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            pos = pc.index_in(col, value_set=terms).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            # every surviving pair's words exist in the unigram vocab
+            return logp[np.nan_to_num(pos).astype(np.int64)]
+
+        c12 = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(c12 / total_pairs) - lp(batch["w1"]) - lp(batch["w2"])
+        return pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "tf": batch["tf"].cast(pa.int64()),
+                "pmi": pa.array(np.round(pmi, 6)),
+            }
+        )
+
+    out = (
+        kept.map_batches(pmi_batch, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,255 @@
+"""Bigram LM (Jelinek-Mercer) + PMI collocations — oracle tests.
+
+Every numeric path is checked against a pure-Python Counter oracle and
+(for the NLL) a DuckDB window replay, at two parallelism levels.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _py_pairs(pdf, tokenize):
+    """Reference: within-doc adjacent pairs per doc."""
+    out = {}
+    for r in pdf.itertuples():
+        ts = tokenize(r.text)
+        out[int(r.doc_id)] = list(zip(ts[:-1], ts[1:]))
+    return out
+
+
+def test_bigram_counts_vs_counter_oracle(docs):
+    from collections import Counter
+
+    from pisa_ray.pipelines.ngram_lm import bigram_counts
+    from pisa_ray.tokenizer import tokenize_py
+
+    for parts in (1, 8):
+        out = (
+            bigram_counts(docs.repartition(parts))
+            .to_pandas()
+            .sort_values(["w1", "w2"])
+            .reset_index(drop=True)
+        )
+        ref = Counter()
+        for pairs in _py_pairs(docs.to_pandas(), tokenize_py).values():
+            ref.update(pairs)
+        exp = (
+            pd.DataFrame(
+                [(a, b, c) for (a, b), c in ref.items()],
+                columns=["w1", "w2", "tf"],
+            )
+            .sort_values(["w1", "w2"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_bigram_nll_vs_python_oracle(docs):
+    from collections import Counter
+
+    from pisa_ray.pipelines.ngram_lm import bigram_nll
+    from pisa_ray.tokenizer import tokenize_py
+
+    lam = 0.75
+    pdf = docs.to_pandas()
+    pairs_by_doc = _py_pairs(pdf, tokenize_py)
+    big = Counter()
+    ctx = Counter()
+    uni = Counter()
+    for r in pdf.itertuples():
+        uni.update(tokenize_py(r.text))
+    for pairs in pairs_by_doc.values():
+        big.update(pairs)
+        ctx.update(p[0] for p in pairs)
+    total = sum(uni.values())
+
+    for parts in (1, 8):
+        out = (
+            bigram_nll(docs.repartition(parts), lam=lam)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        for did, pairs in pairs_by_doc.items():
+            if not pairs:
+                assert did not in out.index
+                continue
+            nlls = []
+            for w1, w2 in pairs:
+                p = lam * big[(w1, w2)] / ctx[w1] + (1 - lam) * uni[w2] / total
+                nlls.append(-np.log(p))
+            assert out.loc[did, "n_pairs"] == len(pairs)
+            assert abs(out.loc[did, "nll"] - round(float(np.mean(nlls)), 6)) <= 1e-6
+
+
+def test_bigram_nll_vs_duckdb_window_replay(docs):
+    """Full DuckDB replica: lag() window over the unnested token stream
+    replays pair extraction; joins replay counts and the JM formula."""
+    import duckdb
+
+    from pisa_ray.pipelines.ngram_lm import bigram_nll
+
+    lam = 0.75
+    con = duckdb.connect()
+    con.register("documents", docs.to_pandas())
+    tok = (
+        "SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS term "
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+        " '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents)"
+    )
+    sql = f"""
+        WITH tok AS ({tok}),
+        pairs AS (
+            SELECT doc_id,
+                   lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                   term AS w2
+            FROM tok
+        ),
+        p2 AS (SELECT * FROM pairs WHERE w1 IS NOT NULL),
+        big AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM p2 GROUP BY w1, w2),
+        ctx AS (SELECT w1, count(*)::DOUBLE AS c1 FROM p2 GROUP BY w1),
+        uni AS (SELECT term, count(*)::DOUBLE AS cu FROM tok GROUP BY term),
+        tot AS (SELECT sum(cu) AS total FROM uni)
+        SELECT p2.doc_id,
+               count(*) AS n_pairs,
+               round(-avg(ln({lam} * big.c12 / ctx.c1
+                            + {1 - lam} * uni.cu / (SELECT total FROM tot))), 6)
+                   AS nll
+        FROM p2
+        JOIN big USING (w1, w2)
+        JOIN ctx USING (w1)
+        JOIN uni ON uni.term = p2.w2
+        GROUP BY p2.doc_id
+        ORDER BY p2.doc_id
+    """
+    exp = con.sql(sql).df()
+    out = (
+        bigram_nll(docs, lam=lam)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    assert (out["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (out["n_pairs"].to_numpy() == exp["n_pairs"].to_numpy()).all()
+    assert np.allclose(out["nll"].to_numpy(), exp["nll"].to_numpy(), atol=2e-6)
+
+
+def test_bigram_nll_external_model_unseen_paths():
+    """Unseen context, unseen pair, OOV w2 — all fall back per JM."""
+    from pisa_ray.pipelines.ngram_lm import bigram_model, bigram_nll
+    from pisa_ray.pipelines.text import unigram_model
+
+    lam = 0.5
+    train = rd.from_items(
+        [
+            {"doc_id": 0, "text": "alpha beta alpha beta"},
+            {"doc_id": 1, "text": "beta gamma"},
+        ]
+    )
+    uni = unigram_model(train)
+    big = bigram_model(train)
+    # train unigrams: alpha 2, beta 3, gamma 1 (total 6)
+    # train bigrams: (alpha,beta) 2, (beta,alpha) 1, (beta,gamma) 1
+    # contexts: alpha 2, beta 2
+    score = bigram_nll(
+        rd.from_items(
+            [
+                {"doc_id": 9, "text": "alpha beta"},      # seen pair
+                {"doc_id": 10, "text": "gamma beta"},     # unseen ctx gamma
+                {"doc_id": 11, "text": "alpha gamma"},    # unseen pair
+                {"doc_id": 12, "text": "alpha zzz_oov"},  # OOV w2
+                {"doc_id": 13, "text": "solo"},           # <2 tokens: omitted
+            ]
+        ),
+        uni_model=uni,
+        big_model=big,
+        lam=lam,
+    ).to_pandas().set_index("doc_id")
+    p_uni = {"alpha": 2 / 6, "beta": 3 / 6, "gamma": 1 / 6}
+    floor = np.exp(np.log(1 / 6))  # min logp (uncapped model)
+    exp = {
+        9: -np.log(lam * 2 / 2 + (1 - lam) * p_uni["beta"]),
+        10: -np.log(0 + (1 - lam) * p_uni["beta"]),
+        11: -np.log(0 + (1 - lam) * p_uni["gamma"]),
+        12: -np.log(0 + (1 - lam) * floor),
+    }
+    for did, e in exp.items():
+        assert abs(score.loc[did, "nll"] - round(e, 6)) <= 1e-6
+    assert 13 not in score.index
+
+
+def test_bigram_model_top_b_keeps_calibration():
+    """A capped model keeps exact ratios for surviving pairs (context
+    totals are pre-cut) and unseen pairs ride the unigram term."""
+    from pisa_ray.pipelines.ngram_lm import bigram_model
+
+    train = rd.from_items(
+        [{"doc_id": 0, "text": "a b a b a c a d"}]
+    )
+    full = bigram_model(train).to_pandas().set_index(["w1", "w2"])
+    capped = bigram_model(train, top_b=2).to_pandas().set_index(["w1", "w2"])
+    assert len(capped) == 2
+    for key in capped.index:
+        assert capped.loc[key, "tf"] == full.loc[key, "tf"]
+        assert capped.loc[key, "ctx_tf"] == full.loc[key, "ctx_tf"]
+    # pairs: (a,b)=2 then ties (b,a)x2? stream a b a b a c a d ->
+    # pairs (a,b),(b,a),(a,b),(b,a),(a,c),(c,a),(a,d): (a,b)=2,(b,a)=2
+    assert set(capped.index) == {("a", "b"), ("b", "a")}
+    assert int(capped.loc[("a", "b"), "ctx_tf"]) == 4  # a as context 4x
+
+
+def test_collocations_vs_python_oracle(docs):
+    from collections import Counter
+
+    from pisa_ray.pipelines.ngram_lm import collocations
+    from pisa_ray.tokenizer import tokenize_py
+
+    min_count, k = 3, 25
+    out = collocations(docs, min_count=min_count, k=k).to_pandas()
+    pdf = docs.to_pandas()
+    uni = Counter()
+    big = Counter()
+    for r in pdf.itertuples():
+        ts = tokenize_py(r.text)
+        uni.update(ts)
+        big.update(zip(ts[:-1], ts[1:]))
+    T = sum(uni.values())
+    P = sum(big.values())
+    rows = [
+        (w1, w2, c, round(np.log((c / P) / ((uni[w1] / T) * (uni[w2] / T))), 6))
+        for (w1, w2), c in big.items()
+        if c >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = pd.DataFrame(rows[:k], columns=["w1", "w2", "tf", "pmi"])
+    assert len(out) == len(exp)
+    assert list(out["w1"]) == list(exp["w1"])
+    assert list(out["w2"]) == list(exp["w2"])
+    assert list(out["tf"]) == list(exp["tf"])
+    assert np.allclose(out["pmi"].to_numpy(), exp["pmi"].to_numpy(), atol=2e-6)
+
+
+def test_ngram_lm_rails():
+    from pisa_ray.pipelines.ngram_lm import bigram_nll, collocations
+
+    ds = rd.from_items([{"doc_id": 0, "text": "a b"}])
+    with pytest.raises(ValueError, match="lam"):
+        bigram_nll(ds, lam=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        collocations(ds, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        collocations(ds, min_count=0)
+    # empty corpus -> empty collocations table with the full schema
+    empty = collocations(rd.from_items([{"doc_id": 0, "text": ""}]))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["w1", "w2", "tf", "pmi"]
