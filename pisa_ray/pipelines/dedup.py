@@ -1498,6 +1498,38 @@ def benchmark_kgrams(benchmark: rd.Dataset, k: int = 8, text_col: str = "text") 
     return pc.unique(allg)
 
 
+def benchmark_kgram_bloom(
+    benchmark: rd.Dataset,
+    k: int = 8,
+    fp_rate: float = 1e-4,
+    text_col: str = "text",
+    capacity: int | None = None,
+):
+    """Bounded-memory contamination reference: a ``sketch.BloomFilter``
+    over the benchmark's distinct token k-grams, for when the exact
+    gram set (``benchmark_kgrams``) outgrows the broadcast budget.
+
+    Sizing: ``capacity`` defaults to 1.2x the HyperLogLog estimate of
+    the distinct gram count — one extra streaming pass over the
+    (small) benchmark side, never over the training corpus. The filter
+    is built distributed (per-block partials, OR-merge; see
+    ``sketch.bloom_build``) and is deterministic at any parallelism.
+    Pass the result as ``decontaminate(benchmark_grams=...)``."""
+    from .sketch import bloom_build, hll_distinct
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        g, _ = _kgram_strings(texts, k)
+        return pa.table({"gram": pc.unique(g)})
+
+    gds = benchmark.map_batches(grams, batch_format="pyarrow").materialize()
+    if capacity is None:
+        capacity = max(1024, int(hll_distinct(gds, "gram")["estimate"] * 1.2))
+    return bloom_build(gds, "gram", capacity=capacity, fp_rate=fp_rate)
+
+
 def decontaminate(
     docs: rd.Dataset,
     benchmark_grams,
@@ -1510,10 +1542,18 @@ def decontaminate(
 
     ``benchmark_grams``: the ``benchmark_kgrams`` result — pass the
     ``ray.put`` ObjectRef on a cluster so the set ships once per node,
-    not once per batch. Output: (id, n_overlap = DISTINCT overlapping
-    k-grams, contaminated). One vectorized membership pass per batch;
-    the training corpus is never shuffled or materialized."""
+    not once per batch — OR a ``sketch.BloomFilter`` over the grams
+    (``benchmark_kgram_bloom``): at 100 TB the exact gram set of a
+    large benchmark suite outgrows the broadcast budget, while the
+    filter stays n_bits/8 bytes. The Bloom path can only OVER-flag
+    (false positives at the published rate, never false negatives) —
+    the safe direction for decontamination. Output: (id, n_overlap =
+    DISTINCT overlapping k-grams, contaminated). One vectorized
+    membership pass per batch; the training corpus is never shuffled
+    or materialized."""
     import ray
+
+    from .sketch import BloomFilter
 
     ref = (
         benchmark_grams
@@ -1530,7 +1570,12 @@ def decontaminate(
         n = len(batch)
         n_overlap = np.zeros(n, dtype=np.int64)
         if len(grams):
-            hit = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+            if isinstance(bench, BloomFilter):
+                hit = bench.contains(grams)
+            else:
+                hit = pc.is_in(grams, value_set=bench).to_numpy(
+                    zero_copy_only=False
+                )
             if hit.any():
                 # distinct (doc, gram) among hits: dictionary codes
                 denc = grams.dictionary_encode()
