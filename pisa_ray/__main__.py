@@ -188,8 +188,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--expand",
         default=None,
-        choices=["prefix", "fuzzy1"],
-        help="query-time term expansion (merg* prefixes / typo tolerance)",
+        choices=["prefix", "fuzzy1", "wildcard"],
+        help="query-time term expansion (merg* prefixes / typo "
+        "tolerance / m?rge* globs)",
     )
     q.add_argument(
         "--synonyms",

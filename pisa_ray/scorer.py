@@ -1852,6 +1852,62 @@ class TermExpander:
         hi = int(np.searchsorted(self.terms, p + "￿"))
         return self._cap(self.terms[lo:hi].tolist())
 
+    def wildcard(self, pattern: str) -> list[str]:
+        """Glob expansion (the Lucene WildcardQuery shape): ``*`` = any
+        run of characters, ``?`` = exactly one. The literal prefix
+        before the first wildcard narrows candidates to a searchsorted
+        range (a LEADING wildcard scans the vocabulary — the same cost
+        Lucene pays); candidates verify with ONE anchored vectorized
+        RE2 pass. Patterns are matched against the indexed vocabulary
+        unanalyzed, per the Lucene convention."""
+        if not pattern:
+            return []
+        import re as _re
+
+        import pyarrow.compute as pc
+
+        cut = min(
+            (pattern.index(c) for c in "*?" if c in pattern),
+            default=len(pattern),
+        )
+        lit = pattern[:cut]
+        if cut == len(pattern):  # no wildcard at all: exact membership
+            return [lit] if lit in self.df else []
+        if lit:
+            lo = int(np.searchsorted(self.terms, lit))
+            hi = int(np.searchsorted(self.terms, lit + "￿"))
+            cand = self.terms[lo:hi]
+        else:
+            cand = self.terms
+        if cand.size == 0:
+            return []
+        rx = (
+            "^"
+            + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            )
+            + "$"
+        )
+        hit = pc.match_substring_regex(
+            pa.array(cand, type=pa.string()), rx
+        ).to_numpy(zero_copy_only=False)
+        return self._cap(cand[hit].tolist())
+
+    def regex(self, pattern: str) -> list[str]:
+        """Anchored regex expansion (the Lucene RegexpQuery shape): the
+        RE2 pattern must match the WHOLE term. One vectorized RE2 pass
+        over the vocabulary (shard-local at scale); df-capped like
+        every expansion."""
+        if not pattern:
+            return []
+        import pyarrow.compute as pc
+
+        hit = pc.match_substring_regex(
+            pa.array(self.terms, type=pa.string()), f"^(?:{pattern})$"
+        ).to_numpy(zero_copy_only=False)
+        return self._cap(self.terms[hit].tolist())
+
     def suggest(self, p: str, k: int = 10) -> list[tuple[str, int]]:
         """Search-box completion: the ``k`` highest-df vocabulary terms
         starting with ``p``, as (term, df) rows — df desc, term asc.
@@ -1921,7 +1977,10 @@ class BM25Scorer:
     in ``*`` scores as the OR of every vocabulary term with that
     prefix) or ``"fuzzy1"`` (a token NOT in the vocabulary scores as
     the OR of its edit-distance-1 neighbors — classic typo tolerance;
-    in-vocabulary tokens stay exact). Expanded terms simply join the
+    in-vocabulary tokens stay exact) or ``"wildcard"`` (a token
+    containing ``*``/``?`` scores as the OR of every vocabulary term
+    matching the glob — Lucene WildcardQuery; other tokens stay
+    exact). Expanded terms simply join the
     query's term list, so scoring, pruning, filtering and the result
     memo all work unchanged (results are a pure function of the text).
     """
@@ -1938,7 +1997,7 @@ class BM25Scorer:
         expand: str | None = None,
         synonyms: dict | None = None,
     ):
-        if expand not in (None, "prefix", "fuzzy1"):
+        if expand not in (None, "prefix", "fuzzy1", "wildcard"):
             raise ValueError(f"unknown expand mode {expand!r}")
         if method not in ("auto", "taat", "bmw", "conj", "bool", "qld", "maxscore"):
             raise ValueError(f"unknown method {method!r}")
@@ -2060,6 +2119,23 @@ class BM25Scorer:
                     out.extend(self._expander.prefix(toks[-1]))
                 else:
                     out.extend(toks)
+            return out
+        if self.expand == "wildcard":
+            out = []
+            for raw in text.split():
+                if "*" in raw or "?" in raw:
+                    # keep the wildcard chars, sanitize the rest to the
+                    # token alphabet; patterns match the vocabulary
+                    # UNANALYZED (Lucene's wildcard-query convention)
+                    pat = "".join(
+                        c
+                        for c in raw.lower()
+                        if c in "*?"
+                        or (c.isascii() and (c.isalnum() or c == "_"))
+                    )
+                    out.extend(self._expander.wildcard(pat))
+                else:
+                    out.extend(self.reader.tokenize(raw))
             return out
         out = []
         for t in self.reader.tokenize(text):  # fuzzy1: OOV tokens only

@@ -1302,3 +1302,70 @@ def test_synonym_expansion(tiny_index):
     )
     plain = score_taat(r, a, 10)
     assert [int(x) for x in got2["doc_id"]] == [d for d, _ in plain]
+
+
+def test_term_expander_wildcard_and_regex_vs_brute(tiny_oracle):
+    import fnmatch
+    import re
+
+    from pisa_ray.scorer import TermExpander
+
+    vocab = sorted(tiny_oracle.df)
+    exp = TermExpander(dict(tiny_oracle.df), max_expand=len(vocab))
+    pats = (
+        [v[:2] + "*" for v in vocab[:10]]
+        + [v[0] + "?" + v[2:] for v in vocab[:10] if len(v) > 2]
+        + ["*" + v[-3:] for v in vocab[:5] if len(v) > 3]
+        + ["*", "?", vocab[0], "zz_nothing*", ""]
+    )
+    for p in pats:
+        want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, p))
+        assert exp.wildcard(p) == want, p
+    # regex: anchored full-term match
+    for rx in ["[a-f].*", ".*_[0-9]+", vocab[0], "nope$x["[:4]]:
+        try:
+            crx = re.compile(rx)
+        except re.error:
+            continue
+        want = sorted(t for t in vocab if crx.fullmatch(t))
+        assert exp.regex(rx) == want, rx
+    assert exp.regex("") == []
+
+
+def test_wildcard_query_rank_identical_to_expanded_oracle(tiny_index, tiny_oracle):
+    import fnmatch
+
+    import ray.data as _rd
+
+    from pisa_ray.scorer import query_index
+
+    vocab = sorted(tiny_oracle.df)
+    base = vocab[len(vocab) // 3]
+    pattern = None
+    for n in range(len(base), 1, -1):  # infix glob with 2..64 matches
+        pat = base[:n] + "*" if n < len(base) else base[: n - 1] + "?"
+        expanded = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+        if 1 < len(expanded) <= 64:
+            pattern = pat
+            break
+    assert pattern, "fixture vocab has no wildcard expanding to 2..64 terms"
+    hits = (
+        query_index(
+            _rd.from_items([{"query_id": 0, "text": pattern}]),
+            tiny_index,
+            k=10,
+            concurrency=2,
+            expand="wildcard",
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    golden = tiny_oracle.score_query(" ".join(expanded), 10)
+    assert len(hits) == len(golden)
+    for (gd, gs), ed, es in zip(golden, hits["doc_id"], hits["score"]):
+        assert gd == ed and abs(gs - es) <= 1e-9
+    # non-wildcard tokens stay exact through the same mode
+    from pisa_ray.scorer import BM25Scorer
+
+    scorer = BM25Scorer(index_dir=tiny_index, k=10, expand="wildcard")
+    assert scorer._query_terms(vocab[0]) == [vocab[0]]
