@@ -19,6 +19,7 @@ from .serve import BM25Service
 from .scorer import (
     BM25Scorer,
     IndexReader,
+    explain_score,
     facet_counts,
     query_index,
     query_index_sharded,
@@ -40,6 +41,7 @@ __all__ = [
     "BM25Scorer",
     "BM25Service",
     "IndexReader",
+    "explain_score",
     "query_index",
     "query_index_sharded",
     "score_taat",

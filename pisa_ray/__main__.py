@@ -142,6 +142,15 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--prefix", required=True)
     sg.add_argument("--k", type=int, default=10)
 
+    ex = sub.add_parser(
+        "explain",
+        help="per-term BM25 score breakdown for one document "
+        "(Lucene-explain analog; total is bit-identical to TAAT)",
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--doc-id", required=True, type=int)
+
     ph = sub.add_parser(
         "phrase",
         help="exact phrase (or proximity-window) matching; index-native "
@@ -392,6 +401,10 @@ def main(argv: list[str] | None = None) -> int:
         reader = IndexReader(args.index)
         for term, df in reader.suggest(args.prefix, args.k):
             print(json.dumps({"term": term, "df": df}))
+    elif args.cmd == "explain":
+        from pisa_ray.scorer import explain_score
+
+        print(json.dumps(explain_score(args.index, args.query, args.doc_id)))
     elif args.cmd == "profile":
         import ray.data as rd
 

@@ -45,7 +45,7 @@ import pyarrow.parquet as pq
 
 from .codec import (bm25_idf, bm25_wnorm, decode_block, decode_block_ex,
                     decode_postings, decode_run, first_doc_of)
-from .docids import unsplitmix64
+from .docids import splitmix64, unsplitmix64
 from .tokenizer import tokenize_py
 
 
@@ -1096,6 +1096,85 @@ def score_taat(
         else:
             for pos in touched:
                 buf[pos] = 0.0
+
+
+def explain_score(
+    reader: "IndexReader | str",
+    text: str,
+    doc_id: int,
+    terms: list[str] | None = None,
+) -> dict:
+    """Per-term BM25 score breakdown for ONE document — the Lucene
+    ``explain`` analog for relevance debugging.
+
+    Returns ``{"doc_id", "score", "n_docs", "avgdl", "dl", "terms":
+    [{"term", "matched", "df", "tf", "dl", "idf", "wnorm",
+    "contribution"}, ...]}``. ``score`` accumulates the matched
+    contributions SEQUENTIALLY in sorted-term order — the exact
+    float64 addition sequence of ``score_taat``'s re-score loop — so
+    the explained total is BIT-IDENTICAL to the score the same doc
+    gets from TAAT/BMW/MaxScore (pytest-pinned), not merely close.
+
+    Diagnostic path, not a kernel: one O(log n) docmap probe plus the
+    per-term posting decodes (served from the reader's contribution
+    cache when warm). Raises ``KeyError`` for an id not in this
+    reader's (shard-local) docmap and ``ValueError`` for a tombstoned
+    document."""
+    if isinstance(reader, str):
+        reader = IndexReader(reader)
+    if terms is None:
+        terms = sorted(set(reader.tokenize(text)))
+    if reader.id_mode == "int":
+        internal = splitmix64(np.array([int(doc_id)], dtype=np.int64).view(np.uint64))
+    else:
+        internal = np.array([int(doc_id)], dtype=np.uint64)
+    p = int(np.searchsorted(reader.doc_sorted, internal[0]))
+    if p >= reader.n_local or reader.doc_sorted[p] != internal[0]:
+        raise KeyError(f"doc_id {doc_id} is not in this reader's docmap")
+    live = _fold_live(reader, None)
+    if live is not None and not live[p]:
+        raise ValueError(f"doc_id {doc_id} is tombstoned (deleted)")
+    dl = int(reader.len_sorted[p])
+    rows: list[dict] = []
+    total = 0.0
+    for t in terms:
+        docs, tfs = reader.decode_term(t)
+        row = {
+            "term": t,
+            "matched": False,
+            "df": int(reader.df.get(t, 0)),
+            "tf": 0,
+            "dl": dl,
+            "idf": reader.idf(t),
+            "wnorm": 0.0,
+            "contribution": 0.0,
+        }
+        if docs.size:
+            pos = reader._positions_of(docs)
+            i = int(np.searchsorted(pos, p))
+            if i < pos.size and pos[i] == p:
+                tf = int(tfs[i])
+                wnorm = float(
+                    bm25_wnorm(
+                        np.array([tf], dtype=np.float64),
+                        np.array([dl], dtype=np.float64),
+                        reader.avgdl,
+                    )[0]
+                )
+                contribution = row["idf"] * wnorm
+                row.update(
+                    matched=True, tf=tf, wnorm=wnorm, contribution=contribution
+                )
+                total += contribution
+        rows.append(row)
+    return {
+        "doc_id": int(doc_id),
+        "score": total,
+        "n_docs": reader.n_docs,
+        "avgdl": reader.avgdl,
+        "dl": dl,
+        "terms": rows,
+    }
 
 
 def score_conj(

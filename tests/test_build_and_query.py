@@ -1369,3 +1369,63 @@ def test_wildcard_query_rank_identical_to_expanded_oracle(tiny_index, tiny_oracl
 
     scorer = BM25Scorer(index_dir=tiny_index, k=10, expand="wildcard")
     assert scorer._query_terms(vocab[0]) == [vocab[0]]
+
+
+def test_explain_score_bit_identical_to_taat(tiny_index, tiny_oracle):
+    from pisa_ray.scorer import IndexReader, explain_score, score_taat
+    from pisa_ray.tokenizer import tokenize_py
+
+    reader = IndexReader(tiny_index)
+    vocab = sorted(tiny_oracle.df)
+    q = " ".join(vocab[:3]) + " zz_oov_term"
+    hits = score_taat(reader, q, k=10)
+    assert hits
+    for did, score in hits:
+        ex = explain_score(reader, q, did)
+        assert ex["score"] == score  # bit-identical, not approx
+        assert ex["doc_id"] == did
+        matched = [r for r in ex["terms"] if r["matched"]]
+        assert matched and ex["dl"] > 0
+        # components recombine: sequential sum over ALL term rows
+        t = 0.0
+        for r in ex["terms"]:
+            t += r["contribution"]
+        assert t == score
+        # tf rows match the oracle's per-doc term counts
+        opos = int(np.searchsorted(tiny_oracle.doc_ids, np.uint64(did)))
+        otf = tiny_oracle.tf[opos]
+        for r in ex["terms"]:
+            assert r["tf"] == int(otf.get(r["term"], 0)), r
+            assert r["df"] == int(tiny_oracle.df.get(r["term"], 0))
+        oov = [r for r in ex["terms"] if r["term"] == "zz_oov_term"]
+        assert oov and not oov[0]["matched"] and oov[0]["contribution"] == 0.0
+    # unknown document id
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        explain_score(reader, q, 10**15 + 7)
+
+
+def test_explain_score_accepts_index_dir_and_deleted_doc(tiny_index, tiny_oracle, tmp_path):
+    import shutil
+
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.scorer import IndexReader, explain_score, score_taat
+
+    vocab = sorted(tiny_oracle.df)
+    q = vocab[0]
+    reader = IndexReader(tiny_index)
+    hits = score_taat(reader, q, k=3)
+    did = hits[0][0]
+    # path form == reader form
+    a = explain_score(tiny_index, q, did)
+    b = explain_score(reader, q, did)
+    assert a == b
+    # tombstoned doc raises ValueError
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(tiny_index, idx2)
+    delete_docs(idx2, [did])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tombstoned"):
+        explain_score(idx2, q, did)
