@@ -21,6 +21,7 @@ from .scorer import (
     IndexReader,
     explain_score,
     facet_counts,
+    facet_histogram,
     query_index,
     query_index_sharded,
     score_bmw,

@@ -818,6 +818,58 @@ def load_facet_codes(index_dir: str, col: str) -> tuple[np.ndarray, list]:
     return codes[order], enc.dictionary.to_pylist()
 
 
+def load_facet_values(index_dir: str, col: str) -> np.ndarray:
+    """Docmap-aligned float64 values of a NUMERIC metadata column for
+    range faceting (same per-shard broadcast contract as
+    ``load_facet_codes``). Nulls become NaN and are excluded from
+    histogram output."""
+    import pyarrow.compute as pc
+
+    arr, order = _load_docmap_col(index_dir, col)
+    vals = pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+    return vals[order]
+
+
+def _facet_match(reader: "IndexReader", live, text: str, mode: str):
+    """Matching docmap positions for one facet query (shared by
+    ``facet_counts`` and ``facet_histogram``): ``conj`` intersects all
+    indexed term posting positions (any unindexed term -> no match),
+    ``any`` unions them; tombstones fold in. Returns None when the
+    query matches nothing."""
+    terms = sorted(set(reader.tokenize(text)))
+    pos_lists = []
+    dead = False
+    for t in terms:
+        _, _, pos = reader.term_contributions(t)
+        if pos.size == 0:
+            dead = True
+            if mode == "conj":
+                break
+            continue
+        pos_lists.append(pos)
+    if mode == "conj":
+        if dead or not pos_lists:
+            return None
+        pos_lists.sort(key=len)
+        cur = pos_lists[0]
+        for p in pos_lists[1:]:
+            cur = cur[np.isin(cur, p, assume_unique=True)]
+            if cur.size == 0:
+                break
+        match = cur
+    else:
+        if not pos_lists:
+            return None
+        match = (
+            pos_lists[0]
+            if len(pos_lists) == 1
+            else np.unique(np.concatenate(pos_lists))
+        )
+    if live is not None:
+        match = match[live[match]]
+    return match if match.size else None
+
+
 def facet_counts(
     queries: list[tuple[int, str]],
     index_dir: str,
@@ -865,38 +917,8 @@ def facet_counts(
         live = _fold_live(reader, None)
         out: list[tuple[int, int, int]] = []
         for qid, text in qs:
-            terms = sorted(set(reader.tokenize(text)))
-            pos_lists = []
-            dead = False
-            for t in terms:
-                _, _, pos = reader.term_contributions(t)
-                if pos.size == 0:
-                    dead = True
-                    if mode == "conj":
-                        break
-                    continue
-                pos_lists.append(pos)
-            if mode == "conj":
-                if dead or not pos_lists:
-                    continue
-                pos_lists.sort(key=len)
-                cur = pos_lists[0]
-                for p in pos_lists[1:]:
-                    cur = cur[np.isin(cur, p, assume_unique=True)]
-                    if cur.size == 0:
-                        break
-                match = cur
-            else:
-                if not pos_lists:
-                    continue
-                match = (
-                    pos_lists[0]
-                    if len(pos_lists) == 1
-                    else np.unique(np.concatenate(pos_lists))
-                )
-            if live is not None:
-                match = match[live[match]]
-            if match.size == 0:
+            match = _facet_match(reader, live, text, mode)
+            if match is None:
                 continue
             c = cds[match]
             cnt = np.bincount(c[c >= 0], minlength=n_cats)
@@ -924,6 +946,92 @@ def facet_counts(
     return df.sort_values(["query_id", facet_col], kind="mergesort").reset_index(
         drop=True
     )
+
+
+def facet_histogram(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    value_col: str,
+    edges,
+    mode: str = "conj",
+    concurrency: int = 4,
+):
+    """Numeric range faceting (the Elasticsearch histogram / range-
+    aggregation analog): for each query, the count of MATCHING
+    documents whose docmap metadata value falls in each left-closed
+    bin ``[edges[i], edges[i+1])``. Values outside ``[edges[0],
+    edges[-1])`` and null metadata are excluded, per the explicit-
+    ranges convention.
+
+    Same zero-shuffle shape as ``facet_counts``: the float64 value
+    vector is docmap-aligned and broadcast once; queries fan out over
+    raw tasks; each task reuses the shared ``_facet_match`` position
+    set and takes one searchsorted + bincount over the matches.
+
+    -> pandas (query_id, lo, hi, n_docs), nonzero bins only, sorted."""
+    import pandas as pd
+    import ray
+
+    if mode not in ("conj", "any"):
+        raise ValueError(
+            f"facet_histogram mode must be 'conj' or 'any', got {mode!r}"
+        )
+    e = np.asarray(list(edges), dtype=np.float64)
+    if e.size < 2 or not np.all(np.isfinite(e)) or not np.all(np.diff(e) > 0):
+        raise ValueError(
+            "edges must be >= 2 strictly increasing finite values"
+        )
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "lo": pd.Series(dtype="float64"),
+            "hi": pd.Series(dtype="float64"),
+            "n_docs": pd.Series(dtype="int64"),
+        }
+    )
+    if not queries:
+        return empty
+    vals = load_facet_values(index_dir, value_col)
+    reader_ref = _broadcast_reader(index_dir)
+    vals_ref = ray.put(vals)
+    n_bins = e.size - 1
+
+    @ray.remote(num_cpus=1)
+    def part(qs, rref, vref) -> list[tuple[int, float, float, int]]:
+        reader = rref if isinstance(rref, IndexReader) else ray.get(rref)
+        v = vref if isinstance(vref, np.ndarray) else ray.get(vref)
+        live = _fold_live(reader, None)
+        out: list[tuple[int, float, float, int]] = []
+        for qid, text in qs:
+            match = _facet_match(reader, live, text, mode)
+            if match is None:
+                continue
+            mv = v[match]
+            ok = ~np.isnan(mv) & (mv >= e[0]) & (mv < e[-1])
+            if not ok.any():
+                continue
+            idx = np.searchsorted(e, mv[ok], side="right") - 1
+            cnt = np.bincount(idx, minlength=n_bins)
+            for b in np.flatnonzero(cnt):
+                out.append((qid, float(e[b]), float(e[b + 1]), int(cnt[b])))
+        return out
+
+    qlist = list(queries)
+    n_tasks = max(1, min(concurrency, len(qlist)))
+    chunks = [qlist[i::n_tasks] for i in range(n_tasks)]
+    rows = [
+        r
+        for ref in ray.get(
+            [part.remote(c, reader_ref, vals_ref) for c in chunks]
+        )
+        for r in ref
+    ]
+    if not rows:
+        return empty
+    df = pd.DataFrame(rows, columns=["query_id", "lo", "hi", "n_docs"]).astype(
+        {"query_id": "int64", "n_docs": "int64"}
+    )
+    return df.sort_values(["query_id", "lo"]).reset_index(drop=True)
 
 
 def _fold_live(reader: IndexReader, doc_mask: np.ndarray | None) -> np.ndarray | None:

@@ -1429,3 +1429,85 @@ def test_explain_score_accepts_index_dir_and_deleted_doc(tiny_index, tiny_oracle
 
     with _pytest.raises(ValueError, match="tombstoned"):
         explain_score(idx2, q, did)
+
+
+@pytest.fixture(scope="module")
+def hist_index(tmp_path_factory):
+    """Small keys-mode index carrying a NUMERIC docmap column."""
+    import pyarrow.compute as _pc
+
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.synth import make_corpus
+
+    corpus = make_corpus(120, n_partitions=2)
+    corpus = corpus.append_column(
+        "size_b", _pc.utf8_length(corpus["content"]).cast(pa.int64())
+    )
+    d = str(tmp_path_factory.mktemp("hidx"))
+    build_index(
+        corpus,
+        d,
+        IndexConfig(
+            bucket_bits=1,
+            term_parts=4,
+            lineage_parts=1,
+            meta_cols=("lang", "size_b"),
+        ),
+    )
+    return d, corpus
+
+
+def test_facet_histogram_matches_bruteforce(hist_index):
+    from pisa_ray.scorer import facet_histogram
+    from pisa_ray.tokenizer import tokenize_py
+
+    d, corpus = hist_index
+    texts = corpus["content"].to_pylist()
+    sizes = [len(t) for t in texts]
+    tokens = [set(tokenize_py(t)) for t in texts]
+    edges = [0.0, 2000.0, 10000.0, 50000.0]
+    queries = [
+        (0, texts[0].split()[0]),
+        (1, " ".join(texts[1].split()[:2])),
+        (2, "zz_absent_token"),
+    ]
+    for mode in ("conj", "any"):
+        got = facet_histogram(queries, d, "size_b", edges, mode=mode, concurrency=2)
+        want = []
+        for qid, q in queries:
+            terms = set(tokenize_py(q))
+            import numpy as _np
+
+            cnt = _np.zeros(len(edges) - 1, dtype=int)
+            for toks, sz in zip(tokens, sizes):
+                ok = terms <= toks if mode == "conj" else bool(terms & toks)
+                if not ok or sz < edges[0] or sz >= edges[-1]:
+                    continue
+                cnt[_np.searchsorted(edges, sz, side="right") - 1] += 1
+            for b in _np.flatnonzero(cnt):
+                want.append((qid, edges[b], edges[b + 1], int(cnt[b])))
+        got_rows = list(got.itertuples(index=False, name=None))
+        assert got_rows == want, mode
+
+
+def test_facet_histogram_boundary_and_rails(hist_index):
+    from pisa_ray.scorer import facet_histogram
+
+    d, corpus = hist_index
+    sizes = [len(t) for t in corpus["content"].to_pylist()]
+    # boundary: an edge exactly at a document's size puts it in the
+    # RIGHT (left-closed) bin; max edge excludes
+    s = sizes[0]
+    term = corpus["content"].to_pylist()[0].split()[0]
+    got = facet_histogram(
+        [(0, term)], d, "size_b", [float(s), float(s) + 1.0], concurrency=1
+    )
+    assert (got["n_docs"] >= 1).all() and (got["lo"] == float(s)).all()
+    with pytest.raises(ValueError, match="mode"):
+        facet_histogram([(0, "x")], d, "size_b", [0, 1], mode="bad")
+    with pytest.raises(ValueError, match="edges"):
+        facet_histogram([(0, "x")], d, "size_b", [1.0])
+    with pytest.raises(ValueError, match="edges"):
+        facet_histogram([(0, "x")], d, "size_b", [2.0, 1.0])
+    out = facet_histogram([], d, "size_b", [0.0, 1.0])
+    assert list(out.columns) == ["query_id", "lo", "hi", "n_docs"] and len(out) == 0
