@@ -1505,17 +1505,19 @@ def benchmark_kgram_bloom(
     text_col: str = "text",
     capacity: int | None = None,
 ):
-    """Bounded-memory contamination reference: a ``sketch.BloomFilter``
+    """Bounded-memory contamination reference: a ``bloom.BloomFilter``
     over the benchmark's distinct token k-grams, for when the exact
     gram set (``benchmark_kgrams``) outgrows the broadcast budget.
+    Reuses the SAME distributed Bloom component as the join prefilter
+    (per-block bitset partials, fanout-8 OR task tree; the driver only
+    holds the final ObjectRef).
 
     Sizing: ``capacity`` defaults to 1.2x the HyperLogLog estimate of
     the distinct gram count — one extra streaming pass over the
-    (small) benchmark side, never over the training corpus. The filter
-    is built distributed (per-block partials, OR-merge; see
-    ``sketch.bloom_build``) and is deterministic at any parallelism.
+    (small) benchmark side, never over the training corpus.
     Pass the result as ``decontaminate(benchmark_grams=...)``."""
-    from .sketch import bloom_build, hll_distinct
+    from .bloom import build_bloom
+    from .sketch import hll_distinct
 
     def grams(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
@@ -1527,7 +1529,7 @@ def benchmark_kgram_bloom(
     gds = benchmark.map_batches(grams, batch_format="pyarrow").materialize()
     if capacity is None:
         capacity = max(1024, int(hll_distinct(gds, "gram")["estimate"] * 1.2))
-    return bloom_build(gds, "gram", capacity=capacity, fp_rate=fp_rate)
+    return build_bloom(gds, "gram", expected_distinct=capacity, fp_rate=fp_rate)
 
 
 def decontaminate(
@@ -1542,10 +1544,11 @@ def decontaminate(
 
     ``benchmark_grams``: the ``benchmark_kgrams`` result — pass the
     ``ray.put`` ObjectRef on a cluster so the set ships once per node,
-    not once per batch — OR a ``sketch.BloomFilter`` over the grams
+    not once per batch — OR a ``bloom.BloomFilter`` over the grams
     (``benchmark_kgram_bloom``): at 100 TB the exact gram set of a
     large benchmark suite outgrows the broadcast budget, while the
-    filter stays n_bits/8 bytes. The Bloom path can only OVER-flag
+    filter stays n_bits/8 bytes (the same distributed-build component
+    the join prefilter uses). The Bloom path can only OVER-flag
     (false positives at the published rate, never false negatives) —
     the safe direction for decontamination. Output: (id, n_overlap =
     DISTINCT overlapping k-grams, contaminated). One vectorized
@@ -1553,7 +1556,7 @@ def decontaminate(
     or materialized."""
     import ray
 
-    from .sketch import BloomFilter
+    from .bloom import BloomFilter
 
     ref = (
         benchmark_grams
@@ -1571,7 +1574,7 @@ def decontaminate(
         n_overlap = np.zeros(n, dtype=np.int64)
         if len(grams):
             if isinstance(bench, BloomFilter):
-                hit = bench.contains(grams)
+                hit = bench.contains(pa.table({"gram": grams}), "gram")
             else:
                 hit = pc.is_in(grams, value_set=bench).to_numpy(
                     zero_copy_only=False

@@ -872,130 +872,3 @@ def hll_distinct_by(
         ds.map_batches(partial, batch_format="pyarrow"), key_col, reduce
     )
 
-
-# ---------------------------------------------------------------------------
-# Bloom filter (Bloom 1970): bounded-memory set membership
-
-
-class BloomFilter:
-    """Fixed-size bit-array membership sketch with NO false negatives.
-
-    ``n_bits`` bits packed into uint64 words; ``k`` probe positions per
-    value via Kirsch-Mitzenmacher double hashing (h1 + i*h2 — two
-    hashes give k independent-enough probes; public result). Values
-    hash through the repo's standard ``_hash64``, so any int/string/
-    binary column works and membership is deterministic everywhere.
-
-    This is the 100-TB replacement for broadcast EXACT value sets
-    (e.g. ``decontaminate``'s benchmark k-grams): the filter is
-    ``n_bits/8`` bytes regardless of how many values went in. False
-    positives over-flag at the published rate; false negatives cannot
-    happen, which is the safe direction for contamination / blocklist
-    filtering (never under-remove).
-    """
-
-    def __init__(self, n_bits: int, k: int, words: np.ndarray | None = None):
-        if n_bits < 64:
-            raise ValueError(f"BloomFilter: n_bits must be >= 64, got {n_bits}")
-        if not 1 <= k <= 16:
-            raise ValueError(f"BloomFilter: k must be in [1, 16], got {k}")
-        n_words = (n_bits + 63) // 64
-        self.n_bits = int(n_words * 64)  # round up: modulo domain = storage
-        self.k = int(k)
-        if words is None:
-            words = np.zeros(n_words, dtype=np.uint64)
-        elif words.size != n_words:
-            raise ValueError("BloomFilter: words size mismatch")
-        self.words = words
-
-    @classmethod
-    def sized(cls, capacity: int, fp_rate: float) -> "BloomFilter":
-        """Standard sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
-        if capacity < 1:
-            raise ValueError(f"BloomFilter: capacity must be >= 1, got {capacity}")
-        if not 0.0 < fp_rate < 1.0:
-            raise ValueError(f"BloomFilter: fp_rate must be in (0,1), got {fp_rate}")
-        m = int(np.ceil(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
-        k = max(1, min(16, int(round(m / capacity * np.log(2)))))
-        return cls(max(m, 64), k)
-
-    def _positions(self, h: np.ndarray, i: int) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            h2 = _mix(h ^ np.uint64(0xA0761D6478BD642F)) | np.uint64(1)
-            return ((h + np.uint64(i) * h2) % np.uint64(self.n_bits)).astype(
-                np.int64
-            )
-
-    def add_hashes(self, h: np.ndarray) -> None:
-        for i in range(self.k):
-            pos = self._positions(h, i)
-            np.bitwise_or.at(
-                self.words,
-                pos >> 6,
-                np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)),
-            )
-
-    def add(self, values: pa.Array | pa.ChunkedArray) -> None:
-        if len(values):
-            self.add_hashes(_hash64(values))
-
-    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
-        out = np.ones(h.size, dtype=bool)
-        for i in range(self.k):
-            pos = self._positions(h, i)
-            bit = (
-                self.words[pos >> 6]
-                >> (pos.astype(np.uint64) & np.uint64(63))
-            ) & np.uint64(1)
-            out &= bit.astype(bool)
-        return out
-
-    def contains(self, values: pa.Array | pa.ChunkedArray) -> np.ndarray:
-        if len(values) == 0:
-            return np.zeros(0, dtype=bool)
-        return self.contains_hashes(_hash64(values))
-
-    def fill_ratio(self) -> float:
-        return float(np.unpackbits(self.words.view(np.uint8)).mean())
-
-    def fp_estimate(self) -> float:
-        """Expected false-positive rate at the CURRENT fill."""
-        return float(self.fill_ratio() ** self.k)
-
-
-def bloom_build(
-    ds: rd.Dataset,
-    col: str,
-    capacity: int,
-    fp_rate: float = 1e-3,
-) -> BloomFilter:
-    """Distributed Bloom-filter build over ``ds[col]``.
-
-    Per-block partial filters (one vectorized pass, nulls dropped per
-    SQL membership semantics) stream back as packed words and OR-merge
-    on the driver — an associative/commutative/idempotent reduction,
-    so the final bits are identical at any parallelism. Driver state
-    is ONE filter (n_bits/8 bytes) plus one in-flight partial; the
-    value stream itself never leaves the blocks (no shuffle).
-
-    Size with the HLL estimate when the distinct count is unknown:
-    ``bloom_build(ds, col, capacity=int(hll_distinct(ds, col)["estimate"] * 1.2))``.
-    """
-    proto = BloomFilter.sized(capacity, fp_rate)
-    n_bits, k = proto.n_bits, proto.k
-
-    def partial(batch: pa.Table) -> pa.Table:
-        local = BloomFilter(n_bits, k)
-        c = batch[col]
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
-        local.add(c.drop_null())
-        return pa.table({"words": pa.array([local.words.tobytes()], type=pa.large_binary())})
-
-    out = BloomFilter(n_bits, k)
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for buf in b["words"]:
-            out.words |= np.frombuffer(buf.as_py(), dtype=np.uint64)
-    return out

@@ -1,4 +1,11 @@
-"""BloomFilter sketch + bounded-memory decontamination path."""
+"""Bounded-memory decontamination via the shared Bloom component.
+
+``pipelines/bloom.py`` (the join prefilter's distributed Bloom build)
+is reused as the contamination reference set; these tests pin the
+decontaminate-side contract. The filter's own guarantees (no false
+negatives, measured fp rate, string routing) are covered in
+test_pipelines' bloom/join tests.
+"""
 
 import numpy as np
 import pandas as pd
@@ -6,55 +13,6 @@ import pyarrow as pa
 import pytest
 
 import ray.data as rd
-
-
-def test_bloom_no_false_negatives_and_fp_rate():
-    from pisa_ray.pipelines.sketch import BloomFilter, bloom_build
-
-    n = 5000
-    members = [f"member_{i:05d}" for i in range(n)]
-    ds = rd.from_pandas(pd.DataFrame({"v": members})).repartition(8)
-    bf = bloom_build(ds, "v", capacity=n, fp_rate=0.01)
-    # zero false negatives — the structural guarantee
-    assert bf.contains(pa.array(members)).all()
-    # false positives on a disjoint probe set stay near the target
-    probes = pa.array([f"absent_{i:05d}" for i in range(20000)])
-    fp = float(bf.contains(probes).mean())
-    assert fp <= 0.03  # 3x the 1% target (binomial slack)
-    assert 0.0 < bf.fp_estimate() <= 0.03
-    # sizing: standard formulas
-    proto = BloomFilter.sized(1000, 0.01)
-    assert proto.k == round(proto.n_bits / 1000 * np.log(2)) or proto.k >= 1
-
-
-def test_bloom_deterministic_at_any_parallelism():
-    from pisa_ray.pipelines.sketch import bloom_build
-
-    vals = pd.DataFrame({"v": [f"x{i}" for i in range(3000)]})
-    a = bloom_build(rd.from_pandas(vals).repartition(1), "v", 3000, 0.01)
-    b = bloom_build(rd.from_pandas(vals).repartition(16), "v", 3000, 0.01)
-    assert (a.words == b.words).all()
-
-
-def test_bloom_null_and_int_columns():
-    from pisa_ray.pipelines.sketch import bloom_build
-
-    df = pd.DataFrame({"v": pd.array([1, 2, None, 4], dtype="Int64")})
-    bf = bloom_build(rd.from_pandas(df), "v", capacity=64, fp_rate=0.01)
-    assert bf.contains(pa.array([1, 2, 4], type=pa.int64())).all()
-
-
-def test_bloom_rails():
-    from pisa_ray.pipelines.sketch import BloomFilter
-
-    with pytest.raises(ValueError, match="n_bits"):
-        BloomFilter(32, 2)
-    with pytest.raises(ValueError, match="k must"):
-        BloomFilter(128, 0)
-    with pytest.raises(ValueError, match="capacity"):
-        BloomFilter.sized(0, 0.01)
-    with pytest.raises(ValueError, match="fp_rate"):
-        BloomFilter.sized(100, 1.5)
 
 
 def _corpora():
@@ -78,6 +36,7 @@ def _corpora():
 
 
 def test_decontaminate_bloom_matches_exact_on_planted():
+    from pisa_ray.pipelines.bloom import BloomFilter
     from pisa_ray.pipelines.dedup import (
         benchmark_kgram_bloom,
         benchmark_kgrams,
@@ -87,6 +46,7 @@ def test_decontaminate_bloom_matches_exact_on_planted():
     bench, train = _corpora()
     exact = benchmark_kgrams(bench, k=8)
     bf = benchmark_kgram_bloom(bench, k=8, fp_rate=1e-6)
+    assert isinstance(bf, BloomFilter)
     out_exact = (
         decontaminate(train, exact, k=8).to_pandas().set_index("doc_id")
     )
@@ -102,13 +62,39 @@ def test_decontaminate_bloom_matches_exact_on_planted():
     pd.testing.assert_frame_equal(out_exact, out_bloom)
 
 
-def test_bloom_build_driver_state_is_filter_sized():
-    """The build streams packed words; each block partial is one row of
-    n_bits/8 bytes — assert the partial schema, not just the result."""
-    from pisa_ray.pipelines.sketch import BloomFilter, bloom_build
+def test_benchmark_kgram_bloom_hll_sizing_and_membership():
+    """Auto capacity (HLL * 1.2) yields a filter containing every
+    benchmark gram; a disjoint probe set stays below a loose fp bound."""
+    import ray
 
-    ds = rd.from_items([{"v": f"t{i}"} for i in range(100)]).repartition(4)
-    bf = bloom_build(ds, "v", capacity=100, fp_rate=0.01)
-    assert isinstance(bf, BloomFilter)
-    assert bf.words.nbytes == bf.n_bits // 8
-    assert bf.contains(pa.array([f"t{i}" for i in range(100)])).all()
+    from pisa_ray.pipelines.dedup import _kgram_strings, benchmark_kgram_bloom
+
+    texts = [
+        " ".join(f"tok{j}_{i}" for j in range(40)) for i in range(50)
+    ]
+    bench = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(4)
+    bf = benchmark_kgram_bloom(bench, k=5, fp_rate=1e-3)
+    grams, _ = _kgram_strings(pa.array(texts), 5)
+    hits = bf.contains(pa.table({"g": grams}), "g")
+    assert hits.all()  # structural: no false negatives
+    absent = pa.array([f"zz absent gram number {i} x" for i in range(5000)])
+    fp = float(bf.contains(pa.table({"g": absent}), "g").mean())
+    assert fp <= 0.01  # 10x slack over the 1e-3 target
+
+
+def test_benchmark_kgram_bloom_explicit_capacity_deterministic():
+    import ray
+
+    from pisa_ray.pipelines.dedup import benchmark_kgram_bloom
+
+    bench = rd.from_items(
+        [{"doc_id": i, "text": f"alpha beta gamma delta epsilon zeta{i} eta theta"}
+         for i in range(20)]
+    )
+    a = benchmark_kgram_bloom(bench.repartition(1), k=4, capacity=4096)
+    b = benchmark_kgram_bloom(bench.repartition(8), k=4, capacity=4096)
+    wa, wb = ray.get(a.bits_ref), ray.get(b.bits_ref)
+    assert (wa == wb).all()
+    assert a.n_bits == b.n_bits and a.n_hash == b.n_hash
