@@ -203,3 +203,327 @@ def connected_components(
         return pa.table({"u": ou, "v": ov}, schema=_EDGE_SCHEMA)
 
     return hash_group_apply(edges, "u", _label_reduce, map_fn=label_map)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (Brin & Page 1998) — web-graph quality weighting
+
+
+def _pr_tasks():
+    global _PR_TASKS
+    if _PR_TASKS is not None:
+        return _PR_TASKS
+    import ray
+
+    @ray.remote
+    def edge_shard_setup(s: int, n_shards: int, *blocks):
+        """One src-hash shard of the edge list -> the per-iteration
+        constants: unique srcs + degrees, per-edge src index, the
+        dst-sorted view (dst runs pre-aggregate contributions before
+        they cross the wire) and each dst run's target shard."""
+        live = [b for b in blocks if b.num_columns and b.num_rows]
+        if not live:
+            z = np.empty(0, dtype=np.int64)
+            return (z, z, z, z, z, z)
+        t = pa.concat_tables(live).combine_chunks()
+        u, v = _edge_cols(t)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        starts = run_starts(u)
+        first = np.flatnonzero(starts)
+        su = u[first]
+        deg = np.diff(np.concatenate([first, [u.size]]))
+        rep = np.cumsum(starts) - 1  # edge -> index into su/deg
+        by_dst = np.argsort(v, kind="stable")
+        dst_sorted = v[by_dst]
+        dfirst = np.flatnonzero(run_starts(dst_sorted))
+        du = dst_sorted[dfirst]
+        tsh = (_mix64(du.view(np.uint64)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return (su, deg, rep[by_dst], dfirst, du, tsh)
+
+    @ray.remote
+    def node_shard_setup(s: int, edge_state, *endpoint_blocks):
+        """Distinct nodes routed to shard s (sorted) + which of them
+        have out-edges (exactly the shard's unique srcs — src rows
+        hash to the same shard as the node domain)."""
+        arrs = [
+            b["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            for b in endpoint_blocks
+            if b.num_columns and b.num_rows
+        ]
+        nodes = (
+            np.unique(np.concatenate(arrs))
+            if arrs
+            else np.empty(0, dtype=np.int64)
+        ).astype(np.int64)
+        su = edge_state[0]
+        pos = np.searchsorted(nodes, su)
+        has_out = np.zeros(nodes.size, dtype=bool)
+        has_out[pos] = True  # every src IS in this shard's node set
+        return (nodes, has_out)
+
+    @ray.remote
+    def contrib(edge_state, node_state, rank_vals, n_shards: int):
+        """rank/deg contributions of this shard's edges, pre-summed
+        per dst run, split by the dst's target shard."""
+        su, deg, rep_dst, dfirst, du, tsh = edge_state
+        nodes, _ = node_state
+        if su.size == 0:
+            return [
+                (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+                for _ in range(n_shards)
+            ]
+        share = rank_vals[np.searchsorted(nodes, su)] / deg
+        c = share[rep_dst]  # per edge, in dst-sorted order
+        sums = np.add.reduceat(c, dfirst)
+        return [(du[tsh == t], sums[tsh == t]) for t in range(n_shards)]
+
+    @ray.remote
+    def apply_rank(
+        node_state,
+        rank_vals,
+        n_total: int,
+        damping: float,
+        dangling_mass: float,
+        *partials,
+    ):
+        """New rank for one node shard: teleport + damped (in-sums +
+        dangling share). Partials concatenate in a FIXED shard order
+        and stable-sort by dst, so the float64 summation order — and
+        the result — is bit-deterministic for a given n_shards."""
+        nodes, has_out = node_state
+        insum = np.zeros(nodes.size, dtype=np.float64)
+        dus = [p[0] for p in partials if p[0].size]
+        if dus:
+            alld = np.concatenate(dus)
+            allw = np.concatenate([p[1] for p in partials if p[0].size])
+            order = np.argsort(alld, kind="stable")
+            alld, allw = alld[order], allw[order]
+            first = np.flatnonzero(run_starts(alld))
+            sums = np.add.reduceat(allw, first)
+            np.add.at(insum, np.searchsorted(nodes, alld[first]), sums)
+        new = (1.0 - damping) / n_total + damping * (
+            insum + dangling_mass / n_total
+        )
+        delta = float(np.abs(new - rank_vals).sum())
+        dangling = float(new[~has_out].sum())
+        return new, delta, dangling
+
+    _PR_TASKS = (edge_shard_setup, node_shard_setup, contrib, apply_rank)
+    return _PR_TASKS
+
+
+_PR_TASKS = None
+
+
+def pagerank(
+    edges: rd.Dataset,
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float = 1e-9,
+    n_shards: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> rd.Dataset:
+    """Distributed PageRank over an (src, dst) edge list -> Dataset
+    (node, rank), ranks summing to 1 over every node incident to an
+    edge. The standard damped model with uniform teleport and uniform
+    dangling-mass redistribution:
+
+        r' = (1-d)/N + d * (sum_in r/deg + D/N),  D = sum over
+        out-degree-0 nodes of r
+
+    — the web-crawl quality-weighting stage of training-data curation
+    (rank CommonCrawl hosts/pages before sampling; public recipe).
+
+    Distributed shape: edges hash-partition ONCE by src (the same
+    mix64 routing as the node domain, so a shard's rank slice and its
+    out-edges are CO-LOCATED — the rank/deg join is a shard-local
+    searchsorted, no per-iteration join exchange). Each iteration is
+    one contribution exchange: S contrib tasks pre-sum per dst run
+    before anything crosses the wire, S apply tasks re-sum in a fixed
+    order (bit-deterministic per n_shards). The driver holds only
+    scalars (delta, dangling mass) and object refs; rank state lives
+    sharded in the object store. Convergence = L1 delta <= tol.
+
+    Isolated nodes (never in the edge list) don't exist to PageRank;
+    callers default them to (1-d)/N if needed."""
+    import ray
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
+    if max_iters < 1:
+        raise ValueError("pagerank: max_iters must be >= 1")
+    norm = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "u": t[src_col].cast(pa.int64()),
+                "v": t[dst_col].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    refs = []
+    for b in norm.iter_internal_ref_bundles():
+        for r, m in b.blocks:
+            if m.num_rows is None or m.num_rows > 0:
+                refs.append(r)
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    S = int(n_shards) if n_shards else min(16, max(4, ncpu))
+    edge_setup, node_setup, contrib, apply_rank = _pr_tasks()
+
+    # exchange 1: edges by hash(src); fused endpoint emission for the
+    # node domain (same routing -> same shard holds a node's rank AND
+    # its out-edges). One map task returns 2S values: S edge slices
+    # then S node-domain tables.
+    route = _pr_route_task()
+    n_map = max(4, min(len(refs), 2 * ncpu))
+    groups = [g for g in (refs[i::n_map] for i in range(n_map)) if g]
+    outs = [route.options(num_returns=2 * S).remote(S, *g) for g in groups]
+
+    edge_states = []
+    node_states = []
+    for s in range(S):
+        est = edge_setup.remote(s, S, *[o[s] for o in outs])
+        edge_states.append(est)
+        node_states.append(
+            node_setup.remote(s, est, *[o[S + s] for o in outs])
+        )
+
+    sizes = [
+        int(n)
+        for n in ray.get(
+            [
+                _pr_scalar_tasks().remote(ns)
+                for ns in node_states
+            ]
+        )
+    ]
+    n_total = sum(sizes)
+    if n_total == 0:
+        return rd.from_arrow(empty)
+    ranks = [
+        ray.put(np.full(sz, 1.0 / n_total, dtype=np.float64)) for sz in sizes
+    ]
+    # initial dangling mass from the uniform vector
+    has_out_counts = ray.get(
+        [_pr_hasout_tasks().remote(ns) for ns in node_states]
+    )
+    dangling = float(sum(sz - ho for sz, ho in zip(sizes, has_out_counts))) / n_total
+
+    for _ in range(max_iters):
+        parts = [
+            contrib.options(num_returns=S).remote(
+                edge_states[s], node_states[s], ranks[s], S
+            )
+            for s in range(S)
+        ]
+        results = [
+            apply_rank.options(num_returns=3).remote(
+                node_states[t],
+                ranks[t],
+                n_total,
+                damping,
+                dangling,
+                *[parts[s][t] for s in range(S)],
+            )
+            for t in range(S)
+        ]
+        ranks = [r[0] for r in results]
+        scalars = ray.get([r[1] for r in results] + [r[2] for r in results])
+        delta = float(sum(scalars[:S]))
+        dangling = float(sum(scalars[S:]))
+        if delta <= tol:
+            break
+
+    @ray.remote
+    def emit(node_state, rank_vals) -> pa.Table:
+        nodes, _ = node_state
+        return pa.table({"node": pa.array(nodes), "rank": pa.array(rank_vals)})
+
+    return rd.from_arrow_refs(
+        [emit.remote(node_states[s], ranks[s]) for s in range(S)]
+    )
+
+
+_PR_SCALARS = None
+
+
+def _pr_scalar_tasks():
+    global _PR_SCALARS
+    if _PR_SCALARS is None:
+        import ray
+
+        @ray.remote
+        def n_nodes(node_state) -> int:
+            return int(node_state[0].size)
+
+        _PR_SCALARS = n_nodes
+    return _PR_SCALARS
+
+
+_PR_HASOUT = None
+
+
+def _pr_hasout_tasks():
+    global _PR_HASOUT
+    if _PR_HASOUT is None:
+        import ray
+
+        @ray.remote
+        def n_hasout(node_state) -> int:
+            return int(node_state[1].sum())
+
+        _PR_HASOUT = n_hasout
+    return _PR_HASOUT
+
+
+_PR_ROUTE = None
+
+
+def _pr_route_task():
+    global _PR_ROUTE
+    if _PR_ROUTE is None:
+        import ray
+
+        @ray.remote
+        def route(n_shards: int, *blocks):
+            live = [b for b in blocks if b.num_columns and b.num_rows]
+            if not live:
+                e = pa.table({}, schema=_EDGE_SCHEMA)
+                n = pa.table({"node": pa.array([], pa.int64())})
+                return tuple([e] * n_shards + [n] * n_shards)
+            t = pa.concat_tables(live).combine_chunks()
+            u, v = _edge_cols(t)
+            pid = (_mix64(u.view(np.uint64)) % np.uint64(n_shards)).astype(
+                np.int64
+            )
+            order = np.argsort(pid, kind="stable")
+            t = t.take(order)
+            bounds = np.searchsorted(pid[order], np.arange(n_shards + 1))
+            ends = np.unique(np.concatenate([u, v]))
+            npid = (_mix64(ends.view(np.uint64)) % np.uint64(n_shards)).astype(
+                np.int64
+            )
+            norder = np.argsort(npid, kind="stable")
+            ends_s = ends[norder]
+            nbounds = np.searchsorted(npid[norder], np.arange(n_shards + 1))
+            eparts = [
+                t.slice(int(s), int(e - s))
+                for s, e in zip(bounds[:-1], bounds[1:])
+            ]
+            nparts = [
+                pa.table({"node": pa.array(ends_s[int(ns):int(ne)])})
+                for ns, ne in zip(nbounds[:-1], nbounds[1:])
+            ]
+            return tuple(eparts + nparts)
+
+        _PR_ROUTE = route
+    return _PR_ROUTE

@@ -792,3 +792,105 @@ def test_grouped_quantile_sketch_error_bound_large_group():
                 abs(target - lo), abs(target - hi)
             )
             assert err <= row["eps_bound"] * s.size + 1
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+
+def _pr_numpy(edges, damping=0.85, iters=200, tol=1e-12):
+    """Dense power-iteration oracle over the same model (uniform
+    teleport + uniform dangling redistribution)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.zeros(n)
+        for u, v in edges:
+            new[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dangling = r[outdeg == 0].sum()
+        new = (1 - damping) / n + damping * (new + dangling / n)
+        if np.abs(new - r).sum() <= tol:
+            r = new
+            break
+        r = new
+    return dict(zip(nodes, r))
+
+
+def _pr_run(edges, **kw):
+    from pisa_ray.pipelines.graph import pagerank
+
+    ds = rd.from_items([{"src": u, "dst": v} for u, v in edges])
+    out = pagerank(ds, **kw).to_pandas()
+    return dict(zip(out["node"], out["rank"]))
+
+
+def test_pagerank_vs_numpy_oracle():
+    rng = np.random.default_rng(7)
+    n = 60
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 400), rng.integers(0, n, 400))
+        }
+    )
+    got = _pr_run(edges, tol=1e-12, max_iters=200, n_shards=4)
+    want = _pr_numpy(edges, tol=1e-14, iters=500)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-9, k
+    assert abs(sum(got.values()) - 1.0) <= 1e-9
+
+
+def test_pagerank_known_graphs():
+    # 3-cycle: symmetric -> uniform ranks
+    got = _pr_run([(0, 1), (1, 2), (2, 0)], n_shards=3, tol=1e-13, max_iters=300)
+    for v in got.values():
+        assert abs(v - 1 / 3) <= 1e-9
+    # star a->b, c->b, with b dangling: b highest
+    got = _pr_run([(10, 99), (20, 99)], n_shards=2, tol=1e-13, max_iters=300)
+    assert got[99] > got[10] and abs(got[10] - got[20]) <= 1e-12
+    want = _pr_numpy([(10, 99), (20, 99)], tol=1e-15, iters=1000)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-9
+
+
+def test_pagerank_parallelism_invariance_and_determinism():
+    rng = np.random.default_rng(11)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 40, 250), rng.integers(0, 40, 250))
+        }
+    )
+    a = _pr_run(edges, n_shards=2, tol=1e-12, max_iters=200)
+    b = _pr_run(edges, n_shards=7, tol=1e-12, max_iters=200)
+    c = _pr_run(edges, n_shards=7, tol=1e-12, max_iters=200)
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) <= 1e-9  # float order differs across S
+        assert b[k] == c[k]  # same S -> bit-deterministic
+
+
+def test_pagerank_rails_and_empty():
+    import pytest as _pytest
+
+    from pisa_ray.pipelines.graph import pagerank
+
+    with _pytest.raises(ValueError, match="damping"):
+        _pr_run([(0, 1)], damping=1.5)
+    with _pytest.raises(ValueError, match="max_iters"):
+        _pr_run([(0, 1)], max_iters=0)
+    empty = pagerank(
+        rd.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+    )
+    # Ray's to_pandas drops columns on fully-empty datasets; assert on
+    # the Dataset schema instead
+    assert empty.schema().names == ["node", "rank"] and empty.count() == 0
