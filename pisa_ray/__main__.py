@@ -142,6 +142,21 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--prefix", required=True)
     sg.add_argument("--k", type=int, default=10)
 
+    ml = sub.add_parser(
+        "mlt",
+        help="MoreLikeThis: top-k documents similar to the given ones, "
+        "queried from their own most-representative index terms",
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument(
+        "--doc-ids", required=True,
+        help="comma-separated source document ids",
+    )
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-query-terms", type=int, default=25)
+    ml.add_argument("--min-tf", type=int, default=2)
+    ml.add_argument("--min-df", type=int, default=2)
+
     ex = sub.add_parser(
         "explain",
         help="per-term BM25 score breakdown for one document "
@@ -405,6 +420,17 @@ def main(argv: list[str] | None = None) -> int:
         from pisa_ray.scorer import explain_score
 
         print(json.dumps(explain_score(args.index, args.query, args.doc_id)))
+    elif args.cmd == "mlt":
+        from pisa_ray.pipelines.feedback import more_like_this
+
+        ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+        out = more_like_this(
+            ids, args.index, k=args.k,
+            max_query_terms=args.max_query_terms,
+            min_tf=args.min_tf, min_df=args.min_df,
+        )
+        for row in out.itertuples(index=False):
+            print(json.dumps(row._asdict()))
     elif args.cmd == "profile":
         import ray.data as rd
 

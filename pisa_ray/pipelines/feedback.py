@@ -302,3 +302,130 @@ def query_index_rm3(
     return df.sort_values(["query_id", "rank"], kind="mergesort").reset_index(
         drop=True
     )
+
+
+def mlt_terms(
+    reader: IndexReader,
+    terms: list,
+    tfs: np.ndarray,
+    max_query_terms: int = 25,
+    min_tf: int = 2,
+    min_df: int = 2,
+    max_df_frac: float = 1.0,
+) -> list[str]:
+    """Lucene MoreLikeThis term selection: score a document's terms by
+    tf * idf (the index's BM25 idf), keep the ``max_query_terms`` best
+    (ties by term asc), after the classic noise gates — min term
+    frequency, min document frequency, optional stop-ish max-df cut."""
+    max_df = max_df_frac * reader.n_docs
+    scored = []
+    for t, tf in zip(terms, tfs):
+        df = int(reader.df.get(t, 0))
+        if tf < min_tf or df < min_df or df > max_df:
+            continue
+        scored.append((-float(tf) * reader.idf(t), t))
+    scored.sort()
+    return [t for _, t in scored[:max_query_terms]]
+
+
+def more_like_this(
+    doc_ids: list[int],
+    index_dir: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_tf: int = 2,
+    min_df: int = 2,
+    max_df_frac: float = 1.0,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Similar-document retrieval (the Lucene MoreLikeThis shape):
+    for each source document, build a query from its own
+    most-representative terms (``mlt_terms``) and return the top-k
+    OTHER documents by BM25 — "related items" without an embedding
+    model, straight off the inverted index.
+
+    Same batch shape as ``query_index_rm3``: source docs fan out over
+    raw tasks against the broadcast reader; each task makes ONE
+    bucket- and row-group-pruned forward-store read for its union of
+    source docs, then scores with the exact TAAT kernel (the source
+    doc itself is dropped from its result). Unknown ids raise KeyError
+    (loud, like ``explain_score``). -> pandas
+    (src_doc_id, rank, doc_id, score), deterministic order."""
+    from ..scorer import _broadcast_reader, score_taat
+
+    empty = pd.DataFrame(
+        {
+            "src_doc_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+    )
+    if not doc_ids:
+        return empty
+    reader_ref = _broadcast_reader(index_dir)
+
+    @ray.remote(num_cpus=1)
+    def part(ids, ref) -> pa.Table:
+        reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
+        eids = _engine_ids(reader, list(ids))
+        missing = [
+            d
+            for d, e in zip(ids, eids)
+            if reader.doc_sorted[
+                min(
+                    int(np.searchsorted(reader.doc_sorted, e)),
+                    reader.n_local - 1,
+                )
+            ]
+            != e
+        ]
+        if missing:
+            raise KeyError(f"doc_ids not in this index: {missing}")
+        vecs = doc_term_vectors(index_dir, eids)
+        rows_q, rows_r, rows_d, rows_s = [], [], [], []
+        for src, eid in zip(ids, eids):
+            got = vecs.get(int(eid))
+            if got is None:
+                continue
+            terms, tfs, _dl = got
+            qterms = mlt_terms(
+                reader, terms, tfs, max_query_terms, min_tf, min_df,
+                max_df_frac,
+            )
+            if not qterms:
+                continue
+            # sorted-term order: the same float64 accumulation sequence
+            # as every other kernel (and the memo/tie-break contract)
+            hits = score_taat(reader, "", k + 1, terms=sorted(qterms))
+            r = 0
+            for d, s in hits:
+                if d == src:
+                    continue
+                r += 1
+                if r > k:
+                    break
+                rows_q.append(src)
+                rows_r.append(r)
+                rows_d.append(d)
+                rows_s.append(s)
+        id_type = pa.int64() if reader.id_mode == "int" else pa.uint64()
+        return pa.table(
+            {
+                "src_doc_id": pa.array(rows_q, type=id_type),
+                "rank": pa.array(rows_r, type=pa.int32()),
+                "doc_id": pa.array(rows_d, type=id_type),
+                "score": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    ids = list(doc_ids)
+    n = max(1, min(concurrency, len(ids)))
+    chunks = [ids[i::n] for i in range(n)]
+    parts = ray.get([part.remote(c, reader_ref) for c in chunks if c])
+    df = pa.concat_tables(parts).to_pandas()
+    if df.empty:
+        return empty
+    return df.sort_values(["src_doc_id", "rank"], kind="mergesort").reset_index(
+        drop=True
+    )

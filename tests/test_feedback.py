@@ -196,3 +196,105 @@ def test_rm3_reaches_generation_docs(rm3_index, tmp_path):
 
     weights = dict(rm3_expand(r, idx, "zzznew", fb_docs=8, fb_terms=5))
     assert "heap" in weights and "stack" in weights
+
+
+# --------------------------------------------------------------------------
+# MoreLikeThis
+# --------------------------------------------------------------------------
+
+
+def test_mlt_terms_matches_bruteforce(rm3_index):
+    from pisa_ray.pipelines.feedback import mlt_terms
+    from pisa_ray.scorer import IndexReader
+    from pisa_ray.tokenizer import tokenize_py
+
+    d, rows = rm3_index
+    reader = IndexReader(d)
+    text = rows[4][1]
+    toks = tokenize_py(text)
+    tf = collections.Counter(toks)
+    terms, tfs = list(tf.keys()), np.array(list(tf.values()))
+    for min_tf, min_df, mq in [(1, 1, 5), (2, 2, 3), (1, 1, 100)]:
+        got = mlt_terms(
+            reader, terms, tfs, max_query_terms=mq, min_tf=min_tf,
+            min_df=min_df,
+        )
+        cand = [
+            (-tf[t] * reader.idf(t), t)
+            for t in tf
+            if tf[t] >= min_tf and int(reader.df.get(t, 0)) >= min_df
+        ]
+        cand.sort()
+        assert got == [t for _, t in cand[:mq]]
+    # max_df_frac gates stop-ish terms
+    full = mlt_terms(reader, terms, tfs, min_tf=1, min_df=1)
+    gated = mlt_terms(
+        reader, terms, tfs, min_tf=1, min_df=1, max_df_frac=0.0
+    )
+    assert gated == [] and full
+
+
+def test_more_like_this_equals_explicit_term_query(rm3_index):
+    from pisa_ray.pipelines.feedback import mlt_terms, more_like_this
+    from pisa_ray.scorer import IndexReader, score_taat
+    from pisa_ray.tokenizer import tokenize_py
+
+    d, rows = rm3_index
+    reader = IndexReader(d)
+    srcs = [rows[0][0], rows[10][0], rows[50][0]]
+    out = more_like_this(srcs, d, k=5, min_tf=1, min_df=1, concurrency=2)
+    for src in srcs:
+        text = dict(rows)[src]
+        tf = collections.Counter(tokenize_py(text))
+        qterms = mlt_terms(
+            reader, list(tf), np.array(list(tf.values())), 25, 1, 1, 1.0
+        )
+        want = [
+            (ed, es)
+            for ed, es in score_taat(reader, "", 6, terms=sorted(qterms))
+            if ed != src
+        ][:5]
+        sub = out[out.src_doc_id == src].sort_values("rank")
+        assert list(sub["doc_id"]) == [d_ for d_, _ in want]
+        assert np.allclose(sub["score"], [s for _, s in want], atol=0)
+        assert src not in set(sub["doc_id"])
+
+
+def test_more_like_this_finds_planted_twin(tmp_path):
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.pipelines.feedback import more_like_this
+
+    rows = _rows(seed=9, n=120)
+    # give the source doc rare distinguishing terms and plant a
+    # near-duplicate carrying them (MLT keys on high-idf terms; in a
+    # 12-word shared vocab every doc looks alike without them)
+    rare = " zzqx wwvy uuty"
+    rows[0] = (rows[0][0], rows[0][1] + rare)
+    twin_id = 5001
+    rows.append((twin_id, rows[0][1] + " merge"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    d = str(tmp_path / "mlt_idx")
+    build_index(
+        tbl, d,
+        IndexConfig(id_col="doc_id", content_col="text", meta_cols=(),
+                    bucket_bits=1, term_parts=4, lineage_parts=1),
+    )
+    out = more_like_this([rows[0][0]], d, k=3, min_tf=1, min_df=1)
+    assert list(out["rank"]) == [1, 2, 3]
+    assert out.iloc[0]["doc_id"] == twin_id  # the twin ranks first
+
+
+def test_more_like_this_rails(rm3_index):
+    from pisa_ray.pipelines.feedback import more_like_this
+
+    d, rows = rm3_index
+    with pytest.raises(KeyError, match="doc_ids not in this index"):
+        more_like_this([10**12 + 5], d, k=3)
+    empty = more_like_this([], d)
+    assert list(empty.columns) == ["src_doc_id", "rank", "doc_id", "score"]
+    assert len(empty) == 0
