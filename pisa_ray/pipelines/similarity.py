@@ -576,3 +576,207 @@ def rrf_fuse(
     return fused[["query_id", "rank", id_col, "rrf_score"]].astype(
         {"rank": "int32"}
     )
+
+
+def pq_train(
+    sample: np.ndarray, m_sub: int, nbits: int = 6, n_iter: int = 15,
+    seed: int = 23,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011): split the
+    dimension into ``m_sub`` subspaces and run Lloyd's per subspace on
+    the training sample -> (m_sub, 2^nbits, d_sub) centroids. Training
+    happens driver-side on a bounded sample — the FAISS train
+    contract; the sample is the declared driver-sized object."""
+    from .clustering import kmeans_oracle
+
+    X = np.asarray(sample, dtype=np.float64)
+    n, d = X.shape
+    if d % m_sub:
+        raise ValueError(
+            f"pq_train: dim {d} not divisible by m_sub {m_sub}"
+        )
+    K = 1 << nbits
+    if n < K:
+        raise ValueError(
+            f"pq_train: sample of {n} vectors < {K} centroids; "
+            "lower nbits or raise train_size"
+        )
+    dsub = d // m_sub
+    ids = np.arange(n, dtype=np.int64)
+    books = np.empty((m_sub, K, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        C, _ = kmeans_oracle(
+            X[:, m * dsub : (m + 1) * dsub], ids, K, n_iter=n_iter,
+            seed=seed + m,
+        )
+        books[m] = C
+    return books
+
+
+def ivfpq_knn(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    nbits: int = 6,
+    refine: int = 4,
+    train_size: int = 4096,
+    kmeans_iter: int = 10,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ,RFlat shape): coarse k-means
+    partition + product-quantized codes through the shuffle + exact
+    refine.
+
+    Why this exists next to ``ivf_knn``: at 10^10+ vectors the scan
+    working set is the bottleneck — PQ stores ``m_sub`` sub-codes
+    (m_sub * nbits bits) per vector instead of d float64s (e.g. 8
+    bytes vs 1 KB at d=128: ~128x), so a probe list fits in cache and
+    the cluster shuffle moves codes, not vectors. Scoring inside a
+    probed cluster is ADC (asymmetric distance computation): per query
+    ONE (m_sub x 2^nbits) inner-product lookup table, then each
+    vector's approximate cosine is m_sub table gathers — no
+    per-vector float math. The top ``k*refine`` approximate
+    candidates per query then re-rank EXACTLY against the original
+    embedding table via ``rerank_topk`` (one membership-filtered
+    streaming pass, never collected), so returned cosines are true
+    cosines and recall comes from the refine margin rather than code
+    precision alone.
+
+    Codebooks train on a bounded driver-side sample (``train_size``,
+    the FAISS train contract); coarse quantizer + assignment +
+    encoding reuse the distributed kmeans / one-shuffle layout of
+    ``ivf_knn``. Deterministic at any parallelism for a fixed seed."""
+    from .clustering import kmeans
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    if refine < 1:
+        raise ValueError("ivfpq_knn: refine must be >= 1")
+    norm = emb.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                vec_col: pa.array(
+                    list(_normalize(_as_matrix(b[vec_col]))),
+                    type=pa.large_list(pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    C, _ = kmeans(norm, n_clusters, n_iter=kmeans_iter, seed=seed,
+                  id_col=id_col, vec_col=vec_col)
+    # PQ codebooks from a deterministic bounded sample (row order of
+    # the source dataset)
+    sample = _as_matrix(
+        pa.concat_tables(
+            [
+                pa.table(b)
+                for b in norm.limit(int(train_size)).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )[vec_col]
+    )
+    books = pq_train(sample, m_sub=m_sub, nbits=nbits, seed=seed + 101)
+    M, K, dsub = books.shape
+    n_probe = min(int(n_probe), C.shape[0])
+    qsims = q @ C.T
+    probe_cl = np.argsort(-qsims, axis=1, kind="stable")[:, :n_probe]
+    qdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(
+                np.arange(q.shape[0], dtype=np.int64), n_probe
+            ),
+            "cluster": probe_cl.reshape(-1).astype(np.int64),
+        }
+    )
+    qref = ray.put((qdf, q))
+    cref = ray.put((C, books))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cc, bk = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        a = np.argmax(m @ cc.T, axis=1)
+        n = m.shape[0]
+        codes = np.empty((n, M), dtype=np.uint8)
+        for j in range(M):
+            sub = m[:, j * dsub : (j + 1) * dsub]
+            # euclid argmin == IP argmax on centroid-norm-corrected
+            # distances; use full euclidean for exactness
+            d2 = (
+                -2.0 * (sub @ bk[j].T)
+                + (bk[j] * bk[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": batch[id_col],
+                "codes": pa.Array.from_buffers(
+                    pa.binary(M), n, [None, pa.py_buffer(codes.tobytes())]
+                ),
+            }
+        )
+
+    n_cand = int(k) * int(refine)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        qs, qmat = ray.get(qref)
+        _, bk = ray.get(cref)
+        sub = qs[qs.cluster == g["cluster"].iloc[0]]
+        empty = pd.DataFrame({"query_id": [], "vec_id": [], "approx": []}).astype(
+            {"query_id": "int64", "vec_id": "int64", "approx": "float64"}
+        )
+        if sub.empty:
+            return empty
+        codes = np.frombuffer(b"".join(g["codes"]), dtype=np.uint8).reshape(
+            -1, M
+        )
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        sub_qids = sub["query_id"].to_numpy()
+        qm = qmat[sub_qids]  # (Qs, d)
+        # ADC: per subspace, (Qs, K) LUT then a (Qs, n) gather
+        acc = np.zeros((qm.shape[0], ids.size), dtype=np.float64)
+        for j in range(M):
+            lut = qm[:, j * dsub : (j + 1) * dsub] @ bk[j].T  # (Qs, K)
+            acc += lut[:, codes[:, j]]
+        kk = min(n_cand, ids.size)
+        sel_ids, sel_sims = _topk_rows(acc, ids, kk)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(sub_qids.astype(np.int64), kk),
+                "vec_id": sel_ids.reshape(-1),
+                "approx": sel_sims.reshape(-1),
+            }
+        )
+
+    cand = (
+        emb.map_batches(encode, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(probe, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+        ).astype(
+            {"query_id": "int64", "rank": "int64", "vec_id": "int64",
+             "cosine": "float64"}
+        )
+    cand = (
+        cand.sort_values(
+            ["query_id", "approx", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(n_cand)
+    )
+    qids = np.arange(q.shape[0], dtype=np.int64)
+    return rerank_topk(
+        cand[["query_id", "vec_id"]], emb, q, qids, k=k,
+        id_col=id_col, vec_col=vec_col, cand_id_col="vec_id",
+    )

@@ -2332,3 +2332,49 @@ def test_rrf_fuse_end_to_end_hybrid(tiny_index):
             mid = grp[grp["rank"] == (n + 1) // 2]["doc_id"].iloc[0]
             top = fused[(fused["query_id"] == q) & (fused["rank"] == 1)]
             assert int(top["doc_id"].iloc[0]) == int(mid)
+
+
+def test_ivfpq_knn_recall_and_determinism(emb):
+    """IVF-PQ with exact refine: high recall vs brute at generous
+    probe/refine, rank-1 self hit, true-cosine scores (the refine
+    stage re-scores exactly), deterministic across runs and
+    parallelism."""
+    from pisa_ray.pipelines.similarity import brute_knn, ivfpq_knn
+
+    pdf = emb.to_pandas().head(10)
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    exact = brute_knn(emb, q, k=5)
+    got = ivfpq_knn(
+        emb, q, k=5, n_clusters=8, n_probe=8, m_sub=16, nbits=6, refine=8
+    )
+    # scores are TRUE cosines: every (query, vec) pair present in both
+    # frames carries the same cosine
+    merged = got.merge(
+        exact, on=["query_id", "vec_id"], suffixes=("_pq", "_ex")
+    )
+    assert np.allclose(merged["cosine_pq"], merged["cosine_ex"], atol=1e-9)
+    # recall@5 against brute
+    rec = len(merged) / len(exact)
+    assert rec >= 0.9, rec
+    # self hit at rank 1 (own vector survives any code precision after
+    # exact refine)
+    for qi, vid in enumerate(pdf["vec_id"]):
+        sub = got[(got.query_id == qi) & (got["rank"] == 1)]
+        assert len(sub) == 1 and int(sub["vec_id"].iloc[0]) == int(vid)
+    again = ivfpq_knn(
+        emb.repartition(7), q, k=5, n_clusters=8, n_probe=8, m_sub=16,
+        nbits=6, refine=8,
+    )
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_ivfpq_rails(emb):
+    from pisa_ray.pipelines.similarity import ivfpq_knn, pq_train
+
+    q = np.zeros((1, 64))
+    with pytest.raises(ValueError, match="refine"):
+        ivfpq_knn(emb, q, refine=0)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(np.zeros((300, 64)), m_sub=7)
+    with pytest.raises(ValueError, match="sample"):
+        pq_train(np.zeros((10, 64)), m_sub=8, nbits=6)
