@@ -369,6 +369,8 @@ def more_like_this(
     def part(ids, ref) -> pa.Table:
         reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
         eids = _engine_ids(reader, list(ids))
+        if reader.n_local == 0:
+            raise KeyError(f"doc_ids not in this index: {sorted(ids)}")
         missing = [
             d
             for d, e in zip(ids, eids)

@@ -118,14 +118,23 @@ def bigram_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 
 def bigram_model(
-    ds: rd.Dataset, text_col: str = "text", top_b: int | None = None
+    ds: rd.Dataset,
+    text_col: str = "text",
+    top_b: int | None = None,
+    counts: rd.Dataset | None = None,
 ) -> pa.Table:
     """Collected bigram model: (w1, w2, tf, ctx_tf) with
     ``ctx_tf = c(w1, .)`` — the PRE-CUT context total, so
     ``tf / ctx_tf`` is the exact ML conditional even on a
     ``top_b``-capped model (cut pairs simply contribute 0 to the
-    interpolated probability; their mass rides the unigram term)."""
-    counts = bigram_counts(ds, text_col).materialize()
+    interpolated probability; their mass rides the unigram term).
+
+    ``counts``: a precomputed ``bigram_counts`` Dataset — pass it when
+    the caller also runs ``collocations`` so the pair-count exchange
+    happens once, not per consumer."""
+    if counts is None:
+        counts = bigram_counts(ds, text_col)
+    counts = counts.materialize()
     # context totals BEFORE any cap (vocab-sized, collected once)
     ctx = counts.groupby("w1").sum("tf").to_pandas()
     ctx_map = dict(zip(ctx["w1"], ctx["sum(tf)"].astype(np.int64)))
@@ -263,6 +272,8 @@ def collocations(
     min_count: int = 5,
     k: int = 100,
     text_col: str = "text",
+    counts: rd.Dataset | None = None,
+    uni_model: pa.Table | None = None,
 ) -> pa.Table:
     """Top-k collocations by pointwise mutual information (Church &
     Hanks 1990):
@@ -277,7 +288,11 @@ def collocations(
     PMI is computed per counts-batch against the broadcast unigram
     table and the top-k cut is a distributed sort+limit. Returns
     (w1, w2, tf, pmi) sorted by (pmi desc, w1, w2), pmi rounded
-    half-even at 6 decimals."""
+    half-even at 6 decimals.
+
+    ``counts`` / ``uni_model``: precomputed ``bigram_counts`` /
+    ``unigram_model`` results, so callers sharing them with
+    ``bigram_model``/``bigram_nll`` pay each exchange once."""
     import ray
 
     if k < 1:
@@ -286,7 +301,9 @@ def collocations(
         raise ValueError(
             f"collocations: min_count must be >= 1, got {min_count}"
         )
-    counts = bigram_counts(ds, text_col).materialize()
+    if counts is None:
+        counts = bigram_counts(ds, text_col)
+    counts = counts.materialize()
     total_pairs = int(counts.sum("tf") or 0)
     empty = pa.table(
         {
@@ -298,7 +315,8 @@ def collocations(
     )
     if total_pairs == 0:
         return empty
-    uni = unigram_model(ds, text_col)  # (term, logp) with p = tf/T
+    # (term, logp) with p = tf/T
+    uni = uni_model if uni_model is not None else unigram_model(ds, text_col)
     ref = [ray.put(uni)]
     kept = counts.filter(expr=f"tf >= {int(min_count)}")
 

@@ -672,15 +672,13 @@ def ivfpq_knn(
                   id_col=id_col, vec_col=vec_col)
     # PQ codebooks from a deterministic bounded sample (row order of
     # the source dataset)
-    sample = _as_matrix(
-        pa.concat_tables(
-            [
-                pa.table(b)
-                for b in norm.limit(int(train_size)).iter_batches(
-                    batch_format="pyarrow"
-                )
-            ]
-        )[vec_col]
+    sample = np.concatenate(
+        [
+            _as_matrix(b[vec_col])
+            for b in norm.limit(int(train_size)).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
     )
     books = pq_train(sample, m_sub=m_sub, nbits=nbits, seed=seed + 101)
     M, K, dsub = books.shape
