@@ -385,12 +385,17 @@ def more_like_this(
         if missing:
             raise KeyError(f"doc_ids not in this index: {missing}")
         vecs = doc_term_vectors(index_dir, eids)
+        lost = [s for s, e in zip(ids, eids) if int(e) not in vecs]
+        if lost:
+            # in the docmap but absent from tokenized/: a corrupt or
+            # partially-written forward store — loud, not silent
+            raise KeyError(
+                f"doc_ids {lost} have no forward-store row "
+                "(tokenized/ missing or incomplete for this index)"
+            )
         rows_q, rows_r, rows_d, rows_s = [], [], [], []
         for src, eid in zip(ids, eids):
-            got = vecs.get(int(eid))
-            if got is None:
-                continue
-            terms, tfs, _dl = got
+            terms, tfs, _dl = vecs[int(eid)]
             qterms = mlt_terms(
                 reader, terms, tfs, max_query_terms, min_tf, min_df,
                 max_df_frac,

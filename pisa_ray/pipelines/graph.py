@@ -356,6 +356,8 @@ def pagerank(
         raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
     if max_iters < 1:
         raise ValueError("pagerank: max_iters must be >= 1")
+    if n_shards is not None and int(n_shards) < 1:
+        raise ValueError(f"pagerank: n_shards must be >= 1, got {n_shards}")
     norm = edges.map_batches(
         lambda t: pa.table(
             {
@@ -397,15 +399,8 @@ def pagerank(
             node_setup.remote(s, est, *[o[S + s] for o in outs])
         )
 
-    sizes = [
-        int(n)
-        for n in ray.get(
-            [
-                _pr_scalar_tasks().remote(ns)
-                for ns in node_states
-            ]
-        )
-    ]
+    stats = ray.get([_pr_stats_task().remote(ns) for ns in node_states])
+    sizes = [s[0] for s in stats]
     n_total = sum(sizes)
     if n_total == 0:
         return rd.from_arrow(empty)
@@ -413,10 +408,7 @@ def pagerank(
         ray.put(np.full(sz, 1.0 / n_total, dtype=np.float64)) for sz in sizes
     ]
     # initial dangling mass from the uniform vector
-    has_out_counts = ray.get(
-        [_pr_hasout_tasks().remote(ns) for ns in node_states]
-    )
-    dangling = float(sum(sz - ho for sz, ho in zip(sizes, has_out_counts))) / n_total
+    dangling = float(sum(sz - ho for sz, ho in stats)) / n_total
 
     for _ in range(max_iters):
         parts = [
@@ -453,36 +445,20 @@ def pagerank(
     )
 
 
-_PR_SCALARS = None
+_PR_STATS = None
 
 
-def _pr_scalar_tasks():
-    global _PR_SCALARS
-    if _PR_SCALARS is None:
+def _pr_stats_task():
+    global _PR_STATS
+    if _PR_STATS is None:
         import ray
 
         @ray.remote
-        def n_nodes(node_state) -> int:
-            return int(node_state[0].size)
+        def shard_stats(node_state) -> tuple[int, int]:
+            return int(node_state[0].size), int(node_state[1].sum())
 
-        _PR_SCALARS = n_nodes
-    return _PR_SCALARS
-
-
-_PR_HASOUT = None
-
-
-def _pr_hasout_tasks():
-    global _PR_HASOUT
-    if _PR_HASOUT is None:
-        import ray
-
-        @ray.remote
-        def n_hasout(node_state) -> int:
-            return int(node_state[1].sum())
-
-        _PR_HASOUT = n_hasout
-    return _PR_HASOUT
+        _PR_STATS = shard_stats
+    return _PR_STATS
 
 
 _PR_ROUTE = None
@@ -497,7 +473,7 @@ def _pr_route_task():
         def route(n_shards: int, *blocks):
             live = [b for b in blocks if b.num_columns and b.num_rows]
             if not live:
-                e = pa.table({}, schema=_EDGE_SCHEMA)
+                e = pa.table({"u": [], "v": []}, schema=_EDGE_SCHEMA)
                 n = pa.table({"node": pa.array([], pa.int64())})
                 return tuple([e] * n_shards + [n] * n_shards)
             t = pa.concat_tables(live).combine_chunks()

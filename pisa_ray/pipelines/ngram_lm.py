@@ -324,6 +324,11 @@ def collocations(
         m = ray.get(ref[0])
         terms = m["term"].combine_chunks()
         logp = m["logp"].to_numpy(zero_copy_only=False)
+        md = m.schema.metadata or {}
+        if b"oov_logp" in md:
+            floor = float(md[b"oov_logp"])
+        else:
+            floor = float(logp.min()) if len(logp) else 0.0
 
         def lp(col) -> np.ndarray:
             if isinstance(col, pa.ChunkedArray):
@@ -331,8 +336,14 @@ def collocations(
             pos = pc.index_in(col, value_set=terms).to_numpy(
                 zero_copy_only=False
             ).astype(np.float64)
-            # every surviving pair's words exist in the unigram vocab
-            return logp[np.nan_to_num(pos).astype(np.int64)]
+            # a top_v-capped external uni_model can lack a pair word:
+            # fall back to the model's calibrated OOV logp (the same
+            # convention as unigram_nll), never to vocab index 0
+            return np.where(
+                np.isnan(pos),
+                floor,
+                logp[np.nan_to_num(pos).astype(np.int64)],
+            )
 
         c12 = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         pmi = np.log(c12 / total_pairs) - lp(batch["w1"]) - lp(batch["w2"])

@@ -595,6 +595,10 @@ def pq_train(
         raise ValueError(
             f"pq_train: dim {d} not divisible by m_sub {m_sub}"
         )
+    if not 1 <= nbits <= 8:
+        raise ValueError(
+            f"pq_train: nbits must be in [1, 8] (codes are uint8), got {nbits}"
+        )
     K = 1 << nbits
     if n < K:
         raise ValueError(

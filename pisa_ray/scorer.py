@@ -1246,7 +1246,11 @@ def explain_score(
     rows: list[dict] = []
     total = 0.0
     for t in terms:
-        docs, tfs = reader.decode_term(t)
+        # contribution comes from the reader's CACHED per-term arrays
+        # (term_contributions) — the same values every kernel sums, so
+        # bit-identity is by construction, not by re-derivation; the
+        # tf display decodes the posting list (diagnostic-path cost)
+        _, contrib, pos = reader.term_contributions(t)
         row = {
             "term": t,
             "matched": False,
@@ -1257,21 +1261,16 @@ def explain_score(
             "wnorm": 0.0,
             "contribution": 0.0,
         }
-        if docs.size:
-            pos = reader._positions_of(docs)
+        if pos.size:
             i = int(np.searchsorted(pos, p))
             if i < pos.size and pos[i] == p:
-                tf = int(tfs[i])
-                wnorm = float(
-                    bm25_wnorm(
-                        np.array([tf], dtype=np.float64),
-                        np.array([dl], dtype=np.float64),
-                        reader.avgdl,
-                    )[0]
-                )
-                contribution = row["idf"] * wnorm
+                _, tfs = reader.decode_term(t)
+                contribution = float(contrib[i])
                 row.update(
-                    matched=True, tf=tf, wnorm=wnorm, contribution=contribution
+                    matched=True,
+                    tf=int(tfs[i]),
+                    wnorm=contribution / row["idf"] if row["idf"] else 0.0,
+                    contribution=contribution,
                 )
                 total += contribution
         rows.append(row)

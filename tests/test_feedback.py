@@ -298,3 +298,16 @@ def test_more_like_this_rails(rm3_index):
     empty = more_like_this([], d)
     assert list(empty.columns) == ["src_doc_id", "rank", "doc_id", "score"]
     assert len(empty) == 0
+
+
+def test_more_like_this_missing_forward_store_is_loud(rm3_index, tmp_path):
+    import shutil
+
+    from pisa_ray.pipelines.feedback import more_like_this
+
+    d, rows = rm3_index
+    broken = str(tmp_path / "noforward")
+    shutil.copytree(d, broken)
+    shutil.rmtree(f"{broken}/tokenized")
+    with pytest.raises(Exception, match="forward-store"):
+        more_like_this([rows[0][0]], broken, k=3, min_tf=1, min_df=1)

@@ -894,3 +894,10 @@ def test_pagerank_rails_and_empty():
     # Ray's to_pandas drops columns on fully-empty datasets; assert on
     # the Dataset schema instead
     assert empty.schema().names == ["node", "rank"] and empty.count() == 0
+
+
+def test_pagerank_n_shards_rail():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        _pr_run([(0, 1)], n_shards=-3)

@@ -253,3 +253,45 @@ def test_ngram_lm_rails():
     empty = collocations(rd.from_items([{"doc_id": 0, "text": ""}]))
     assert empty.num_rows == 0
     assert empty.column_names == ["w1", "w2", "tf", "pmi"]
+
+
+def test_collocations_with_capped_external_model_uses_oov_floor():
+    """A top_v-capped uni_model lacking a pair word must fall back to
+    the calibrated OOV logp — never silently read vocab index 0."""
+    from pisa_ray.pipelines.ngram_lm import bigram_counts, collocations
+    from pisa_ray.pipelines.text import unigram_model
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "aa bb aa bb aa bb cc dd" + " aa" * 10},
+            {"doc_id": 1, "text": "cc dd cc dd rare1 rare2 rare1 rare2"},
+        ]
+    )
+    capped = unigram_model(ds, top_v=3)  # rare1/rare2 (and more) cut
+    md = capped.schema.metadata
+    assert md and b"oov_logp" in md
+    floor = float(md[b"oov_logp"])
+    full = collocations(ds, min_count=2, k=50)
+    got = collocations(ds, min_count=2, k=50, uni_model=capped)
+    fullmap = {(r["w1"], r["w2"]): r["pmi"] for r in full.to_pylist()}
+    gotmap = {(r["w1"], r["w2"]): r["pmi"] for r in got.to_pylist()}
+    assert ("rare1", "rare2") in gotmap
+    # replay: pmi for the cut pair = ln(c12/P) - 2*floor
+    tf12 = {
+        (r["w1"], r["w2"]): r["tf"]
+        for r in bigram_counts(ds).to_pandas().to_dict("records")
+    }[("rare1", "rare2")]
+    P = sum(
+        r["tf"] for r in bigram_counts(ds).to_pandas().to_dict("records")
+    )
+    want = round(float(np.log(tf12 / P) - 2 * floor), 6)
+    assert abs(gotmap[("rare1", "rare2")] - want) <= 1e-6
+    # pairs whose BOTH words survive the cap keep their exact
+    # full-model PMI (capped logp stays calibrated to the full total)
+    kept = set(capped["term"].to_pylist())
+    compared = 0
+    for key, v in gotmap.items():
+        if key in fullmap and key[0] in kept and key[1] in kept:
+            assert abs(v - fullmap[key]) <= 1e-6
+            compared += 1
+    assert compared > 0

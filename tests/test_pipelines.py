@@ -2378,3 +2378,10 @@ def test_ivfpq_rails(emb):
         pq_train(np.zeros((300, 64)), m_sub=7)
     with pytest.raises(ValueError, match="sample"):
         pq_train(np.zeros((10, 64)), m_sub=8, nbits=6)
+
+
+def test_pq_train_nbits_rail():
+    from pisa_ray.pipelines.similarity import pq_train
+
+    with pytest.raises(ValueError, match="nbits"):
+        pq_train(np.zeros((600, 64)), m_sub=8, nbits=9)
