@@ -453,6 +453,63 @@ def main() -> None:
         timed("phrase_corpus_verify_sec", phrase_corpus)
         timed("proximity_corpus_verify_sec", prox_corpus)
 
+        # ---- sixth-session operators --------------------------------
+        def bigram_quality(sf):
+            from pisa_ray.pipelines.ngram_lm import bigram_nll
+
+            return bigram_nll(rd.read_parquet(f"{sf}/documents.parquet"))
+
+        timed("bigram_nll_sec", bigram_quality)
+
+        def pagerank_synth(sf):
+            # web-graph stand-in: seeded 500k-edge zipf-skewed digraph
+            from pisa_ray.pipelines.graph import pagerank
+
+            rng = np.random.default_rng(5)
+            nn, ne = 100_000, 500_000
+            src = (rng.zipf(1.3, ne) % nn).astype(np.int64)
+            dst = rng.integers(0, nn, ne).astype(np.int64)
+            ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(16)
+            return pagerank(ds, tol=1e-8, max_iters=50)
+
+        timed("pagerank_500k_edges_sec", pagerank_synth)
+
+        def ivfpq(sf):
+            from pisa_ray.pipelines.similarity import ivfpq_knn
+
+            emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+            qm = np.asarray(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in emb.limit(16).to_pandas()["embedding"]
+                ]
+            )
+            out = ivfpq_knn(
+                emb, qm, k=5, n_clusters=16, n_probe=4, m_sub=16,
+                nbits=6, refine=4,
+            )
+            assert len(out) > 0
+            return out
+
+        timed("ivfpq_knn_sec", ivfpq)
+
+        # MoreLikeThis QPS over the built index (forward-store point
+        # reads + exact TAAT per source doc)
+        from pisa_ray.pipelines.feedback import more_like_this
+        from pisa_ray.scorer import IndexReader
+
+        _r = IndexReader(idx_dir)
+        mlt_ids = [int(x) for x in _r.out_ids(_r.doc_sorted[:64])]
+        t0 = time.perf_counter()
+        mlt_out = more_like_this(
+            mlt_ids, idx_dir, k=10, min_tf=1, min_df=2,
+            concurrency=max(2, ncpu // 2),
+        )
+        dt = time.perf_counter() - t0
+        results["mlt_sec"] = round(dt, 3)
+        results["mlt_qps"] = round(len(mlt_ids) / dt, 1)
+        results["mlt_rows"] = int(len(mlt_out))
+
     headline = results["index_build_sec"] + results["bm25_taat_sec"]
     print(
         json.dumps(
