@@ -19,6 +19,7 @@ from .serve import BM25Service
 from .scorer import (
     BM25Scorer,
     IndexReader,
+    did_you_mean,
     explain_score,
     facet_counts,
     facet_histogram,
@@ -42,6 +43,7 @@ __all__ = [
     "BM25Scorer",
     "BM25Service",
     "IndexReader",
+    "did_you_mean",
     "explain_score",
     "query_index",
     "query_index_sharded",

@@ -1206,6 +1206,31 @@ def score_taat(
                 buf[pos] = 0.0
 
 
+def did_you_mean(
+    reader: "IndexReader | str", text: str
+) -> str | None:
+    """Whole-query spell suggestion (the search-box "did you mean"):
+    every out-of-vocabulary token is replaced by its highest-df
+    edit-distance-1 neighbor (``TermExpander.correct``); in-vocabulary
+    tokens pass through unchanged. Returns the corrected query string,
+    or None when nothing was corrected (all tokens known, or no OOV
+    token has a neighbor). Token order is preserved; the suggestion is
+    tokenized text, ready to feed back into any query kernel."""
+    if isinstance(reader, str):
+        reader = IndexReader(reader)
+    exp = reader.term_expander()
+    out: list[str] = []
+    changed = False
+    for t in reader.tokenize(text):
+        c = exp.correct(t)
+        if c is not None:
+            out.append(c)
+            changed = True
+        else:
+            out.append(t)
+    return " ".join(out) if changed else None
+
+
 def explain_score(
     reader: "IndexReader | str",
     text: str,
@@ -2150,6 +2175,18 @@ class TermExpander:
         for v in self._dels(q):
             cand.update(self._del_index.get(v, ()))
         return self._cap([t for t in cand if self._ed1(q, t)])
+
+    def correct(self, q: str) -> str | None:
+        """Best single-token spell correction: the highest-df
+        edit-distance-1 neighbor of an out-of-vocabulary token (ties by
+        term asc — the DirectSpellChecker popularity rule). None for
+        in-vocabulary tokens and for tokens with no ED<=1 neighbor."""
+        if q in self.df:
+            return None
+        cand = self.fuzzy1(q)
+        if not cand:
+            return None
+        return min(cand, key=lambda t: (-int(self.df[t]), t))
 
 
 class BM25Scorer:

@@ -1511,3 +1511,25 @@ def test_facet_histogram_boundary_and_rails(hist_index):
         facet_histogram([(0, "x")], d, "size_b", [2.0, 1.0])
     out = facet_histogram([], d, "size_b", [0.0, 1.0])
     assert list(out.columns) == ["query_id", "lo", "hi", "n_docs"] and len(out) == 0
+
+
+def test_did_you_mean(tiny_index, tiny_oracle):
+    from pisa_ray.scorer import IndexReader, did_you_mean
+
+    reader = IndexReader(tiny_index)
+    vocab = sorted(tiny_oracle.df, key=lambda t: (-len(t), t))
+    term = vocab[0]
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y") + term[-1]
+    got = did_you_mean(reader, f"{typo} {vocab[1]}")
+    assert got is not None and got.split()[1] == reader.tokenize(vocab[1])[0]
+    # the correction is term's ED1 neighborhood's highest-df member
+    exp = reader.term_expander()
+    cand = exp.fuzzy1(reader.tokenize(typo)[0])
+    assert got.split()[0] == min(cand, key=lambda t: (-int(reader.df[t]), t))
+    # fully in-vocabulary query -> no suggestion
+    assert did_you_mean(reader, f"{vocab[0]} {vocab[1]}") is None
+    # hopeless token (no ED1 neighbor) passes through; if it is the
+    # only OOV token, no suggestion either
+    assert did_you_mean(reader, "zzzzqqqqxxxx") is None
+    # path form works
+    assert did_you_mean(tiny_index, f"{typo}") == got.split()[0]
