@@ -142,6 +142,17 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--prefix", required=True)
     sg.add_argument("--k", type=int, default=10)
 
+    gp = sub.add_parser(
+        "grep",
+        help="regex search over the corpus (RE2 pattern), pruned "
+        "through the index where the pattern's required literals allow",
+    )
+    gp.add_argument("--index", required=True)
+    gp.add_argument("--corpus", required=True, help="corpus parquet path")
+    gp.add_argument("--pattern", required=True)
+    gp.add_argument("--id-col", default="doc_id")
+    gp.add_argument("--text-col", default="text")
+
     ml = sub.add_parser(
         "mlt",
         help="MoreLikeThis: top-k documents similar to the given ones, "
@@ -420,6 +431,20 @@ def main(argv: list[str] | None = None) -> int:
         from pisa_ray.scorer import explain_score
 
         print(json.dumps(explain_score(args.index, args.query, args.doc_id)))
+    elif args.cmd == "grep":
+        import ray.data as rd
+
+        from pisa_ray.pipelines.phrase import regex_search
+
+        out = regex_search(
+            [(0, args.pattern)],
+            args.index,
+            rd.read_parquet(args.corpus),
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        for row in out.itertuples(index=False):
+            print(json.dumps({"doc_id": int(row.doc_id)}))
     elif args.cmd == "mlt":
         from pisa_ray.pipelines.feedback import more_like_this
 

@@ -840,3 +840,190 @@ def proximity_search_sharded(
     return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
         drop=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-accelerated regex search (the Google-Code-Search shape)
+
+
+def required_literals(pattern: str) -> list[str]:
+    """Conservative required-literal extraction from a regex: ASCII
+    strings that MUST appear verbatim in any match, read off the
+    stdlib parse tree (the necessary-substring analysis behind
+    Google Code Search's trigram pruning — public idea; simplified to
+    the index's term granularity here).
+
+    Walks concatenations; recurses into groups and into repeats with
+    min >= 1; BREAKS the current run (collecting nothing) at
+    alternations, optional parts, character classes and non-ASCII —
+    anything not literally required. The result is a safe NECESSARY
+    condition, never a sufficient one."""
+    try:
+        import re._parser as sre  # Python 3.11+
+    except ImportError:  # pragma: no cover - older stdlib layout
+        import sre_parse as sre
+
+    out: list[str] = []
+
+    def walk(items) -> None:
+        run: list[str] = []
+
+        def flush() -> None:
+            if run:
+                out.append("".join(run))
+                run.clear()
+
+        for op, arg in items:
+            name = str(op)
+            if name == "LITERAL" and isinstance(arg, int) and 32 <= arg < 127:
+                run.append(chr(arg))
+                continue
+            flush()
+            if name == "SUBPATTERN":
+                walk(arg[3])
+            elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                lo, _, sub = arg
+                if lo >= 1:
+                    walk(sub)
+            # BRANCH / IN / ANY / CATEGORY / anchors: no requirement
+        flush()
+
+    walk(sre.parse(pattern))
+    return [s for s in out if s]
+
+
+def required_index_terms(
+    pattern: str, analyzer: str = "simple"
+) -> list[str]:
+    """Index terms every matching document must contain: for each
+    required literal run, tokenize it with the INDEX's analyzer and
+    keep only the INTERIOR tokens — the run's first and last token may
+    be partial words in an actual match (the match can extend the run
+    mid-token), but interior tokens are flanked by non-token
+    characters inside the literal itself, so they appear as full
+    tokens in any matching document. The same analyzer on both sides
+    keeps this sound under code-splitting and stemming."""
+    terms: set[str] = set()
+    for lit in required_literals(pattern):
+        toks = tokenize_py(lit, analyzer)
+        if len(toks) > 2:
+            terms.update(toks[1:-1])
+    return sorted(terms)
+
+
+def regex_search(
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    corpus: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Distributed grep over the corpus, index-pruned where the
+    pattern allows -> (query_id, doc_id) rows, deterministic order.
+
+    Per query: ``required_index_terms`` extracts terms every match
+    must contain; queries that yield any are pruned to the docs
+    holding ALL of them (one conjunctive postings intersection through
+    the broadcast reader — same machinery as position-free phrase
+    search). Verification is the ground truth: one vectorized RE2 pass
+    (``pc.match_substring_regex``) per query over the candidate docs'
+    RAW text, streamed through ``map_batches`` — pruning can only
+    shrink the scanned set, never change the result. A pattern with no
+    required literal (pure wildcards/alternations) degrades to the
+    full scan, exactly like a trigram-indexed grep does. Patterns must
+    be RE2-compatible (pyarrow's regex engine; no backreferences)."""
+    if not queries:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+            }
+        )
+    analyzer = _index_analyzer(index_dir)
+    req = {qid: required_index_terms(p, analyzer) for qid, p in queries}
+    pruned = [(qid, terms) for qid, terms in req.items() if terms]
+    all_pruned = len(pruned) == len(queries)
+
+    ids_ref = None
+    if pruned and all_pruned:
+        from ..scorer import _broadcast_reader
+
+        reader_ref = _broadcast_reader(index_dir)
+
+        @ray.remote(num_cpus=1)
+        def cand(qs, ref) -> pa.Table:
+            reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
+            docs = []
+            for _qid, terms in qs:
+                hits = score_conj(reader, "", k=reader.n_docs, terms=terms)
+                docs.extend(d for d, _ in hits)
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.asarray(docs, dtype=np.uint64).view(np.int64)
+                    )
+                }
+            )
+
+        n = max(1, min(concurrency, len(pruned)))
+        chunks = [pruned[i::n] for i in range(n)]
+        parts = ray.get([cand.remote(c, reader_ref) for c in chunks if c])
+        cand_ids = pc.unique(pa.concat_tables(parts)["doc_id"])
+        if len(cand_ids) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                }
+            )
+        ids_ref = ray.put(cand_ids)
+
+    qlist = list(queries)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if ids_ref is not None:
+            batch = batch.filter(
+                pc.is_in(batch[id_col], value_set=ray.get(ids_ref))
+            )
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_d = [], []
+        for qid, pattern in qlist:
+            hit = pc.match_substring_regex(
+                batch[text_col], pattern
+            ).to_numpy(zero_copy_only=False)
+            if hit.any():
+                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+                out_d.append(ids[hit])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d).astype(np.int64)),
+            }
+        )
+
+    df = (
+        corpus.select_columns([id_col, text_col])
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+            }
+        )
+    return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )

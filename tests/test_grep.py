@@ -1,0 +1,143 @@
+"""Index-accelerated regex search (pipelines/phrase.regex_search).
+
+Oracle = python `re.search` over every doc's raw text; patterns are
+chosen RE2-compatible so both engines agree. The pruning analysis
+(required_literals / required_index_terms) is pinned separately.
+"""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def test_required_literals_conservative():
+    from pisa_ray.pipelines.phrase import required_literals
+
+    cases = {
+        "merge_sort": ["merge_sort"],
+        "foo.*bar": ["foo", "bar"],
+        "a(bc)d": ["a", "bc", "d"],
+        "x(?:yz)+w": ["x", "yz", "w"],   # min>=1 repeat recursed
+        "x(?:yz)*w": ["x", "w"],         # optional: skipped
+        "(ab|cd)e": ["e"],               # alternation: no requirement
+        "[abc]def": ["def"],             # class breaks the run
+        "colou?r": ["colo", "r"],        # optional char splits the run
+        "^begin end$": ["begin end"],
+        "a\\d+b": ["a", "b"],
+    }
+    for pat, want in cases.items():
+        assert required_literals(pat) == want, pat
+    # every required literal really does appear in every match
+    rng = np.random.default_rng(0)
+    for pat, lits in cases.items():
+        probe = "xx merge_sort foo qq bar abcde xyzyzw colour begin end a77b def zz"
+        m = re.search(pat, probe)
+        if m:
+            for lit in lits:
+                assert lit in probe
+
+
+def test_required_index_terms_interior_only():
+    from pisa_ray.pipelines.phrase import required_index_terms
+
+    # interior tokens only: first/last may be partial in a match
+    assert required_index_terms("foo bar_x baz.*") == ["bar_x"]
+    assert required_index_terms("merge") == []  # single token: droppable
+    assert required_index_terms("a b c d") == ["b", "c"]
+    # code analyzer splits camelCase inside the literal too
+    assert required_index_terms("getFooBarBaz", "code") == ["bar", "foo"]
+
+
+@pytest.fixture(scope="module")
+def grep_index(tmp_path_factory):
+    from pisa_ray.build import IndexConfig, build_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, 9), dtype="int64"),
+            "text": [
+                "def merge_sort(arr): return sorted(arr)",
+                "MERGE JOIN planner picks hash join instead",
+                "class QuickSort: pass  # quick sort here",
+                "merge conflicts in git are painful",
+                "x = merge_sort(data); y = quick_sort(data)",
+                "nothing relevant whatsoever",
+                "mergesort without the underscore",
+                "deep merge of json trees via recursion",
+            ],
+        }
+    )
+    d = str(tmp_path_factory.mktemp("grep_idx"))
+    build_index(
+        pa.Table.from_pandas(docs),
+        d,
+        IndexConfig(
+            id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+            bucket_bits=1, term_parts=4, lineage_parts=1,
+        ),
+    )
+    return d, docs
+
+
+def test_regex_search_matches_python_re(grep_index):
+    from pisa_ray.pipelines.phrase import regex_search
+
+    d, docs = grep_index
+    queries = [
+        (0, r"merge_sort\(\w+\)"),     # pruned via merge_sort? interior-token rule applies
+        (1, r"quick.?sort"),
+        (2, r"merge.*json"),
+        (3, r"zz_absent_zz"),
+        (4, r"(hash|quick) (join|sort)"),  # alternation: full scan
+    ]
+    out = regex_search(queries, d, rd.from_pandas(docs), concurrency=2)
+    for qid, pat in queries:
+        want = sorted(
+            int(i)
+            for i, t in zip(docs["doc_id"], docs["text"])
+            if re.search(pat, t)
+        )
+        got = out[out["query_id"] == qid]["doc_id"].tolist()
+        assert got == want, (qid, pat, got, want)
+    # determinism across parallelism
+    out2 = regex_search(
+        queries, d, rd.from_pandas(docs).repartition(5), concurrency=4
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_regex_search_pruning_is_exact(grep_index):
+    """A query whose required terms prune to a small candidate set must
+    return exactly the full-scan result (pruning = necessary filter)."""
+    from pisa_ray.pipelines.phrase import (
+        regex_search,
+        required_index_terms,
+    )
+
+    d, docs = grep_index
+    pat = r"x = merge_sort\(data\); y"
+    assert required_index_terms(pat)  # really is pruned
+    out = regex_search([(7, pat)], d, rd.from_pandas(docs))
+    want = sorted(
+        int(i) for i, t in zip(docs["doc_id"], docs["text"]) if re.search(pat, t)
+    )
+    assert out["doc_id"].tolist() == want and want  # non-trivial
+    # empty candidate set short-circuits to an empty frame
+    none = regex_search(
+        [(8, r"a zz_nothing_here_at_all b")], d, rd.from_pandas(docs)
+    )
+    assert len(none) == 0
+    assert list(none.columns) == ["query_id", "doc_id"]
+
+
+def test_regex_search_empty_queries(grep_index):
+    from pisa_ray.pipelines.phrase import regex_search
+
+    d, docs = grep_index
+    out = regex_search([], d, rd.from_pandas(docs))
+    assert len(out) == 0 and list(out.columns) == ["query_id", "doc_id"]
