@@ -141,3 +141,38 @@ def test_regex_search_empty_queries(grep_index):
     d, docs = grep_index
     out = regex_search([], d, rd.from_pandas(docs))
     assert len(out) == 0 and list(out.columns) == ["query_id", "doc_id"]
+
+
+def test_regex_search_sound_under_stemming(tmp_path):
+    """Porter index: required interior tokens stem on BOTH sides, so
+    pruning stays a necessary condition and results equal python re."""
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.pipelines.phrase import regex_search, required_index_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, 5), dtype="int64"),
+            "text": [
+                "the running jumps fast over hurdles",
+                "she runs and jumped quickly",
+                "running shoes on sale",
+                "totally unrelated words",
+            ],
+        }
+    )
+    d = str(tmp_path / "pidx")
+    build_index(
+        pa.Table.from_pandas(docs),
+        d,
+        IndexConfig(
+            id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+            analyzer="porter", bucket_bits=1, term_parts=4, lineage_parts=1,
+        ),
+    )
+    pat = r"the running jumps? fa"
+    assert required_index_terms(pat, "porter")  # pruned path engages
+    out = regex_search([(0, pat)], d, rd.from_pandas(docs))
+    want = sorted(
+        int(i) for i, t in zip(docs["doc_id"], docs["text"]) if re.search(pat, t)
+    )
+    assert out["doc_id"].tolist() == want and want
