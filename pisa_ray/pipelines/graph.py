@@ -224,16 +224,29 @@ def _pr_tasks():
         live = [b for b in blocks if b.num_columns and b.num_rows]
         if not live:
             z = np.empty(0, dtype=np.int64)
-            return (z, z, z, z, z, z)
+            return (z, np.empty(0, dtype=np.float64), z, z, z, z,
+                    np.empty(0, dtype=np.float64))
         t = pa.concat_tables(live).combine_chunks()
         u, v = _edge_cols(t)
+        if "w" in t.column_names:
+            w = t["w"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if not np.all(np.isfinite(w)) or np.any(w <= 0):
+                raise ValueError(
+                    "pagerank: edge weights must be finite and > 0"
+                )
+        else:
+            w = np.ones(u.size, dtype=np.float64)
         order = np.argsort(u, kind="stable")
-        u, v = u[order], v[order]
+        u, v, w = u[order], v[order], w[order]
         starts = run_starts(u)
         first = np.flatnonzero(starts)
         su = u[first]
-        deg = np.diff(np.concatenate([first, [u.size]]))
-        rep = np.cumsum(starts) - 1  # edge -> index into su/deg
+        # per-src total outgoing weight (uniform weights: the degree)
+        bounds = np.concatenate([first, [u.size]])
+        wsum = np.add.reduceat(w, bounds[:-1])
+        rep = np.cumsum(starts) - 1  # edge -> index into su/wsum
         by_dst = np.argsort(v, kind="stable")
         dst_sorted = v[by_dst]
         dfirst = np.flatnonzero(run_starts(dst_sorted))
@@ -241,7 +254,7 @@ def _pr_tasks():
         tsh = (_mix64(du.view(np.uint64)) % np.uint64(n_shards)).astype(
             np.int64
         )
-        return (su, deg, rep[by_dst], dfirst, du, tsh)
+        return (su, wsum, rep[by_dst], dfirst, du, tsh, w[by_dst])
 
     @ray.remote
     def node_shard_setup(s: int, edge_state, *endpoint_blocks):
@@ -266,17 +279,17 @@ def _pr_tasks():
 
     @ray.remote
     def contrib(edge_state, node_state, rank_vals, n_shards: int):
-        """rank/deg contributions of this shard's edges, pre-summed
-        per dst run, split by the dst's target shard."""
-        su, deg, rep_dst, dfirst, du, tsh = edge_state
+        """rank * w/wsum contributions of this shard's edges,
+        pre-summed per dst run, split by the dst's target shard."""
+        su, wsum, rep_dst, dfirst, du, tsh, w_dst = edge_state
         nodes, _ = node_state
         if su.size == 0:
             return [
                 (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
                 for _ in range(n_shards)
             ]
-        share = rank_vals[np.searchsorted(nodes, su)] / deg
-        c = share[rep_dst]  # per edge, in dst-sorted order
+        share = rank_vals[np.searchsorted(nodes, su)] / wsum
+        c = share[rep_dst] * w_dst  # per edge, in dst-sorted order
         sums = np.add.reduceat(c, dfirst)
         return [(du[tsh == t], sums[tsh == t]) for t in range(n_shards)]
 
@@ -287,12 +300,16 @@ def _pr_tasks():
         n_total: int,
         damping: float,
         dangling_mass: float,
+        tele,
         *partials,
     ):
         """New rank for one node shard: teleport + damped (in-sums +
-        dangling share). Partials concatenate in a FIXED shard order
-        and stable-sort by dst, so the float64 summation order — and
-        the result — is bit-deterministic for a given n_shards."""
+        dangling share). ``tele`` is None for the uniform model or
+        this shard's slice of the normalized personalization vector —
+        teleport AND dangling mass both follow it. Partials
+        concatenate in a FIXED shard order and stable-sort by dst, so
+        the float64 summation order — and the result — is
+        bit-deterministic for a given n_shards."""
         nodes, has_out = node_state
         insum = np.zeros(nodes.size, dtype=np.float64)
         dus = [p[0] for p in partials if p[0].size]
@@ -304,9 +321,8 @@ def _pr_tasks():
             first = np.flatnonzero(run_starts(alld))
             sums = np.add.reduceat(allw, first)
             np.add.at(insum, np.searchsorted(nodes, alld[first]), sums)
-        new = (1.0 - damping) / n_total + damping * (
-            insum + dangling_mass / n_total
-        )
+        t = tele if tele is not None else 1.0 / n_total
+        new = (1.0 - damping) * t + damping * (insum + dangling_mass * t)
         delta = float(np.abs(new - rank_vals).sum())
         dangling = float(new[~has_out].sum())
         return new, delta, dangling
@@ -326,6 +342,8 @@ def pagerank(
     n_shards: int | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
+    teleport: dict | None = None,
 ) -> rd.Dataset:
     """Distributed PageRank over an (src, dst) edge list -> Dataset
     (node, rank), ranks summing to 1 over every node incident to an
@@ -349,7 +367,18 @@ def pagerank(
     sharded in the object store. Convergence = L1 delta <= tol.
 
     Isolated nodes (never in the edge list) don't exist to PageRank;
-    callers default them to (1-d)/N if needed."""
+    callers default them to (1-d)/N if needed.
+
+    ``weight_col``: positive edge weights — contributions become
+    rank * w / sum_out(w) (weighted PageRank; uniform weights reduce
+    to the degree model bit-for-bit). ``teleport``: a node -> weight
+    dict for PERSONALIZED PageRank: the teleport mass AND the
+    dangling mass redistribute proportionally to it instead of
+    uniformly (the random surfer restarts at the seed set). Seeds
+    absent from the graph are ignored; the present seeds renormalize
+    to 1 (all absent -> ValueError). The dict is a declared
+    driver-sized object — seed sets are small; a corpus-sized
+    personalization vector would ship as a Dataset instead."""
     import ray
 
     if not 0.0 < damping < 1.0:
@@ -358,15 +387,16 @@ def pagerank(
         raise ValueError("pagerank: max_iters must be >= 1")
     if n_shards is not None and int(n_shards) < 1:
         raise ValueError(f"pagerank: n_shards must be >= 1, got {n_shards}")
-    norm = edges.map_batches(
-        lambda t: pa.table(
-            {
-                "u": t[src_col].cast(pa.int64()),
-                "v": t[dst_col].cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    def _norm(t: pa.Table) -> pa.Table:
+        cols = {
+            "u": t[src_col].cast(pa.int64()),
+            "v": t[dst_col].cast(pa.int64()),
+        }
+        if weight_col is not None:
+            cols["w"] = t[weight_col].cast(pa.float64())
+        return pa.table(cols)
+
+    norm = edges.map_batches(_norm, batch_format="pyarrow").materialize()
     refs = []
     for b in norm.iter_internal_ref_bundles():
         for r, m in b.blocks:
@@ -410,6 +440,18 @@ def pagerank(
     # initial dangling mass from the uniform vector
     dangling = float(sum(sz - ho for sz, ho in stats)) / n_total
 
+    teles = [None] * S
+    if teleport is not None:
+        tref = ray.put(dict(teleport))
+        tele_task = _pr_tele_task()
+        pairs = ray.get([tele_task.remote(ns, tref) for ns in node_states])
+        mass = float(sum(p[1] for p in pairs))
+        if mass <= 0:
+            raise ValueError(
+                "pagerank: no teleport node is present in the graph"
+            )
+        teles = [ray.put(p[0] / mass) for p in pairs]
+
     for _ in range(max_iters):
         parts = [
             contrib.options(num_returns=S).remote(
@@ -424,6 +466,7 @@ def pagerank(
                 n_total,
                 damping,
                 dangling,
+                teles[t],
                 *[parts[s][t] for s in range(S)],
             )
             for t in range(S)
@@ -503,3 +546,32 @@ def _pr_route_task():
 
         _PR_ROUTE = route
     return _PR_ROUTE
+
+
+_PR_TELE = None
+
+
+def _pr_tele_task():
+    global _PR_TELE
+    if _PR_TELE is None:
+        import ray
+
+        @ray.remote
+        def tele_slice(node_state, tdict) -> tuple[np.ndarray, float]:
+            """This shard's raw personalization weights (0 for nodes
+            outside the seed dict) + their mass, for driver-side
+            normalization across shards."""
+            nodes, _ = node_state
+            t = np.zeros(nodes.size, dtype=np.float64)
+            for node, w in tdict.items():
+                if w < 0:
+                    raise ValueError(
+                        "pagerank: teleport weights must be >= 0"
+                    )
+                i = int(np.searchsorted(nodes, int(node)))
+                if i < nodes.size and nodes[i] == int(node):
+                    t[i] = float(w)
+            return t, float(t.sum())
+
+        _PR_TELE = tele_slice
+    return _PR_TELE

@@ -901,3 +901,108 @@ def test_pagerank_n_shards_rail():
 
     with _pytest.raises(ValueError, match="n_shards"):
         _pr_run([(0, 1)], n_shards=-3)
+
+
+def _pr_numpy_full(edges, weights=None, teleport=None, damping=0.85,
+                   iters=500, tol=1e-14):
+    """Dense oracle: weighted contributions + personalized teleport."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = weights if weights is not None else [1.0] * len(edges)
+    outw = np.zeros(n)
+    for (u, _), ww in zip(edges, w):
+        outw[idx[u]] += ww
+    if teleport is None:
+        t = np.full(n, 1.0 / n)
+    else:
+        t = np.zeros(n)
+        for k, v in teleport.items():
+            if k in idx:
+                t[idx[k]] = v
+        t /= t.sum()
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.zeros(n)
+        for (u, v), ww in zip(edges, w):
+            new[idx[v]] += r[idx[u]] * ww / outw[idx[u]]
+        dangling = r[outw == 0].sum()
+        new = (1 - damping) * t + damping * (new + dangling * t)
+        if np.abs(new - r).sum() <= tol:
+            r = new
+            break
+        r = new
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_weighted_vs_oracle():
+    from pisa_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(21)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 30, 150), rng.integers(0, 30, 150))
+        }
+    )
+    weights = [float(w) for w in rng.uniform(0.1, 5.0, len(edges))]
+    ds = rd.from_items(
+        [{"src": u, "dst": v, "w": w} for (u, v), w in zip(edges, weights)]
+    )
+    got = (
+        pagerank(ds, weight_col="w", tol=1e-12, max_iters=300, n_shards=4)
+        .to_pandas()
+    )
+    gm = dict(zip(got["node"], got["rank"]))
+    want = _pr_numpy_full(edges, weights=weights)
+    assert set(gm) == set(want)
+    for k in want:
+        assert abs(gm[k] - want[k]) <= 1e-9, k
+    # uniform weights == unweighted model exactly (same float ops)
+    ones = rd.from_items([{"src": u, "dst": v, "w": 1.0} for u, v in edges])
+    plain = rd.from_items([{"src": u, "dst": v} for u, v in edges])
+    a = pagerank(ones, weight_col="w", tol=1e-12, max_iters=300, n_shards=3).to_pandas()
+    b = pagerank(plain, tol=1e-12, max_iters=300, n_shards=3).to_pandas()
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()
+
+
+def test_pagerank_personalized_vs_oracle():
+    from pisa_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(31)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 40, 250), rng.integers(0, 40, 250))
+        }
+    )
+    seeds = {0: 2.0, 7: 1.0, 99999: 5.0}  # 99999 absent: ignored
+    ds = rd.from_items([{"src": u, "dst": v} for u, v in edges])
+    got = (
+        pagerank(ds, teleport=seeds, tol=1e-12, max_iters=400, n_shards=5)
+        .to_pandas()
+    )
+    gm = dict(zip(got["node"], got["rank"]))
+    want = _pr_numpy_full(edges, teleport=seeds)
+    for k in want:
+        assert abs(gm[k] - want[k]) <= 1e-9, k
+    # seeds concentrate mass: seed 0 outranks the median node
+    med = float(np.median(list(gm.values())))
+    assert gm[0] > med
+    # every teleport node absent -> loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="teleport"):
+        pagerank(ds, teleport={10**9: 1.0}, n_shards=2)
+    with _pytest.raises(ValueError, match=">= 0"):
+        pagerank(ds, teleport={0: -1.0}, n_shards=2)
+
+
+def test_pagerank_weight_rails():
+    from pisa_ray.pipelines.graph import pagerank
+
+    ds = rd.from_items([{"src": 0, "dst": 1, "w": -2.0}])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="weights must be finite"):
+        pagerank(ds, weight_col="w", n_shards=2).to_pandas()
