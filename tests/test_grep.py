@@ -176,3 +176,48 @@ def test_regex_search_sound_under_stemming(tmp_path):
         int(i) for i, t in zip(docs["doc_id"], docs["text"]) if re.search(pat, t)
     )
     assert out["doc_id"].tolist() == want and want
+
+
+def test_regex_search_property_random_patterns(grep_index):
+    """Property sweep: patterns composed from a restricted RE2-safe
+    grammar over corpus words must match python-re exactly, pruned or
+    not (seeded — deterministic)."""
+    import itertools
+    import random
+
+    from pisa_ray.pipelines.phrase import regex_search
+
+    d, docs = grep_index
+    words = sorted(
+        {w for t in docs["text"] for w in re.split(r"[^a-zA-Z0-9_]+", t) if w}
+    )
+    rng = random.Random(1234)
+    pieces = [".*", r"\w+", r"\s", "?", ""]
+    pats = []
+    for _ in range(40):
+        a, b = rng.choice(words), rng.choice(words)
+        glue = rng.choice([".*", r"\W+", r"\s*x?", "|".join([rng.choice(words), rng.choice(words)])])
+        shape = rng.randrange(4)
+        if shape == 0:
+            p = f"{re.escape(a)}{rng.choice(pieces)}"
+        elif shape == 1:
+            p = f"{re.escape(a)}.*{re.escape(b)}"
+        elif shape == 2:
+            p = f"({re.escape(a)}|{re.escape(b)}) {glue}"
+        else:
+            p = f"{re.escape(a)} {re.escape(b)}?"
+        try:
+            re.compile(p)
+        except re.error:
+            continue
+        pats.append(p)
+    queries = list(enumerate(pats))
+    out = regex_search(queries, d, rd.from_pandas(docs), concurrency=3)
+    for qid, pat in queries:
+        want = sorted(
+            int(i)
+            for i, t in zip(docs["doc_id"], docs["text"])
+            if re.search(pat, t)
+        )
+        got = out[out["query_id"] == qid]["doc_id"].tolist()
+        assert got == want, (pat, got, want)
