@@ -13,7 +13,8 @@ caller (driver, bench.py, tests' conftest) owns the Ray session.
 INDEX_FORMAT_VERSION = 6  # v6: positional posting payload (pos_blob)
 
 from .build import (IndexConfig, build_incremental, build_index,
-                    compact_index, maintain_index, upsert_docs)
+                    compact_index, maintain_index, recode_index,
+                    upsert_docs)
 from .delete import delete_docs, delete_where, load_tombstones
 from .serve import BM25Service
 from .scorer import (
@@ -37,6 +38,7 @@ __all__ = [
     "compact_index",
     "upsert_docs",
     "maintain_index",
+    "recode_index",
     "delete_docs",
     "delete_where",
     "load_tombstones",

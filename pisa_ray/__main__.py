@@ -100,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--index", required=True)
 
+    rc = sub.add_parser(
+        "recode",
+        help="re-encode posting segments with a different codec from "
+        "the existing tokenized/ store (no re-tokenize)",
+    )
+    rc.add_argument("--index", required=True)
+    rc.add_argument("--codec", required=True, choices=["varint", "packed"])
+
     d = sub.add_parser(
         "delete",
         help="tombstone documents (masked immediately; purged at compact)",
@@ -359,6 +367,12 @@ def main(argv: list[str] | None = None) -> int:
             max_tombstone_fraction=args.max_tombstone_fraction,
         )
         print(json.dumps({"compacted": bool(ran)}))
+    elif args.cmd == "recode":
+        from pisa_ray.build import recode_index
+
+        man = recode_index(args.index, args.codec)
+        print(json.dumps({"codec": man["config"]["codec"],
+                          "stats": man.get("stats", {})}))
     elif args.cmd == "fsck":
         from pisa_ray.fsck import check_index
 

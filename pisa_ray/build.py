@@ -2066,3 +2066,63 @@ def maintain_index(
         compact_index(index_dir)
         return True
     return False
+
+
+def recode_index(index_dir: str, codec: str) -> dict:
+    """Re-encode an index's posting segments with a different codec
+    WITHOUT re-tokenizing: drop the segments/lexicon stages from the
+    manifest and resume the build from the existing ``tokenized/``
+    forward store. At scale the tokenize pass dominates the build, so
+    flipping the codec knob (``varint`` <-> ``packed``) after the fact
+    costs only the merge shuffle — the operational path for "the
+    object store got tight, re-pack the postings".
+
+    Docmap, stats (except the recorded codec), tombstones and the
+    forward store are untouched; rank identity across codecs is the
+    codec suite's pinned invariant. Refuses an index with live
+    generations (their segments live outside the base layout —
+    ``compact_index`` first). Returns the refreshed manifest dict."""
+    if codec not in ("varint", "packed"):
+        raise ValueError(
+            f"recode_index: unknown codec {codec!r} (choose varint or packed)"
+        )
+    man = Manifest(index_dir)
+    stored = man.data.get("config")
+    if not stored or not man.stage_done("segments"):
+        raise ValueError(
+            f"recode_index: {index_dir} is not a completed index"
+        )
+    if glob.glob(os.path.join(index_dir, "generations", "*")):
+        raise ValueError(
+            "recode_index: index has live generations — compact_index "
+            "first (generation segments live outside the base layout)"
+        )
+    if stored.get("codec", "varint") == codec:
+        return man.data  # no-op
+    # normalize stored config (json round-trip turned tuples into lists)
+    kwargs = dict(stored)
+    for k in ("key_cols", "meta_cols"):
+        if k in kwargs and isinstance(kwargs[k], list):
+            kwargs[k] = tuple(kwargs[k])
+    cfg = IndexConfig(**{**kwargs, "codec": codec})
+    with man._lock:
+        for st in ("segments", "lexicon"):
+            man.data["stages"].pop(st, None)
+        man.data.pop("index_metrics", None)
+        man.data["config"]["codec"] = codec
+        if "stats" in man.data and man.data["stats"]:
+            man.data["stats"]["codec"] = codec
+        man.save()
+    for sub in ("segments", "lexicon"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            st = json.load(f)
+        st["codec"] = codec
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(st, f)
+        os.replace(stats_path + ".tmp", stats_path)
+    # stage 1 is marked done, so the source argument is never read;
+    # stages 2-4 rebuild from tokenized/ alone
+    return build_index(index_dir, index_dir, cfg, resume=True)

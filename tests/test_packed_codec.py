@@ -195,3 +195,64 @@ def test_codec_rails(tmp_path):
             ),
             resume=True,
         )
+
+
+@pytest.mark.parametrize("space", ["docid", "position"])
+def test_recode_index_rank_identical_no_retokenize(tmp_path, space):
+    """recode_index flips the codec by rebuilding segments from the
+    existing tokenized/ store: results stay bit-identical, stats and
+    manifest record the new codec, and the forward store bytes are
+    untouched (no re-tokenize)."""
+    import glob
+    import os
+
+    from pisa_ray.build import recode_index
+    from pisa_ray.scorer import IndexReader, score_bmw, score_taat
+
+    tbl = _corpus(600)
+    idx, _ = _build(tmp_path, tbl, "varint", space, f"rc_{space}")
+    before = {q: score_taat(IndexReader(idx), q, 10) for q in QUERIES}
+    tok_files = sorted(
+        glob.glob(os.path.join(idx, "tokenized", "**", "*.parquet"),
+                  recursive=True)
+    )
+    tok_sig = [(f, os.path.getmtime(f), os.path.getsize(f)) for f in tok_files]
+
+    man = recode_index(idx, "packed")
+    assert man["config"]["codec"] == "packed"
+    r = IndexReader(idx)
+    assert r.codec == "packed"
+    for q in QUERIES:
+        assert score_taat(r, q, 10) == before[q], q
+        assert score_bmw(r, q, 10) == before[q], q
+    # the forward store was NOT rewritten
+    assert [
+        (f, os.path.getmtime(f), os.path.getsize(f)) for f in tok_files
+    ] == tok_sig
+    # round-trip back
+    recode_index(idx, "varint")
+    r2 = IndexReader(idx)
+    assert r2.codec == "varint"
+    assert score_taat(r2, QUERIES[0], 10) == before[QUERIES[0]]
+    # same-codec call is a no-op
+    recode_index(idx, "varint")
+
+
+def test_recode_index_rails(tmp_path):
+    from pisa_ray.build import build_incremental, recode_index
+
+    tbl = _corpus(200)
+    idx, _ = _build(tmp_path, tbl, "varint", "docid", "rc_rails")
+    with pytest.raises(ValueError, match="unknown codec"):
+        recode_index(idx, "zstd")
+    with pytest.raises(ValueError, match="not a completed index"):
+        recode_index(str(tmp_path / "nowhere"), "packed")
+    delta = pa.table(
+        {
+            "doc_id": pa.array([9001, 9002], type=pa.int64()),
+            "text": pa.array(["w1 w2 w3", "w4 w5"]),
+        }
+    )
+    build_incremental(delta, idx, "g1")
+    with pytest.raises(ValueError, match="generations"):
+        recode_index(idx, "packed")
