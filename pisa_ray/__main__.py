@@ -100,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--index", required=True)
 
+    an = sub.add_parser(
+        "analyze",
+        help="show how text tokenizes under an analyzer (or an "
+        "index's analyzer) — the Elasticsearch _analyze analog",
+    )
+    an.add_argument("--text", required=True)
+    an.add_argument(
+        "--analyzer",
+        default=None,
+        choices=["simple", "code", "porter", "code_porter"],
+    )
+    an.add_argument("--index", default=None,
+                    help="use this index's recorded analyzer")
+
     rc = sub.add_parser(
         "recode",
         help="re-encode posting segments with a different codec from "
@@ -367,6 +381,21 @@ def main(argv: list[str] | None = None) -> int:
             max_tombstone_fraction=args.max_tombstone_fraction,
         )
         print(json.dumps({"compacted": bool(ran)}))
+    elif args.cmd == "analyze":
+        from pisa_ray.tokenizer import tokenize_py
+
+        analyzer = args.analyzer
+        if args.index:
+            from pisa_ray.scorer import IndexReader
+
+            analyzer = IndexReader(args.index).analyzer
+        analyzer = analyzer or "simple"
+        print(
+            json.dumps(
+                {"analyzer": analyzer,
+                 "tokens": tokenize_py(args.text, analyzer)}
+            )
+        )
     elif args.cmd == "recode":
         from pisa_ray.build import recode_index
 

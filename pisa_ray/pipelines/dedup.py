@@ -1596,3 +1596,62 @@ def decontaminate(
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def keep_best_per_cluster(
+    docs: rd.Dataset,
+    clusters: rd.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    higher_is_better: bool = True,
+) -> rd.Dataset:
+    """The fuzzy-dedup last mile: given near-dup CLUSTERS (the
+    ``connected_components`` labeling over MinHash/Jaccard/SimHash
+    pairs: (id, comp_id) rows), keep the best-scoring document of each
+    cluster and every unclustered document.
+
+    Quality-aware survivor selection is the standard refinement over
+    "keep the smallest id" — dedup should drop the boilerplate COPY,
+    not the higher-quality original. ``score_col`` is any per-doc
+    quality signal already on ``docs`` (``quality_score`` output,
+    negated perplexity, length, ...); ties break on the id for
+    determinism.
+
+    Distributed shape: one ``hash_join`` (left) attaches comp_id —
+    docs without a cluster row keep themselves via a synthetic
+    singleton key (their own id, disjoint from comp_ids by the
+    components contract comp_id = min member id) — then ONE
+    ``per_group_topk(k=1)`` exchange picks survivors. No driver-side
+    state."""
+    from .relational import hash_join, per_group_topk
+
+    lab = clusters.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t["id"].cast(pa.int64()),
+                "__comp": t["comp_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(docs, lab, on=id_col, how="left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        comp = batch["__comp"]
+        if isinstance(comp, pa.ChunkedArray):
+            comp = comp.combine_chunks()
+        ids = batch[id_col].cast(pa.int64())
+        filled = pc.if_else(pc.is_valid(comp), comp, ids)
+        return batch.set_column(
+            batch.schema.get_field_index("__comp"), "__comp", filled
+        )
+
+    joined = joined.map_batches(fill, batch_format="pyarrow")
+    best = per_group_topk(
+        joined,
+        "__comp",
+        [score_col, id_col],
+        [not higher_is_better, True],
+        k=1,
+    )
+    return best.drop_columns(["__comp", "rank"])

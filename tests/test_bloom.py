@@ -98,3 +98,53 @@ def test_benchmark_kgram_bloom_explicit_capacity_deterministic():
     wa, wb = ray.get(a.bits_ref), ray.get(b.bits_ref)
     assert (wa == wb).all()
     assert a.n_bits == b.n_bits and a.n_hash == b.n_hash
+
+
+def test_keep_best_per_cluster_end_to_end():
+    """Full fuzzy-dedup recipe: jaccard pairs -> connected components
+    -> keep the highest-quality doc per cluster + all singletons."""
+    from pisa_ray.pipelines.dedup import keep_best_per_cluster
+    from pisa_ray.pipelines.graph import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+            "text": [
+                base,                       # cluster A (template)
+                base + " minor edit",       # cluster A, higher score
+                base + " another tweak",    # cluster A
+                "completely different content about graphs and rays",
+                "yet another unrelated document on parquet files",
+                base.replace("quick", "rapid"),  # cluster A (near)
+            ],
+            "score": [0.1, 0.9, 0.5, 0.3, 0.2, 0.4],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    from pisa_ray.pipelines.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(ds, threshold=0.5, shingle_k=3)
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    comp_pdf = comp.to_pandas()
+    clustered = set(comp_pdf["id"])
+    assert {1, 2, 3}.issubset(clustered) and 4 not in clustered
+    out = (
+        keep_best_per_cluster(ds, comp, "score")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    kept = set(out["doc_id"])
+    # exactly one survivor per cluster: doc 2 (score 0.9) wins its
+    # cluster; singletons 4 and 5 always survive
+    assert 2 in kept and {4, 5}.issubset(kept)
+    assert kept.isdisjoint({1, 3} if 6 in clustered else {1, 3})
+    n_clusters = comp_pdf["comp_id"].nunique()
+    assert len(kept) == n_clusters + (6 - len(clustered))
+    # lower-is-better flips the survivor
+    out2 = keep_best_per_cluster(ds, comp, "score", higher_is_better=False)
+    kept2 = set(out2.to_pandas()["doc_id"])
+    assert 1 in kept2 and 2 not in kept2
+    # schema: original columns preserved, helper columns gone
+    assert set(out.columns) == {"doc_id", "text", "score"}
