@@ -1333,3 +1333,177 @@ def bottomk_sample(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check (substitution/insert/delete)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def fuzzy_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    max_dist: int = 1,
+    max_block: int = 10_000,
+) -> rd.Dataset:
+    """Edit-distance record linkage: every (left row, right row) pair
+    whose ``on`` strings are within edit distance ``max_dist`` —
+    EXACT, via SymSpell deletion-neighborhood blocking (two strings
+    within ED<=1 necessarily share a 1-deletion variant; public idea,
+    the same one the query-typo expander uses). Only ``max_dist=1``
+    ships: it is the exact tier; larger radii square the variant fan-
+    out and are better served by the n-gram ``jaccard_pairs`` join.
+
+    Distributed shape: each side emits (variant-hash, side, id, value)
+    rows — variants are generated per DISTINCT value per batch
+    (dictionary-encoded first), so the cost tracks the batch
+    vocabulary, not the row count — then ONE hash exchange groups
+    shared variants, reducers emit verified (ED<=1, exact check)
+    candidate pairs, and a second narrow exchange on the packed pair
+    key dedups pairs that share several variants. Result:
+    (left_id, right_id, <on>_left, <on>_right, dist), deterministic.
+
+    ``max_block``: loud rail on a variant group's pair fan-out (very
+    short strings collapse onto few variants; filter them out or
+    pre-block on length before joining)."""
+    from ..shuffle import hash_group_apply
+
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_join: only max_dist=1 is supported (exact deletion-"
+            "neighborhood tier); use jaccard_pairs for coarser radii"
+        )
+
+    def variants_fn(side: int, id_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = batch[on]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            denc = vals.dictionary_encode()
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes = denc.indices.to_numpy(zero_copy_only=False)
+            uniq = denc.dictionary.to_pylist()
+            # per-distinct-value variant lists (value + 1-deletions)
+            uvars: list[list[str]] = []
+            for v in uniq:
+                v = v or ""
+                uvars.append([v] + [v[:i] + v[i + 1:] for i in range(len(v))])
+            out_key, out_id, out_val = [], [], []
+            for row, c in enumerate(codes):
+                for var in uvars[c]:
+                    out_key.append(var)
+                    out_id.append(ids[row])
+                    out_val.append(uniq[c])
+            return pa.table(
+                {
+                    "vkey": pa.array(out_key, type=pa.string()),
+                    "side": pa.array(
+                        np.full(len(out_key), side, dtype=np.int8)
+                    ),
+                    "rid": pa.array(np.asarray(out_id, dtype=np.int64)),
+                    "val": pa.array(out_val, type=pa.string()),
+                }
+            )
+
+        return fn
+
+    lrows = left.map_batches(variants_fn(0, left_id), batch_format="pyarrow")
+    rrows = right.map_batches(variants_fn(1, right_id), batch_format="pyarrow")
+    both = lrows.union(rrows)
+
+    def pair_reduce(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                left_id: pa.array([], type=pa.int64()),
+                right_id: pa.array([], type=pa.int64()),
+                f"{on}_left": pa.array([], type=pa.string()),
+                f"{on}_right": pa.array([], type=pa.string()),
+                "dist": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        out_l, out_r, out_lv, out_rv, out_d = [], [], [], [], []
+        for _, g in df.groupby("vkey", sort=False):
+            ls = g[g["side"] == 0]
+            rs = g[g["side"] == 1]
+            if ls.empty or rs.empty:
+                continue
+            if len(ls) * len(rs) > max_block:
+                raise ValueError(
+                    f"fuzzy_join: variant group {g['vkey'].iloc[0]!r} fans "
+                    f"out to {len(ls) * len(rs)} pairs (> max_block="
+                    f"{max_block}); pre-filter very short strings or "
+                    "pre-block on length"
+                )
+            # dedup (id, value) within the group before pairing
+            ls = ls.drop_duplicates(subset=["rid"])
+            rs = rs.drop_duplicates(subset=["rid"])
+            for lid, lval in zip(ls["rid"], ls["val"]):
+                for rid, rval in zip(rs["rid"], rs["val"]):
+                    if _ed_le1(lval, rval):
+                        out_l.append(lid)
+                        out_r.append(rid)
+                        out_lv.append(lval)
+                        out_rv.append(rval)
+                        out_d.append(0 if lval == rval else 1)
+        if not out_l:
+            return empty
+        return pa.table(
+            {
+                left_id: pa.array(np.asarray(out_l, dtype=np.int64)),
+                right_id: pa.array(np.asarray(out_r, dtype=np.int64)),
+                f"{on}_left": pa.array(out_lv, type=pa.string()),
+                f"{on}_right": pa.array(out_rv, type=pa.string()),
+                "dist": pa.array(np.asarray(out_d, dtype=np.int64)),
+            }
+        )
+
+    cand = hash_group_apply(both, "vkey", pair_reduce)
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        li = t[left_id].to_numpy(zero_copy_only=False).view(np.uint64)
+        ri = t[right_id].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (li * np.uint64(0x9E3779B97F4A7C15) ^ ri).view(np.int64)
+        return t.append_column("pkey", pa.array(pk))
+
+    def dedup_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["pkey"]) if "pkey" in t.column_names else t
+        df = t.to_pandas().drop_duplicates(subset=[left_id, right_id])
+        return pa.Table.from_pandas(
+            df.drop(columns=["pkey"]), preserve_index=False
+        )
+
+    return hash_group_apply(
+        cand.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pkey",
+        dedup_reduce,
+    )

@@ -2385,3 +2385,79 @@ def test_pq_train_nbits_rail():
 
     with pytest.raises(ValueError, match="nbits"):
         pq_train(np.zeros((600, 64)), m_sub=8, nbits=9)
+
+
+def test_fuzzy_join_matches_bruteforce():
+    """ED<=1 record linkage == brute-force DP over all pairs, at two
+    parallelism levels; dist 0 for exact matches, 1 otherwise."""
+    from pisa_ray.pipelines.relational import fuzzy_join
+
+    left = pd.DataFrame(
+        {
+            "left_id": pd.array(range(1, 9), dtype="int64"),
+            "name": [
+                "merge", "sorted", "graph", "tablle", "query",
+                "queue", "marge", "xylophone",
+            ],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "right_id": pd.array(range(101, 108), dtype="int64"),
+            "name": [
+                "merge", "sort", "table", "qurey", "queues",
+                "graphs", "zebra",
+            ],
+        }
+    )
+
+    def dp(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (int(li), int(ri), la, rb, dp(la, rb))
+        for li, la in zip(left["left_id"], left["name"])
+        for ri, rb in zip(right["right_id"], right["name"])
+        if dp(la, rb) <= 1
+    )
+    assert want  # fixture really produces matches
+    for parts in (1, 6):
+        out = (
+            fuzzy_join(
+                rd.from_pandas(left).repartition(parts),
+                rd.from_pandas(right).repartition(parts),
+                on="name",
+            )
+            .to_pandas()
+            .sort_values(["left_id", "right_id"])
+            .reset_index(drop=True)
+        )
+        got = sorted(
+            (int(r.left_id), int(r.right_id), r.name_left, r.name_right,
+             int(r.dist))
+            for r in out.itertuples()
+        )
+        assert got == want
+
+
+def test_fuzzy_join_rails():
+    from pisa_ray.pipelines.relational import fuzzy_join
+
+    l = rd.from_pandas(
+        pd.DataFrame({"left_id": pd.array([1], dtype="int64"), "name": ["a"]})
+    )
+    r = rd.from_pandas(
+        pd.DataFrame({"right_id": pd.array([2], dtype="int64"), "name": ["b"]})
+    )
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join(l, r, on="name", max_dist=2)
+    # single-char strings share the "" deletion variant: a vs b is
+    # ED 1 and must be found through it
+    out = fuzzy_join(l, r, on="name").to_pandas()
+    assert len(out) == 1 and int(out["dist"][0]) == 1
