@@ -2088,7 +2088,13 @@ def recode_index(index_dir: str, codec: str) -> dict:
         )
     man = Manifest(index_dir)
     stored = man.data.get("config")
-    if not stored or not man.stage_done("segments"):
+    interrupted = (
+        stored is not None
+        and not man.stage_done("segments")
+        and man.stage_done("tokenized")
+        and stored.get("codec", "varint") == codec
+    )
+    if not stored or (not man.stage_done("segments") and not interrupted):
         raise ValueError(
             f"recode_index: {index_dir} is not a completed index"
         )
@@ -2097,8 +2103,11 @@ def recode_index(index_dir: str, codec: str) -> dict:
             "recode_index: index has live generations — compact_index "
             "first (generation segments live outside the base layout)"
         )
-    if stored.get("codec", "varint") == codec:
+    if not interrupted and stored.get("codec", "varint") == codec:
         return man.data  # no-op
+    # ``interrupted``: a previous recode to THIS codec died after the
+    # manifest was patched but before the merge finished — fall through
+    # and resume the rebuild (the stage drop below is then a no-op)
     # normalize stored config (json round-trip turned tuples into lists)
     kwargs = dict(stored)
     for k in ("key_cols", "meta_cols"):

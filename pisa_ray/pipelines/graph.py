@@ -224,11 +224,11 @@ def _pr_tasks():
         live = [b for b in blocks if b.num_columns and b.num_rows]
         if not live:
             z = np.empty(0, dtype=np.int64)
-            return (z, np.empty(0, dtype=np.float64), z, z, z, z,
-                    np.empty(0, dtype=np.float64))
+            return (z, np.empty(0, dtype=np.float64), z, z, z, z, None)
         t = pa.concat_tables(live).combine_chunks()
         u, v = _edge_cols(t)
-        if "w" in t.column_names:
+        weighted = "w" in t.column_names
+        if weighted:
             w = t["w"].combine_chunks().to_numpy(zero_copy_only=False).astype(
                 np.float64
             )
@@ -236,16 +236,21 @@ def _pr_tasks():
                 raise ValueError(
                     "pagerank: edge weights must be finite and > 0"
                 )
-        else:
-            w = np.ones(u.size, dtype=np.float64)
         order = np.argsort(u, kind="stable")
-        u, v, w = u[order], v[order], w[order]
+        u, v = u[order], v[order]
+        if weighted:
+            w = w[order]
         starts = run_starts(u)
         first = np.flatnonzero(starts)
         su = u[first]
-        # per-src total outgoing weight (uniform weights: the degree)
         bounds = np.concatenate([first, [u.size]])
-        wsum = np.add.reduceat(w, bounds[:-1])
+        if weighted:
+            # per-src total outgoing weight
+            wsum = np.add.reduceat(w, bounds[:-1])
+        else:
+            # uniform: wsum IS the degree; no per-edge array is built
+            # or shipped (8 B/edge saved in long-lived shard state)
+            wsum = np.diff(bounds).astype(np.float64)
         rep = np.cumsum(starts) - 1  # edge -> index into su/wsum
         by_dst = np.argsort(v, kind="stable")
         dst_sorted = v[by_dst]
@@ -254,7 +259,8 @@ def _pr_tasks():
         tsh = (_mix64(du.view(np.uint64)) % np.uint64(n_shards)).astype(
             np.int64
         )
-        return (su, wsum, rep[by_dst], dfirst, du, tsh, w[by_dst])
+        w_dst = w[by_dst] if weighted else None
+        return (su, wsum, rep[by_dst], dfirst, du, tsh, w_dst)
 
     @ray.remote
     def node_shard_setup(s: int, edge_state, *endpoint_blocks):
@@ -289,7 +295,9 @@ def _pr_tasks():
                 for _ in range(n_shards)
             ]
         share = rank_vals[np.searchsorted(nodes, su)] / wsum
-        c = share[rep_dst] * w_dst  # per edge, in dst-sorted order
+        c = share[rep_dst]  # per edge, in dst-sorted order
+        if w_dst is not None:
+            c = c * w_dst
         sums = np.add.reduceat(c, dfirst)
         return [(du[tsh == t], sums[tsh == t]) for t in range(n_shards)]
 

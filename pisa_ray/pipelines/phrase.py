@@ -902,7 +902,25 @@ def required_index_terms(
     mid-token), but interior tokens are flanked by non-token
     characters inside the literal itself, so they appear as full
     tokens in any matching document. The same analyzer on both sides
-    keeps this sound under code-splitting and stemming."""
+    keeps this sound under code-splitting and stemming.
+
+    Case-insensitive patterns ((?i) globally or scoped) disable
+    pruning under the case-SPLITTING analyzers (code / code_porter):
+    their token boundaries depend on the literal's case, so a
+    different-case match could tokenize differently than the literal
+    — e.g. (?i)FooBar requires tokens {foo, bar} but the matching doc
+    'foobar' holds one token. The case-FOLDING analyzers lowercase
+    before splitting, so case variants tokenize identically and
+    pruning stays sound."""
+    import re as _re
+
+    if analyzer in ("code", "code_porter"):
+        try:
+            ci = bool(_re.compile(pattern).flags & _re.IGNORECASE)
+        except _re.error:
+            ci = True  # unparseable here: let the RE2 verify complain
+        if ci or "(?i" in pattern:
+            return []
     terms: set[str] = set()
     for lit in required_literals(pattern):
         toks = tokenize_py(lit, analyzer)
@@ -923,30 +941,54 @@ def regex_search(
     pattern allows -> (query_id, doc_id) rows, deterministic order.
 
     Per query: ``required_index_terms`` extracts terms every match
-    must contain; queries that yield any are pruned to the docs
-    holding ALL of them (one conjunctive postings intersection through
-    the broadcast reader — same machinery as position-free phrase
-    search). Verification is the ground truth: one vectorized RE2 pass
-    (``pc.match_substring_regex``) per query over the candidate docs'
-    RAW text, streamed through ``map_batches`` — pruning can only
-    shrink the scanned set, never change the result. A pattern with no
-    required literal (pure wildcards/alternations) degrades to the
-    full scan, exactly like a trigram-indexed grep does. Patterns must
-    be RE2-compatible (pyarrow's regex engine; no backreferences)."""
+    must contain; queries that yield any run ONLY over the candidate
+    docs (one conjunctive postings intersection through the broadcast
+    reader — the union of the pruned queries' candidate sets is used,
+    which is exact: a doc matching query q necessarily sits in q's own
+    candidate set, so verification over a superset changes nothing).
+    Literal-free patterns (pure wildcards/alternations) scan the full
+    corpus — exactly like a trigram-indexed grep — WITHOUT degrading
+    the pruned queries in the same batch, which keep their filtered
+    scan. Verification is the ground truth: one vectorized RE2 pass
+    (``pc.match_substring_regex``) per query, streamed through
+    ``map_batches``. Tombstoned documents are excluded on EVERY path
+    (the index's deletes hold even for full-scan patterns). Patterns
+    must be RE2-compatible (pyarrow's regex engine; no
+    backreferences)."""
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+        }
+    )
     if not queries:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype="int64"),
-                "doc_id": pd.Series(dtype="int64"),
-            }
-        )
+        return empty
     analyzer = _index_analyzer(index_dir)
     req = {qid: required_index_terms(p, analyzer) for qid, p in queries}
-    pruned = [(qid, terms) for qid, terms in req.items() if terms]
-    all_pruned = len(pruned) == len(queries)
+    pruned = [(qid, p) for qid, p in queries if req[qid]]
+    unpruned = [(qid, p) for qid, p in queries if not req[qid]]
+
+    # deletes hold on every path: map engine tombstones to corpus ids
+    excl_ref = None
+    from ..delete import load_tombstones
+
+    tombs = load_tombstones(index_dir)
+    if tombs.size:
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(index_dir, "stats.json")) as f:
+            id_mode = _json.load(f).get("id_mode", "keys")
+        if id_mode == "int":
+            from ..docids import unsplitmix64
+
+            excl = unsplitmix64(tombs).astype(np.int64)
+        else:
+            excl = np.asarray(tombs, dtype=np.uint64).view(np.int64)
+        excl_ref = ray.put(pa.array(excl))
 
     ids_ref = None
-    if pruned and all_pruned:
+    if pruned:
         from ..scorer import _broadcast_reader
 
         reader_ref = _broadcast_reader(index_dir)
@@ -955,8 +997,10 @@ def regex_search(
         def cand(qs, ref) -> pa.Table:
             reader = ref if isinstance(ref, IndexReader) else ray.get(ref)
             docs = []
-            for _qid, terms in qs:
-                hits = score_conj(reader, "", k=reader.n_docs, terms=terms)
+            for qid, _p in qs:
+                hits = score_conj(
+                    reader, "", k=reader.n_docs, terms=req[qid]
+                )
                 docs.extend(d for d, _ in hits)
             return pa.table(
                 {
@@ -970,41 +1014,53 @@ def regex_search(
         chunks = [pruned[i::n] for i in range(n)]
         parts = ray.get([cand.remote(c, reader_ref) for c in chunks if c])
         cand_ids = pc.unique(pa.concat_tables(parts)["doc_id"])
-        if len(cand_ids) == 0:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int64"),
-                    "doc_id": pd.Series(dtype="int64"),
-                }
-            )
-        ids_ref = ray.put(cand_ids)
-
-    qlist = list(queries)
+        if len(cand_ids):
+            ids_ref = ray.put(cand_ids)
+        else:
+            pruned = []  # no candidates: those queries match nothing
+        if not pruned and not unpruned:
+            return empty
 
     def verify(batch: pa.Table) -> pa.Table:
-        if ids_ref is not None:
+        if excl_ref is not None:
             batch = batch.filter(
-                pc.is_in(batch[id_col], value_set=ray.get(ids_ref))
+                pc.invert(
+                    pc.is_in(batch[id_col], value_set=ray.get(excl_ref))
+                )
             )
-        empty = pa.table(
+        e = pa.table(
             {
                 "query_id": pa.array([], type=pa.int64()),
                 "doc_id": pa.array([], type=pa.int64()),
             }
         )
         if batch.num_rows == 0:
-            return empty
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return e
         out_q, out_d = [], []
-        for qid, pattern in qlist:
-            hit = pc.match_substring_regex(
-                batch[text_col], pattern
-            ).to_numpy(zero_copy_only=False)
-            if hit.any():
-                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
-                out_d.append(ids[hit])
+
+        def run(qs, sub: pa.Table) -> None:
+            if sub.num_rows == 0:
+                return
+            ids = sub[id_col].to_numpy(zero_copy_only=False)
+            for qid, pattern in qs:
+                hit = pc.match_substring_regex(
+                    sub[text_col], pattern
+                ).to_numpy(zero_copy_only=False)
+                if hit.any():
+                    out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+                    out_d.append(ids[hit])
+
+        if pruned and ids_ref is not None:
+            run(
+                pruned,
+                batch.filter(
+                    pc.is_in(batch[id_col], value_set=ray.get(ids_ref))
+                ),
+            )
+        if unpruned:
+            run(unpruned, batch)
         if not out_q:
-            return empty
+            return e
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -1018,12 +1074,7 @@ def regex_search(
         .to_pandas()
     )
     if df.empty:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype="int64"),
-                "doc_id": pd.Series(dtype="int64"),
-            }
-        )
+        return empty
     return df.sort_values(["query_id", "doc_id"], kind="mergesort").reset_index(
         drop=True
     )

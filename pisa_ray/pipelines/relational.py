@@ -1335,31 +1335,6 @@ def bottomk_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def _ed_le1(a: str, b: str) -> bool:
-    """Exact edit-distance <= 1 check (substitution/insert/delete)."""
-    if a == b:
-        return True
-    la, lb = len(a), len(b)
-    if abs(la - lb) > 1:
-        return False
-    if la == lb:
-        return sum(x != y for x, y in zip(a, b)) == 1
-    if la > lb:
-        a, b, la, lb = b, a, lb, la
-    i = j = 0
-    skipped = False
-    while i < la and j < lb:
-        if a[i] == b[j]:
-            i += 1
-            j += 1
-        elif skipped:
-            return False
-        else:
-            skipped = True
-            j += 1
-    return True
-
-
 def fuzzy_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -1390,6 +1365,7 @@ def fuzzy_join(
     short strings collapse onto few variants; filter them out or
     pre-block on length before joining)."""
     from ..shuffle import hash_group_apply
+    from ..tokenizer import ed_le1
 
     if max_dist != 1:
         raise ValueError(
@@ -1402,17 +1378,33 @@ def fuzzy_join(
             vals = batch[on]
             if isinstance(vals, pa.ChunkedArray):
                 vals = vals.combine_chunks()
+            # null join values match nothing (SQL semantics) — and a
+            # null survives dictionary_encode as a null INDEX, which
+            # would poison the code array below
+            live = pc.is_valid(vals)
+            if not pc.all(live).as_py():
+                batch = batch.filter(live)
+                vals = batch[on]
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
             ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
             denc = vals.dictionary_encode()
             if isinstance(denc, pa.ChunkedArray):
                 denc = denc.combine_chunks()
             codes = denc.indices.to_numpy(zero_copy_only=False)
             uniq = denc.dictionary.to_pylist()
-            # per-distinct-value variant lists (value + 1-deletions)
+            # per-distinct-value variant lists (value + DISTINCT
+            # 1-deletions: doubled letters repeat a variant, which
+            # would inflate exchange rows and the fan-out rail)
             uvars: list[list[str]] = []
             for v in uniq:
-                v = v or ""
-                uvars.append([v] + [v[:i] + v[i + 1:] for i in range(len(v))])
+                uvars.append(
+                    list(
+                        dict.fromkeys(
+                            [v] + [v[:i] + v[i + 1:] for i in range(len(v))]
+                        )
+                    )
+                )
             out_key, out_id, out_val = [], [], []
             for row, c in enumerate(codes):
                 for var in uvars[c]:
@@ -1455,6 +1447,10 @@ def fuzzy_join(
             rs = g[g["side"] == 1]
             if ls.empty or rs.empty:
                 continue
+            # dedup (id, value) within the group BEFORE the fan-out
+            # rail so duplicate variant rows never trip it
+            ls = ls.drop_duplicates(subset=["rid"])
+            rs = rs.drop_duplicates(subset=["rid"])
             if len(ls) * len(rs) > max_block:
                 raise ValueError(
                     f"fuzzy_join: variant group {g['vkey'].iloc[0]!r} fans "
@@ -1462,12 +1458,9 @@ def fuzzy_join(
                     f"{max_block}); pre-filter very short strings or "
                     "pre-block on length"
                 )
-            # dedup (id, value) within the group before pairing
-            ls = ls.drop_duplicates(subset=["rid"])
-            rs = rs.drop_duplicates(subset=["rid"])
             for lid, lval in zip(ls["rid"], ls["val"]):
                 for rid, rval in zip(rs["rid"], rs["val"]):
-                    if _ed_le1(lval, rval):
+                    if ed_le1(lval, rval):
                         out_l.append(lid)
                         out_r.append(rid)
                         out_lv.append(lval)

@@ -2141,28 +2141,9 @@ class TermExpander:
 
     @staticmethod
     def _ed1(a: str, b: str) -> bool:
-        la, lb = len(a), len(b)
-        if a == b:
-            return True
-        if abs(la - lb) > 1:
-            return False
-        if la == lb:  # exactly one substitution
-            return sum(x != y for x, y in zip(a, b)) == 1
-        if la > lb:
-            a, b, la, lb = b, a, lb, la
-        # b = a with one insertion: two-pointer single skip
-        i = j = 0
-        skipped = False
-        while i < la and j < lb:
-            if a[i] == b[j]:
-                i += 1
-                j += 1
-            elif skipped:
-                return False
-            else:
-                skipped = True
-                j += 1
-        return True
+        from .tokenizer import ed_le1
+
+        return ed_le1(a, b)
 
     def fuzzy1(self, q: str) -> list[str]:
         if self._del_index is None:

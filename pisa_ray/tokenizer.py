@@ -379,3 +379,32 @@ def tokenize_py(text: str, analyzer: str = "simple") -> list[str]:
     # must tokenize EXACTLY like the indexed docs did.
     lowered = pc.utf8_lower(pa.array([text], type=pa.string()))[0].as_py()
     return [t for t in re.split(TOKEN_SPLIT_RE, lowered) if t]
+
+
+def ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 (substitution/insert/delete) — shared
+    by the query-typo expander (scorer.TermExpander) and the
+    record-linkage join (relational.fuzzy_join): two-pointer scan, no
+    DP table."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b = a with one insertion: two-pointer single skip
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True

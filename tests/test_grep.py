@@ -221,3 +221,84 @@ def test_regex_search_property_random_patterns(grep_index):
         )
         got = out[out["query_id"] == qid]["doc_id"].tolist()
         assert got == want, (pat, got, want)
+
+
+def test_regex_search_case_insensitive_code_analyzer(tmp_path):
+    """(?i) under the case-splitting code analyzer disables pruning —
+    a lowercase doc must not be pruned away by camelCase-derived
+    required tokens (review finding)."""
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.pipelines.phrase import regex_search, required_index_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2], dtype="int64"),
+            "text": ["x foobarbaz qux y", "x FooBarBaz qux y"],
+        }
+    )
+    d = str(tmp_path / "ci_idx")
+    build_index(
+        pa.Table.from_pandas(docs), d,
+        IndexConfig(id_col="doc_id", key_cols=(), content_col="text",
+                    meta_cols=(), analyzer="code", bucket_bits=1,
+                    term_parts=4, lineage_parts=1),
+    )
+    pat = r"(?i)x FooBarBaz qux"
+    assert required_index_terms(pat, "code") == []  # pruning disabled
+    out = regex_search([(0, pat)], d, rd.from_pandas(docs))
+    assert out["doc_id"].tolist() == [1, 2]  # BOTH case variants found
+    # case-sensitive form still prunes and stays exact
+    pat_cs = r"x FooBarBaz qux"
+    assert required_index_terms(pat_cs, "code")
+    out2 = regex_search([(0, pat_cs)], d, rd.from_pandas(docs))
+    assert out2["doc_id"].tolist() == [2]
+    # folding analyzers keep pruning under (?i): simple lowercases
+    # before splitting, so case variants tokenize identically
+    assert required_index_terms(r"(?i)foo bar_z baz", "simple") == ["bar_z"]
+
+
+def test_regex_search_tombstones_excluded_on_every_path(grep_index, tmp_path):
+    """Deleted docs never resurface — not from the pruned tier, and
+    not from a full-scan (literal-free) pattern (review finding)."""
+    import shutil
+
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.pipelines.phrase import regex_search
+
+    d, docs = grep_index
+    idx = str(tmp_path / "tomb_idx")
+    shutil.copytree(d, idx)
+    delete_docs(idx, [5])  # doc 5: "x = merge_sort(data); y = ..."
+    queries = [
+        (0, r"merge_sort\(\w+\)"),          # pruned tier
+        (1, r"(merge|quick).*sort|sorted"),  # full-scan tier
+    ]
+    out = regex_search(queries, idx, rd.from_pandas(docs))
+    assert 5 not in set(out["doc_id"])
+    for qid, pat in queries:
+        want = sorted(
+            int(i)
+            for i, t in zip(docs["doc_id"], docs["text"])
+            if re.search(pat, t) and int(i) != 5
+        )
+        assert out[out["query_id"] == qid]["doc_id"].tolist() == want
+
+
+def test_regex_search_mixed_batch_keeps_pruning(grep_index):
+    """A literal-free query in the batch must not degrade the pruned
+    queries to a full scan (review finding): results stay equal to
+    running each query alone."""
+    from pisa_ray.pipelines.phrase import regex_search
+
+    d, docs = grep_index
+    ds = rd.from_pandas(docs)
+    mixed = [(0, r"merge_sort\(\w+\)"), (1, r".*")]
+    out = regex_search(mixed, d, ds)
+    for qid, pat in mixed:
+        alone = regex_search([(qid, pat)], d, ds)
+        assert (
+            out[out["query_id"] == qid]["doc_id"].tolist()
+            == alone["doc_id"].tolist()
+        ), pat
+    # the wildcard query matches everything; the pruned one stays exact
+    assert len(out[out["query_id"] == 1]) == len(docs)

@@ -256,3 +256,40 @@ def test_recode_index_rails(tmp_path):
     build_incremental(delta, idx, "g1")
     with pytest.raises(ValueError, match="generations"):
         recode_index(idx, "packed")
+
+
+def test_recode_index_resumes_after_interruption(tmp_path):
+    """A recode killed mid-merge must be re-runnable: the manifest was
+    already patched to the target codec, so a second call resumes the
+    rebuild instead of raising 'not a completed index'."""
+    import json
+    import os
+    import shutil
+
+    from pisa_ray.build import Manifest, recode_index
+    from pisa_ray.scorer import IndexReader, score_taat
+
+    tbl = _corpus(400)
+    idx, _ = _build(tmp_path, tbl, "varint", "docid", "rc_crash")
+    before = {q: score_taat(IndexReader(idx), q, 10) for q in QUERIES}
+    # simulate the crash window: stages popped + dirs gone + codec
+    # patched, but the rebuilding merge never ran
+    man = Manifest(idx)
+    for st in ("segments", "lexicon"):
+        man.data["stages"].pop(st, None)
+    man.data["config"]["codec"] = "packed"
+    man.data["stats"]["codec"] = "packed"
+    man.save()
+    for sub in ("segments", "lexicon"):
+        shutil.rmtree(os.path.join(idx, sub), ignore_errors=True)
+    sp = os.path.join(idx, "stats.json")
+    stj = json.load(open(sp))
+    stj["codec"] = "packed"
+    json.dump(stj, open(sp, "w"))
+    # the rerun completes the recode
+    man2 = recode_index(idx, "packed")
+    assert man2["config"]["codec"] == "packed"
+    r = IndexReader(idx)
+    assert r.codec == "packed"
+    for q in QUERIES:
+        assert score_taat(r, q, 10) == before[q], q
