@@ -1533,3 +1533,31 @@ def test_did_you_mean(tiny_index, tiny_oracle):
     assert did_you_mean(reader, "zzzzqqqqxxxx") is None
     # path form works
     assert did_you_mean(tiny_index, f"{typo}") == got.split()[0]
+
+
+def test_serve_expand_wildcard_matches_dataset_path(tiny_index):
+    from pisa_ray import BM25Service, query_index
+
+    qt = pa.table(
+        {"query_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["var_1?2", "zz_nothing*"])}
+    )
+    svc = BM25Service(tiny_index, k=10, num_actors=1, expand="wildcard")
+    try:
+        a = (
+            svc.query(qt, batch_size=8)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    finally:
+        svc.shutdown()
+    b = (
+        query_index(
+            rd.from_arrow(qt), tiny_index, k=10, concurrency=1,
+            expand="wildcard",
+        )
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # var_1?2 globs hit real vocabulary
