@@ -888,7 +888,17 @@ def required_literals(pattern: str) -> list[str]:
             # BRANCH / IN / ANY / CATEGORY / anchors: no requirement
         flush()
 
-    walk(sre.parse(pattern))
+    import re as _re
+
+    try:
+        parsed = sre.parse(pattern)
+    except _re.error:
+        # RE2-valid syntax the stdlib parser rejects (e.g. \p{L}):
+        # no required literals -> caller falls back to the unpruned
+        # full-scan path instead of crashing; the Arrow RE2 engine
+        # still judges the pattern itself at match time.
+        return []
+    walk(parsed)
     return [s for s in out if s]
 
 
@@ -968,6 +978,13 @@ def regex_search(
     pruned = [(qid, p) for qid, p in queries if req[qid]]
     unpruned = [(qid, p) for qid, p in queries if not req[qid]]
 
+    # candidate/tombstone id arrays are built in the CORPUS id column's
+    # Arrow dtype so the `is_in` filters below never compare across a
+    # signed/unsigned cast (keys-mode engine ids ride uint64 and may
+    # exceed 2^63; int-mode user ids may be negative)
+    schema = corpus.schema()
+    id_type = dict(zip(schema.names, schema.types))[id_col]
+
     # deletes hold on every path: map engine tombstones to corpus ids
     excl_ref = None
     from ..delete import load_tombstones
@@ -982,10 +999,10 @@ def regex_search(
         if id_mode == "int":
             from ..docids import unsplitmix64
 
-            excl = unsplitmix64(tombs).astype(np.int64)
+            excl = pa.array(unsplitmix64(tombs).astype(np.int64))
         else:
-            excl = np.asarray(tombs, dtype=np.uint64).view(np.int64)
-        excl_ref = ray.put(pa.array(excl))
+            excl = pa.array(np.asarray(tombs, dtype=np.uint64))
+        excl_ref = ray.put(excl.cast(id_type))
 
     ids_ref = None
     if pruned:
@@ -1002,13 +1019,10 @@ def regex_search(
                     reader, "", k=reader.n_docs, terms=req[qid]
                 )
                 docs.extend(d for d, _ in hits)
-            return pa.table(
-                {
-                    "doc_id": pa.array(
-                        np.asarray(docs, dtype=np.uint64).view(np.int64)
-                    )
-                }
-            )
+            # user-visible ids (int-mode: signed, possibly negative;
+            # keys-mode: uint64, possibly >= 2^63) built directly in
+            # the corpus id dtype — no view()-based reinterpretation
+            return pa.table({"doc_id": pa.array(docs, type=id_type)})
 
         n = max(1, min(concurrency, len(pruned)))
         chunks = [pruned[i::n] for i in range(n)]

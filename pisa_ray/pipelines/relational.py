@@ -748,6 +748,9 @@ def quantile_disc(
 
         def fn(batch: pa.Table) -> pa.Table:
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            # SQL quantile_disc excludes NULL/NaN; the IEEE total-order
+            # view would otherwise sort NaN above +inf and count it
+            v = v[~np.isnan(v)]
             u = f2u(v)
             ts, bs, cs = [], [], []
             nxt = np.uint64(64 - hi_bits - 16)

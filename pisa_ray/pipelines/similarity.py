@@ -272,8 +272,13 @@ def ivf_knn(
     data-adaptive where ``lsh_knn``'s hyperplanes are oblivious).
 
     1. ``clustering.kmeans`` (distributed combiner partials) learns
-       ``n_clusters`` centroids over the NORMALIZED vectors, so
-       euclidean argmin == cosine argmax.
+       ``n_clusters`` centroids over the NORMALIZED vectors. Vectors
+       are then binned by INNER-PRODUCT argmax against those centroids
+       (k-means centroids of unit vectors are not themselves unit-norm,
+       so this is a deliberate IP partition, not the euclidean k-means
+       partition — valid ANN because index and probe sides use the
+       SAME rule, so a probe always reaches the list its true
+       neighbors were binned into).
     2. One ``map_batches`` re-assigns each vector to its centroid and
        the corpus shuffles ONCE by cluster id (each doc lives in
        exactly one cluster — probe hits need no dedup).
@@ -318,7 +323,7 @@ def ivf_knn(
     def assign(batch: pa.Table) -> pa.Table:
         cc = ray.get(cref)
         m = _normalize(_as_matrix(batch[vec_col]))
-        a = np.argmax(m @ cc.T, axis=1)  # cosine argmax == euclid argmin
+        a = np.argmax(m @ cc.T, axis=1)  # IP argmax (same rule as probe)
         return pa.table(
             {
                 "cluster": pa.array(a.astype(np.int64)),
@@ -703,6 +708,9 @@ def ivfpq_knn(
     def encode(batch: pa.Table) -> pa.Table:
         cc, bk = ray.get(cref)
         m = _normalize(_as_matrix(batch[vec_col]))
+        # coarse bin by IP argmax — same rule on the probe side (see
+        # ivf_knn docstring); per-subspace PQ codes below use TRUE
+        # euclidean argmin, where the ||bk||^2 correction matters
         a = np.argmax(m @ cc.T, axis=1)
         n = m.shape[0]
         codes = np.empty((n, M), dtype=np.uint8)

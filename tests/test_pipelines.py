@@ -1315,6 +1315,28 @@ def test_quantile_disc_exact_vs_numpy():
         )
 
 
+def test_quantile_disc_excludes_nan():
+    """NaN rows are excluded (SQL quantile_disc / NULL semantics) —
+    they must neither count toward n nor surface as upper quantiles
+    (advisor finding: the IEEE total-order view sorts NaN above +inf)."""
+    from pisa_ray.pipelines.relational import quantile_disc
+
+    rng = np.random.default_rng(7)
+    clean = rng.normal(0, 10, 999).round(3)
+    v = np.concatenate([clean, np.full(173, np.nan)])
+    rng.shuffle(v)
+    s = np.sort(clean)  # oracle over the NaN-free column
+    qs = [0.0, 0.5, 0.9, 0.99, 1.0]
+    want = [s[min(len(s) - 1, int(np.floor((len(s) - 1) * q)))] for q in qs]
+    for nblocks in (1, 7):
+        out = quantile_disc(
+            rd.from_pandas(pd.DataFrame({"x": v})).repartition(nblocks), "x", qs
+        )
+        got = out["x"].to_numpy()
+        assert not np.isnan(got).any()
+        assert np.array_equal(got, np.asarray(want)), (got.tolist(), want)
+
+
 # -- PII ---------------------------------------------------------------------
 
 

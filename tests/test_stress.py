@@ -72,3 +72,44 @@ def test_verify_pairs_jaccard():
     assert flagged.get(1) == 0  # exact dup must survive exact verification
     assert 4 not in flagged
     assert (verified["jaccard"] <= 1.0).all() and (verified["jaccard"] >= 0.5).all()
+
+
+def test_verify_pairs_jaccard_distributed_fallback_parity():
+    """Forcing max_driver_pairs below the candidate count must route
+    through the hash-exchange fallback (driver never holds the pair
+    list or a corpus-scaled shingle dict) and produce EXACTLY the
+    driver-path pairs and jaccard values — including a short doc that
+    exercises the padding rule on both branches."""
+    from pisa_ray.pipelines.dedup import verify_pairs_jaccard
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=12).tolist()) for _ in range(30)
+    ]
+    texts += [texts[i] + " extra" for i in range(8)]        # near dups
+    texts += [texts[3], "ab", "ab"]                         # exact + short docs
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    ds = rd.from_pandas(docs)
+    ids = docs["doc_id"].to_numpy()
+    # candidate pairs: all near/exact twins vs their source + noise pairs
+    cand = pd.DataFrame(
+        {
+            "doc_id": np.concatenate([ids[30:38], ids[[38, 40]], ids[:10]]),
+            "dup_of": np.concatenate([ids[:8], ids[[3, 39]], ids[10:20]]),
+        }
+    )
+    pairs = rd.from_pandas(cand)
+    small = (
+        verify_pairs_jaccard(ds, pairs, threshold=0.4)
+        .sort_values(["doc_id", "dup_of"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    big = verify_pairs_jaccard(ds, pairs, threshold=0.4, max_driver_pairs=1)
+    assert small["doc_id"].tolist() == big["doc_id"].tolist()
+    assert small["dup_of"].tolist() == big["dup_of"].tolist()
+    assert np.array_equal(small["jaccard"].to_numpy(), big["jaccard"].to_numpy())
+    assert 38 in set(big["doc_id"])      # exact twin survives
+    assert 40 in set(big["doc_id"])      # short-doc padding rule pair
