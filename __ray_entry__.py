@@ -796,11 +796,15 @@ def q_unigram_nll(sf_dir: str):
 
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means clusters over embeddings + exact in-cluster
-    pairwise cosine (rows-only: the iterative k-means quantizer is not
-    SQL-expressible). The synthetic embeddings have no near-dups, so —
-    like the ``fingerprint`` entry's mangled twins — the input is
-    augmented with deterministic exact-duplicate vectors (vec_id +
-    100000) that the operator must flag against their originals."""
+    pairwise cosine. SQL-checked end-to-end: the synthetic embeddings
+    have no natural near-dups, so the ONLY pairs at cosine >= 0.999
+    anywhere in the augmented corpus are the planted exact twins
+    (vec_id + 100000) — and exact twins always co-cluster (identical
+    vectors share an assignment), so the engine's
+    in-cluster-restricted pair set EQUALS the global all-pairs set the
+    DuckDB oracle computes with ``list_cosine_similarity``. The input
+    is augmented with deterministic exact-duplicate vectors that the
+    operator must flag against their originals."""
     import ray.data as rd
 
     from pisa_ray.pipelines.dedup import semantic_dedup
@@ -1065,28 +1069,68 @@ def q_distinct_hll(sf_dir: str):
 
 
 def q_kmeans(sf_dir: str):
-    """Distributed Lloyd's over the embeddings table (rows-only:
-    iterative refinement is not SQL-expressible). Deterministic seeded
-    init + deterministic empty-cluster reinit, so rows are stable."""
+    """Distributed Lloyd's over the embeddings table — PER-VECTOR
+    assignments, SQL-checked: the iterative refinement itself is not
+    SQL-expressible, but the FINAL assignment is pure argmin distance
+    to the converged centroids, and ``oracle_sql`` recomputes those
+    centroids with the INDEPENDENT single-process numpy reference
+    (``clustering.kmeans_oracle`` — same seeded init/reinit rules,
+    different execution) and replays the argmin in DuckDB. Assignment
+    margins on this data (min best-vs-2nd gap ~3e-4) dwarf the ~1e-12
+    float-summation noise between the two implementations, so the
+    hash comparison is stable. Deterministic seeded init +
+    deterministic empty-cluster reinit, so rows are stable at any
+    parallelism."""
     from pisa_ray.pipelines.clustering import kmeans
 
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
     _, assign = kmeans(emb, k=8, seed=17)
-    return (
-        assign.groupby("cluster")
-        .count()
-        .map_batches(
-            lambda t: t.rename_columns(["cluster", "n"]), batch_format="pyarrow"
-        )
-    )
+    return assign.select_columns(["vec_id", "cluster"])
 
 
 def q_multimodal(sf_dir: str):
+    """Actor-pool media decode over the deterministic synthetic
+    corpus, SQL-checked against the SYNTHESIS-side ground truth:
+    ``oracle_sql`` embeds ``synth_media_manifest`` — expected decode
+    results computed from the pre-encode PCM/pixel arrays and
+    container parameters, NOT by running the decoders — as literals.
+    WAV/PNG/BMP are lossless, so a correct decoder must reproduce the
+    manifest bit-exactly (container parse, scanline unfilter, BGR
+    swap, PCM scaling, feature kernels); stub rows pin the sha256
+    identity/dispatch layer. Features ride as f0..f7 scalar columns;
+    payload sha256 is attached so row identity is pinned too."""
+    import hashlib
+
     import ray.data as rd
 
     from pisa_ray.pipelines.multimodal import decode_features, synth_media
 
-    return decode_features(rd.from_arrow(synth_media(64)))
+    media = synth_media(64)
+    dec = (
+        decode_features(rd.from_arrow(media))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    F = np.vstack([np.asarray(f, dtype=np.float64) for f in dec["features"]])
+    for j in range(F.shape[1]):
+        dec[f"f{j}"] = F[:, j]
+    sha = {
+        int(i): hashlib.sha256(p).hexdigest()
+        for i, p in zip(
+            media["media_id"].to_pylist(), media["payload"].to_pylist()
+        )
+    }
+    dec["sha256"] = [sha[int(i)] for i in dec["media_id"]]
+    cols = [
+        "media_id", "kind", "decoder", "sha256", "n_bytes", "width",
+        "height", "n_channels", "sample_rate_hz", "duration_s",
+    ] + [f"f{j}" for j in range(F.shape[1])]
+    return dec[cols].astype(
+        {c: "int64" for c in
+         ["media_id", "n_bytes", "width", "height", "n_channels",
+          "sample_rate_hz"]}
+    )
 
 
 def q_bm25_bmw(sf_dir: str):
@@ -1599,6 +1643,129 @@ def _jaccard_ctes(src: str) -> str:
                            JOIN sizes sb ON sb.doc_id = pairs.id_b
                 WHERE c::DOUBLE / (sa.s + sb.s - c) >= 0.5
             )"""
+
+
+def _sql_double(v: float) -> str:
+    """A float64 literal DuckDB parses BIT-EXACTLY: bare decimal
+    literals are DECIMAL (whose DOUBLE cast can differ in the last
+    ulp), but a VARCHAR->DOUBLE cast is shortest-round-trip parse."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the driver's DuckDB views point at (the correctness
+    gate runs at sf0.01). Only the kmeans oracle needs it: its
+    centroid literals are computed by the independent single-process
+    numpy reference over the same table the views expose."""
+    import os
+
+    return os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _kmeans_sql(k: int = 8, seed: int = 17) -> str:
+    """Replay of the engine's FINAL k-means assignment in DuckDB: the
+    centroid CTE comes from ``clustering.kmeans_oracle`` — the
+    INDEPENDENT single-process numpy Lloyd's (same seeded init +
+    deterministic reinit rules, different execution) that the pytest
+    oracle pins the distributed path against — computed here over the
+    driver's sf0.01 embeddings parquet (no Ray involved). The SQL then
+    assigns every vector by (distance, cluster) argmin and must match
+    the engine's per-vector output hash-exactly (margins ~3e-4 >>
+    float noise ~1e-12 on this data)."""
+    import pyarrow.parquet as pq
+
+    from pisa_ray.pipelines.clustering import kmeans_oracle
+
+    t = pq.read_table(
+        f"{_oracle_sf_dir()}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    X = np.asarray(t["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+    C, _ = kmeans_oracle(X, t["vec_id"].to_numpy(), k=k, seed=seed)
+    cent_vals = ", ".join(
+        "({}::BIGINT, [{}]::DOUBLE[])".format(
+            c, ", ".join(_sql_double(v) for v in C[c])
+        )
+        for c in range(C.shape[0])
+    )
+    return f"""
+            WITH centroids(cluster, c) AS (VALUES {cent_vals}),
+            d AS (
+                SELECT e.vec_id, ct.cluster,
+                       list_distance(CAST(e.embedding AS DOUBLE[]), ct.c) AS dist
+                FROM embeddings e CROSS JOIN centroids ct
+            )
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist, cluster
+                       ) AS rn
+                FROM d
+            ) WHERE rn = 1 ORDER BY vec_id
+        """
+
+
+def _semantic_dedup_sql(threshold: float = 0.999, n_twins: int = 10) -> str:
+    """Global all-pairs cosine replay of ``semantic_dedup`` — exact on
+    this fixture because the only pairs >= threshold are the planted
+    exact twins, which always co-cluster (see q_semantic_dedup)."""
+    return f"""
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT {n_twins})
+            ),
+            pairs AS (
+                SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= {threshold}
+            )
+            SELECT vec_id, dup_of, cosine FROM (
+                SELECT vec_id, dup_of, cosine,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dup_of
+                       ) AS rn
+                FROM pairs
+            ) WHERE rn = 1 ORDER BY vec_id
+        """
+
+
+def _multimodal_sql(n: int = 64, seed: int = 42) -> str:
+    """The synthesis-side expected-decode manifest
+    (``multimodal.synth_media_manifest`` — ground truth from the
+    pre-encode PCM/pixel arrays, not from running the decoders)
+    embedded as SQL literals. Pure Python, no Ray, no base tables."""
+    from pisa_ray.pipelines.multimodal import synth_media_manifest
+
+    man = synth_media_manifest(n, seed).to_pylist()
+    fcols = [f"f{j}" for j in range(8)]
+
+    def row(r: dict) -> str:
+        vals = [
+            f"{r['media_id']}::BIGINT",
+            f"'{r['kind']}'", f"'{r['decoder']}'", f"'{r['sha256']}'",
+            f"{r['n_bytes']}::BIGINT", f"{r['width']}::BIGINT",
+            f"{r['height']}::BIGINT", f"{r['n_channels']}::BIGINT",
+            f"{r['sample_rate_hz']}::BIGINT",
+            _sql_double(r["duration_s"]),
+        ] + [_sql_double(r[c]) for c in fcols]
+        return "(" + ", ".join(vals) + ")"
+
+    cols = ("media_id, kind, decoder, sha256, n_bytes, width, height, "
+            "n_channels, sample_rate_hz, duration_s, " + ", ".join(fcols))
+    values = ",\n            ".join(row(r) for r in man)
+    return f"""
+            SELECT * FROM (VALUES
+            {values}
+            ) AS t({cols}) ORDER BY media_id
+        """
 
 
 def _phrase_values() -> str:
@@ -2290,4 +2457,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tok JOIN tf USING (term)
             GROUP BY tok.doc_id
         """,
+        "kmeans_clusters": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
+        "multimodal_decode": _multimodal_sql(),
     }

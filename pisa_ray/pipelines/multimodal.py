@@ -42,9 +42,13 @@ MEDIA_SCHEMA = pa.schema(
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def synth_wav(rng: np.random.Generator, sample_rate: int = 8000,
-              max_frames: int = 2048) -> bytes:
-    """Real RIFF/WAVE bytes: a seeded sum-of-sines int16 signal."""
+def _synth_wav_truth(
+    rng: np.random.Generator, sample_rate: int = 8000, max_frames: int = 2048
+) -> tuple[bytes, np.ndarray, int, int]:
+    """Real RIFF/WAVE bytes plus the synthesis-side ground truth
+    (pre-encode PCM, rate, channels) — the truth lets an independent
+    oracle pin the decoder without running it (16-bit PCM in a WAV
+    container is lossless, so decode must recover these samples)."""
     n = int(rng.integers(256, max_frames))
     channels = int(rng.integers(1, 3))
     t = np.arange(n, dtype=np.float64) / sample_rate
@@ -60,7 +64,13 @@ def synth_wav(rng: np.random.Generator, sample_rate: int = 8000,
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())
-    return buf.getvalue()
+    return buf.getvalue(), pcm.reshape(n, channels), sample_rate, channels
+
+
+def synth_wav(rng: np.random.Generator, sample_rate: int = 8000,
+              max_frames: int = 2048) -> bytes:
+    """Real RIFF/WAVE bytes: a seeded sum-of-sines int16 signal."""
+    return _synth_wav_truth(rng, sample_rate, max_frames)[0]
 
 
 def _png_filter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
@@ -91,10 +101,11 @@ def _png_filter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
     return (out % 256).astype(np.uint8)
 
 
-def synth_png(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
-    """Real PNG bytes (8-bit RGB): smooth seeded gradient + noise,
-    each scanline filtered with a cycling filter type 0..4 so the
-    decoder's full unfilter surface is exercised."""
+def _synth_png_truth(
+    rng: np.random.Generator, w: int = 24, h: int = 24
+) -> tuple[bytes, np.ndarray]:
+    """Real PNG bytes (8-bit RGB) plus the pre-encode pixel array
+    (PNG is lossless — decode must recover it exactly)."""
     x = np.arange(w)[None, :]
     y = np.arange(h)[:, None]
     base = np.stack(
@@ -119,14 +130,24 @@ def synth_png(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
-            + chunk(b"IEND", b""))
+    payload = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    return payload, img
 
 
-def synth_bmp(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
-    """Real BMP bytes: 24-bit uncompressed BITMAPINFOHEADER, bottom-up
-    BGR scanlines padded to 4-byte boundaries — seeded noise pixels."""
+def synth_png(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
+    """Real PNG bytes (8-bit RGB): smooth seeded gradient + noise,
+    each scanline filtered with a cycling filter type 0..4 so the
+    decoder's full unfilter surface is exercised."""
+    return _synth_png_truth(rng, w, h)[0]
+
+
+def _synth_bmp_truth(
+    rng: np.random.Generator, w: int = 24, h: int = 24
+) -> tuple[bytes, np.ndarray]:
+    """Real BMP bytes plus the pre-encode RGB pixel array (24-bit BMP
+    is lossless — decode must recover it exactly)."""
     img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)  # RGB
     stride = (w * 3 + 3) & ~3
     pad = stride - w * 3
@@ -137,44 +158,132 @@ def synth_bmp(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
                        2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
-    return header + info + bytes(rows)
+    return header + info + bytes(rows), img
+
+
+def synth_bmp(rng: np.random.Generator, w: int = 24, h: int = 24) -> bytes:
+    """Real BMP bytes: 24-bit uncompressed BITMAPINFOHEADER, bottom-up
+    BGR scanlines padded to 4-byte boundaries — seeded noise pixels."""
+    return _synth_bmp_truth(rng, w, h)[0]
+
+
+def _synth_media_rows(n: int = 64, seed: int = 42) -> list[dict]:
+    """The single deterministic generation loop behind both
+    :func:`synth_media` (payload table) and
+    :func:`synth_media_manifest` (independent ground truth): one rng
+    stream, each row carrying its payload plus the synthesis-side
+    truth (pre-encode PCM/pixels) the decoders must recover."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, size=n)]
+    rows, img_i = [], 0
+    for i, k in enumerate(kinds):
+        row = {"media_id": i, "kind": str(k)}
+        if k == "audio":
+            payload, pcm, rate, ch = _synth_wav_truth(rng)
+            row.update(payload=payload, width=0, height=0, sample_rate=8000,
+                       truth=dict(decoder="wav", pcm=pcm, rate=rate,
+                                  channels=ch))
+        elif k == "image":
+            w = int(rng.integers(8, 48)); h = int(rng.integers(8, 48))
+            if img_i % 2 == 0:
+                payload, img = _synth_png_truth(rng, w, h)
+                dec = "png"
+            else:
+                payload, img = _synth_bmp_truth(rng, w, h)
+                dec = "bmp"
+            img_i += 1
+            row.update(payload=payload, width=w, height=h, sample_rate=0,
+                       truth=dict(decoder=dec, img=img))
+        else:
+            payload = (
+                rng.integers(0, 256, size=int(rng.integers(512, 4096)))
+                .astype(np.uint8).tobytes())
+            row.update(payload=payload,
+                       width=int(rng.integers(16, 256)),
+                       height=int(rng.integers(16, 256)),
+                       sample_rate=0, truth=dict(decoder="stub"))
+        rows.append(row)
+    return rows
 
 
 def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media table. `audio` rows carry REAL WAV payloads,
     `image` rows REAL PNG or BMP payloads (alternating), `video` rows
     opaque seeded bytes (exercising the stub fallback path)."""
-    rng = np.random.default_rng(seed)
-    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, size=n)]
-    payloads, widths, heights, rates = [], [], [], []
-    img_i = 0
-    for k in kinds:
-        if k == "audio":
-            payloads.append(synth_wav(rng))
-            widths.append(0); heights.append(0); rates.append(8000)
-        elif k == "image":
-            w = int(rng.integers(8, 48)); h = int(rng.integers(8, 48))
-            synth = synth_png if img_i % 2 == 0 else synth_bmp
-            img_i += 1
-            payloads.append(synth(rng, w, h))
-            widths.append(w); heights.append(h); rates.append(0)
-        else:
-            payloads.append(
-                rng.integers(0, 256, size=int(rng.integers(512, 4096)))
-                .astype(np.uint8).tobytes())
-            widths.append(int(rng.integers(16, 256)))
-            heights.append(int(rng.integers(16, 256)))
-            rates.append(0)
+    rows = _synth_media_rows(n, seed)
     return pa.table(
         {
-            "media_id": pa.array(range(n), type=pa.int64()),
-            "kind": pa.array(kinds.tolist()),
-            "payload": pa.array(payloads, type=pa.large_binary()),
-            "width": pa.array(widths, type=pa.int32()),
-            "height": pa.array(heights, type=pa.int32()),
-            "sample_rate": pa.array(rates, type=pa.int32()),
+            "media_id": pa.array([r["media_id"] for r in rows], type=pa.int64()),
+            "kind": pa.array([r["kind"] for r in rows]),
+            "payload": pa.array([r["payload"] for r in rows], type=pa.large_binary()),
+            "width": pa.array([r["width"] for r in rows], type=pa.int32()),
+            "height": pa.array([r["height"] for r in rows], type=pa.int32()),
+            "sample_rate": pa.array([r["sample_rate"] for r in rows], type=pa.int32()),
         }
     )
+
+
+def synth_media_manifest(n: int = 64, seed: int = 42) -> pa.Table:
+    """INDEPENDENT expected-decode table for :func:`synth_media`'s
+    rows, computed from the synthesis-side truth (pre-encode PCM /
+    pixel arrays and container parameters), NOT by running the
+    decoders — WAV/PNG/BMP are lossless, so a correct decoder must
+    reproduce these numbers exactly. This is what makes
+    ``multimodal_decode`` driver-checkable: the oracle embeds this
+    table as SQL literals and the engine's actor-pool decode output
+    must hash-match it (stub rows pin the sha256 identity layer only,
+    by construction). Feature vector flattened to f0..f7 scalar
+    columns (drivers hash scalar cells, not lists)."""
+    rows = _synth_media_rows(n, seed)
+    out = {
+        "media_id": [], "kind": [], "decoder": [], "sha256": [],
+        "n_bytes": [], "width": [], "height": [], "n_channels": [],
+        "sample_rate_hz": [], "duration_s": [],
+    }
+    feats_all = []
+    stub = FakeDecoder(MediaDecoder.FEAT_DIM)
+    for r in rows:
+        t = r["truth"]
+        if t["decoder"] == "wav":
+            x = t["pcm"].astype(np.float64) / 32768.0  # decode_wav's exact map
+            feats, meta = _wav_env_features(
+                x, t["rate"], t["channels"], MediaDecoder.FEAT_DIM
+            )
+        elif t["decoder"] in ("png", "bmp"):
+            feats, meta = _pixel_stat_features(
+                t["img"], r["width"], r["height"], 3, MediaDecoder.FEAT_DIM
+            )
+        else:
+            feats = stub._decode(r["payload"], "")
+            meta = dict(width=0, height=0, n_channels=0,
+                        sample_rate_hz=0, duration_s=0.0)
+        out["media_id"].append(r["media_id"])
+        out["kind"].append(r["kind"])
+        out["decoder"].append(t["decoder"])
+        out["sha256"].append(hashlib.sha256(r["payload"]).hexdigest())
+        out["n_bytes"].append(len(r["payload"]))
+        out["width"].append(meta["width"])
+        out["height"].append(meta["height"])
+        out["n_channels"].append(meta["n_channels"])
+        out["sample_rate_hz"].append(meta["sample_rate_hz"])
+        out["duration_s"].append(float(meta["duration_s"]))
+        feats_all.append(feats)
+    tbl = {
+        "media_id": pa.array(out["media_id"], type=pa.int64()),
+        "kind": pa.array(out["kind"]),
+        "decoder": pa.array(out["decoder"]),
+        "sha256": pa.array(out["sha256"]),
+        "n_bytes": pa.array(out["n_bytes"], type=pa.int64()),
+        "width": pa.array(out["width"], type=pa.int64()),
+        "height": pa.array(out["height"], type=pa.int64()),
+        "n_channels": pa.array(out["n_channels"], type=pa.int64()),
+        "sample_rate_hz": pa.array(out["sample_rate_hz"], type=pa.int64()),
+        "duration_s": pa.array(out["duration_s"], type=pa.float64()),
+    }
+    F = np.vstack(feats_all)
+    for j in range(MediaDecoder.FEAT_DIM):
+        tbl[f"f{j}"] = pa.array(F[:, j], type=pa.float64())
+    return pa.table(tbl)
 
 
 def decode_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
@@ -337,6 +446,52 @@ class FakeDecoder:
         )
 
 
+def _wav_env_features(x: np.ndarray, rate: int, channels: int, feat_dim: int):
+    """Shared feature kernel over (frames, channels) float samples in
+    [-1, 1] — called by the decoder (on decoded PCM) AND by the
+    synthesis-side manifest (on pre-encode PCM): identical inputs must
+    give bit-identical features, which is the round-trip check."""
+    mono = x.mean(axis=1) if channels > 1 else x[:, 0]
+    n = len(mono)
+    k = feat_dim
+    if n == 0:
+        env = np.zeros(k)
+    else:
+        # k-segment RMS envelope; rms of [-1,1] samples is in [0,1].
+        edges = np.linspace(0, n, k + 1).astype(np.int64)
+        env = np.array(
+            [
+                np.sqrt(np.mean(mono[a:b] ** 2)) if b > a else 0.0
+                for a, b in zip(edges[:-1], edges[1:])
+            ]
+        )
+    return (
+        np.clip(env, 0.0, 1.0),
+        dict(width=0, height=0, n_channels=channels,
+             sample_rate_hz=rate, duration_s=n / rate if rate else 0.0),
+    )
+
+
+def _pixel_stat_features(px, w: int, h: int, channels: int, feat_dim: int):
+    """Shared per-channel pixel-stat kernel (decoder AND manifest —
+    see :func:`_wav_env_features` for why sharing is the point).
+    Layout: [mean_c0..c2, overall_mean, std_c0..c2, overall_std]."""
+    flat = px.reshape(-1, channels).astype(np.float64) / 255.0
+    means = flat.mean(axis=0)
+    stds = flat.std(axis=0)
+    feats = np.zeros(feat_dim)
+    nc = min(channels, 3)
+    feats[:nc] = means[:nc]
+    feats[3] = float(flat.mean())
+    feats[4:4 + nc] = stds[:nc]
+    feats[7] = float(flat.std())
+    return (
+        np.clip(feats, 0.0, 1.0),
+        dict(width=w, height=h, n_channels=channels,
+             sample_rate_hz=0, duration_s=0.0),
+    )
+
+
 class MediaDecoder:
     """REAL decode/feature-extract stage. Sniffs each payload's magic
     bytes and dispatches: RIFF/WAVE -> stdlib ``wave`` decode (sample
@@ -363,48 +518,15 @@ class MediaDecoder:
 
     def _wav_features(self, payload: bytes):
         x, rate, channels = decode_wav(payload)
-        mono = x.mean(axis=1) if channels > 1 else x[:, 0]
-        n = len(mono)
-        k = self.feat_dim
-        if n == 0:
-            env = np.zeros(k)
-        else:
-            # 8-segment RMS envelope; rms of [-1,1] samples is in [0,1].
-            edges = np.linspace(0, n, k + 1).astype(np.int64)
-            env = np.array(
-                [
-                    np.sqrt(np.mean(mono[a:b] ** 2)) if b > a else 0.0
-                    for a, b in zip(edges[:-1], edges[1:])
-                ]
-            )
-        return (
-            np.clip(env, 0.0, 1.0),
-            dict(width=0, height=0, n_channels=channels,
-                 sample_rate_hz=rate, duration_s=n / rate if rate else 0.0),
-        )
+        return _wav_env_features(x, rate, channels, self.feat_dim)
 
     def _png_features(self, payload: bytes):
-        return self._pixel_features(*decode_png(payload))
+        px, w, h, c = decode_png(payload)
+        return _pixel_stat_features(px, w, h, c, self.feat_dim)
 
     def _bmp_features(self, payload: bytes):
-        return self._pixel_features(*decode_bmp(payload))
-
-    def _pixel_features(self, px, w: int, h: int, channels: int):
-        flat = px.reshape(-1, channels).astype(np.float64) / 255.0
-        means = flat.mean(axis=0)
-        stds = flat.std(axis=0)
-        # layout: [mean_c0..c2, overall_mean, std_c0..c2, overall_std]
-        feats = np.zeros(self.feat_dim)
-        nc = min(channels, 3)
-        feats[:nc] = means[:nc]
-        feats[3] = float(flat.mean())
-        feats[4:4 + nc] = stds[:nc]
-        feats[7] = float(flat.std())
-        return (
-            np.clip(feats, 0.0, 1.0),
-            dict(width=w, height=h, n_channels=channels,
-                 sample_rate_hz=0, duration_s=0.0),
-        )
+        px, w, h, c = decode_bmp(payload)
+        return _pixel_stat_features(px, w, h, c, self.feat_dim)
 
     def _decode_one(self, payload: bytes):
         try:
