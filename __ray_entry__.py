@@ -402,6 +402,75 @@ def q_events_by_type(sf_dir: str):
     return out
 
 
+def q_topn_accuracy(sf_dir: str):
+    """The reference's FULL evaluation path (Reader clicked sets ->
+    all-items scoring -> train-item exclusion mask -> per-user top-k ->
+    Recall/NDCG/MRR/Precision@K pivot, SURVEY S9/A4/T4) under the
+    driver hash. Interactions derive deterministically from events
+    (item_id = event_id % 50; event_id % 5 == 4 is the test split);
+    the 'model' is train-split item popularity (same score for every
+    user), masked per user by their train-clicked set — so every rank,
+    tie-break (count desc, item asc — float32 counts are exact) and
+    metric replays as window arithmetic in DuckDB. Output: one row per
+    (metric, K), mean over users with >= 1 positive, rounded 6."""
+
+    from pisa_ray.pipelines.interactions import (
+        clicked_sets,
+        topk_excluding,
+        topn_accuracy,
+    )
+
+    N_ITEMS, K_LIST = 50, (5, 10, 20)
+    ev = _tbl(sf_dir, "events", ["event_id", "user_id"])
+
+    def derive(b: pa.Table, want_test: bool) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        mask = (eid % 5 == 4) if want_test else (eid % 5 != 4)
+        return pa.table(
+            {
+                "user_id": b["user_id"].filter(pa.array(mask)),
+                "item_id": pa.array(
+                    (eid[mask] % N_ITEMS).astype(np.int64)
+                ),
+            }
+        )
+
+    train = ev.map_batches(
+        lambda b: derive(b, False), batch_format="pyarrow"
+    )
+    test = ev.map_batches(lambda b: derive(b, True), batch_format="pyarrow")
+
+    # distributed popularity counts -> the 50-float score vector
+    pop = train.groupby("item_id").count().to_pandas()
+    scores = np.zeros(N_ITEMS, dtype=np.float32)
+    scores[pop["item_id"].to_numpy()] = pop["count()"].to_numpy()
+
+    # per-user train exclusion sets (the broadcast clicked dict)
+    cl = clicked_sets(train).to_pandas()
+    clicked = {
+        int(u): np.asarray(list(it), dtype=np.int64)
+        for u, it in zip(cl["user_id"], cl["items"])
+    }
+    tdf = test.to_pandas().drop_duplicates(["user_id", "item_id"])
+    positives = {
+        int(u): set(g["item_id"].tolist())
+        for u, g in tdf.groupby("user_id")
+    }
+    users = sorted(positives)
+    topk = topk_excluding(
+        users,
+        N_ITEMS,
+        lambda u: np.tile(scores, (len(u), 1)),
+        clicked,
+        k=max(K_LIST),
+    ).to_pandas()
+    metrics = topn_accuracy(topk, positives, ks=K_LIST)
+    keys = sorted(metrics)
+    return pd.DataFrame(
+        {"metric": keys, "value": [metrics[k] for k in keys]}
+    )
+
+
 def q_snapshot_counts(sf_dir: str):
     """The reference's size-based snapshot split
     (/root/reference/src/helpers/Reader.py:81-92,148-178): sort the
@@ -1340,7 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_membership": q_order_membership,
         "distinct_segments": q_distinct_segments,
         "events_windows": q_events_windows,
-        "events_by_type": q_events_by_type,
+        "topn_accuracy": q_topn_accuracy,
         "snapshot_counts": q_snapshot_counts,
         "sessions": q_sessions,
         "asof_last_error": q_asof_last_error,
@@ -1768,6 +1837,120 @@ def _multimodal_sql(n: int = 64, seed: int = 42) -> str:
         """
 
 
+def _topn_accuracy_sql(n_items: int = 50, ks: tuple = (5, 10, 20)) -> str:
+    """Window-arithmetic replay of the reference eval path (see
+    q_topn_accuracy): popularity ranking with per-user train-item
+    exclusion, then Recall/NDCG/MRR/Precision@K means. log2 both
+    sides is IEEE-correctly rounded for these tiny integer args, and
+    per-metric means are rounded at 6 decimals like the engine."""
+    k_list = ", ".join(str(k) for k in ks)
+    return f"""
+            WITH inter AS (
+                SELECT user_id, event_id % {n_items} AS item_id, event_id
+                FROM events
+            ),
+            train AS (SELECT * FROM inter WHERE event_id % 5 <> 4),
+            test AS (
+                SELECT DISTINCT user_id, item_id FROM inter
+                WHERE event_id % 5 = 4
+            ),
+            pop AS (
+                SELECT item_id, count(*)::DOUBLE AS cnt
+                FROM train GROUP BY item_id
+            ),
+            users AS (SELECT DISTINCT user_id FROM test),
+            utrain AS (SELECT DISTINCT user_id, item_id FROM train),
+            cand AS (
+                -- reference semantics: train-clicked items are masked
+                -- to -inf but STAY in the ranking (they surface at the
+                -- tail, tie-broken by item index, and can still be
+                -- test positives) — exactly the engine's topk over the
+                -- full score vector
+                SELECT u.user_id, i.item_id, coalesce(p.cnt, 0) AS cnt,
+                       CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END
+                           AS excl
+                FROM users u
+                CROSS JOIN (SELECT unnest(range({n_items})) AS item_id) i
+                LEFT JOIN pop p USING (item_id)
+                LEFT JOIN utrain t
+                  ON t.user_id = u.user_id AND t.item_id = i.item_id
+            ),
+            topk AS (
+                SELECT user_id, item_id, rnk FROM (
+                    SELECT user_id, item_id,
+                           row_number() OVER (
+                               PARTITION BY user_id
+                               ORDER BY excl,
+                                        CASE WHEN excl = 1 THEN 0
+                                             ELSE cnt END DESC,
+                                        item_id
+                           ) AS rnk
+                    FROM cand
+                ) WHERE rnk <= {max(ks)}
+            ),
+            hits AS (
+                SELECT t.user_id, t.rnk,
+                       CASE WHEN te.item_id IS NOT NULL
+                            THEN 1.0 ELSE 0.0 END AS hit
+                FROM topk t
+                LEFT JOIN test te
+                  ON te.user_id = t.user_id AND te.item_id = t.item_id
+            ),
+            npos AS (
+                SELECT user_id, count(*)::BIGINT AS np
+                FROM test GROUP BY user_id
+            ),
+            firsthit AS (
+                SELECT user_id, min(rnk) AS fr FROM hits
+                WHERE hit = 1 GROUP BY user_id
+            ),
+            kk AS (SELECT unnest([{k_list}]) AS k),
+            per_user AS (
+                SELECT h.user_id, kk.k,
+                       sum(CASE WHEN h.rnk <= kk.k THEN h.hit ELSE 0 END)
+                           AS nhit,
+                       sum(CASE WHEN h.rnk <= kk.k
+                                THEN h.hit / log2(h.rnk + 1) ELSE 0 END)
+                           AS dcg
+                FROM hits h CROSS JOIN kk
+                GROUP BY h.user_id, kk.k
+            ),
+            idcg AS (
+                SELECT n.user_id, kk.k, sum(1.0 / log2(i.i + 1)) AS idcg
+                FROM npos n CROSS JOIN kk
+                JOIN (SELECT unnest(range(1, {max(ks)} + 1)) AS i) i
+                  ON i.i <= least(n.np, kk.k)
+                GROUP BY n.user_id, kk.k
+            ),
+            pu AS (
+                SELECT p.user_id, p.k,
+                       p.nhit / n.np AS recall,
+                       p.nhit / p.k AS prec,
+                       coalesce(
+                           CASE WHEN f.fr <= p.k THEN 1.0 / f.fr END, 0.0
+                       ) AS mrr,
+                       p.dcg / i.idcg AS ndcg
+                FROM per_user p
+                JOIN npos n USING (user_id)
+                JOIN idcg i ON i.user_id = p.user_id AND i.k = p.k
+                LEFT JOIN firsthit f ON f.user_id = p.user_id
+            )
+            SELECT metric, value FROM (
+                SELECT 'MRR@' || k AS metric, round(avg(mrr), 6) AS value,
+                       k FROM pu GROUP BY k
+                UNION ALL
+                SELECT 'NDCG@' || k, round(avg(ndcg), 6), k
+                FROM pu GROUP BY k
+                UNION ALL
+                SELECT 'Precision@' || k, round(avg(prec), 6), k
+                FROM pu GROUP BY k
+                UNION ALL
+                SELECT 'Recall@' || k, round(avg(recall), 6), k
+                FROM pu GROUP BY k
+            ) ORDER BY metric
+        """
+
+
 def _phrase_values() -> str:
     from pisa_ray.pipelines.phrase import normalize_phrase
 
@@ -2102,10 +2285,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events, (VALUES (0), (1)) t(k)
             GROUP BY 1, 2, 3
         """,
-        "events_by_type": """
-            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-            FROM events GROUP BY event_type
-        """,
+        "topn_accuracy": _topn_accuracy_sql(),
         "snapshot_counts": """
             -- int(n*0.6) truncates in Python: use floor, then integer div
             WITH p AS (SELECT count(*) AS n,

@@ -104,13 +104,15 @@ def topk_excluding(
             if seen is not None and len(seen):
                 scores[i, np.asarray(seen, dtype=np.int64)] = -np.inf
         kk = min(k, n_items)
-        # argsort on (-score, index): stable sort == torch.topk tie order
-        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        # full lexsort on (-score, index) per row: torch.topk's
+        # lower-index-first tie order INCLUDING the selection at the
+        # k boundary (argpartition picks boundary ties arbitrarily —
+        # caught by the topn_accuracy DuckDB replay when equal
+        # popularity scores straddled rank k)
+        idx = np.arange(n_items, dtype=np.int64)
         rows = []
         for i, uid in enumerate(u):
-            cand = part[i]
-            order = np.lexsort((cand, -scores[i, cand]))[:kk]
-            items = cand[order]
+            items = np.lexsort((idx, -scores[i]))[:kk]
             rows.append((int(uid), items.tolist(), scores[i, items].tolist()))
         return pd.DataFrame(rows, columns=["user_id", "items", "scores"])
 

@@ -114,3 +114,19 @@ def test_end_to_end_snapshot_eval(interactions):
     assert set(metrics) == {
         f"{m}@{k}" for m in ("Recall", "NDCG", "MRR", "Precision") for k in (10, 50)
     }
+
+
+def test_topk_excluding_boundary_tie_determinism():
+    """Equal scores straddling rank k must select the LOWER item
+    indices (torch.topk order) — argpartition used to pick boundary
+    ties arbitrarily, caught by the topn_accuracy DuckDB replay."""
+    n_items = 30
+    # all items share one score -> the whole boundary is one tie class
+    flat = lambda u: np.zeros((len(u), n_items), dtype=np.float32)
+    got = (
+        topk_excluding([0], n_items, flat, {0: np.asarray([2, 5])}, k=10)
+        .to_pandas()
+        .iloc[0]
+    )
+    want = [i for i in range(n_items) if i not in (2, 5)][:10]
+    assert got["items"] == want

@@ -1,0 +1,226 @@
+"""Scale rehearsal (VERDICT round-3 item 6): build + query the flagship
+index at ~10x the scaling corpus (default 3M synthetic source-code docs,
+~1.2B tokens) in BOTH merge layouts, recording wall, peak RSS and object
+-store spill — evidence for the IndexConfig scale notes instead of
+assertions.
+
+Configs exercised:
+  single : the bench layout — one (term-hash, bucket) shuffle,
+           posting_space="position" (the throughput shape).
+  sharded: the 100TB-documented shape — per_bucket_merge=True with
+           bucket_bits=6 (64 independent, individually-resumable bucket
+           merges), term_parts=128, check_collisions=True. At 10^12 docs
+           the docs say bucket_bits~12/term_parts~256; on one box that
+           many merge JOBS is pure fixed overhead, so the rehearsal
+           scales the shard count to keep >=1s of work per bucket while
+           exercising the identical code path.
+
+Both indexes must answer the reference query mix RANK-IDENTICALLY
+(digest equality is asserted, not eyeballed).
+
+Usage: python tools/scale_rehearsal.py [--docs 3000000] [--cpus 32]
+Writes one JSON line per config; paste the table into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _mem_used_gib() -> float:
+    """Box-wide anon usage (MemTotal - MemAvailable): page cache counts
+    as available, so this tracks heap+plasma, which is what the scale
+    notes bound."""
+    info = {}
+    with open("/proc/meminfo") as f:
+        for line in f:
+            k, v = line.split(":", 1)
+            info[k] = int(v.split()[0])
+    return (info["MemTotal"] - info["MemAvailable"]) / (1 << 20)
+
+
+class PeakRss(threading.Thread):
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.base = _mem_used_gib()
+        self.peak = self.base
+        self._halt = threading.Event()  # NOT _stop: Thread owns that name
+
+    def run(self):
+        while not self._halt.is_set():
+            self.peak = max(self.peak, _mem_used_gib())
+            time.sleep(0.5)
+
+    def stop(self) -> float:
+        self._halt.set()
+        self.join()
+        return self.peak
+
+
+def _spilled_mib() -> float:
+    """Bytes currently sitting in the session's spill directory (the
+    gRPC memory-summary API is unavailable in this container, so
+    measure the spill files directly)."""
+    base = "/tmp/ray/ray/session_latest"  # RAY_TMPDIR layout in this box
+    total = 0
+    for sub in ("ray_spilled_objects",):
+        d = os.path.join(base, sub)
+        if os.path.isdir(d):
+            for dp, _, fs in os.walk(d):
+                for f in fs:
+                    try:
+                        total += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+    return total / (1 << 20)
+
+
+def prepare_corpus(n_docs: int, out_dir: str) -> str:
+    """Partition-parallel deterministic generation via Ray tasks (the
+    generator is pure (seed, partition) -> rows, so any parallelism
+    yields byte-identical files)."""
+    import ray
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    @ray.remote(num_cpus=1)
+    def gen(p: int, rows: int, start: int) -> int:
+        import pyarrow.parquet as pq
+
+        from pisa_ray.synth import make_corpus_partition
+
+        t = make_corpus_partition(p, rows, start, max_tokens=800)
+        pq.write_table(t, os.path.join(out_dir, f"part_{p:03d}.parquet"))
+        return t.num_rows
+
+    n_parts = 128
+    base, rem = divmod(n_docs, n_parts)
+    refs, start = [], 0
+    for p in range(n_parts):
+        rows = base + (1 if p < rem else 0)
+        refs.append(gen.remote(p, rows, start))
+        start += rows
+    total = sum(ray.get(refs))
+    assert total == n_docs, (total, n_docs)
+    open(done, "w").write("ok")
+    return out_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=3_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--queries", type=int, default=1000)
+    ap.add_argument("--configs", default="single,sharded")
+    args = ap.parse_args()
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=args.cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.scorer import query_index
+    from pisa_ray.synth import make_queries
+
+    root = "/tmp/pisa_ray_scale"
+    corpus = prepare_corpus(args.docs, f"{root}/synth_{args.docs}_p128")
+    rd.read_parquet(corpus).count()  # warm page cache
+
+    cfgs = {
+        "single": IndexConfig(
+            bucket_bits=3, term_parts=max(32, 2 * args.cpus),
+            lineage_parts=8, tokenize_batch_size=512,
+            check_collisions=False, per_bucket_merge=False,
+            write_docmap=False, posting_space="position",
+        ),
+        "sharded": IndexConfig(
+            bucket_bits=6, term_parts=128, lineage_parts=8,
+            tokenize_batch_size=512, check_collisions=True,
+            per_bucket_merge=True, write_docmap=False,
+            posting_space="position",
+        ),
+    }
+    qt = make_queries(args.queries)
+    digests = {}
+    for name in args.configs.split(","):
+        cfg = cfgs[name]
+        idx = f"{root}/idx_{name}_{args.docs}"
+        shutil.rmtree(idx, ignore_errors=True)
+        spill0 = _spilled_mib()
+        mon = PeakRss()
+        mon.start()
+        t0 = time.perf_counter()
+        build_index(corpus, idx, cfg, resume=False)
+        build_s = time.perf_counter() - t0
+        peak = mon.stop()
+        spill1 = _spilled_mib()
+
+        t0 = time.perf_counter()
+        hits = query_index(
+            rd.from_arrow(qt), idx, k=10, method="taat",
+            concurrency=max(2, args.cpus // 2),
+        ).to_pandas()
+        q_s = time.perf_counter() - t0
+        canon = hits.sort_values(["query_id", "rank"])
+        digests[name] = hashlib.md5(
+            "|".join(
+                f"{q},{r},{d},{s:.9f}"
+                for q, r, d, s in zip(
+                    canon["query_id"], canon["rank"],
+                    canon["doc_id"], canon["score"],
+                )
+            ).encode()
+        ).hexdigest()
+        idx_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(idx) for f in fs
+        )
+        print(json.dumps({
+            "config": name,
+            "n_docs": args.docs,
+            "cpus": args.cpus,
+            "build_sec": round(build_s, 1),
+            "docs_per_s": round(args.docs / build_s, 1),
+            "query_sec": round(q_s, 2),
+            "qps": round(args.queries / q_s, 1),
+            "hits": int(len(hits)),
+            "digest": digests[name],
+            "peak_mem_gib": round(mon.peak, 2),
+            "base_mem_gib": round(mon.base, 2),
+            "spilled_mib_delta": (
+                round(spill1 - spill0, 1) if spill1 >= 0 and spill0 >= 0 else None
+            ),
+            "index_gib": round(idx_bytes / (1 << 30), 2),
+        }), flush=True)
+    if len(digests) == 2:
+        vals = list(digests.values())
+        assert vals[0] == vals[1], f"rank-identity violated: {digests}"
+        print("RANK-IDENTICAL across merge layouts: OK", flush=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
