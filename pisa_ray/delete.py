@@ -113,7 +113,18 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     on."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         id_mode = json.load(f).get("id_mode", "keys")
-    arr = np.asarray(list(doc_ids) if not isinstance(doc_ids, np.ndarray) else doc_ids)
+    # build the array with an EXPLICIT dtype: np.asarray over a python
+    # list mixing ids below and above 2^63 infers float64 and silently
+    # rounds the ids (tombstones then miss their docs — found by the
+    # term-sharded delete test); int64/uint64 construction from python
+    # ints is exact and overflow-checked
+    if isinstance(doc_ids, np.ndarray) and doc_ids.dtype.kind in "iu":
+        arr = doc_ids
+    else:
+        arr = np.array(
+            list(doc_ids),
+            dtype=np.int64 if id_mode == "int" else np.uint64,
+        )
     if arr.size == 0:
         return 0
     if id_mode == "int":

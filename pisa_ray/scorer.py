@@ -49,10 +49,28 @@ from .docids import splitmix64, unsplitmix64
 from .tokenizer import tokenize_py
 
 
+def term_shard_of(terms, n_shards: int) -> np.ndarray:
+    """Deterministic term -> serving-shard slot (vectorized FNV-1a,
+    the same hash family the build uses for term-group routing). The
+    SERVICE and the READER must agree on this function — it defines
+    which shard owns a term's postings in the vocabulary-partitioned
+    (term-sharded) deployment."""
+    from .build import term_group_hash
+
+    if not isinstance(terms, (pa.Array, pa.ChunkedArray)):
+        terms = pa.array(list(terms), type=pa.string())
+    return term_group_hash(terms, int(n_shards)).astype(np.int64)
+
+
 class IndexReader:
     """Loads an index directory into RAM (per actor)."""
 
-    def __init__(self, index_dir: str, buckets: set[int] | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        buckets: set[int] | None = None,
+        term_shard: tuple[int, int] | None = None,
+    ):
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_docs = int(self.stats["n_docs"])
@@ -81,6 +99,18 @@ class IndexReader:
                 "first (generation-local ranks cannot be shard-localized)"
             )
 
+        # vocabulary-partitioned reader: keep only terms whose
+        # term_shard_of() slot matches — postings AND lexicon memory
+        # become ∝ 1/S of the VOCABULARY (the complementary split to
+        # ``buckets``' doc-range sharding; docmap stays global since
+        # any term's postings may touch any doc)
+        if term_shard is not None:
+            si, sn = int(term_shard[0]), int(term_shard[1])
+            if not (sn >= 1 and 0 <= si < sn):
+                raise ValueError(f"bad term_shard {term_shard}")
+            term_shard = (si, sn)
+        self.term_shard = term_shard
+
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "lexicon", "**", "*.parquet"), recursive=True)
         )
@@ -88,6 +118,12 @@ class IndexReader:
         from .schema import LEXICON
 
         lex = pa.concat_tables(lex_tables) if lex_tables else LEXICON.empty_table()
+        if term_shard is not None and lex.num_rows:
+            lex = lex.filter(
+                pa.array(
+                    term_shard_of(lex["term"], term_shard[1]) == term_shard[0]
+                )
+            )
         lex_terms = lex["term"].to_pylist()
         self.df = dict(zip(lex_terms, lex["df"].to_numpy(zero_copy_only=False)))
         # collection frequency (total tf) per term — the Dirichlet/QLD
@@ -142,6 +178,15 @@ class IndexReader:
         tables = []
         for f in seg_files:
             tf_ = pq.read_table(f, filters=bucket_filter)
+            if term_shard is not None and tf_.num_rows:
+                # applied PER FILE like the bucket filter: transient
+                # peak stays one segment file, resident rows ∝ 1/S
+                tf_ = tf_.filter(
+                    pa.array(
+                        term_shard_of(tf_["term"], term_shard[1])
+                        == term_shard[0]
+                    )
+                )
             if tf_.num_rows:
                 tables.append(
                     tf_.append_column(
@@ -2504,6 +2549,92 @@ def merge_shard_hits(parts: list, k: int) -> pa.Table:
             "rank": pa.array((idx_in_q[keep] + 1).astype(np.int32)),
             "doc_id": allhits["doc_id"].take(pa.array(kept)),
             "score": allhits["score"].take(pa.array(kept)),
+        }
+    )
+
+
+def score_partial(
+    reader: IndexReader,
+    text: str,
+    doc_mask: np.ndarray | None = None,
+    terms: list[str] | None = None,
+) -> tuple[list[str], list[np.ndarray], list[np.ndarray]]:
+    """Per-term EXACT float64 BM25 contributions for the terms THIS
+    reader owns — the term-sharded serving kernel (the term-partitioned
+    architecture of the classic IR literature: each node holds the
+    postings of a vocabulary slice; every query broadcasts to all
+    shards and a merge sums the partial scores).
+
+    Returns (terms, [user-visible doc ids per term], [f64 contribs per
+    term]) with terms in GLOBAL sorted order, so the merge side can
+    accumulate per doc in exactly ``score_taat``'s sorted-term
+    float64 order — the summed scores are bit-identical and so is the
+    (score desc, doc_id asc) ranking."""
+    doc_mask = _fold_live(reader, doc_mask)
+    if terms is None:
+        terms = sorted(set(reader.tokenize(text)))
+    if reader.term_shard is not None:
+        si, sn = reader.term_shard
+        owned = term_shard_of(terms, sn) == si if terms else np.empty(0, bool)
+        terms = [t for t, o in zip(terms, owned) if o]
+    out_t, out_ids, out_c = [], [], []
+    for t in terms:
+        _, contrib, pos = reader.term_contributions(t)
+        if pos.size == 0:
+            continue
+        if doc_mask is not None:
+            keep = doc_mask[pos]
+            pos, contrib = pos[keep], contrib[keep]
+            if pos.size == 0:
+                continue
+        out_t.append(t)
+        out_ids.append(reader.out_ids(reader.doc_sorted[pos]))
+        out_c.append(contrib)
+    return out_t, out_ids, out_c
+
+
+def merge_partial_hits(parts: list, k: int) -> pa.Table:
+    """Exact global top-k from term-sharded PARTIAL score tables
+    (query_id, term, doc_id, contrib). Rows are accumulated per
+    (query, doc) in (query, term) sort order — each doc's float64
+    additions happen in global sorted-term order from 0.0, exactly
+    ``score_taat``'s exact re-score — then cut per query by
+    (score desc, doc_id asc). Bit-identical to the unsharded path
+    (tested), at any shard count."""
+    import pyarrow.compute as pc
+
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return _empty_hits()
+    t = pa.concat_tables(parts).combine_chunks()
+    order = pc.sort_indices(
+        t, sort_keys=[("query_id", "ascending"), ("term", "ascending")]
+    )
+    t = t.take(order).combine_chunks()
+    qid = t["query_id"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    contrib = t["contrib"].to_numpy(zero_copy_only=False)
+    # unique (query, doc) pairs; np.add.at applies adds in ROW order,
+    # i.e. term-major within each pair — the bit-identity invariant
+    pairs = np.empty(qid.size, dtype=[("q", np.int64), ("d", doc.dtype)])
+    pairs["q"], pairs["d"] = qid, doc
+    uniq, inv = np.unique(pairs, return_inverse=True)
+    score = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(score, inv, contrib)
+    uq, ud = uniq["q"], uniq["d"]
+    order2 = np.lexsort((ud, -score, uq))
+    qs = uq[order2]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(qs)) + 1))
+    counts = np.diff(np.concatenate((starts, [qs.size])))
+    idx_in_q = np.arange(qs.size, dtype=np.int64) - np.repeat(starts, counts)
+    keep = idx_in_q < k
+    kept = order2[keep]
+    return pa.table(
+        {
+            "query_id": pa.array(uq[kept], type=pa.int64()),
+            "rank": pa.array((idx_in_q[keep] + 1).astype(np.int32)),
+            "doc_id": pa.array(ud[kept]),
+            "score": pa.array(score[kept], type=pa.float64()),
         }
     )
 

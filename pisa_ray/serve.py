@@ -257,3 +257,142 @@ class ShardedBM25Service:
         for svc in self.services:
             svc.shutdown()
         self.services = []
+
+
+class _PartialScorer:
+    """Term-shard actor: holds the postings of ONE vocabulary slice
+    (IndexReader(term_shard=(i, S))) and returns per-term PARTIAL
+    contribution rows for each query batch. Tokenization runs here
+    with the index's own analyzer — identical on every shard — so the
+    service needs no driver-side analysis."""
+
+    def __init__(self, index_dir: str, shard: int, n_shards: int,
+                 doc_filter: tuple[str, object] | None = None):
+        from .scorer import IndexReader, score_partial
+
+        self.reader = IndexReader(index_dir, term_shard=(shard, n_shards))
+        self._score_partial = score_partial
+        self.doc_mask = (
+            load_doc_filter(index_dir, doc_filter[0], doc_filter[1])
+            if doc_filter is not None
+            else None
+        )
+
+    def warmup(self) -> bool:
+        return True
+
+    def score_partial_batch(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_q, out_t, out_d, out_c = [], [], [], []
+        for qid, text in zip(qids, texts):
+            terms, ids, contribs = self._score_partial(
+                self.reader, text, doc_mask=self.doc_mask
+            )
+            for t, d, c in zip(terms, ids, contribs):
+                out_q.append(np.full(d.size, qid, dtype=np.int64))
+                out_t.extend([t] * d.size)
+                out_d.append(d)
+                out_c.append(c)
+        if not out_q:
+            id_type = (
+                pa.int64() if self.reader.id_mode == "int" else pa.uint64()
+            )
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=id_type),
+                    "contrib": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "term": pa.array(out_t, type=pa.string()),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "contrib": pa.array(
+                    np.concatenate(out_c), type=pa.float64()
+                ),
+            }
+        )
+
+
+@ray.remote(num_cpus=1)
+def _merge_partials(k: int, *parts: pa.Table) -> pa.Table:
+    from .scorer import merge_partial_hits
+
+    return merge_partial_hits(list(parts), k)
+
+
+class TermShardedBM25Service:
+    """S persistent TERM-shard actors — the vocabulary-partitioned
+    serving shape (the term-partitioned architecture of the classic
+    distributed-IR literature), complementary to
+    ``ShardedBM25Service``'s doc-range split: each actor holds the
+    postings + lexicon of 1/S of the VOCABULARY (right when the term
+    dictionary / postings, not the docmap, bound per-node memory —
+    e.g. enormous vocabularies over a moderate doc count).
+
+    Every query broadcasts to ALL shards (the known cost of term
+    partitioning); each returns per-term partial contribution rows;
+    a plasma-local merge task sums them per (query, doc) in global
+    sorted-term float64 order, so results are BIT-IDENTICAL to the
+    unsharded TAAT path (tested), including tie-breaks.
+
+    Trade-offs vs doc sharding (documented, per the custom-operator
+    rule): partial rows ∝ the query terms' total df cross the wire
+    (doc sharding ships only per-shard top-k), and the docmap is
+    resident per shard (postings dominate at scale). Use doc sharding
+    by default; use this when the vocabulary is the binding resource.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        n_shards: int = 4,
+        k: int = 10,
+        doc_filter: tuple[str, object] | None = None,
+    ):
+        self.k = k
+        self.n_shards = n_shards
+        actor_cls = ray.remote(num_cpus=1)(_PartialScorer)
+        self.actors = [
+            actor_cls.remote(index_dir, i, n_shards, doc_filter=doc_filter)
+            for i in range(n_shards)
+        ]
+        ray.get([a.warmup.remote() for a in self.actors])
+
+    def query(self, queries, batch_size: int = 64) -> pa.Table:
+        """queries: pyarrow Table / pandas DataFrame with (query_id,
+        text) -> hits Table (query_id, rank, doc_id, score). Each
+        batch fans out to every shard; the merge runs as a Ray task
+        next to the partials (the driver only ever sees final top-k
+        rows)."""
+        if not isinstance(queries, pa.Table):
+            queries = pa.Table.from_pandas(queries, preserve_index=False)
+        merged = []
+        for off in range(0, queries.num_rows, batch_size):
+            sl = queries.slice(off, batch_size)
+            parts = [a.score_partial_batch.remote(sl) for a in self.actors]
+            merged.append(_merge_partials.remote(self.k, *parts))
+        out = ray.get(merged)
+        return pa.concat_tables(out) if out else _empty_hits()
+
+    def query_texts(self, texts: list[str], batch_size: int = 64) -> pa.Table:
+        return self.query(
+            pa.table(
+                {
+                    "query_id": pa.array(
+                        np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            batch_size=batch_size,
+        )
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,128 @@
+"""Term-sharded (vocabulary-partitioned) serving: bit-identity with
+the unsharded TAAT path, shard disjointness, and filter/delete
+semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def ts_index(tmp_path_factory):
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.synth import make_corpus
+
+    corpus = make_corpus(400, n_partitions=4, vocab_size=2000, max_tokens=120)
+    d = str(tmp_path_factory.mktemp("ts_idx"))
+    build_index(
+        corpus, d,
+        IndexConfig(key_cols=("repo", "path", "commit"), content_col="content",
+                    meta_cols=("lang",), bucket_bits=2, term_parts=8,
+                    lineage_parts=2),
+    )
+    return d
+
+
+def _queries():
+    texts = [
+        "def return self",                # stop-heavy
+        "var_17 var_250 var_999",         # rare multi-term
+        "class import var_3",             # mixed
+        "zz_absent_zz",                   # OOV
+        "var_1",                          # single common
+        "for if var_42 var_77 var_5",     # wide
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def test_term_sharded_bit_identical_to_taat(ts_index):
+    from pisa_ray.scorer import query_index
+    from pisa_ray.serve import TermShardedBM25Service
+
+    qt = _queries()
+    want = (
+        query_index(rd.from_arrow(qt), ts_index, k=10, method="taat",
+                    concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # n_shards actors each reserve one CPU for the service's lifetime,
+    # plus one for the merge task: stay within the 4-CPU test session
+    for n_shards in (1, 2, 3):
+        svc = TermShardedBM25Service(ts_index, n_shards=n_shards, k=10)
+        got = (
+            svc.query(qt, batch_size=3)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        svc.shutdown()
+        assert got["query_id"].tolist() == want["query_id"].tolist(), n_shards
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), n_shards
+        # BIT-identical scores: partials are summed in score_taat's
+        # sorted-term float64 order
+        assert np.array_equal(
+            got["score"].to_numpy(), want["score"].to_numpy()
+        ), n_shards
+
+
+def test_term_shard_readers_partition_the_vocabulary(ts_index):
+    from pisa_ray.scorer import IndexReader, term_shard_of
+
+    full = IndexReader(ts_index)
+    n = 4
+    shards = [IndexReader(ts_index, term_shard=(i, n)) for i in range(n)]
+    union, total = set(), 0
+    for i, r in enumerate(shards):
+        terms = set(r.df)
+        # every term the shard holds hashes to its slot
+        slots = term_shard_of(sorted(terms), n)
+        assert (slots == i).all()
+        assert not (union & terms)  # disjoint
+        union |= terms
+        total += len(terms)
+        # df values agree with the full reader
+        for t in list(terms)[:20]:
+            assert r.df[t] == full.df[t]
+    assert union == set(full.df) and total == len(full.df)
+
+
+def test_term_sharded_respects_tombstones(ts_index, tmp_path):
+    """Deleted docs must vanish from term-sharded results too (the
+    live mask folds into score_partial like every other kernel)."""
+    import shutil as sh
+
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.scorer import query_index
+    from pisa_ray.serve import TermShardedBM25Service
+
+    d = str(tmp_path / "idx_del")
+    sh.copytree(ts_index, d)
+    qt = _queries()
+    svc0 = TermShardedBM25Service(d, n_shards=3, k=10)
+    before = svc0.query(qt).to_pandas()
+    svc0.shutdown()
+    victims = before["doc_id"].head(5).tolist()
+    delete_docs(d, victims)
+    svc = TermShardedBM25Service(d, n_shards=3, k=10)
+    got = svc.query(qt).to_pandas()
+    svc.shutdown()
+    assert not set(victims) & set(got["doc_id"])
+    want = (
+        query_index(rd.from_arrow(qt), d, k=10, method="taat", concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got["score"].to_numpy(), want["score"].to_numpy())
