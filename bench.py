@@ -289,6 +289,32 @@ def main() -> None:
     )
     results["bm25_serve_digest"] = _hl.md5(payload.encode()).hexdigest()
 
+    # ---- term-sharded (vocabulary-partitioned) serving ------------------
+    # per-query cost is structurally higher than doc sharding (every
+    # query broadcasts to all shards and per-term PARTIAL rows cross
+    # plasma, ~total df of the query's terms), so a smaller burst; the
+    # digest must equal the TAAT path's — bit-identity is the claim
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        from pisa_ray.serve import TermShardedBM25Service
+
+        n_ts = max(64, N_QUERIES // 8)
+        ts_qt = qt.slice(0, n_ts)
+        wait_cpus_free(4 + 1)
+        tsvc = TermShardedBM25Service(idx_dir, n_shards=4, k=10)
+        t0 = time.perf_counter()
+        ts_hits = tsvc.query(ts_qt, batch_size=32).to_pandas()
+        dt = time.perf_counter() - t0
+        tsvc.shutdown()
+        results["bm25_term_sharded_sec"] = round(dt, 3)
+        results["bm25_term_sharded_qps"] = round(n_ts / dt, 1)
+        tcanon = ts_hits.sort_values(["query_id", "rank"])
+        ref = canon[canon["query_id"] < n_ts]
+        results["bm25_term_sharded_matches_taat"] = bool(
+            len(tcanon) == len(ref)
+            and (tcanon["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+            and (tcanon["score"].to_numpy() == ref["score"].to_numpy()).all()
+        )
+
     # ---- relational + training-data pipelines ---------------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
