@@ -336,6 +336,19 @@ def main() -> None:
         timed("user_top_events_sec", E.q_user_top_events)
         timed("dedup_exact_sec", E.q_dedup_exact)
         timed("minhash_dedup_sec", E.q_minhash_dedup)
+
+        # same operator over the PLAIN corpus: q_minhash_dedup's input
+        # grew twin-augmented in round 3 (1.53x docs, ~12x dup rows), so
+        # this line keeps a workload-stable trend for round-over-round
+        # comparison (see NOTES round-4 A/B)
+        def minhash_plain(sf):
+            from pisa_ray.pipelines.dedup import minhash_lsh_dedup
+
+            return minhash_lsh_dedup(
+                E._docs(sf, ["doc_id", "text"]), threshold=0.7
+            )
+
+        timed("minhash_dedup_plain_sec", minhash_plain)
         timed("knn_cosine_sec", E.q_knn_cosine)
         timed("text_stats_sec", E.q_text_stats)
         timed("decontaminate_sec", E.q_decontaminate)

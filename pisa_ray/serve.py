@@ -270,13 +270,25 @@ class _PartialScorer:
                  doc_filter: tuple[str, object] | None = None):
         from .scorer import IndexReader, score_partial
 
-        self.reader = IndexReader(index_dir, term_shard=(shard, n_shards))
+        self._index_dir = index_dir
+        self._shard = (shard, n_shards)
+        self._doc_filter = doc_filter
         self._score_partial = score_partial
+        self.reload()
+
+    def reload(self) -> bool:
+        """Re-read this shard's slice from disk — deletes / appends
+        become visible on a LIVE pool, mirroring the other services'
+        reload contract."""
+        from .scorer import IndexReader
+
+        self.reader = IndexReader(self._index_dir, term_shard=self._shard)
         self.doc_mask = (
-            load_doc_filter(index_dir, doc_filter[0], doc_filter[1])
-            if doc_filter is not None
+            load_doc_filter(self._index_dir, *self._doc_filter)
+            if self._doc_filter is not None
             else None
         )
+        return True
 
     def warmup(self) -> bool:
         return True
@@ -391,6 +403,11 @@ class TermShardedBM25Service:
             ),
             batch_size=batch_size,
         )
+
+    def reload(self) -> None:
+        """Refresh every shard actor's slice from disk (deletes /
+        appends visible without pool reconstruction)."""
+        ray.get([a.reload.remote() for a in self.actors])
 
     def shutdown(self) -> None:
         for a in self.actors:

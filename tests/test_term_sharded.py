@@ -108,12 +108,12 @@ def test_term_sharded_respects_tombstones(ts_index, tmp_path):
     d = str(tmp_path / "idx_del")
     sh.copytree(ts_index, d)
     qt = _queries()
-    svc0 = TermShardedBM25Service(d, n_shards=3, k=10)
-    before = svc0.query(qt).to_pandas()
-    svc0.shutdown()
+    # delete against a LIVE pool + reload() — the serving contract
+    svc = TermShardedBM25Service(d, n_shards=3, k=10)
+    before = svc.query(qt).to_pandas()
     victims = before["doc_id"].head(5).tolist()
     delete_docs(d, victims)
-    svc = TermShardedBM25Service(d, n_shards=3, k=10)
+    svc.reload()
     got = svc.query(qt).to_pandas()
     svc.shutdown()
     assert not set(victims) & set(got["doc_id"])
