@@ -135,3 +135,98 @@ def test_multifield_keys_mode_shared_id_domain(tmp_path):
     out = multifield_search([(0, term)], [(d_a, 1.0), (d_b, 1.0)], k=5)
     assert len(out) > 0
     assert out["doc_id"].dtype == np.uint64
+
+
+def _bm25f_oracle(corpus, fields, text, k, k1=0.9):
+    """Pure-python BM25F over the RAW corpus texts: per-field tf/len
+    from tokenize_py, blend in field order, idf over the exact union
+    df — independent of every index/reader structure."""
+    import math
+
+    from pisa_ray.tokenizer import tokenize_py
+
+    names = [f[0] for f in fields]
+    toks = {
+        f: [tokenize_py(str(v), "simple") for v in corpus[f].to_pylist()]
+        for f in names
+    }
+    ids = corpus["doc_id"].to_pylist()
+    n = len(ids)
+    avg = {f: sum(len(t) for t in toks[f]) / n for f in names}
+    terms = sorted(set(tokenize_py(text, "simple")))
+    acc = collections.defaultdict(float)
+    for t in terms:
+        blend = collections.defaultdict(float)
+        union = set()
+        for f, w, b in fields:
+            for i, dt in enumerate(toks[f]):
+                tf = dt.count(t)
+                if tf:
+                    union.add(ids[i])
+                    dl = len(dt)
+                    blend[ids[i]] += w * (tf / ((1.0 - b) + b * dl / avg[f]))
+        if not union:
+            continue
+        df = len(union)
+        idf = math.log1p((n - df + 0.5) / (df + 0.5))
+        for d, tb in blend.items():
+            acc[d] += idf * tb / (k1 + tb)
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_bm25f_matches_python_oracle(field_indexes):
+    """TRUE BM25F (blend before saturation) vs a raw-text oracle —
+    and it must DIFFER from the weighted-sum composition on at least
+    one query (else the blend isn't really happening pre-saturation)."""
+    from pisa_ray.pipelines.fields import score_bm25f, score_multifield
+    from pisa_ray.scorer import IndexReader
+
+    d_text, d_path, corpus = field_indexes
+    rt, rp = IndexReader(d_text), IndexReader(d_path)
+    fields = [("text", 1.0, 0.4), ("path", 2.0, 0.75)]
+    readers = [(rt, 1.0, 0.4), (rp, 2.0, 0.75)]
+    # oracle avgdl must match the INDEX's stored avgdl exactly
+    differs = False
+    for q in ("merge sort", "parser", "json core", "tree node hash"):
+        got = score_bm25f(readers, q, k=10)
+        ref = _bm25f_oracle(corpus, fields, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in ref], q
+        assert np.allclose(
+            [s for _, s in got], [s for _, s in ref], rtol=0, atol=1e-9
+        ), q
+        ws = score_multifield([(rt, 1.0), (rp, 2.0)], q, k=10)
+        if [d for d, _ in got] != [d for d, _ in ws] or not np.allclose(
+            [s for _, s in got], [s for _, s in ws]
+        ):
+            differs = True
+    assert differs
+
+
+def test_bm25f_search_batch_and_rails(field_indexes):
+    from pisa_ray.pipelines.fields import bm25f_search, score_bm25f
+    from pisa_ray.scorer import IndexReader
+
+    d_text, d_path, _ = field_indexes
+    queries = [(0, "merge sort"), (1, "parser"), (2, "json core")]
+    df = bm25f_search(
+        queries, [(d_text, 1.0, 0.4), (d_path, 2.0, 0.75)], k=5,
+        concurrency=2,
+    )
+    readers = [
+        (IndexReader(d_text), 1.0, 0.4), (IndexReader(d_path), 2.0, 0.75)
+    ]
+    for qid, text in queries:
+        ref = score_bm25f(readers, text, k=5)
+        sub = df[df["query_id"] == qid]
+        assert sub["doc_id"].tolist() == [d for d, _ in ref], text
+        assert np.allclose(sub["score"].to_numpy(), [s for _, s in ref])
+    # analyzer-mismatch rail
+    import pytest as _pytest
+
+    class _Fake:
+        analyzer = "code"
+        n_docs = readers[0][0].n_docs
+        id_mode = "int"
+
+    with _pytest.raises(ValueError, match="analyzer"):
+        score_bm25f([readers[0], (_Fake(), 1.0, 0.4)], "merge")
