@@ -276,6 +276,14 @@ def main(argv: list[str] | None = None) -> int:
         default=1,
         help="split the index's docID buckets across this many shard pools",
     )
+    s.add_argument(
+        "--term-shards",
+        type=int,
+        default=1,
+        help="vocabulary-partitioned pool instead: each actor holds 1/S of "
+        "the TERM dictionary's postings (taat-exact; excludes --shards, "
+        "--method, --filter work as usual except method is fixed taat)",
+    )
     s.add_argument("--filter", default=None, help="col=value metadata predicate")
     s.add_argument("--repeat", type=int, default=1, help="re-run the burst N times (warm-pool QPS)")
     s.add_argument("--out", default=None, help="output parquet dir (default: summary to stdout)")
@@ -580,14 +588,36 @@ def main(argv: list[str] | None = None) -> int:
 
         import pyarrow.parquet as pq
 
-        from pisa_ray.serve import BM25Service, ShardedBM25Service
+        from pisa_ray.serve import (
+            BM25Service,
+            ShardedBM25Service,
+            TermShardedBM25Service,
+        )
 
         doc_filter = None
         if args.filter:
             col, _, val = args.filter.partition("=")
             doc_filter = (col, val)
         queries = pq.read_table(args.queries)
-        if args.shards > 1:
+        if args.term_shards > 1:
+            if args.shards > 1:
+                raise SystemExit(
+                    "--term-shards and --shards are alternative layouts; "
+                    "pick one"
+                )
+            if args.method not in ("auto", "taat"):
+                raise SystemExit(
+                    "--term-shards serves the exact TAAT ranking (partial "
+                    f"sums merge bit-identically); --method {args.method} "
+                    "is not available on this layout"
+                )
+            svc = TermShardedBM25Service(
+                args.index,
+                n_shards=args.term_shards,
+                k=args.k,
+                doc_filter=doc_filter,
+            )
+        elif args.shards > 1:
             with open(os.path.join(args.index, "manifest.json")) as f:
                 bucket_bits = json.load(f)["config"].get("bucket_bits", 3)
             n_buckets = 1 << bucket_bits
