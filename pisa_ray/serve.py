@@ -296,14 +296,17 @@ class _PartialScorer:
     def score_partial_batch(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out_q, out_t, out_d, out_c = [], [], [], []
+        out_q, out_d, out_c = [], [], []
+        vocab: list[str] = []  # term column built dictionary-encoded:
+        codes = []  # a stop term has ~n_docs rows; no per-row Python
         for qid, text in zip(qids, texts):
             terms, ids, contribs = self._score_partial(
                 self.reader, text, doc_mask=self.doc_mask
             )
             for t, d, c in zip(terms, ids, contribs):
                 out_q.append(np.full(d.size, qid, dtype=np.int64))
-                out_t.extend([t] * d.size)
+                codes.append(np.full(d.size, len(vocab), dtype=np.int32))
+                vocab.append(t)
                 out_d.append(d)
                 out_c.append(c)
         if not out_q:
@@ -318,10 +321,13 @@ class _PartialScorer:
                     "contrib": pa.array([], type=pa.float64()),
                 }
             )
+        term_col = pa.DictionaryArray.from_arrays(
+            pa.array(np.concatenate(codes)), pa.array(vocab, type=pa.string())
+        ).cast(pa.string())
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
-                "term": pa.array(out_t, type=pa.string()),
+                "term": term_col,
                 "doc_id": pa.array(np.concatenate(out_d)),
                 "contrib": pa.array(
                     np.concatenate(out_c), type=pa.float64()
