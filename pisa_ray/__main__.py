@@ -256,6 +256,28 @@ def main(argv: list[str] | None = None) -> int:
         "OR expansion, analyzed with the index's analyzer)",
     )
 
+    fq = sub.add_parser(
+        "fieldquery",
+        help="multi-field search across per-field indexes over one "
+        "corpus (weighted-sum BM25 merge, or true BM25F with --bm25f)",
+    )
+    fq.add_argument(
+        "--fields",
+        required=True,
+        help="comma list dir:weight (weighted-sum) or dir:weight:b "
+        "(per-field length-norm b, used by --bm25f; default 0.75)",
+    )
+    fq.add_argument("--queries", required=True, help="parquet with (query_id, text)")
+    fq.add_argument("--k", type=int, default=10)
+    fq.add_argument(
+        "--bm25f", action="store_true",
+        help="true BM25F: blend per-field tf before saturation, idf "
+        "over the exact union df",
+    )
+    fq.add_argument("--k1", type=float, default=0.9, help="bm25f saturation")
+    fq.add_argument("--concurrency", type=int, default=4)
+    fq.add_argument("--out", default=None, help="output parquet path")
+
     s = sub.add_parser(
         "serve",
         help="persistent scorer pool: answer a query burst (optionally "
@@ -583,6 +605,46 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for row in hits.to_pandas().itertuples(index=False):
                 print(json.dumps(row._asdict()))
+    elif args.cmd == "fieldquery":
+        import pyarrow as pa_
+        import pyarrow.parquet as pq
+
+        qt = pq.read_table(args.queries)
+        queries = [
+            (int(a), str(b))
+            for a, b in zip(qt["query_id"].to_pylist(), qt["text"].to_pylist())
+        ]
+        specs = []
+        for spec in args.fields.split(","):
+            parts = spec.split(":")
+            if len(parts) == 2:
+                specs.append((parts[0], float(parts[1]), 0.75))
+            elif len(parts) == 3:
+                specs.append((parts[0], float(parts[1]), float(parts[2])))
+            else:
+                raise SystemExit(f"bad --fields entry {spec!r} (dir:weight[:b])")
+        if args.bm25f:
+            from pisa_ray.pipelines.fields import bm25f_search
+
+            df = bm25f_search(
+                queries, specs, k=args.k, k1=args.k1,
+                concurrency=args.concurrency,
+            )
+        else:
+            from pisa_ray.pipelines.fields import multifield_search
+
+            df = multifield_search(
+                queries, [(d, w) for d, w, _ in specs], k=args.k,
+                concurrency=args.concurrency,
+            )
+        if args.out:
+            pq.write_table(pa_.Table.from_pandas(df), args.out)
+            print(json.dumps({"rows": len(df), "out": args.out}))
+        else:
+            for row in df.itertuples(index=False):
+                print(json.dumps(row._asdict()))
+        return 0
+
     elif args.cmd == "serve":
         import time
 
