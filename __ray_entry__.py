@@ -389,19 +389,6 @@ def q_events_hourly(sf_dir: str):
     return out
 
 
-def q_events_by_type(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
-    out = (
-        _tbl(sf_dir, "events", ["event_type", "value"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
-    )
-    out["sum_value"] = np.round(out["sum_value"], 2)
-    return out
-
-
 def q_topn_accuracy(sf_dir: str):
     """The reference's FULL evaluation path (Reader clicked sets ->
     all-items scoring -> train-item exclusion mask -> per-user top-k ->
@@ -2074,7 +2061,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN qe ON qe.query_id = c.query_id
             ) WHERE rank <= 5
         """
-    return {
+    out = {
         "hybrid_search": hybrid_sql,
         "distinct_hll": _hll_sql(),
         "term_stats": f"""
@@ -2637,7 +2624,15 @@ def oracle_sql() -> dict[str, str]:
             FROM tok JOIN tf USING (term)
             GROUP BY tok.doc_id
         """,
-        "kmeans_clusters": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "multimodal_decode": _multimodal_sql(),
     }
+    # the kmeans oracle alone needs the embeddings parquet on disk
+    # (numpy reference centroids -> literals); an environment without
+    # it degrades THAT entry to rows-only instead of breaking every
+    # oracle in this dict
+    try:
+        out["kmeans_clusters"] = _kmeans_sql()
+    except OSError:
+        pass
+    return out

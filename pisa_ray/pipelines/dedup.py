@@ -1025,7 +1025,9 @@ def verify_pairs_jaccard(
         batch_format="pyarrow",
         concurrency=(1, _auto_conc(None)),
         num_cpus=1,
-    )
+    ).materialize()  # consumed by BOTH joins below — without this the
+    # corpus-wide shingle pass would re-execute per join (plans are
+    # trees, not DAGs); blocks stay in the object store, not the driver
 
     def _rename(col: str):
         def fn(t: pa.Table) -> pa.Table:

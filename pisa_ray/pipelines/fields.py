@@ -17,13 +17,16 @@ field without the doc contributes 0) and the engine's standard
 query-term posting union is scored (the same work TAAT does), then the
 sparse per-field score maps merge by doc id.
 
-True BM25F (per-field tf blended BEFORE saturation) needs per-field
-lengths in one posting payload — a different index format; the
-weighted-sum form is what compositional engines actually ship and is
-exactly reproducible from the per-field indexes this engine already
-builds. Scale shape: one broadcast reader per field, queries fan out
-over raw tasks, each task scores its query slice against every field
-reader — no shuffles, no corpus access.
+Both fielded forms live here: the weighted-sum composition above
+(``score_multifield``/``multifield_search``) and TRUE BM25F
+(``score_bm25f``/``bm25f_search``), which blends per-field
+length-normalized tf BEFORE the k1 saturation with idf over the exact
+per-term union df — computable at query time because every per-field
+index carries its own lengths and avgdl (an earlier note here claimed
+this needed a different posting format; it does not). Scale shape for
+both: one broadcast reader per field, queries fan out over raw tasks,
+each task scores its query slice against every field reader — no
+shuffles, no corpus access.
 """
 
 from __future__ import annotations
@@ -34,6 +37,17 @@ import pyarrow as pa
 import ray
 
 from ..scorer import IndexReader
+
+
+def _id_mode_of(index_dir: str) -> str:
+    """id_mode from stats.json — the cheap metadata read; ray.get-ing
+    the broadcast reader just for this would deserialize the full
+    vocab-sized df/cf dicts onto the driver per field, per call."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f).get("id_mode", "keys")
 
 
 def _field_sparse_scores(
@@ -123,9 +137,7 @@ def multifield_search(
     refs = [(_broadcast_reader(d), float(w)) for d, w in fields]
     # id-domain rail: mixing an id_col index with a keys index would
     # silently merge disjoint id spaces into nonsense rankings
-    modes = {
-        (r if isinstance(r, IndexReader) else ray.get(r)).id_mode for r, _ in refs
-    }
+    modes = {_id_mode_of(d) for d, _ in fields}
     if len(modes) > 1:
         raise ValueError(
             f"field indexes disagree on id_mode ({sorted(modes)}) — build "
@@ -215,8 +227,10 @@ def score_bm25f(
     for t in terms:
         id_parts, tf_parts = [], []
         for reader, w, b in readers:
-            if w == 0.0:
-                continue
+            # w == 0 fields still COUNT toward the union df (BM25F's
+            # document frequency is over the whole fielded document,
+            # not just the weighted fields) — their tf contribution is
+            # simply zero
             docs, tfs = reader.decode_term(t)
             if docs.size == 0:
                 continue
@@ -280,10 +294,7 @@ def bm25f_search(
     if not queries or not fields:
         return empty
     refs = [(_broadcast_reader(d), float(w), float(b)) for d, w, b in fields]
-    modes = {
-        (r if isinstance(r, IndexReader) else ray.get(r)).id_mode
-        for r, _, _ in refs
-    }
+    modes = {_id_mode_of(d) for d, _, _ in fields}
     if len(modes) > 1:
         raise ValueError(
             f"field indexes disagree on id_mode ({sorted(modes)}) — build "

@@ -104,16 +104,27 @@ def topk_excluding(
             if seen is not None and len(seen):
                 scores[i, np.asarray(seen, dtype=np.int64)] = -np.inf
         kk = min(k, n_items)
-        # full lexsort on (-score, index) per row: torch.topk's
-        # lower-index-first tie order INCLUDING the selection at the
-        # k boundary (argpartition picks boundary ties arbitrarily —
-        # caught by the topn_accuracy DuckDB replay when equal
-        # popularity scores straddled rank k)
-        idx = np.arange(n_items, dtype=np.int64)
+        # torch.topk's lower-index-first tie order INCLUDING selection
+        # at the k boundary (bare argpartition picks boundary ties
+        # arbitrarily — caught by the topn_accuracy DuckDB replay when
+        # equal popularity scores straddled rank k). Linear select:
+        # argpartition finds the kth value, the candidate set extends
+        # to ALL items tied at it, then one small lexsort orders the
+        # candidates — O(n_items) per user unless the boundary tie
+        # class itself is huge (degenerates to the full sort cost,
+        # which is also the correct output cost in that case).
         rows = []
         for i, uid in enumerate(u):
-            items = np.lexsort((idx, -scores[i]))[:kk]
-            rows.append((int(uid), items.tolist(), scores[i, items].tolist()))
+            s = scores[i]
+            if kk < n_items:
+                part = np.argpartition(-s, kk - 1)[:kk]
+                kth = s[part].min()
+                cand = np.flatnonzero(s >= kth)
+            else:
+                cand = np.arange(n_items, dtype=np.int64)
+            order = np.lexsort((cand, -s[cand]))[:kk]
+            items = cand[order]
+            rows.append((int(uid), items.tolist(), s[items].tolist()))
         return pd.DataFrame(rows, columns=["user_id", "items", "scores"])
 
     return rd.from_items([{"user_id": int(u)} for u in users]).map_batches(

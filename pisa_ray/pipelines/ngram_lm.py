@@ -165,6 +165,19 @@ def bigram_model(
         .limit(top_b)
         .to_pandas()
     )
+    if len(kept) == top_b:
+        # the cap ENGAGED: scoring results differ from an exact full
+        # model (cut pairs ride the unigram backoff). Loud, not silent
+        # — round 3 shipped an unbounded default; round 4 bounds it,
+        # and this warning is the audit trail for corpora that hit it.
+        import warnings
+
+        warnings.warn(
+            f"bigram_model: pair vocabulary exceeds top_b={top_b}; the "
+            "model is CAPPED (cut pairs back off to the unigram term). "
+            "Raise top_b (and max_model_bytes) for an exact model.",
+            stacklevel=2,
+        )
     actual = int(kept.memory_usage(deep=True).sum())
     if actual > max_model_bytes:
         raise ValueError(

@@ -2606,6 +2606,18 @@ def merge_partial_hits(parts: list, k: int) -> pa.Table:
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return _empty_hits()
+    # partial tables may carry the term column dictionary-encoded (the
+    # wire-size optimization) — expand locally before concat/sort
+    parts = [
+        p.set_column(
+            p.schema.get_field_index("term"),
+            "term",
+            p["term"].cast(pa.string()),
+        )
+        if pa.types.is_dictionary(p.schema.field("term").type)
+        else p
+        for p in parts
+    ]
     t = pa.concat_tables(parts).combine_chunks()
     order = pc.sort_indices(
         t, sort_keys=[("query_id", "ascending"), ("term", "ascending")]

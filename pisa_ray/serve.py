@@ -321,9 +321,13 @@ class _PartialScorer:
                     "contrib": pa.array([], type=pa.float64()),
                 }
             )
+        # stays dictionary-typed ACROSS the wire: a stop term has
+        # ~n_docs rows, so shipping expanded strings would dominate
+        # the partial-row payload; merge_partial_hits expands shard-
+        # locally after transfer
         term_col = pa.DictionaryArray.from_arrays(
             pa.array(np.concatenate(codes)), pa.array(vocab, type=pa.string())
-        ).cast(pa.string())
+        )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

@@ -200,6 +200,17 @@ def test_bm25f_matches_python_oracle(field_indexes):
         ):
             differs = True
     assert differs
+    # zero-weight fields contribute NO tf but still count toward the
+    # union df (BM25F's df is over the whole fielded document)
+    z_fields = [("text", 1.0, 0.4), ("path", 0.0, 0.75)]
+    z_readers = [(rt, 1.0, 0.4), (rp, 0.0, 0.75)]
+    for q in ("merge sort", "parser"):
+        got = score_bm25f(z_readers, q, k=10)
+        ref = _bm25f_oracle(corpus, z_fields, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in ref], q
+        assert np.allclose(
+            [s for _, s in got], [s for _, s in ref], rtol=0, atol=1e-9
+        ), q
 
 
 def test_bm25f_search_batch_and_rails(field_indexes):

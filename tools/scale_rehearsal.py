@@ -66,14 +66,21 @@ class PeakRss(threading.Thread):
         return self.peak
 
 
-def _spilled_mib() -> float:
+def _spilled_mib() -> float | None:
     """Bytes currently sitting in the session's spill directory (the
     gRPC memory-summary API is unavailable in this container, so
-    measure the spill files directly)."""
-    base = "/tmp/ray/ray/session_latest"  # RAY_TMPDIR layout in this box
+    measure the spill files directly). Returns None — NOT 0 — when no
+    live session dir is found, so 'not measured' can never masquerade
+    as 'zero spill' in the recorded evidence."""
+    bases = [
+        b for b in ("/tmp/ray/ray/session_latest", "/tmp/ray/session_latest")
+        if os.path.isdir(b)
+    ]
+    if not bases:
+        return None
     total = 0
-    for sub in ("ray_spilled_objects",):
-        d = os.path.join(base, sub)
+    for base in bases:
+        d = os.path.join(base, "ray_spilled_objects")
         if os.path.isdir(d):
             for dp, _, fs in os.walk(d):
                 for f in fs:
@@ -211,7 +218,9 @@ def main() -> None:
             "peak_mem_gib": round(mon.peak, 2),
             "base_mem_gib": round(mon.base, 2),
             "spilled_mib_delta": (
-                round(spill1 - spill0, 1) if spill1 >= 0 and spill0 >= 0 else None
+                round(spill1 - spill0, 1)
+                if spill1 is not None and spill0 is not None
+                else None
             ),
             "index_gib": round(idx_bytes / (1 << 30), 2),
         }), flush=True)
