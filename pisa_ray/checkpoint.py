@@ -29,8 +29,11 @@ class Manifest:
         self.path = os.path.join(index_dir, "manifest.json")
         self.data: dict[str, Any] = {"stages": {}, "config": {}, "stats": {}}
         # concurrent lineage-group jobs mark partitions from threads;
-        # serialize mutate+persist so the tmp-file swap never races
-        self._lock = threading.Lock()
+        # serialize mutate+persist so the tmp-file swap never races.
+        # RLock: save() locks too (a bare save() concurrent with a
+        # mark_* used to race on self.data and the shared .tmp path),
+        # and mark_* call save() while already holding the lock
+        self._lock = threading.RLock()
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.data = json.load(f)
@@ -59,11 +62,12 @@ class Manifest:
 
     # -- persistence -----------------------------------------------------
     def save(self) -> None:
-        os.makedirs(self.index_dir, exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.data, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.path)
+        with self._lock:  # RLock: safe when a mark_* already holds it
+            os.makedirs(self.index_dir, exist_ok=True)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.data, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path)
 
 
 class StageTimer:

@@ -40,7 +40,6 @@ BLOCK_SIZE = 128
 K1 = 0.9
 B = 0.4
 
-_THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
 _THRESH_ARR = np.array([np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)],
@@ -160,20 +159,27 @@ def encode_postings(
     vals[1:] = doc_ids[1:] - doc_ids[:-1]
     vals[block_starts] = doc_ids[block_starts]
 
-    doc_bytes = varint_encode(vals)
-    tf_bytes = varint_encode(tfs)
+    # per-value byte lengths computed ONCE (the binary-search kernel)
+    # and shared with the encoder via _nbytes — the old local helper
+    # re-ran the 9-pass threshold loop varint_lengths replaced
+    doc_len = varint_lengths(vals)
+    tf_len = varint_lengths(tfs)
+    doc_bytes = varint_encode(vals, _nbytes=doc_len)
+    tf_bytes = varint_encode(tfs, _nbytes=tf_len)
 
-    # per-value byte lengths -> block byte offsets
-    def _lengths(v: np.ndarray) -> np.ndarray:
-        nb = np.ones(v.shape, dtype=np.int64)
-        for t in _THRESHOLDS:
-            nb += (v >= t).astype(np.int64)
-        return nb
-
-    doc_len = _lengths(vals)
-    tf_len = _lengths(tfs)
     doc_cum = np.concatenate(([0], np.cumsum(doc_len)))
     tf_cum = np.concatenate(([0], np.cumsum(tf_len)))
+    # uint32 block offsets: one term's encoded run past 4 GiB would
+    # WRAP silently and BMW would read garbage offsets — fail loudly
+    # (a single posting list that large should shard by doc range
+    # long before this point; the format cost of uint64 offsets for
+    # every term is not worth that pathology)
+    if doc_cum[-1] >= (1 << 32) or tf_cum[-1] >= (1 << 32):
+        raise OverflowError(
+            f"encode_postings: single-term blob exceeds uint32 offsets "
+            f"(doc={int(doc_cum[-1])} B, tf={int(tf_cum[-1])} B); split "
+            "the term's postings across doc-range buckets"
+        )
 
     wnorm = bm25_wnorm(tfs, dls, avgdl)
     max_w = np.maximum.reduceat(wnorm, block_starts)
@@ -190,15 +196,12 @@ def encode_postings(
 
 
 def decode_doc_stream(doc_blob: bytes, block_counts: np.ndarray) -> np.ndarray:
-    """Decode a full doc blob (blocked gap streams) -> absolute doc_ids."""
-    vals = varint_decode(np.frombuffer(doc_blob, dtype=np.uint8))
-    counts = np.asarray(block_counts, dtype=np.int64)
-    if vals.size == 0:
-        return vals
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    c = np.cumsum(vals)
-    base = c[starts] - vals[starts]  # sum of values before each block
-    return c - np.repeat(base, counts)
+    """Decode a full doc blob (blocked gap streams) -> absolute doc_ids
+    (delegates to :func:`gaps_to_docs` — one copy of the blocked-gap
+    reconstruction, not two to keep in sync)."""
+    return gaps_to_docs(
+        varint_decode(np.frombuffer(doc_blob, dtype=np.uint8)), block_counts
+    )
 
 
 def decode_postings(

@@ -190,6 +190,11 @@ def hash_group_exchange(
     if not refs:
         return []
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if n_red is not None:
+        # num_returns=1 makes Ray yield a BARE ObjectRef (the sl[p]
+        # gather below would TypeError) and 0 would divide in the
+        # routing mod — clamp; two near-empty reducers cost nothing
+        n_red = max(2, int(n_red))
     if n_red is None:
         # scale reducers with data, capped at 2x the cluster's cores:
         # ~32 MB of rows per reducer keeps small inputs from paying
@@ -225,7 +230,19 @@ def hash_group_apply(
     with a whole-shard vectorized reducer."""
     refs = hash_group_exchange(ds, key_col, reduce_fn, n_red, map_fn)
     if not refs:
-        return ds  # empty input: 0-row dataset passes through unchanged
+        # ZERO-BLOCK input (not merely 0-row — those flow through the
+        # exchange): still emit the REDUCER's schema, not the input's,
+        # by driving an empty input-schema table through the same
+        # map_fn -> reduce_fn path locally. Falls back to the input
+        # dataset only when no schema is recoverable at all.
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if isinstance(base, pa.Schema):
+            empty = base.empty_table()
+            if map_fn is not None:
+                empty = map_fn(empty)
+            return rd.from_arrow(reduce_fn(empty))
+        return ds
     return rd.from_arrow_refs(refs)
 
 
@@ -237,7 +254,14 @@ def exchange_routable(ds: rd.Dataset, key_col: str) -> bool:
     sch = ds.schema()
     base = getattr(sch, "base_schema", sch)
     if hasattr(base, "field"):
-        t = base.field(key_col).type
+        try:
+            t = base.field(key_col).type
+        except KeyError:
+            # match the pandas-block branch's contract: a missing key
+            # column reads as not-routable, so callers fall back to
+            # map_groups (which raises ITS clear error) instead of a
+            # KeyError out of the predicate
+            return False
         if pa.types.is_dictionary(t):
             t = t.value_type
         return (

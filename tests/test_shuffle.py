@@ -111,3 +111,122 @@ def test_run_starts():
     assert run_starts(a).tolist() == [True, False, True, False, False, True]
     assert run_starts(a, b).tolist() == [True, False, True, True, False, True]
     assert run_starts(np.empty(0, dtype=np.int64)).size == 0
+
+
+def test_exchange_n_red_one_is_clamped():
+    """Explicit n_red=1 used to crash (Ray num_returns=1 yields a bare
+    ObjectRef, not a list); the clamp keeps the gather shape valid."""
+    from pisa_ray.shuffle import hash_group_apply
+
+    ds = rd.from_items([{"k": i % 3, "v": i} for i in range(30)])
+
+    def total(t):
+        import pyarrow as pa
+
+        ks = t["k"].to_numpy(zero_copy_only=False)
+        vs = t["v"].to_numpy(zero_copy_only=False)
+        u = np.unique(ks)
+        s = np.array([vs[ks == x].sum() for x in u])
+        return pa.table({"k": u, "s": s})
+
+    out = (
+        hash_group_apply(ds, "k", total, n_red=1)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [0, 1, 2]
+    assert out["s"].tolist() == [135, 145, 155]
+
+
+def test_exchange_routable_missing_column_returns_false():
+    from pisa_ray.shuffle import exchange_routable
+
+    ds = rd.from_items([{"k": 1}])
+    assert not exchange_routable(ds, "no_such_col")
+
+
+def test_hash_group_apply_empty_inputs_keep_reducer_schema():
+    """Empty inputs — 0-row blocks, schema-less degenerates, AND the
+    zero-block case the round-4 review flagged (it used to pass the
+    INPUT dataset through) — must come out with the reducer's schema.
+    Per the module contract, reduce_fn supplies its schema on an
+    empty table."""
+    import pyarrow as pa
+
+    from pisa_ray.shuffle import hash_group_apply
+
+    OUT = pa.schema([("key", pa.int64()), ("n", pa.int64())])
+
+    def mapper(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.table(
+            {"key": t["doc_id"], "n": pa.array([1] * t.num_rows, pa.int64())}
+        )
+
+    def reducer(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return OUT.empty_table()
+        return t
+
+    # (a) 0-row / schema-degenerate blocks (filter drops everything)
+    empty_blocks = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    ).filter(lambda r: False).materialize()
+    out = hash_group_apply(empty_blocks, "key", reducer, map_fn=mapper)
+    assert out.schema().names == ["key", "n"]
+    assert out.count() == 0
+    # (b) genuinely zero-block dataset
+    zero_blocks = rd.from_items([]).materialize()
+    n_blocks = sum(1 for b in zero_blocks.iter_internal_ref_bundles()
+                   for _ in b.blocks)
+    out2 = hash_group_apply(zero_blocks, "key", reducer, map_fn=mapper)
+    if n_blocks == 0 and out2.schema() is not None:
+        assert out2.schema().names == ["key", "n"]
+    assert out2.count() == 0
+
+
+def test_manifest_concurrent_mark_and_save(tmp_path):
+    """save() now locks (review finding): a bare save() racing
+    threaded mark_partition must never publish truncated JSON or
+    crash on a mutating dict."""
+    import json
+    import threading
+
+    from pisa_ray.checkpoint import Manifest
+
+    man = Manifest(str(tmp_path))
+    stop = threading.Event()
+    errs = []
+
+    def marker(tid: int):
+        try:
+            for i in range(200):
+                man.mark_partition("tokenize", f"t{tid}_{i}", rows=i)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    def saver():
+        try:
+            while not stop.is_set():
+                man.save()
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=marker, args=(t,)) for t in range(4)]
+    sv = threading.Thread(target=saver)
+    sv.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    sv.join()
+    assert not errs
+    # the published file parses and holds every mark
+    with open(man.path) as f:
+        data = json.load(f)
+    parts = data["stages"]["tokenize"]["partitions"]
+    assert len(parts) == 800
