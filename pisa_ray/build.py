@@ -826,7 +826,9 @@ def _read_files(
         ds = rd.read_csv(files, parse_options=parse)
         return ds.select_columns([c for c in columns if c in ds.schema().names])
     if ext in (".json", ".jsonl", ".ndjson"):
-        ds = rd.read_json(files)
+        # file_extensions=None: paths are explicit files, and Ray's
+        # default extension filter rejects .ndjson it can parse fine
+        ds = rd.read_json(files, file_extensions=None)
         return ds.select_columns([c for c in columns if c in ds.schema().names])
     raise ValueError(f"unsupported corpus format: {ext}")
 
@@ -838,9 +840,15 @@ def _input_groups(source, n_groups: int) -> list[tuple[str, Any]]:
         if os.path.isdir(p):
             files = sorted(
                 f
-                for pat in ("*.parquet", "*.csv", "*.tsv", "*.json", "*.jsonl")
+                for pat in ("*.parquet", "*.csv", "*.tsv", "*.json",
+                            "*.jsonl", "*.ndjson")
                 for f in glob.glob(os.path.join(p, "**", pat), recursive=True)
             )
+            if not files:
+                raise FileNotFoundError(
+                    f"no supported corpus files under {p!r} (looked for "
+                    "*.parquet/*.csv/*.tsv/*.json/*.jsonl/*.ndjson)"
+                )
         else:
             files = [p]
         source = files
@@ -1088,7 +1096,11 @@ def build_index(
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     if not resume:
-        for sub in ("tokenized", "docmap", "segments", "lexicon", "manifest.json", "stats.json"):
+        # tombstones/ MUST go too: doc ids are deterministic functions
+        # of the keys, so tombstones surviving a from-scratch rebuild
+        # would silently mask the rebuilt docs (review finding)
+        for sub in ("tokenized", "docmap", "segments", "lexicon",
+                    "tombstones", "manifest.json", "stats.json"):
             p = os.path.join(index_dir, sub)
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else (
                 os.remove(p) if os.path.exists(p) else None
@@ -1552,8 +1564,21 @@ def build_incremental(
     # already linked. Narrow 8-byte id shuffle only; the driver sees
     # just the (expected-empty) duplicate set.
     if cfg.check_collisions:
+        # exclude THIS generation's own link dirs from the base: a
+        # crashed previous append of the same generation may have
+        # linked them already, and counting the delta against its own
+        # earlier copy would fail every retry forever (review finding)
+        own = (
+            os.path.join(index_dir, "docmap", f"gen_{generation}") + os.sep,
+            os.path.join(index_dir, "segments", f"gen_{generation}") + os.sep,
+        )
         base_files = sorted(
-            glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
+            f
+            for f in glob.glob(
+                os.path.join(index_dir, "docmap", "**", "*.parquet"),
+                recursive=True,
+            )
+            if not f.startswith(own)
         )
         gen_files = sorted(
             glob.glob(os.path.join(gen_dir, "docmap", "**", "*.parquet"), recursive=True)
@@ -1860,15 +1885,31 @@ def compact_index(index_dir: str) -> dict:
     seg_files = sorted(glob.glob(os.path.join(seg_root, "**", "*.parquet"), recursive=True))
     gen_names = sorted(stats.get("generations", []))
 
-    def gen_of(f: str) -> int:
+    def gen_of(f: str) -> int | None:
+        """None = gen_* dir NOT recorded in stats — the partial link a
+        crashed build_incremental leaves (readers skip it too). It is
+        garbage relative to this index's committed state: compaction
+        ignores its postings and removes the dir at the end, so the
+        compacted index is clean (the delta's own build under
+        generations/ is untouched — the append can be retried)."""
         top = os.path.relpath(f, seg_root).split(os.sep)[0]
         if top.startswith("gen_"):
-            return 1 + gen_names.index(top[4:])
+            name = top[4:]
+            return 1 + gen_names.index(name) if name in gen_names else None
         return 0
 
     groups: dict[int, list[str]] = {}
+    stale_gen_dirs: set[str] = set()
     for f in seg_files:
-        groups.setdefault(gen_of(f), []).append(f)
+        g = gen_of(f)
+        if g is None:
+            stale_gen_dirs.add(
+                os.path.join(
+                    seg_root, os.path.relpath(f, seg_root).split(os.sep)[0]
+                )
+            )
+            continue
+        groups.setdefault(g, []).append(f)
     parts = [
         rd.read_parquet(fs).map_batches(
             make_decode_rows(g), batch_format="pyarrow", batch_size=64
@@ -1899,6 +1940,13 @@ def compact_index(index_dir: str) -> dict:
         os.rename(old, parked)
     os.rename(os.path.join(index_dir, "segments_compacted"), old)
     shutil.rmtree(parked, ignore_errors=True)
+    # stale (not-in-stats) generation links: their SEGMENT dirs died
+    # with the parked segments/ above; drop the matching docmap dirs
+    # BEFORE the consolidation glob below so a crashed append's rows
+    # never leak into the flat docmap
+    for d in glob.glob(os.path.join(index_dir, "docmap", "gen_*")):
+        if os.path.isdir(d) and os.path.basename(d)[4:] not in gen_names:
+            shutil.rmtree(d, ignore_errors=True)
     # consolidate docmap generation dirs into one flat generation and
     # clear the generation list — compacted postings reference the
     # merged docmap space (identity for position ranks from here on).
@@ -2004,6 +2052,11 @@ def upsert_docs(
             (~((1 << (64 - cfg.id_bits)) - 1)) & 0xFFFFFFFFFFFFFFFF
         )
     delta_ids = np.unique(delta_ids)
+    if delta_ids.size == 0:
+        # empty delta (e.g. an ingest loop flushing an empty batch):
+        # graceful no-op — the searchsorted probe below would index
+        # [-1] into a zero-length array otherwise (review finding)
+        return man.data
 
     # ---- which of them already live in the index? (narrow id read)
     dm_files = sorted(
@@ -2103,6 +2156,26 @@ def recode_index(index_dir: str, codec: str) -> dict:
             "recode_index: index has live generations — compact_index "
             "first (generation segments live outside the base layout)"
         )
+    # stale-forward-store rail: a deletion-purge compaction rewrites
+    # docmap/stats but NOT tokenized/, so recoding from tokenized/
+    # would resurrect purged docs' postings against a docmap that no
+    # longer holds them (review finding: decode then misattributes or
+    # crashes). Parquet metadata row counts make this a cheap check.
+    tok_files = glob.glob(
+        os.path.join(index_dir, "tokenized", "**", "*.parquet"), recursive=True
+    )
+    if tok_files:
+        import pyarrow.parquet as _pq
+
+        tok_rows = sum(_pq.read_metadata(f).num_rows for f in tok_files)
+        n_docs = int(man.data.get("stats", {}).get("n_docs", tok_rows))
+        if tok_rows != n_docs:
+            raise ValueError(
+                f"recode_index: tokenized/ holds {tok_rows} docs but "
+                f"stats.json records n_docs={n_docs} — the forward store "
+                "is stale relative to a deletion purge; rebuild the index "
+                "(build_index(resume=False)) instead of recoding"
+            )
     if not interrupted and stored.get("codec", "varint") == codec:
         return man.data  # no-op
     # ``interrupted``: a previous recode to THIS codec died after the

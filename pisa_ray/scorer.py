@@ -157,10 +157,16 @@ class IndexReader:
         # zero-copy — NOT hundreds of thousands of tiny per-run arrays.
         seg_root = os.path.join(index_dir, "segments")
 
-        def _gen_of(path: str) -> int:
+        def _gen_of(path: str) -> int | None:
+            """Generation index of a segment file; None for a gen_*
+            dir NOT recorded in stats — a crashed append's partial
+            link. Skipping (not mapping to gen 0!) makes the append
+            protocol atomic-at-stats-publish: half-linked generations
+            are invisible until build_incremental commits stats."""
             top = os.path.relpath(path, seg_root).split(os.sep)[0]
-            if top.startswith("gen_") and top[4:] in self.gens:
-                return 1 + self.gens.index(top[4:])
+            if top.startswith("gen_"):
+                name = top[4:]
+                return 1 + self.gens.index(name) if name in self.gens else None
             return 0
 
         import pyarrow.compute as pc
@@ -177,6 +183,9 @@ class IndexReader:
         )
         tables = []
         for f in seg_files:
+            gen_idx = _gen_of(f)
+            if gen_idx is None:  # unknown gen dir: crashed-append link
+                continue
             tf_ = pq.read_table(f, filters=bucket_filter)
             if term_shard is not None and tf_.num_rows:
                 # applied PER FILE like the bucket filter: transient
@@ -192,7 +201,7 @@ class IndexReader:
                     tf_.append_column(
                         "gen",
                         pa.array(
-                            np.full(tf_.num_rows, _gen_of(f), dtype=np.uint32)
+                            np.full(tf_.num_rows, gen_idx, dtype=np.uint32)
                         ),
                     )
                 )
@@ -307,22 +316,29 @@ class IndexReader:
         dm_root = os.path.join(index_dir, "docmap")
         gen_parts: list[list] = [[] for _ in range(len(self.gens) + 1)]
 
-        def _dm_gen_of(path: str) -> int:
+        def _dm_gen_of(path: str) -> int | None:
+            """None = gen_* dir not in stats (crashed-append link) —
+            skipped, mirroring the segment loader, so a half-linked
+            generation never pollutes doc_sorted/avgdl."""
             try:
                 top = os.path.relpath(path, dm_root).split(os.sep)[0]
             except ValueError:
                 return 0
-            if top.startswith("gen_") and top[4:] in self.gens:
-                return 1 + self.gens.index(top[4:])
+            if top.startswith("gen_"):
+                name = top[4:]
+                return 1 + self.gens.index(name) if name in self.gens else None
             return 0
 
         doc_parts, len_parts = [], []
         for f in dm_files:
+            dm_gen = _dm_gen_of(f)
+            if dm_gen is None:
+                continue
             t_dm = pq.read_table(f, columns=["doc_id", "length"])
             d = t_dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             ln = t_dm["length"].to_numpy(zero_copy_only=False).astype(np.uint64)
             if want_gen_maps:
-                gen_parts[_dm_gen_of(f)].append((d, ln))
+                gen_parts[dm_gen].append((d, ln))
             if owned is not None:
                 from .docids import bucket_of
 
@@ -1107,6 +1123,12 @@ def score_taat(
     float64 in sorted-term order — bit-identical to the all-f64 kernel
     and the oracle (pytest-pinned). Tie-break (score desc, out_id asc)
     over the exact scores; exact ties all survive the margin cut."""
+    raw_mask = doc_mask  # pre-fold identity: the _mask_cache key.
+    # _fold_live allocates a fresh (mask & live) array per call when a
+    # filter and tombstones coexist, so keying the cache on the FOLDED
+    # array never hit in exactly that case (review finding) — the fold
+    # is deterministic per (raw_mask, reader), so the raw identity is
+    # the correct key.
     doc_mask = _fold_live(reader, doc_mask)
     if terms is None:
         terms = sorted(set(reader.tokenize(text)))
@@ -1190,9 +1212,9 @@ def score_taat(
             # where unfiltered hit ~3.4x). The allowed-position index
             # is a pure function of the mask -> cached per actor.
             mc = getattr(reader, "_mask_cache", None)
-            if mc is None or mc[0] is not doc_mask:
+            if mc is None or mc[0] is not raw_mask:
                 midx = np.flatnonzero(doc_mask)
-                reader._mask_cache = (doc_mask, midx)
+                reader._mask_cache = (raw_mask, midx)
             else:
                 midx = mc[1]
             if midx.size == 0:

@@ -1561,3 +1561,34 @@ def test_serve_expand_wildcard_matches_dataset_path(tiny_index):
 
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0  # var_1?2 globs hit real vocabulary
+
+
+def test_build_over_ndjson_directory(tmp_path):
+    """A directory of .ndjson files is a supported source (the glob
+    omitted the extension _read_files already handled — review
+    finding); an empty directory fails loudly, not with IndexError."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.scorer import IndexReader
+
+    src = tmp_path / "nd"
+    src.mkdir()
+    with open(src / "part0.ndjson", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps(
+                {"doc_id": i, "text": f"alpha beta doc{i} gamma"}) + "\n")
+    d = str(tmp_path / "idx")
+    build_index(str(src), d, IndexConfig(
+        id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+        bucket_bits=1, term_parts=4, lineage_parts=1))
+    r = IndexReader(d)
+    assert r.n_docs == 20 and int(r.df.get("alpha", 0)) == 20
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no supported corpus files"):
+        build_index(str(empty), str(tmp_path / "idx2"), IndexConfig(
+            id_col="doc_id", key_cols=(), content_col="text", meta_cols=()))

@@ -325,3 +325,38 @@ def test_upsert_docs_matches_fresh_build(tmp_path):
     assert "u2" in gens
     r2 = IndexReader(idx)
     assert r2.n_docs == r.n_docs + 2
+
+
+def test_rebuild_from_scratch_clears_tombstones(tmp_path):
+    """build_index(resume=False) must wipe tombstones/ — doc ids are
+    deterministic functions of the keys, so surviving tombstones would
+    silently mask the rebuilt docs (review finding)."""
+    corpus = make_corpus(120, n_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(**CFG))
+    ids = _corpus_ids(corpus)
+    victims = np.sort(ids[:7])
+    delete_docs(d, victims)
+    assert load_tombstones(d).size == victims.size
+    build_index(corpus, d, IndexConfig(**CFG), resume=False)
+    assert load_tombstones(d).size == 0
+    r = IndexReader(d)
+    assert r.live_mask is None
+    # a previously-deleted doc is retrievable again
+    assert np.isin(victims, r.doc_sorted).all()
+
+
+def test_recode_refuses_stale_forward_store(tmp_path):
+    """delete -> compact purges docmap/stats but NOT tokenized/;
+    recode_index must refuse rather than resurrect purged postings
+    (review finding)."""
+    from pisa_ray.build import recode_index
+
+    corpus = make_corpus(150, n_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(**CFG))
+    ids = _corpus_ids(corpus)
+    delete_docs(d, np.sort(ids[:9]))
+    compact_index(d)
+    with pytest.raises(ValueError, match="stale relative to a deletion purge"):
+        recode_index(d, "packed")

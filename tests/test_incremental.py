@@ -172,3 +172,62 @@ def test_maintain_index_policy(tmp_path):
     delete_docs(idx, list(range(1, 60)))
     assert maintain_index(idx, max_generations=99, max_tombstone_fraction=0.2)
     assert IndexReader(idx).n_docs == 180 - 59
+
+
+def test_append_retry_after_crashed_link(tmp_path):
+    """A crashed build_incremental leaves the generation linked but
+    stats uncommitted. Review findings under test: (a) readers SKIP
+    the unknown gen dirs (results equal the pre-append index, not
+    silent corruption), (b) retrying the SAME generation succeeds
+    instead of tripping the duplicate check on its own earlier link."""
+    import os
+    import shutil as sh
+
+    corpus = make_corpus(200, n_partitions=2)
+    base, delta = corpus.slice(0, 140), corpus.slice(140)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    build_index(base, d, cfg)
+    before = IndexReader(d)
+
+    # simulate the crash: build the delta and link it WITHOUT the
+    # stats commit (exactly build_incremental's pre-commit state)
+    gen_dir = os.path.join(d, "generations", "g1")
+    build_index(delta, gen_dir, cfg)
+    sh.copytree(os.path.join(gen_dir, "segments"),
+                os.path.join(d, "segments", "gen_g1"))
+    sh.copytree(os.path.join(gen_dir, "docmap"),
+                os.path.join(d, "docmap", "gen_g1"))
+
+    # (a) the half-linked generation is invisible
+    mid = IndexReader(d)
+    assert mid.n_docs == before.n_docs
+    assert np.array_equal(mid.doc_sorted, before.doc_sorted)
+    for text in ("def return self", "var_11 var_23"):
+        assert score_taat(mid, text, 10) == score_taat(before, text, 10)
+
+    # (b) the retry completes and the full corpus is served
+    build_incremental(delta, d, generation="g1")
+    after = IndexReader(d)
+    assert after.n_docs == corpus.num_rows
+    ids = doc_ids_from_keys(corpus["repo"], corpus["path"], corpus["commit"])
+    oracle = OracleIndex(ids, corpus["content"].to_pylist())
+    for text in ("def return self", "var_11 var_23"):
+        golden = oracle.score_query(text, 10)
+        got = score_taat(after, text, 10)
+        assert [g[0] for g in golden] == [e[0] for e in got]
+
+
+def test_upsert_empty_delta_is_noop(tmp_path):
+    from pisa_ray.build import upsert_docs
+
+    corpus = make_corpus(100, n_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(bucket_bits=2, term_parts=8,
+                                       lineage_parts=1))
+    before = IndexReader(d)
+    out = upsert_docs(corpus.slice(0, 0), d, generation="gz")
+    assert isinstance(out, dict)
+    after = IndexReader(d)
+    assert after.n_docs == before.n_docs
+    assert np.array_equal(after.doc_sorted, before.doc_sorted)
