@@ -395,7 +395,16 @@ def asof_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+    # pinned output schema for EVERY branch (the salted path always
+    # had this; the unsalted reducers used to let the pandas
+    # round-trip upcast null-holding int64 columns to float64 —
+    # corrupting ints > 2^53 and drifting schemas across shards)
+    out_schema = pa.schema(
+        [pa.field(n, l_types[n]) for n in l_names]
+        + [pa.field(n, r_types[n]) for n in r_out_names]
+    )
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
         lg = g[g["__side"] == 0]
         rg = g[g["__side"] == 1]
         lg = lg[l_names].sort_values(ts_col, kind="mergesort")
@@ -407,7 +416,9 @@ def asof_join(
             right_on=out_ts,
             direction=direction,
         )
-        return out[l_names + r_out_names]
+        return pa.Table.from_pandas(
+            out[l_names + r_out_names], preserve_index=False, schema=out_schema
+        )
 
     from ..shuffle import exchange_routable, hash_group_apply
 
@@ -425,6 +436,8 @@ def asof_join(
     def join_shard(t: pa.Table) -> pa.Table:
         # whole-shard reducer: merge_asof(by=key) matches every key in
         # the shard in one C pass — no per-group UDF
+        if t.num_rows == 0:
+            return out_schema.empty_table()
         g = t.to_pandas()
         lg = g[g["__side"] == 0][l_names].sort_values(ts_col, kind="mergesort")
         rg = g[g["__side"] == 1][[key_col, *r_out_names]].sort_values(
@@ -439,7 +452,7 @@ def asof_join(
             direction=direction,
         )
         return pa.Table.from_pandas(
-            out[l_names + r_out_names], preserve_index=False
+            out[l_names + r_out_names], preserve_index=False, schema=out_schema
         )
 
     return hash_group_apply(unioned, key_col, join_shard)
@@ -633,8 +646,38 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     r = ranges.reset_index(drop=True).sort_values(lo_col, kind="mergesort")
+    # overlapping NON-key column names would silently collide in the
+    # output (the left path used to overwrite batch data) — refuse
+    big_schema = big.schema()
+    overlap = (
+        set(r.columns) & set(big_schema.names) if big_schema is not None else set()
+    )
+    if overlap:
+        raise ValueError(
+            f"range_join: range columns {sorted(overlap)} collide with "
+            "big-side columns — rename one side before joining"
+        )
     los = r[lo_col].to_numpy()
     his = r[hi_col].to_numpy()
+    if len(r) == 0:
+        # no ranges: inner matches nothing; left keeps rows with null
+        # range columns (the searchsorted probe below would index [-1]
+        # into an empty array otherwise)
+        def empty_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.reset_index(drop=True)
+            if how == "left":
+                out = out.copy()
+                for c in r.columns:
+                    if r[c].dtype.kind in "iuf":
+                        # numeric: NaN-filled float64, matching the
+                        # non-empty left path's int upcast convention
+                        out[c] = np.full(len(out), np.nan)
+                    else:
+                        out[c] = pd.Series([None] * len(out), dtype=r[c].dtype)
+                return out
+            return out.iloc[:0]
+
+        return big.map_batches(empty_fn, batch_format="pandas")
     disjoint = bool(np.all(his[:-1] <= los[1:])) if len(r) > 1 else True
     if how == "left" and not disjoint:
         raise ValueError("how='left' needs non-overlapping ranges (1:N otherwise)")
@@ -727,8 +770,16 @@ def quantile_disc(
     each target's current 16-bit bracket, never the data. The 100-TB
     shape: a sort-based quantile would be an all-to-all shuffle of
     every row; this is 4 map-only scans with KB-scale results.
-    ``max_rounds`` caps the passes (4 needed; kept as a rail).
+    ``max_rounds`` caps the passes (exactly 4 are needed for a full
+    64-bit refinement; fewer would return a value reconstructed from a
+    PARTIAL bit prefix — silently wrong — so the rail REFUSES instead).
     """
+    if max_rounds < 4:
+        raise ValueError(
+            f"quantile_disc: max_rounds={max_rounds} < 4 cannot complete "
+            "the 64-bit radix refinement (a partial prefix decodes to a "
+            "wrong value, not an approximation)"
+        )
     k = len(qs)
 
     def f2u(x: np.ndarray) -> np.ndarray:
@@ -1155,8 +1206,21 @@ def prefix_sum(
     intra-key order, and so the scan, would depend on block layout);
     blocks are offset in min-key order, so the result is
     parallelism-invariant.
+
+    ``value_col`` must be integer: the scan accumulates in int64
+    (float inputs used to truncate silently in the partial pass and
+    crash in the apply pass — now refused up front).
     """
     in_schema = ds.schema()
+    if in_schema is not None and value_col in in_schema.names:
+        vt = dict(zip(in_schema.names, in_schema.types))[value_col]
+        if isinstance(vt, pa.DataType) and not (
+            pa.types.is_integer(vt) or pa.types.is_boolean(vt)
+        ):
+            raise TypeError(
+                f"prefix_sum: value_col {value_col!r} is {vt} — the scan "
+                "is exact int64 arithmetic; cast or round explicitly first"
+            )
     mat = ds.sort(order_col).materialize()
     refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
 
@@ -1408,20 +1472,31 @@ def fuzzy_join(
                         )
                     )
                 )
-            out_key, out_id, out_val = [], [], []
-            for row, c in enumerate(codes):
-                for var in uvars[c]:
-                    out_key.append(var)
-                    out_id.append(ids[row])
-                    out_val.append(uniq[c])
+            # vectorized emission: flatten the per-VALUE variant lists
+            # once, then np.repeat/take per OCCURRENCE — the previous
+            # per-row x per-variant Python loop ran ~|rows| x |value|
+            # list appends per batch (review finding)
+            nvars = np.array([len(v) for v in uvars], dtype=np.int64)
+            flat_vars = pa.array(
+                [v for vs in uvars for v in vs], type=pa.string()
+            )
+            var_offs = np.concatenate(([0], np.cumsum(nvars)))
+            row_counts = nvars[codes]
+            total = int(row_counts.sum())
+            # variant index per emitted row: per-occurrence arange
+            # offset to its value's variant block
+            starts = np.repeat(var_offs[codes], row_counts)
+            local = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(row_counts)[:-1])), row_counts
+            )
+            vidx = starts + local
+            rows_rep = np.repeat(np.arange(len(codes)), row_counts)
             return pa.table(
                 {
-                    "vkey": pa.array(out_key, type=pa.string()),
-                    "side": pa.array(
-                        np.full(len(out_key), side, dtype=np.int8)
-                    ),
-                    "rid": pa.array(np.asarray(out_id, dtype=np.int64)),
-                    "val": pa.array(out_val, type=pa.string()),
+                    "vkey": flat_vars.take(pa.array(vidx)),
+                    "side": pa.array(np.full(total, side, dtype=np.int8)),
+                    "rid": pa.array(ids[rows_rep]),
+                    "val": denc.dictionary.take(pa.array(codes[rows_rep])),
                 }
             )
 

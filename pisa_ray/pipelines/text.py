@@ -293,9 +293,16 @@ def unigram_nll(
         codes = denc.indices.to_numpy(zero_copy_only=False)
         pos = pc.index_in(denc.dictionary, value_set=terms)
         pos_np = pos.to_numpy(zero_copy_only=False).astype(np.float64)
-        vocab_logp = np.where(
-            np.isnan(pos_np), floor, logp[np.nan_to_num(pos_np).astype(np.int64)]
-        )
+        if logp.size == 0:
+            # empty model: every token scores at the floor — np.where
+            # would still eagerly index logp[0] and crash otherwise
+            vocab_logp = np.full(len(denc.dictionary), floor)
+        else:
+            vocab_logp = np.where(
+                np.isnan(pos_np),
+                floor,
+                logp[np.nan_to_num(pos_np).astype(np.int64)],
+            )
         n_tokens = np.zeros(n, dtype=np.int64)
         nll_sum = np.zeros(n, dtype=np.float64)
         if codes.size:
@@ -439,16 +446,30 @@ def _repetition_stats_fn(text_col: str, id_col: str):
             codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
             same_doc = parents[1:] == parents[:-1]
             V = np.uint64(len(denc.dictionary))
-            pair = codes[:-1] * V + codes[1:]
-            pair = pair[same_doc]
             gpar = parents[:-1][same_doc]
-            # distinct (doc, pair) count via sort + run-length, exactly
-            # the doc_term_counts counting kernel
-            key = gpar.astype(np.uint64) * (V * V) + pair
-            order = np.argsort(key, kind="stable")
-            skey = key[order]
-            first = np.ones(skey.size, dtype=bool)
-            np.not_equal(skey[1:], skey[:-1], out=first[1:])
+            # distinct (doc, pair) count via sort + run-length. The
+            # packed single-key sort needs n*V^2 < 2^63 — past that the
+            # uint64 key WRAPS and merges unrelated (doc, pair) keys
+            # (review finding), so fall back to an unpacked 3-key
+            # lexsort (identical counts, no range limit).
+            if float(n) * float(V) * float(V) < 2.0**63:
+                pair = (codes[:-1] * V + codes[1:])[same_doc]
+                key = gpar.astype(np.uint64) * (V * V) + pair
+                order = np.argsort(key, kind="stable")
+                skey = key[order]
+                first = np.ones(skey.size, dtype=bool)
+                np.not_equal(skey[1:], skey[:-1], out=first[1:])
+            else:
+                c0 = codes[:-1][same_doc]
+                c1 = codes[1:][same_doc]
+                order = np.lexsort((c1, c0, gpar))
+                g_s, c0_s, c1_s = gpar[order], c0[order], c1[order]
+                first = np.ones(order.size, dtype=bool)
+                first[1:] = (
+                    (g_s[1:] != g_s[:-1])
+                    | (c0_s[1:] != c0_s[:-1])
+                    | (c1_s[1:] != c1_s[:-1])
+                )
             n_distinct2 = np.zeros(n, dtype=np.int64)
             np.add.at(n_distinct2, gpar[order[first]], 1)
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -606,7 +627,9 @@ _FNV_BASIS = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def fnv1a_batch(streams: np.ndarray, offs: np.ndarray) -> np.ndarray:
+def fnv1a_batch(
+    streams: np.ndarray, offs: np.ndarray, max_tile_bytes: int = 256 << 20
+) -> np.ndarray:
     """FNV-1a over many byte streams at once (``streams`` is the
     concatenated uint8 data, ``offs`` the per-doc boundaries).
 
@@ -619,27 +642,47 @@ def fnv1a_batch(streams: np.ndarray, offs: np.ndarray) -> np.ndarray:
     out = np.full(n, _FNV_BASIS, dtype=np.uint64)
     if n == 0 or streams.size == 0:
         return out
-    max_len = int(lens.max())
-    # ragged -> padded (n, max_len): row-major boolean fill consumes the
-    # concatenated stream in exactly per-row order
-    mask = np.arange(max_len)[None, :] < lens[:, None]
-    pad = np.zeros((n, max_len), dtype=np.uint8)
-    pad[mask] = streams
-    # shrink the active set as shorter docs finish: process columns in
-    # order, slicing to the rows still alive (rows sorted by length desc)
+    # Rows are processed length-sorted in TILES bounded by
+    # rows x tile_max_len bytes: the old single (n, max_len) padded
+    # matrix multiplied one long document's length by the whole batch
+    # size (one 10 MB doc in a 4096-row batch = 40 GB — review
+    # finding). Per-doc hashes are independent, so tiling is exact.
     order = np.argsort(-lens, kind="stable")
-    inv = np.empty_like(order)
-    inv[order] = np.arange(n)
-    pad = pad[order]
-    alive_lens = lens[order]
-    h = out[order]
-    with np.errstate(over="ignore"):
-        for j in range(max_len):
-            m = int(np.searchsorted(-alive_lens, -j, side="left"))
-            if m == 0:
-                break
-            h[:m] = (h[:m] ^ pad[:m, j].astype(np.uint64)) * _FNV_PRIME
-    return h[inv]
+    max_tile = int(max_tile_bytes)
+    starts_all = offs[:-1]
+    pos = 0
+    while pos < n:
+        L = int(lens[order[pos]])  # tile max length (desc order)
+        if L == 0:
+            break  # remaining rows are empty -> basis hash stands
+        rows_cap = max(1, max_tile // L)
+        tile = order[pos : pos + rows_cap]
+        pos += tile.size
+        tl = lens[tile]
+        total = int(tl.sum())
+        # gather the tile's bytes row-major from the concatenated stream
+        idx = (
+            np.repeat(
+                starts_all[tile]
+                - np.concatenate(([0], np.cumsum(tl)[:-1])),
+                tl,
+            )
+            + np.arange(total)
+        )
+        mask = np.arange(L)[None, :] < tl[:, None]
+        pad = np.zeros((tile.size, L), dtype=np.uint8)
+        pad[mask] = streams[idx]
+        h = np.full(tile.size, _FNV_BASIS, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(L):
+                # shrink the active set as shorter docs finish (rows
+                # are length-desc within the tile)
+                m = int(np.searchsorted(-tl, -j, side="left"))
+                if m == 0:
+                    break
+                h[:m] = (h[:m] ^ pad[:m, j].astype(np.uint64)) * _FNV_PRIME
+        out[tile] = h
+    return out
 
 
 def fingerprint64(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
