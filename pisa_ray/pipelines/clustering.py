@@ -37,10 +37,9 @@ import ray.data as rd
 from ..docids import splitmix64
 
 
-def _as_matrix(col) -> np.ndarray:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+# single shared copy — similarity.py owns the list-column -> float64
+# matrix helper (dedup.py imports it from there too)
+from .similarity import _as_matrix  # noqa: E402
 
 
 def _init_centroids(

@@ -155,8 +155,9 @@ def connected_components(
 ) -> rd.Dataset:
     """(src, dst) edge list -> (id, comp_id) with comp_id = the
     minimum id reachable from id. Covers every id that appears in the
-    edge list (isolated ids never enter; callers default them to
-    themselves). max_iter is a safety rail: star contraction halves
+    edge list INCLUDING nodes whose only edges are self-loops (they
+    label as singletons); ids absent from the edge list never enter —
+    callers default them to themselves. max_iter is a safety rail: star contraction halves
     tree heights per round, so 50 covers any realizable input."""
     edges = pairs.map_batches(
         lambda t: pa.table(
@@ -173,6 +174,25 @@ def connected_components(
         )
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+
+    # nodes appearing ONLY in self-loop edges would otherwise vanish
+    # (contraction discards u==v rows before labeling — review
+    # finding): collect their (s, s) singleton rows and inject them
+    # into the final labeling exchange, whose per-node min-reduce
+    # keeps the smaller component label for nodes proper edges also
+    # reach. Per-batch unique; the exchange dedups across batches.
+    def self_rows_map(t: pa.Table) -> pa.Table:
+        u = t[src_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[dst_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = np.unique(u[u == v])
+        return pa.table({"u": pa.array(s), "v": pa.array(s)},
+                        schema=_EDGE_SCHEMA)
+
+    self_rows = pairs.map_batches(
+        self_rows_map, batch_format="pyarrow"
+    ).materialize()
+    if self_rows.count() == 0:
+        self_rows = None
     prev, converged = None, False
     for _ in range(max_iter):
         edges = hash_group_apply(edges, "u", _large_reduce, map_fn=_large_map)
@@ -189,10 +209,6 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    if fp[0] == 0:  # no proper edges at all (e.g. self loops only)
-        return rd.from_arrow(
-            pa.table({"id": [], "comp_id": []}, schema=_LABEL_SCHEMA)
-        )
     # star edges (child -> root) + (root -> root) self-labels, one
     # exchange keyed on the node for a unique (id, comp_id) row each
     def label_map(t: pa.Table) -> pa.Table:
@@ -202,7 +218,15 @@ def connected_components(
         )
         return pa.table({"u": ou, "v": ov}, schema=_EDGE_SCHEMA)
 
-    return hash_group_apply(edges, "u", _label_reduce, map_fn=label_map)
+    if fp[0] == 0:  # no proper edges at all (e.g. self loops only)
+        if self_rows is None:
+            return rd.from_arrow(
+                pa.table({"id": [], "comp_id": []}, schema=_LABEL_SCHEMA)
+            )
+        return hash_group_apply(self_rows, "u", _label_reduce,
+                                map_fn=label_map)
+    final = edges if self_rows is None else edges.union(self_rows)
+    return hash_group_apply(final, "u", _label_reduce, map_fn=label_map)
 
 
 # ---------------------------------------------------------------------------
@@ -485,6 +509,21 @@ def pagerank(
         dangling = float(sum(scalars[S:]))
         if delta <= tol:
             break
+    else:
+        # power iteration exhausting its budget is a legitimate stop
+        # (fixed-sweep usage), but it must not be SILENT — callers
+        # sampling a training mixture by rank need to know the ranks
+        # are unconverged (connected_components raises in the
+        # analogous state; ranks are still well-defined here, so a
+        # loud warning is the proportionate contract)
+        import warnings
+
+        warnings.warn(
+            f"pagerank: not converged after max_iters={max_iters} "
+            f"(final L1 delta {delta:.3e} > tol {tol:.1e}); returning "
+            "the last iterate",
+            stacklevel=2,
+        )
 
     @ray.remote
     def emit(node_state, rank_vals) -> pa.Table:

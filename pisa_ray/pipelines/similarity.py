@@ -19,6 +19,20 @@ import ray
 import ray.data as rd
 
 
+def _empty_knn_frame() -> pd.DataFrame:
+    """Typed empty result — Ray drops 0-row blocks, so an all-miss
+    probe would otherwise surface a SCHEMA-LESS DataFrame whose
+    consumers KeyError on res['rank'] (review finding)."""
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )[["query_id", "rank", "vec_id", "cosine"]]
+
+
 def _as_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -168,6 +182,14 @@ def lsh_knn(
     ``brute_knn`` the exact path; ``ivf_knn`` the data-adaptive
     alternative that gets higher recall per scored candidate.
 
+    Ranking precision (deliberate): bucketed paths rank by cosine
+    ROUNDED to 1e-6. The same (query, doc) pair scored in different
+    bucket groups can differ in the last ulp (BLAS accumulation
+    depends on the group's matrix shape), so rounding is what makes
+    multi-table dedup and rank order deterministic at any
+    partitioning; the cost is that ties within 1e-6 may order
+    differently than ``brute_knn``'s unrounded ranking.
+
     Scale shape: docs shuffle exactly ``n_tables`` times keyed by their
     own bucket; probing replicates only the tiny query table (one row
     per (query, table, probed bucket)), never the corpus. Multi-table
@@ -207,24 +229,27 @@ def lsh_knn(
                 probe_key.append(
                     (qkeys ^ bitvals[flip_order[:, j]]).astype(np.int64)
                 )
-    qdf = pd.DataFrame(
-        {
-            "query_id": np.concatenate(probe_qid),
-            "bhash": np.concatenate(probe_key),
-        }
-    )
-    qref = ray.put((qdf, q))
+    # probe table broadcast SORTED by bucket key: each bucket group
+    # finds its queries with two searchsorted probes instead of a full
+    # linear scan of every (query, table, probe) row per group (review
+    # finding: ~|groups| x |probe rows| comparisons of pure overhead)
+    p_keys = np.concatenate(probe_key)
+    p_qids = np.concatenate(probe_qid)
+    p_order = np.argsort(p_keys, kind="stable")
+    qref = ray.put((p_keys[p_order], p_qids[p_order], q))
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
-        qs, qmat = ray.get(qref)
-        sub = qs[qs.bhash == g["bhash"].iloc[0]]
-        if sub.empty:
+        keys_sorted, qids_sorted, qmat = ray.get(qref)
+        key = int(g["bhash"].iloc[0])
+        lo = int(np.searchsorted(keys_sorted, key, side="left"))
+        hi = int(np.searchsorted(keys_sorted, key, side="right"))
+        if lo == hi:
             return pd.DataFrame(
                 {"query_id": [], "vec_id": [], "cosine": []}
             ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
         m = np.asarray([np.asarray(v) for v in g["vec"]])
         ids = g["vec_id"].to_numpy().astype(np.int64)
-        sub_qids = sub["query_id"].to_numpy()
+        sub_qids = qids_sorted[lo:hi]
         sims = qmat[sub_qids] @ m.T  # (nq, B)
         kk = min(k, len(ids))
         # vectorized bucket-local top-k under (cosine desc, vec_id asc)
@@ -244,7 +269,7 @@ def lsh_knn(
         .to_pandas()
     )
     if res.empty:
-        return res
+        return _empty_knn_frame()
     if n_tables > 1:
         # a doc found in several tables carries the SAME exact cosine
         # from each — keep-first is exact, not an approximation
@@ -361,7 +386,7 @@ def ivf_knn(
         .to_pandas()
     )
     if res.empty:
-        return res
+        return _empty_knn_frame()
     res = res.sort_values(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
@@ -404,7 +429,10 @@ def rerank_topk(
             {"query_id": "int64", "rank": "int64", cand_id_col: "int64",
              "cosine": "float64"}
         )
-    cand = candidates[["query_id", cand_id_col]].copy()
+    # dedup (query, candidate) pairs: unioned shortlists (BM25 ∪ ANN)
+    # repeat docs, which would score twice and occupy two ranks,
+    # pushing a genuine top-k doc past the cut (review finding)
+    cand = candidates[["query_id", cand_id_col]].drop_duplicates().copy()
     cand["qrow"] = cand["query_id"].map(qrow_of)
     if cand["qrow"].isna().any():
         missing = sorted(set(cand.loc[cand["qrow"].isna(), "query_id"]))

@@ -44,9 +44,30 @@ def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     folds in the length."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
+    if pa.types.is_dictionary(col.type):
+        # categorical parquet columns arrive dictionary-encoded; decode
+        # before dispatch (heavy_hitters does the same — review finding:
+        # the cast below raised ArrowInvalid for dict<int>)
+        col = col.dictionary_decode()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+    if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
         return _mix(
-            col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            col.cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+    if not (
+        pa.types.is_string(col.type)
+        or pa.types.is_large_string(col.type)
+        or pa.types.is_binary(col.type)
+        or pa.types.is_large_binary(col.type)
+    ):
+        raise TypeError(
+            f"_hash64: unsupported column type {col.type} — hashable "
+            "columns are integer/boolean/string/binary (cast floats or "
+            "timestamps to one of those explicitly first)"
         )
     s = col.cast(pa.large_binary())
     n = len(s)
