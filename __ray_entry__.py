@@ -46,6 +46,15 @@ BM25_QUERIES: list[tuple[int, str]] = [
 # the HAVING oracle would be vacuous
 CONJ_QUERIES: list[tuple[int, str]] = BM25_QUERIES + [(8, "dup value fast")]
 
+# BM25F runs the same mix PLUS queries hitting the second field's
+# source tags (src* terms live ONLY in the title field), so the
+# union-df idf provably differs from the content df and the per-field
+# blend is load-bearing, not a pass-through of single-field BM25
+BM25F_QUERIES: list[tuple[int, str]] = BM25_QUERIES + [
+    (8, "src3 merge"),
+    (9, "window src17 src5"),
+]
+
 
 # --------------------------------------------------------------------------
 # helpers
@@ -96,6 +105,52 @@ def _index_dir(sf_dir: str, codec: str = "varint") -> str:
             positions=True,  # positional payload: phrase/proximity
             # entries resolve index-natively (no corpus re-read)
             codec=codec,
+        ),
+        resume=True,
+    )
+    return out
+
+
+def _title_index_dir(sf_dir: str) -> str:
+    """Second FIELD index over the same corpus identity (id_col
+    doc_id): a derived ``title`` column = the first 8 engine tokens of
+    ``text`` plus the lowercased ``source`` tag. Gives the BM25F entry
+    real cross-field term overlap (title ⊂ text tokens blend inside
+    one saturation) AND field-exclusive terms (src* live only here, so
+    union-df ≠ content-df). DuckDB replays the derivation with
+    ``list_filter(split)[1:8]`` + ``lower(source)``."""
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.tokenizer import tokenize_py
+
+    from pisa_ray import INDEX_FORMAT_VERSION
+
+    out = os.path.join(
+        f"/tmp/pisa_ray_idx/v{INDEX_FORMAT_VERSION}",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "documents_field_title",
+    )
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        titles = [
+            " ".join(tokenize_py(t)[:8] + [s.lower()])
+            for t, s in zip(b["text"], b["source"])
+        ]
+        return pd.DataFrame({"doc_id": b["doc_id"], "title": titles})
+
+    title = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        mk, batch_format="pandas"
+    )
+    build_index(
+        title,
+        out,
+        IndexConfig(
+            id_col="doc_id",
+            key_cols=(),
+            content_col="title",
+            meta_cols=(),
+            bucket_bits=2,
+            term_parts=8,
+            lineage_parts=1,
         ),
         resume=True,
     )
@@ -255,6 +310,28 @@ def q_qld_topk(sf_dir: str):
     hits = query_index(
         rd.from_arrow(_bm25_query_table()), idx, k=50, concurrency=2, method="qld"
     ).to_pandas()
+    return _canon_topk(hits)
+
+
+def q_bm25f_topk(sf_dir: str):
+    """TRUE BM25F (Robertson & Zaragoza field-blended form) top-10
+    over two fields of the same corpus — content (``text``, w=1.0,
+    b=0.4) and a derived title field (first 8 content tokens + source
+    tag, w=0.5, b=0.75): per-field length-normalized tf is
+    weight-blended BEFORE the k1 saturation, idf over the exact
+    per-term UNION document frequency. DuckDB replays both field
+    tokenizations, the blend, and the union df exactly."""
+    from pisa_ray.pipelines.fields import bm25f_search
+
+    idx_text = _index_dir(sf_dir)
+    idx_title = _title_index_dir(sf_dir)
+    hits = bm25f_search(
+        list(BM25F_QUERIES),
+        [(idx_text, 1.0, 0.4), (idx_title, 0.5, 0.75)],
+        k=50,
+        k1=0.9,
+        concurrency=2,
+    )
     return _canon_topk(hits)
 
 
@@ -835,10 +912,18 @@ def q_text_stats(sf_dir: str):
     quality-signal counts (stopwords, digits) in one kernel (the
     round-2 `token_stats`, `repetition` and `quality_counts` entries,
     consolidated so every operator family fits the driver's 50-entry
-    cap)."""
-    from pisa_ray.pipelines.text import text_stats
+    cap) — now ALSO carrying the stopword-voting ``lang_id``
+    prediction via one doc_id hash_join (the round-4 `lang_id` entry,
+    folded in to free a 50-cap slot for `pagerank`; its oracle joins
+    the same two replays)."""
+    from pisa_ray.pipelines.relational import hash_join
+    from pisa_ray.pipelines.text import lang_id, text_stats
 
-    return text_stats(_docs(sf_dir, ["doc_id", "text"]), include_quality=True)
+    stats = text_stats(_docs(sf_dir, ["doc_id", "text"]), include_quality=True)
+    langs = lang_id(
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+    ).select_columns(["doc_id", "lang", "pred_lang"])
+    return hash_join(stats, langs, on="doc_id")
 
 
 def q_unigram_nll(sf_dir: str):
@@ -880,12 +965,46 @@ def q_tfidf_keywords(sf_dir: str):
     return tfidf_keywords(_docs(sf_dir, ["doc_id", "text"]), k=3)
 
 
-def q_lang_id(sf_dir: str):
-    from pisa_ray.pipelines.text import lang_id
+def q_pagerank(sf_dir: str):
+    """Fixed-sweep (8-iteration) damped PageRank over a deterministic
+    graph derived from events — src = user_id % 128, dst = 128 +
+    event_id % 64, so the dst half has NO out-edges and the
+    dangling-mass redistribution is load-bearing every sweep. The
+    DuckDB oracle unrolls the 8 power-iteration sweeps as plain CTEs
+    (no recursion needed at fixed depth); both sides round ranks to
+    8 dp — engine float error ~1e-15 is ~1e6 below the 5e-9 half-ulp,
+    the kmeans-entry margin discipline."""
+    from pisa_ray.pipelines.graph import pagerank
 
-    return lang_id(_docs(sf_dir, ["doc_id", "text", "lang"])).select_columns(
-        ["doc_id", "lang", "pred_lang"]
+    def mk(t: pa.Table) -> pa.Table:
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array((us % 128).astype(np.int64)),
+                "dst": pa.array((128 + ev % 64).astype(np.int64)),
+            }
+        )
+
+    edges = _tbl(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        mk, batch_format="pyarrow"
     )
+    pr = pagerank(edges, damping=0.85, max_iters=8, tol=None)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.round(
+                        t["rank"].to_numpy(zero_copy_only=False), 8
+                    ),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return pr.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -1043,12 +1162,51 @@ def q_dup_clusters(sf_dir: str):
         docs.map_batches(exact, batch_format="pyarrow"),
     )
     pairs = jaccard_pairs(aug, threshold=0.5)
-    out = connected_components(pairs).to_pandas()
+    cc = connected_components(pairs).materialize()
+
+    # survivor selection on top of the SAME clusters (verdict item 6:
+    # promote keep_best_per_cluster to a driver row without a new
+    # 50-cap slot): quality signal = char length, ties → min doc_id.
+    # keep=1 marks the cluster's best member; DuckDB replays it with
+    # row_number() over (length DESC, doc_id ASC) per canon_id.
+    from pisa_ray.pipelines.dedup import keep_best_per_cluster
+    from pisa_ray.pipelines.relational import hash_join
+
+    def with_len(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "len": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    scored = aug.map_batches(with_len, batch_format="pyarrow")
+    surv = keep_best_per_cluster(scored, cc, score_col="len").map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "keep": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lab = cc.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["id"].cast(pa.int64()),
+                "canon_id": t["comp_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(lab, surv, on="doc_id", how="left").to_pandas()
+    out["keep"] = out["keep"].fillna(0).astype("int64")
     return (
-        out.rename(columns={"id": "doc_id", "comp_id": "canon_id"})
-        .astype({"doc_id": "int64", "canon_id": "int64"})
+        out.astype({"doc_id": "int64", "canon_id": "int64"})
         .sort_values("doc_id")
-        .reset_index(drop=True)
+        .reset_index(drop=True)[["doc_id", "canon_id", "keep"]]
     )
 
 
@@ -1063,27 +1221,40 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
-def q_dataset_split(sf_dir: str):
-    """Leakage-safe train/validation/test assignment keyed by doc_id
-    (group-coherent: rows sharing the key share the split). DuckDB
-    replays the integer Knuth hash and thresholds exactly."""
-    from pisa_ray.pipelines.relational import hash_split
+def q_split_mix(sf_dir: str):
+    """The round-4 ``dataset_split`` and ``source_mix`` entries under
+    ONE labeled union (events_windows precedent — the driver caps
+    queries() at 50 rows, and the freed slot funds ``bm25f_topk``).
+    kind='split': leakage-safe train/validation/test assignment keyed
+    by doc_id (group-coherent integer Knuth hash). kind='mix':
+    training-mixture rate sampling over the documents sources (src0
+    fully, src1 at 0.5, src2 at 0.2, else 0.1). DuckDB replays both
+    hashes and thresholds exactly."""
+    from pisa_ray.pipelines.relational import hash_split, rate_sample
 
-    return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
-
-
-def q_source_mix(sf_dir: str):
-    """Training-mixture rate sampling over the documents sources
-    (keep src0 fully, src1 at 0.5, src2 at 0.2, everything else at
-    0.1). DuckDB replays the integer hash + per-source thresholds."""
-    from pisa_ray.pipelines.relational import rate_sample
-
-    return rate_sample(
+    split = hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
+    mix = rate_sample(
         _docs(sf_dir, ["doc_id", "source"]),
         {"src0": 1.0, "src1": 0.5, "src2": 0.2},
         key_col="source",
         id_col="doc_id",
         default_rate=0.1,
+    )
+
+    def lab(kind: str, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "kind": pa.array([kind] * t.num_rows, type=pa.string()),
+                    "label": t[col].cast(pa.string()),
+                }
+            )
+
+        return fn
+
+    return split.map_batches(lab("split", "split"), batch_format="pyarrow").union(
+        mix.map_batches(lab("mix", "source"), batch_format="pyarrow")
     )
 
 
@@ -1390,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_docmap": q_docmap,
         "bm25_topk": q_bm25_topk,
         "qld_topk": q_qld_topk,
+        "bm25f_topk": q_bm25f_topk,
         "bm25_filtered": q_bm25_filtered,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1411,8 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "dup_spans": q_dup_spans,
-        "dataset_split": q_dataset_split,
-        "source_mix": q_source_mix,
+        "split_mix": q_split_mix,
         "heavy_hitters": q_heavy_hitters,
         "grouped_window": q_grouped_window,
         "hash_join": q_hash_join,
@@ -1422,7 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q_text_stats,
         "unigram_nll": q_unigram_nll,
         "tfidf_keywords": q_tfidf_keywords,
-        "lang_id": q_lang_id,
+        "pagerank": q_pagerank,
         "fingerprint": q_fingerprint,
         "phrase_search": q_phrase_search,
         "decontaminate": q_decontaminate,
@@ -1483,6 +1654,62 @@ def _hll_sql(p: int = 12) -> str:
                         END)::BIGINT AS val
         FROM rw GROUP BY reg
     """
+
+
+def _pagerank_sql(iters: int = 8, d: str = "0.85") -> str:
+    """DuckDB replica of the fixed-sweep damped PageRank: the power
+    iteration unrolled as ``iters`` plain CTE stages (fixed depth
+    needs no recursion). Each stage: dangling mass D = sum of the
+    previous ranks over out-degree-0 nodes; inflow per node = sum over
+    in-edges of prev_rank/out_degree (edge MULTIPLICITY counts, like
+    the engine's per-edge contributions); new rank = (1-d)/N +
+    d*(inflow + D/N)."""
+    ctes = [
+        """edges AS (
+            SELECT user_id % 128 AS src, 128 + event_id % 64 AS dst
+            FROM events
+        ),
+        nodes AS (
+            SELECT DISTINCT nd FROM (
+                SELECT src AS nd FROM edges
+                UNION ALL SELECT dst FROM edges)
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        outdeg AS (
+            SELECT src AS nd, count(*)::DOUBLE AS deg
+            FROM edges GROUP BY src
+        ),
+        pr0 AS (SELECT nd, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""dang{k} AS (
+            SELECT coalesce(sum(p.pr), 0) AS m
+            FROM {prev} p LEFT JOIN outdeg o ON o.nd = p.nd
+            WHERE o.nd IS NULL
+        ),
+        infl{k} AS (
+            SELECT e.dst AS nd, sum(p.pr / o.deg) AS s
+            FROM edges e
+            JOIN {prev} p ON p.nd = e.src
+            JOIN outdeg o ON o.nd = e.src
+            GROUP BY e.dst
+        ),
+        pr{k} AS (
+            SELECT n.nd,
+                   (1 - {d}) / nn.n
+                   + {d} * (coalesce(i.s, 0) + dang{k}.m / nn.n) AS pr
+            FROM nodes n CROSS JOIN nn CROSS JOIN dang{k}
+            LEFT JOIN infl{k} i ON i.nd = n.nd
+        )"""
+        )
+        prev = f"pr{k}"
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT nd AS node, round(pr, 8) AS rank FROM {prev}"
+    )
 
 
 def _lang_id_sql() -> str:
@@ -2015,6 +2242,68 @@ def oracle_sql() -> dict[str, str]:
                 FROM scores sc
             ) WHERE rank <= 10
         """
+    # TRUE BM25F replay: per-field tf/dl/avgdl CTEs, the title field
+    # re-derived in SQL exactly as the entry derives it (first 8
+    # filtered tokens + lower(source)), per-field length-normalized tf
+    # weight-blended BEFORE the k1 saturation, idf over the per-term
+    # UNION document frequency — same rounding/tie discipline as
+    # bm25_topk_sql
+    bm25f_values = ", ".join(
+        f"({qid}::BIGINT, '{t}')"
+        for qid, text in BM25F_QUERIES
+        for t in sorted(set(text.split()))
+    )
+    bm25f_topk_sql = f"""
+            WITH tok_c AS ({tok_docs}),
+            tok_t AS (
+                SELECT doc_id, unnest({_TOK}[1:8]) AS term FROM documents
+                UNION ALL
+                SELECT doc_id, lower(source) AS term FROM documents
+            ),
+            tf_c AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok_c GROUP BY doc_id, term),
+            tf_t AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok_t GROUP BY doc_id, term),
+            dl_c AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok_c GROUP BY doc_id),
+            dl_t AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok_t GROUP BY doc_id),
+            s_c AS (SELECT avg(dl) AS avgdl FROM dl_c),
+            s_t AS (SELECT avg(dl) AS avgdl FROM dl_t),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            q(query_id, term) AS (VALUES {bm25f_values}),
+            fields AS (
+                SELECT term, doc_id,
+                       1.0 * tf_c.tf / (1 - 0.4 + 0.4 * dl_c.dl / s_c.avgdl) AS part
+                FROM tf_c JOIN dl_c USING (doc_id) CROSS JOIN s_c
+                UNION ALL
+                SELECT term, doc_id,
+                       0.5 * tf_t.tf / (1 - 0.75 + 0.75 * dl_t.dl / s_t.avgdl) AS part
+                FROM tf_t JOIN dl_t USING (doc_id) CROSS JOIN s_t
+            ),
+            tilde AS (
+                SELECT q.query_id, f.term, f.doc_id, sum(f.part) AS tfb
+                FROM q JOIN fields f USING (term)
+                GROUP BY q.query_id, f.term, f.doc_id
+            ),
+            df_u AS (
+                SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM (SELECT doc_id, term FROM tok_c
+                      UNION SELECT doc_id, term FROM tok_t)
+                GROUP BY term
+            ),
+            scores AS (
+                SELECT t.query_id, t.doc_id,
+                       sum( ln(1 + (nn.n - df_u.df + 0.5)/(df_u.df + 0.5))
+                            * t.tfb / (0.9 + t.tfb) ) AS score
+                FROM tilde t JOIN df_u USING (term) CROSS JOIN nn
+                GROUP BY t.query_id, t.doc_id
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score,
+                       row_number() OVER (
+                           PARTITION BY sc.query_id
+                           ORDER BY round(sc.score, 4) DESC, sc.doc_id
+                       ) AS rank
+                FROM scores sc
+            ) WHERE rank <= 10
+        """
     hybrid_sql = f"""
             WITH tok AS ({tok_docs}),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
@@ -2079,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_TOK}) AS length FROM documents
         """,
         "bm25_topk": bm25_topk_sql,
+        "bm25f_topk": bm25f_topk_sql,
         # Dirichlet query likelihood (Zhai & Lafferty 2001), replayed
         # exactly: cf = per-term collection frequency, C = total token
         # count, mu = 1000, ranked set = docs matching >=1 indexed
@@ -2384,11 +2674,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
                 UNION
                 SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+            ),
+            cl AS (
+                SELECT u AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY u
+            ),
+            ranked AS (
+                SELECT cl.doc_id, cl.canon_id,
+                       row_number() OVER (
+                           PARTITION BY cl.canon_id
+                           ORDER BY length(d.text) DESC, cl.doc_id
+                       ) AS rn
+                FROM cl JOIN docs_aug d USING (doc_id)
             )
-            SELECT u AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY u
+            SELECT doc_id, canon_id,
+                   CASE WHEN rn = 1 THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM ranked
         """,
-        "source_mix": """
-            SELECT doc_id, source FROM (
+        "split_mix": """
+            SELECT doc_id, 'split' AS kind,
+                   CASE WHEN h < 3435973836 THEN 'train'
+                        WHEN h < 3865470566 THEN 'validation'
+                        ELSE 'test' END AS label
+            FROM (SELECT doc_id,
+                         (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
+                  FROM documents)
+            UNION ALL
+            SELECT doc_id, 'mix' AS kind, source AS label FROM (
                 SELECT doc_id, source,
                        (doc_id % 2147483648) * 2654435761 % 4294967296 AS h,
                        CASE source WHEN 'src0' THEN 4294967296
@@ -2397,15 +2708,6 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE 429496729 END AS t
                 FROM documents)
             WHERE h < t
-        """,
-        "dataset_split": """
-            SELECT doc_id,
-                   CASE WHEN h < 3435973836 THEN 'train'
-                        WHEN h < 3865470566 THEN 'validation'
-                        ELSE 'test' END AS split
-            FROM (SELECT doc_id,
-                         (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
-                  FROM documents)
         """,
         "dup_spans": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
@@ -2493,7 +2795,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canon_id
             FROM n
         """,
-        "lang_id": _lang_id_sql(),
+        "pagerank": _pagerank_sql(),
         "minhash_dedup": _minhash_sql(),
         "simhash": _simhash_sql(),
         # exact phrase match = the normalized phrase as a contiguous
@@ -2605,10 +2907,12 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(toks,
                        x -> list_contains(['a','and','for','in','is','it','of','that','the','to','with'], x)
                    )) AS n_stop_en,
-                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                   li.lang, li.pred_lang
             FROM tk
             LEFT JOIN tops USING (doc_id)
             LEFT JOIN bia USING (doc_id)
+            JOIN ({_lang_id_sql()}) li USING (doc_id)
         """,
         "unigram_nll": f"""
             WITH tok AS (

@@ -315,6 +315,25 @@ def main() -> None:
             and (tcanon["score"].to_numpy() == ref["score"].to_numpy()).all()
         )
 
+        # pruned (TPUT three-phase) tier: shard-local top-k sampling +
+        # pooled threshold bound which docs' exact partial rows cross
+        # the wire; same bit-identity claim, so the digest gate is the
+        # acceptance test for the pruning (VERDICT r4 item 5)
+        wait_cpus_free(4 + 1)
+        tsvc = TermShardedBM25Service(idx_dir, n_shards=4, k=10, prune=True)
+        t0 = time.perf_counter()
+        tp_hits = tsvc.query(ts_qt, batch_size=32).to_pandas()
+        dt = time.perf_counter() - t0
+        tsvc.shutdown()
+        results["bm25_term_sharded_pruned_sec"] = round(dt, 3)
+        results["bm25_term_sharded_pruned_qps"] = round(n_ts / dt, 1)
+        pcanon = tp_hits.sort_values(["query_id", "rank"])
+        results["bm25_term_sharded_pruned_matches_taat"] = bool(
+            len(pcanon) == len(ref)
+            and (pcanon["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+            and (pcanon["score"].to_numpy() == ref["score"].to_numpy()).all()
+        )
+
     # ---- relational + training-data pipelines ---------------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E

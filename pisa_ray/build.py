@@ -1899,15 +1899,11 @@ def compact_index(index_dir: str) -> dict:
         return 0
 
     groups: dict[int, list[str]] = {}
-    stale_gen_dirs: set[str] = set()
     for f in seg_files:
         g = gen_of(f)
         if g is None:
-            stale_gen_dirs.add(
-                os.path.join(
-                    seg_root, os.path.relpath(f, seg_root).split(os.sep)[0]
-                )
-            )
+            # stale segment dirs die with the parked segments/ rename
+            # below; the docmap-side twins are swept by the gen_* glob
             continue
         groups.setdefault(g, []).append(f)
     parts = [

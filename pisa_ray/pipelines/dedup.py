@@ -1003,7 +1003,17 @@ def verify_pairs_jaccard(
             sh = ray.get(sh_ref)
             jac = np.empty(len(b), dtype=np.float64)
             for i, (d, r) in enumerate(zip(b["doc_id"], b["dup_of"])):
-                sa, sb = sh[int(d)], sh[int(r)]
+                try:
+                    sa, sb = sh[int(d)], sh[int(r)]
+                except KeyError as e:
+                    # same loud contract as the distributed fallback's
+                    # joined-count check (review finding: the branches
+                    # used to disagree — KeyError here, silent drop
+                    # there)
+                    raise KeyError(
+                        "verify_pairs_jaccard: candidate pair references"
+                        f" doc_id {e.args[0]} absent from docs"
+                    ) from None
                 u = len(sa | sb)
                 jac[i] = (len(sa & sb) / u) if u else 1.0
             b = b.copy()
@@ -1037,19 +1047,43 @@ def verify_pairs_jaccard(
 
         return fn
 
-    step1 = hash_join(
-        pairs,
-        sh_ds.map_batches(_rename("sh_a"), batch_format="pyarrow"),
-        on="doc_id",
-    )
-    step2 = hash_join(
-        step1,
-        sh_ds.map_batches(
-            lambda t: t.rename_columns(["dup_key", "sh_b"]),
-            batch_format="pyarrow",
+    # each doc_id appears exactly once in sh_ds, so the two inner
+    # joins can only DROP pairs (never multiply); a shortfall means a
+    # candidate referenced a doc_id absent from docs — raise the same
+    # loud error as the small branch instead of silently dropping
+    # (review finding: the branches used to disagree on this input).
+    # Checked per join (on the materialized output, so count is free)
+    # because an all-dropped first join would otherwise feed the
+    # second join a schema-less empty dataset.
+    def _expect_all(ds_joined: rd.Dataset, col: str) -> rd.Dataset:
+        ds_joined = ds_joined.materialize()
+        n = ds_joined.count()
+        if n != n_pairs:
+            raise KeyError(
+                f"verify_pairs_jaccard: {n_pairs - n} candidate "
+                f"pair(s) reference {col} doc_ids absent from docs"
+            )
+        return ds_joined
+
+    step1 = _expect_all(
+        hash_join(
+            pairs,
+            sh_ds.map_batches(_rename("sh_a"), batch_format="pyarrow"),
+            on="doc_id",
         ),
-        on="dup_of",
-        right_on="dup_key",
+        "doc_id",
+    )
+    step2 = _expect_all(
+        hash_join(
+            step1,
+            sh_ds.map_batches(
+                lambda t: t.rename_columns(["dup_key", "sh_b"]),
+                batch_format="pyarrow",
+            ),
+            on="dup_of",
+            right_on="dup_key",
+        ),
+        "dup_of",
     )
 
     def jacc(b: pa.Table) -> pa.Table:

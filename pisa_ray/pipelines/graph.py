@@ -159,6 +159,12 @@ def connected_components(
     label as singletons); ids absent from the edge list never enter —
     callers default them to themselves. max_iter is a safety rail: star contraction halves
     tree heights per round, so 50 covers any realizable input."""
+    # ONE pass over the source casts the edge list and is materialized;
+    # everything downstream (the self-loop singleton scan, round 1 of
+    # the contraction) reads the materialized Arrow blocks from the
+    # object store instead of re-decoding the input. The contraction
+    # loop materializes O(|E|) per round anyway, so this adds no new
+    # peak; spill covers overflow.
     edges = pairs.map_batches(
         lambda t: pa.table(
             {
@@ -167,7 +173,7 @@ def connected_components(
             }
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     if edges.count() == 0:
         return rd.from_arrow(
             pa.table({"id": [], "comp_id": []}, schema=_LABEL_SCHEMA)
@@ -176,19 +182,22 @@ def connected_components(
         raise ValueError("max_iter must be >= 1")
 
     # nodes appearing ONLY in self-loop edges would otherwise vanish
-    # (contraction discards u==v rows before labeling — review
-    # finding): collect their (s, s) singleton rows and inject them
-    # into the final labeling exchange, whose per-node min-reduce
-    # keeps the smaller component label for nodes proper edges also
-    # reach. Per-batch unique; the exchange dedups across batches.
+    # (round 1's large-star reduce drops u==v rows): collect their
+    # (s, s) singleton rows — a cheap scan over the ALREADY-materialized
+    # cast, not a second pass over the source — and inject them into
+    # the final labeling exchange, whose per-node min-reduce keeps the
+    # smaller component label for nodes proper edges also reach.
+    # Per-batch unique; the exchange dedups across batches. Self-loop
+    # rows stay in `edges` for round 1 — `_large_reduce` discards them
+    # (keep = vs > us) without affecting any neighborhood minimum, so
+    # no dedicated drop pass is needed.
     def self_rows_map(t: pa.Table) -> pa.Table:
-        u = t[src_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = t[dst_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, v = _edge_cols(t)
         s = np.unique(u[u == v])
         return pa.table({"u": pa.array(s), "v": pa.array(s)},
                         schema=_EDGE_SCHEMA)
 
-    self_rows = pairs.map_batches(
+    self_rows = edges.map_batches(
         self_rows_map, batch_format="pyarrow"
     ).materialize()
     if self_rows.count() == 0:
@@ -370,7 +379,7 @@ def pagerank(
     edges: rd.Dataset,
     damping: float = 0.85,
     max_iters: int = 50,
-    tol: float = 1e-9,
+    tol: float | None = 1e-9,
     n_shards: int | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
@@ -396,7 +405,10 @@ def pagerank(
     before anything crosses the wire, S apply tasks re-sum in a fixed
     order (bit-deterministic per n_shards). The driver holds only
     scalars (delta, dangling mass) and object refs; rank state lives
-    sharded in the object store. Convergence = L1 delta <= tol.
+    sharded in the object store. Convergence = L1 delta <= tol;
+    ``tol=None`` runs exactly ``max_iters`` fixed sweeps (the
+    deterministic-depth mode the driver oracle replays), no
+    convergence test or warning.
 
     Isolated nodes (never in the edge list) don't exist to PageRank;
     callers default them to (1-d)/N if needed.
@@ -507,7 +519,11 @@ def pagerank(
         scalars = ray.get([r[1] for r in results] + [r[2] for r in results])
         delta = float(sum(scalars[:S]))
         dangling = float(sum(scalars[S:]))
-        if delta <= tol:
+        # tol=None: FIXED-SWEEP mode — run exactly max_iters power
+        # iterations (the replayable/deterministic-depth contract the
+        # driver oracle and fixed-budget curation passes use); no
+        # convergence test, no non-convergence warning
+        if tol is not None and delta <= tol:
             break
     else:
         # power iteration exhausting its budget is a legitimate stop
@@ -515,15 +531,18 @@ def pagerank(
         # sampling a training mixture by rank need to know the ranks
         # are unconverged (connected_components raises in the
         # analogous state; ranks are still well-defined here, so a
-        # loud warning is the proportionate contract)
-        import warnings
+        # loud warning is the proportionate contract). In tol=None
+        # fixed-sweep mode exhausting the budget IS the contract —
+        # no warning.
+        if tol is not None:
+            import warnings
 
-        warnings.warn(
-            f"pagerank: not converged after max_iters={max_iters} "
-            f"(final L1 delta {delta:.3e} > tol {tol:.1e}); returning "
-            "the last iterate",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"pagerank: not converged after max_iters={max_iters} "
+                f"(final L1 delta {delta:.3e} > tol {tol:.1e}); returning "
+                "the last iterate",
+                stacklevel=2,
+            )
 
     @ray.remote
     def emit(node_state, rank_vals) -> pa.Table:

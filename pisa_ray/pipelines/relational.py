@@ -673,7 +673,12 @@ def range_join(
                         # non-empty left path's int upcast convention
                         out[c] = np.full(len(out), np.nan)
                     else:
-                        out[c] = pd.Series([None] * len(out), dtype=r[c].dtype)
+                        # object dtype, NOT r[c].dtype: a bool range
+                        # column would coerce None -> False, fabricating
+                        # values for misses (review finding); object
+                        # keeps them null, matching the non-empty left
+                        # path where .where() upcasts bool to object
+                        out[c] = pd.Series([None] * len(out), dtype="object")
                 return out
             return out.iloc[:0]
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -34,9 +35,44 @@ def _empty_knn_frame() -> pd.DataFrame:
 
 
 def _as_matrix(col) -> np.ndarray:
+    """(n,) list<float> column -> (n, d) float64 matrix.
+
+    Fast path: uniform-length, null-free List/LargeList/FixedSizeList
+    reshapes straight off the flattened Arrow value buffer — no
+    per-element Python object materialization (the old ``to_pylist``
+    form built n*d PyFloats per batch before the BLAS kernel ever
+    ran). Ragged, null-bearing, or non-Arrow inputs fall back to the
+    ``to_pylist`` path, which raises numpy's inhomogeneous-shape
+    error for ragged rows — the pre-existing error contract.
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    if (
+        isinstance(col, pa.Array)
+        and (
+            pa.types.is_list(col.type)
+            or pa.types.is_large_list(col.type)
+            or pa.types.is_fixed_size_list(col.type)
+        )
+        and col.null_count == 0
+    ):
+        n = len(col)
+        if n == 0:
+            d = getattr(col.type, "list_size", 0) or 0
+            return np.empty((0, d), dtype=np.float64)
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lengths[0])
+        if np.all(lengths == d):
+            flat = col.flatten()  # respects slice offsets
+            if flat.null_count == 0:
+                vals = flat.to_numpy(zero_copy_only=False)
+                return np.ascontiguousarray(vals, dtype=np.float64).reshape(
+                    n, d
+                )
+    return np.asarray(
+        col.to_pylist() if hasattr(col, "to_pylist") else col,
+        dtype=np.float64,
+    )
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

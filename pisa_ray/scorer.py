@@ -2530,15 +2530,30 @@ def query_index_sharded(
     return hash_group_apply(allhits, "query_id", merge)
 
 
-def _empty_hits() -> pa.Table:
+def _empty_hits(id_type: pa.DataType | None = None) -> pa.Table:
+    """Typed empty hits table. ``id_type`` lets merge paths keep the
+    index's doc-id dtype (uint64 in keys-mode) so an all-empty batch
+    stays concat-compatible with non-empty batches from the same
+    service (review finding: int64/uint64 schemas refuse to concat)."""
     return pa.table(
         {
             "query_id": pa.array([], type=pa.int64()),
             "rank": pa.array([], type=pa.int32()),
-            "doc_id": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=id_type or pa.int64()),
             "score": pa.array([], type=pa.float64()),
         }
     )
+
+
+def _parts_id_type(parts: list) -> pa.DataType | None:
+    """doc_id dtype carried by a list of (possibly all-empty) hit /
+    partial tables, or None when the list itself is empty."""
+    for p in parts:
+        try:
+            return p.schema.field("doc_id").type
+        except KeyError:
+            continue
+    return None
 
 
 def merge_shard_hits(parts: list, k: int) -> pa.Table:
@@ -2551,9 +2566,10 @@ def merge_shard_hits(parts: list, k: int) -> pa.Table:
     rule as the scorer's own k-cut, so results are deterministic at
     any shard count. Shared by ``query_index_sharded``'s exchange
     reducer and the persistent ``serve.ShardedBM25Service``."""
+    id_type = _parts_id_type(parts)
     parts = [p for p in parts if p.num_rows]
     if not parts:
-        return _empty_hits()
+        return _empty_hits(id_type)
     allhits = pa.concat_tables(parts).combine_chunks()
     qid = allhits["query_id"].to_numpy(zero_copy_only=False)
     doc = allhits["doc_id"].to_numpy(zero_copy_only=False)
@@ -2625,9 +2641,10 @@ def merge_partial_hits(parts: list, k: int) -> pa.Table:
     (tested), at any shard count."""
     import pyarrow.compute as pc
 
+    id_type = _parts_id_type(parts)
     parts = [p for p in parts if p.num_rows]
     if not parts:
-        return _empty_hits()
+        return _empty_hits(id_type)
     # partial tables may carry the term column dictionary-encoded (the
     # wire-size optimization) — expand locally before concat/sort
     parts = [

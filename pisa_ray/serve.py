@@ -293,16 +293,28 @@ class _PartialScorer:
     def warmup(self) -> bool:
         return True
 
-    def score_partial_batch(self, batch: pa.Table) -> pa.Table:
-        qids = batch["query_id"].to_pylist()
-        texts = batch["text"].to_pylist()
+    def _id_type(self) -> pa.DataType:
+        return pa.int64() if self.reader.id_mode == "int" else pa.uint64()
+
+    def _empty_partial(self) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=self._id_type()),
+                "contrib": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def _partial_rows(self, triples) -> pa.Table:
+        """(qid, terms, ids, contribs) tuples -> the wire-format
+        partial table (term column dictionary-encoded: a stop term has
+        ~n_docs rows, so shipping expanded strings would dominate the
+        payload; merge_partial_hits expands shard-locally)."""
         out_q, out_d, out_c = [], [], []
-        vocab: list[str] = []  # term column built dictionary-encoded:
-        codes = []  # a stop term has ~n_docs rows; no per-row Python
-        for qid, text in zip(qids, texts):
-            terms, ids, contribs = self._score_partial(
-                self.reader, text, doc_mask=self.doc_mask
-            )
+        vocab: list[str] = []
+        codes = []
+        for qid, terms, ids, contribs in triples:
             for t, d, c in zip(terms, ids, contribs):
                 out_q.append(np.full(d.size, qid, dtype=np.int64))
                 codes.append(np.full(d.size, len(vocab), dtype=np.int32))
@@ -310,21 +322,7 @@ class _PartialScorer:
                 out_d.append(d)
                 out_c.append(c)
         if not out_q:
-            id_type = (
-                pa.int64() if self.reader.id_mode == "int" else pa.uint64()
-            )
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "term": pa.array([], type=pa.string()),
-                    "doc_id": pa.array([], type=id_type),
-                    "contrib": pa.array([], type=pa.float64()),
-                }
-            )
-        # stays dictionary-typed ACROSS the wire: a stop term has
-        # ~n_docs rows, so shipping expanded strings would dominate
-        # the partial-row payload; merge_partial_hits expands shard-
-        # locally after transfer
+            return self._empty_partial()
         term_col = pa.DictionaryArray.from_arrays(
             pa.array(np.concatenate(codes)), pa.array(vocab, type=pa.string())
         )
@@ -339,11 +337,280 @@ class _PartialScorer:
             }
         )
 
+    def score_partial_batch(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        triples = []
+        for qid, text in zip(qids, texts):
+            terms, ids, contribs = self._score_partial(
+                self.reader, text, doc_mask=self.doc_mask
+            )
+            triples.append((qid, terms, ids, contribs))
+        return self._partial_rows(triples)
+
+    # ---- pruned protocol (TPUT-style distributed top-k; Cao & Wang
+    # 2004 / the Fagin threshold-algorithm family — public literature).
+    # Three phases per batch, driven by serve._tput_merge: (1) each
+    # shard ships its per-query LOCAL top-k docs by shard-local score
+    # sum plus its max-possible contribution U; (2) the coordinator
+    # sets a per-query threshold t = tau/S (tau = k-th best pooled
+    # lower bound) and shards ship every (doc, local_sum) >= t - eps;
+    # (3) only docs whose upper bound can still reach the k-th lower
+    # bound get their exact per-term partial rows shipped, and the
+    # standard merge re-sums them in global sorted-term float64 order
+    # — so the final scores/ranks stay BIT-identical to TAAT; pruning
+    # only shrinks the wire payload, never changes arithmetic. The
+    # eps rail absorbs float addition-order slack in the BOUNDS
+    # (local sums are order-free np.add.at); bounds are only ever
+    # used to keep/drop candidates, with eps erring toward keep.
+
+    def tput_phase1(self, batch: pa.Table, k: int, tag: int):
+        # a crashed earlier protocol round with this tag would leak
+        # its cache entries; same-tag phase1 resets them
+        self._tput_cache = getattr(self, "_tput_cache", {})
+        for key in [key for key in self._tput_cache if key[0] == tag]:
+            del self._tput_cache[key]
+        if len(self._tput_cache) > 8192:  # stale-protocol backstop
+            self._tput_cache.clear()
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        top_q, top_d, top_s = [], [], []
+        ub_q, ub_v = [], []
+        id_dtype = np.int64 if self.reader.id_mode == "int" else np.uint64
+        for qid, text in zip(qids, texts):
+            terms, ids, contribs = self._score_partial(
+                self.reader, text, doc_mask=self.doc_mask
+            )
+            if ids:
+                all_ids = np.concatenate(ids)
+                all_c = np.concatenate(contribs)
+                uids, inv = np.unique(all_ids, return_inverse=True)
+                ls = np.zeros(uids.size, dtype=np.float64)
+                np.add.at(ls, inv, all_c)
+                ub = float(sum(c.max() for c in contribs))
+            else:
+                uids = np.empty(0, dtype=id_dtype)
+                ls = np.empty(0, dtype=np.float64)
+                ub = 0.0
+            self._tput_cache[(tag, int(qid))] = (terms, ids, contribs,
+                                                 uids, ls)
+            sel = np.lexsort((uids, -ls))[: min(k, uids.size)]
+            top_q.append(np.full(sel.size, qid, dtype=np.int64))
+            top_d.append(uids[sel])
+            top_s.append(ls[sel])
+            ub_q.append(int(qid))
+            ub_v.append(ub)
+        cat = (
+            lambda parts, dt: np.concatenate(parts)
+            if parts
+            else np.empty(0, dtype=dt)
+        )
+        topk = pa.table(
+            {
+                "query_id": pa.array(cat(top_q, np.int64), type=pa.int64()),
+                "doc_id": pa.array(cat(top_d, id_dtype), type=self._id_type()),
+                "ls": pa.array(cat(top_s, np.float64), type=pa.float64()),
+            }
+        )
+        ubs = pa.table(
+            {
+                "query_id": pa.array(ub_q, type=pa.int64()),
+                "ub": pa.array(ub_v, type=pa.float64()),
+            }
+        )
+        return topk, ubs
+
+    def tput_phase2(self, thresholds: pa.Table, tag: int) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        id_dtype = np.int64 if self.reader.id_mode == "int" else np.uint64
+        for qid, t in zip(
+            thresholds["query_id"].to_pylist(),
+            thresholds["t"].to_pylist(),
+        ):
+            ent = self._tput_cache.get((tag, int(qid)))
+            if ent is None:
+                continue
+            _, _, _, uids, ls = ent
+            sel = ls >= t - _TPUT_EPS
+            out_q.append(np.full(int(sel.sum()), qid, dtype=np.int64))
+            out_d.append(uids[sel])
+            out_s.append(ls[sel])
+        cat = (
+            lambda parts, dt: np.concatenate(parts)
+            if parts
+            else np.empty(0, dtype=dt)
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(cat(out_q, np.int64), type=pa.int64()),
+                "doc_id": pa.array(cat(out_d, id_dtype), type=self._id_type()),
+                "ls": pa.array(cat(out_s, np.float64), type=pa.float64()),
+            }
+        )
+
+    def tput_phase3(self, cand: pa.Table, tag: int) -> pa.Table:
+        cq = cand["query_id"].to_numpy(zero_copy_only=False)
+        cd = cand["doc_id"].to_numpy(zero_copy_only=False)
+        triples = []
+        for key in [key for key in self._tput_cache if key[0] == tag]:
+            terms, ids, contribs, _, _ = self._tput_cache.pop(key)
+            qid = key[1]
+            want = np.sort(cd[cq == qid])
+            f_t, f_i, f_c = [], [], []
+            if want.size:
+                for t, d, c in zip(terms, ids, contribs):
+                    pos = np.searchsorted(want, d)
+                    pos_c = np.minimum(pos, want.size - 1)
+                    hit = want[pos_c] == d
+                    if hit.any():
+                        f_t.append(t)
+                        f_i.append(d[hit])
+                        f_c.append(c[hit])
+            triples.append((qid, f_t, f_i, f_c))
+        return self._partial_rows(triples)
+
 
 @ray.remote(num_cpus=1)
 def _merge_partials(k: int, *parts: pa.Table) -> pa.Table:
     from .scorer import merge_partial_hits
 
+    return merge_partial_hits(list(parts), k)
+
+
+# absolute slack for the pruning BOUNDS (never the scores): local sums
+# are order-free float64 adds whose result can differ from the exact
+# sorted-term merge by ~1e-12 at realistic magnitudes; eps errs every
+# comparison toward KEEPING a candidate, so exactness never rides on it
+_TPUT_EPS = 1e-6
+
+
+@ray.remote(num_cpus=1)
+def _tput_merge(k: int, sl: pa.Table, tag: int, *actors) -> pa.Table:
+    """Coordinator for the pruned (TPUT-style) term-sharded protocol —
+    runs plasma-local like _merge_partials; the driver only ever sees
+    the final top-k rows. See _PartialScorer.tput_phase1 for the
+    protocol and its exactness argument."""
+    from .scorer import merge_partial_hits
+
+    S = len(actors)
+    qids = [int(q) for q in sl["query_id"].to_pylist()]
+    h1 = ray.get([a.tput_phase1.remote(sl, k, tag) for a in actors])
+
+    # per (shard, query) -> (docs, local sums), merged across phases.
+    # All bound math below is vectorized per (query, shard) — no
+    # per-doc Python loops (stop-heavy queries surface ~n_docs rows).
+    seen: list[dict[int, tuple]] = [dict() for _ in range(S)]
+    ub_s: list[dict[int, float]] = [dict() for _ in range(S)]
+
+    def absorb(s: int, tbl: pa.Table) -> None:
+        q = tbl["query_id"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        v = tbl["ls"].to_numpy(zero_copy_only=False)
+        order = np.argsort(q, kind="stable")
+        q, d, v = q[order], d[order], v[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(q)) + 1, [q.size])
+        )
+        for i in range(starts.size - 1):
+            lo, hi = starts[i], starts[i + 1]
+            if lo == hi:
+                continue
+            qid = int(q[lo])
+            prev = seen[s].get(qid)
+            dd, vv = d[lo:hi], v[lo:hi]
+            if prev is not None:  # phase-1 rows re-ship in phase 2:
+                pd_, pv = prev  # dedupe by doc (values identical)
+                dd = np.concatenate([pd_, dd])
+                vv = np.concatenate([pv, vv])
+            o = np.argsort(dd, kind="stable")
+            dd, vv = dd[o], vv[o]
+            keep = np.concatenate(([True], dd[1:] != dd[:-1]))
+            seen[s][qid] = (dd[keep], vv[keep])
+
+    for s, (topk, ubs) in enumerate(h1):
+        absorb(s, topk)
+        ub_s[s] = dict(
+            zip(ubs["query_id"].to_pylist(), ubs["ub"].to_pylist())
+        )
+
+    def kth_largest(vals: np.ndarray) -> float | None:
+        if vals.size < k:
+            return None
+        return float(np.partition(vals, vals.size - k)[vals.size - k])
+
+    # tau = k-th best pooled lower bound from the phase-1 samples
+    t_rows = []
+    for qid in qids:
+        parts_d = [seen[s][qid][0] for s in range(S) if qid in seen[s]]
+        parts_v = [seen[s][qid][1] for s in range(S) if qid in seen[s]]
+        if parts_d:
+            alld = np.concatenate(parts_d)
+            allv = np.concatenate(parts_v)
+            u, inv = np.unique(alld, return_inverse=True)
+            pooled = np.zeros(u.size, dtype=np.float64)
+            np.add.at(pooled, inv, allv)
+            tau = kth_largest(pooled)
+        else:
+            tau = None
+        t_rows.append(max(tau / S, 0.0) if tau is not None else 0.0)
+    t_tbl = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "t": pa.array(t_rows, type=pa.float64()),
+        }
+    )
+    h2 = ray.get([a.tput_phase2.remote(t_tbl, tag) for a in actors])
+    for s, tbl in enumerate(h2):
+        absorb(s, tbl)
+
+    # bounds over everything seen; candidates = ub can reach tau2
+    id_type = h1[0][0].schema.field("doc_id").type if h1 else pa.int64()
+    c_q: list[np.ndarray] = []
+    c_d: list[np.ndarray] = []
+    for qi, qid in enumerate(qids):
+        t_q = t_rows[qi]
+        parts_d = [seen[s].get(qid, (None,))[0] for s in range(S)]
+        live = [d for d in parts_d if d is not None and d.size]
+        if not live:
+            continue
+        union = np.unique(np.concatenate(live))
+        lb = np.zeros(union.size, dtype=np.float64)
+        ub = np.zeros(union.size, dtype=np.float64)
+        for s in range(S):
+            ent = seen[s].get(qid)
+            miss = min(t_q, ub_s[s].get(qid, 0.0))
+            if ent is None or ent[0].size == 0:
+                ub += miss
+                continue
+            dd, vv = ent
+            pos = np.searchsorted(union, dd)  # dd subset of union
+            v_full = np.zeros(union.size, dtype=np.float64)
+            v_full[pos] = vv
+            reported = np.zeros(union.size, dtype=bool)
+            reported[pos] = True
+            lb += v_full
+            ub += np.where(reported, v_full, miss)
+        tau2 = kth_largest(lb)
+        kept = (
+            np.ones(union.size, dtype=bool)
+            if tau2 is None
+            else ub + _TPUT_EPS >= tau2
+        )
+        c_q.append(np.full(int(kept.sum()), qid, dtype=np.int64))
+        c_d.append(union[kept])
+    cand = pa.table(
+        {
+            "query_id": pa.array(
+                np.concatenate(c_q) if c_q else np.empty(0, np.int64),
+                type=pa.int64(),
+            ),
+            "doc_id": pa.array(
+                np.concatenate(c_d) if c_d else np.empty(0, np.int64),
+                type=id_type,
+            ),
+        }
+    )
+    parts = ray.get([a.tput_phase3.remote(cand, tag) for a in actors])
     return merge_partial_hits(list(parts), k)
 
 
@@ -375,14 +642,26 @@ class TermShardedBM25Service:
         n_shards: int = 4,
         k: int = 10,
         doc_filter: tuple[str, object] | None = None,
+        prune: bool = False,
     ):
         self.k = k
         self.n_shards = n_shards
+        # prune=True switches to the TPUT-style three-phase protocol
+        # (_PartialScorer.tput_phase1 docstring): shard-local top-k
+        # sampling + a pooled threshold bound only CANDIDATE docs'
+        # exact per-term rows onto the wire, cutting the structural
+        # partial-shipping cost of term partitioning. Results stay
+        # bit-identical to TAAT (phase 3 re-sums exactly; tested +
+        # bench-asserted). Costs 3 actor round-trips per batch, so it
+        # pays when per-term df is large (stop-heavy query mixes),
+        # not on rare-term mixes.
+        self.prune = prune
         actor_cls = ray.remote(num_cpus=1)(_PartialScorer)
         self.actors = [
             actor_cls.remote(index_dir, i, n_shards, doc_filter=doc_filter)
             for i in range(n_shards)
         ]
+        self._seq = 0
         ray.get([a.warmup.remote() for a in self.actors])
 
     def query(self, queries, batch_size: int = 64) -> pa.Table:
@@ -396,8 +675,19 @@ class TermShardedBM25Service:
         merged = []
         for off in range(0, queries.num_rows, batch_size):
             sl = queries.slice(off, batch_size)
-            parts = [a.score_partial_batch.remote(sl) for a in self.actors]
-            merged.append(_merge_partials.remote(self.k, *parts))
+            if self.prune:
+                # unique protocol tag: concurrent query() calls and
+                # overlapping batches must not collide actor caches
+                self._seq += 1
+                tag = (self._seq << 32) | off
+                merged.append(
+                    _tput_merge.remote(self.k, sl, tag, *self.actors)
+                )
+            else:
+                parts = [
+                    a.score_partial_batch.remote(sl) for a in self.actors
+                ]
+                merged.append(_merge_partials.remote(self.k, *parts))
         out = ray.get(merged)
         return pa.concat_tables(out) if out else _empty_hits()
 

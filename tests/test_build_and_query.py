@@ -1280,7 +1280,9 @@ def test_synonym_expansion(tiny_index):
     from pisa_ray.scorer import IndexReader, query_index, score_taat
 
     r = IndexReader(tiny_index)
-    terms = sorted(r.df, key=lambda t: -r.df[t])
+    # int() first: df values are uint64, unary minus on the numpy
+    # scalar emits "overflow in scalar negative" (and wraps)
+    terms = sorted(r.df, key=lambda t: -int(r.df[t]))
     a, b, c = terms[0], terms[1], terms[2]
     syn = {a: [b, c]}
     q = rd.from_items([{"query_id": 0, "text": a}])

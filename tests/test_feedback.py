@@ -154,7 +154,7 @@ def test_rm3_keys_mode_forward_lookup(tiny_index):
 
     r = IndexReader(tiny_index)
     # pick real vocabulary from the index (synth corpus: keywords+vars)
-    terms = sorted(r.df, key=lambda t: -r.df[t])[:2]
+    terms = sorted(r.df, key=lambda t: -int(r.df[t]))[:2]
     text = " ".join(terms)
     got = score_rm3(r, tiny_index, text, k=5)
     assert len(got) == 5

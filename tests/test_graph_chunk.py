@@ -11,8 +11,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _uf_oracle(edges):
-    """Tiny union-find: id -> min reachable id. Self loops are skipped,
-    matching the operator contract (covers ids with >=1 proper edge)."""
+    """Tiny union-find: id -> min reachable id. Covers every id that
+    appears in the edge list, INCLUDING nodes whose only edges are
+    self-loops (they label as singletons) — the operator contract."""
     parent = {}
 
     def find(x):
@@ -24,6 +25,7 @@ def _uf_oracle(edges):
 
     for a, b in edges:
         if a == b:
+            find(a)  # node enters the id universe, no merge
             continue
         ra, rb = find(a), find(b)
         if ra != rb:
@@ -75,14 +77,17 @@ def test_cc_empty_and_self_loops():
 
     empty = rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": []}))
     assert connected_components(empty).count() == 0
-    # self loops alone contribute no proper edges
-    assert _cc([(5, 5), (1, 2), (2, 2)]) == {1: 1, 2: 1}
-    # an input of ONLY self loops converges to zero edges but must
-    # still emit the (id, comp_id) schema
+    # a self-loop-only node (5) labels as its own singleton; a node
+    # with both a self loop and a proper edge (2) takes the component
+    # label, not the singleton one
+    assert _cc([(5, 5), (1, 2), (2, 2)]) == {1: 1, 2: 1, 5: 5}
+    # an input of ONLY self loops emits one singleton row per node
     only_self = connected_components(
         rd.from_pandas(pd.DataFrame({"id_a": [3, 4], "id_b": [3, 4]}))
     )
-    assert only_self.count() == 0
+    df = only_self.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df["id"]) == [3, 4]
+    assert list(df["comp_id"]) == [3, 4]
     assert set(only_self.schema().names) == {"id", "comp_id"}
 
 

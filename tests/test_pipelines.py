@@ -97,6 +97,27 @@ def test_minhash_distributed_verify_matches_driver_path(docs):
         assert flagged.get(did, did) < did
 
 
+def test_verify_pairs_missing_doc_raises_on_both_branches(docs):
+    """A candidate pair referencing a doc_id absent from docs must
+    raise the SAME loud KeyError on the driver branch and the
+    distributed fallback (review finding: the fallback used to drop
+    the pair silently, so behavior depended on max_driver_pairs)."""
+    import ray
+
+    from pisa_ray.pipelines.dedup import verify_pairs_jaccard
+
+    base = docs.to_pandas()[["doc_id", "text"]].head(10)
+    good = int(base["doc_id"].iloc[0])
+    pairs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [999_999_999], "dup_of": [good]})
+    )
+    ds = rd.from_pandas(base)
+    with pytest.raises((KeyError, ray.exceptions.RayTaskError)):
+        verify_pairs_jaccard(ds, pairs, threshold=0.5)
+    with pytest.raises(KeyError):
+        verify_pairs_jaccard(ds, pairs, threshold=0.5, max_driver_pairs=0)
+
+
 def test_minhash_deterministic(docs):
     from pisa_ray.pipelines.dedup import minhash_lsh_dedup
 
@@ -134,6 +155,56 @@ def test_embedding_dedup_planted(emb):
 
 
 # -- similarity -----------------------------------------------------------
+
+
+def test_as_matrix_fast_path_bit_identical_to_pylist():
+    """The zero-copy flatten+reshape decode must produce the exact
+    same float64 matrix as the old to_pylist path on every Arrow list
+    layout it fast-paths, and must still raise on ragged input."""
+    from pisa_ray.pipelines.similarity import _as_matrix
+
+    rng = np.random.default_rng(7)
+    rows = rng.standard_normal((13, 4))
+    want = rows.astype(np.float64)
+
+    lists = [list(map(float, r)) for r in rows]
+    cases = {
+        "list_f64": pa.array(lists, type=pa.list_(pa.float64())),
+        "large_list_f32": pa.array(
+            lists, type=pa.large_list(pa.float32())
+        ),
+        "fixed_size_list": pa.array(
+            lists, type=pa.list_(pa.float64(), 4)
+        ),
+    }
+    for name, arr in cases.items():
+        got = _as_matrix(arr)
+        ref = np.asarray(arr.to_pylist(), dtype=np.float64)
+        assert got.dtype == np.float64 and got.shape == (13, 4), name
+        assert np.array_equal(got, ref), name
+        if name == "list_f64":
+            assert np.array_equal(got, want)
+        # sliced (non-zero offset) views must respect the offset
+        got_slice = _as_matrix(arr.slice(3, 6))
+        assert np.array_equal(
+            got_slice, np.asarray(arr.slice(3, 6).to_pylist(), np.float64)
+        ), name
+        # chunked columns take the combine_chunks path
+        ch = pa.chunked_array([arr.slice(0, 5), arr.slice(5)])
+        assert np.array_equal(_as_matrix(ch), ref), name
+
+    empty = pa.array([], type=pa.list_(pa.float64()))
+    assert _as_matrix(empty).shape[0] == 0
+
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        _as_matrix(ragged)
+
+    # null rows must not silently misalign: they take the fallback,
+    # which raises (None is not convertible to float64 matrix rows)
+    with_null = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))
+    with pytest.raises((ValueError, TypeError)):
+        _as_matrix(with_null)
 
 
 def test_brute_knn_matches_numpy_oracle(emb):

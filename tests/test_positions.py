@@ -325,7 +325,7 @@ def test_keys_mode_phrase_emits_uint64(tmp_path):
     )
     r = IndexReader(idx)
     # two co-occurring common terms guarantee at least one adjacency hit
-    terms = sorted(r.df, key=lambda t: -r.df[t])[:2]
+    terms = sorted(r.df, key=lambda t: -int(r.df[t]))[:2]
     out = phrase_search_index([(0, terms[0])], idx)
     assert len(out) > 0
     assert out["doc_id"].dtype == np.uint64

@@ -75,6 +75,65 @@ def test_term_sharded_bit_identical_to_taat(ts_index):
         ), n_shards
 
 
+def test_term_sharded_all_oov_batch_concats_with_hits(ts_index):
+    """batch_size=1 isolates the OOV query into an all-empty batch;
+    its merge result must carry the SAME doc_id dtype as the hit
+    batches (uint64 in keys-mode) or the final concat_tables raises
+    ArrowInvalid (review finding)."""
+    from pisa_ray.serve import TermShardedBM25Service
+
+    qt = _queries()
+    svc = TermShardedBM25Service(ts_index, n_shards=2, k=10)
+    got = svc.query(qt, batch_size=1).to_pandas()
+    want = svc.query(qt, batch_size=6).to_pandas()
+    # an all-OOV-only service call stays typed too
+    oov_only = svc.query(qt.slice(3, 1)).to_pandas()
+    svc.shutdown()
+    assert len(oov_only) == 0
+    for df in (got, oov_only):
+        assert df["doc_id"].dtype == want["doc_id"].dtype
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_term_sharded_pruned_bit_identical_to_taat(ts_index):
+    """prune=True (TPUT-style three-phase protocol) must return the
+    EXACT same table as TAAT and as the unpruned service — pruning
+    bounds only shrink the wire payload; phase 3 re-sums exactly."""
+    from pisa_ray.scorer import query_index
+    from pisa_ray.serve import TermShardedBM25Service
+
+    qt = _queries()
+    want = (
+        query_index(rd.from_arrow(qt), ts_index, k=10, method="taat",
+                    concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    for n_shards in (1, 3):
+        svc = TermShardedBM25Service(
+            ts_index, n_shards=n_shards, k=10, prune=True
+        )
+        # batch_size=2 exercises multi-batch tags AND an all-OOV-ish
+        # batch split; k larger than some result sets exercises the
+        # tau=None no-prune path
+        got = (
+            svc.query(qt, batch_size=2)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        svc.shutdown()
+        assert got["query_id"].tolist() == want["query_id"].tolist(), n_shards
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), n_shards
+        assert np.array_equal(
+            got["score"].to_numpy(), want["score"].to_numpy()
+        ), n_shards
+
+
 def test_term_shard_readers_partition_the_vocabulary(ts_index):
     from pisa_ray.scorer import IndexReader, term_shard_of
 
