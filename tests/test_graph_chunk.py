@@ -852,6 +852,32 @@ def test_pagerank_vs_numpy_oracle():
     assert abs(sum(got.values()) - 1.0) <= 1e-9
 
 
+def test_pagerank_fixed_sweep_mode():
+    """tol=None runs EXACTLY max_iters power sweeps (the driver-oracle
+    replay contract): matches the numpy oracle at the same sweep
+    count, emits no non-convergence warning, and differs from the
+    converged fixpoint (proving it really stopped at the budget)."""
+    import warnings
+
+    rng = np.random.default_rng(13)
+    n = 40
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 150), rng.integers(0, n, 150))
+        }
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any pagerank warning -> fail
+        got = _pr_run(edges, tol=None, max_iters=3, n_shards=2)
+    want = _pr_numpy(edges, tol=-1.0, iters=3)  # tol<0: never breaks
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) <= 1e-12, key
+    converged = _pr_numpy(edges, tol=1e-14, iters=500)
+    assert max(abs(got[key] - converged[key]) for key in want) > 1e-9
+
+
 def test_pagerank_known_graphs():
     # 3-cycle: symmetric -> uniform ranks
     got = _pr_run([(0, 1), (1, 2), (2, 0)], n_shards=3, tol=1e-13, max_iters=300)

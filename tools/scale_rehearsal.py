@@ -132,6 +132,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--queries", type=int, default=1000)
     ap.add_argument("--configs", default="single,sharded")
+    ap.add_argument("--term-queries", type=int, default=100,
+                    dest="term_queries")
     args = ap.parse_args()
 
     import ray
@@ -242,6 +244,31 @@ def main() -> None:
         assert serve_digest == digests[name], (
             f"sharded-serve digest diverged from TAAT on {name}"
         )
+
+        # Term-sharded tier, plain vs prune=True (TPUT) — the pruning
+        # exists FOR this scale (wire cost ∝ query-term df, and stop
+        # terms here have ~n_docs postings); smaller burst, digest
+        # compared on the same query prefix.
+        from pisa_ray.serve import TermShardedBM25Service
+
+        n_tsq = min(args.term_queries, args.queries)
+        ts_qt = qt.slice(0, n_tsq)
+        ref_digest = digest_of(
+            hits[hits["query_id"] < n_tsq]
+        )
+        ts_stats = {}
+        for label, prune in (("term_sharded", False),
+                             ("term_sharded_pruned", True)):
+            tsvc = TermShardedBM25Service(idx, n_shards=4, k=10, prune=prune)
+            t0 = time.perf_counter()
+            th = tsvc.query(ts_qt, batch_size=32).to_pandas()
+            ts_s = time.perf_counter() - t0
+            tsvc.shutdown()
+            assert digest_of(th) == ref_digest, (
+                f"{label} digest diverged from TAAT on {name}"
+            )
+            ts_stats[f"{label}_sec"] = round(ts_s, 2)
+            ts_stats[f"{label}_qps"] = round(n_tsq / ts_s, 1)
         idx_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(idx) for f in fs
@@ -261,6 +288,9 @@ def main() -> None:
             "serve_qps": round(args.queries / serve_s, 1),
             "serve_shards": n_sh,
             "serve_matches_taat": True,  # asserted above
+            **ts_stats,
+            "term_queries": n_tsq,
+            "term_sharded_matches_taat": True,  # asserted above
             "hits": int(len(hits)),
             "digest": digests[name],
             "peak_mem_gib": round(mon.peak, 2),
