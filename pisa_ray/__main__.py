@@ -306,6 +306,13 @@ def main(argv: list[str] | None = None) -> int:
         "the TERM dictionary's postings (taat-exact; excludes --shards, "
         "--method, --filter work as usual except method is fixed taat)",
     )
+    s.add_argument(
+        "--prune",
+        action="store_true",
+        help="with --term-shards: TPUT-style three-phase pruned protocol "
+        "(only candidate docs' exact partial rows cross the wire; results "
+        "stay bit-identical to TAAT)",
+    )
     s.add_argument("--filter", default=None, help="col=value metadata predicate")
     s.add_argument("--repeat", type=int, default=1, help="re-run the burst N times (warm-pool QPS)")
     s.add_argument("--out", default=None, help="output parquet dir (default: summary to stdout)")
@@ -661,6 +668,8 @@ def main(argv: list[str] | None = None) -> int:
             col, _, val = args.filter.partition("=")
             doc_filter = (col, val)
         queries = pq.read_table(args.queries)
+        if args.prune and args.term_shards <= 1:
+            raise SystemExit("--prune requires --term-shards > 1")
         if args.term_shards > 1:
             if args.shards > 1:
                 raise SystemExit(
@@ -678,6 +687,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=args.term_shards,
                 k=args.k,
                 doc_filter=doc_filter,
+                prune=args.prune,
             )
         elif args.shards > 1:
             with open(os.path.join(args.index, "manifest.json")) as f:
