@@ -171,16 +171,10 @@ def main() -> None:
         results[f"bm25_{method}_hits"] = len(hits)
         # canonical digest: the scaling harness asserts N and 4N (and
         # taat vs auto) return IDENTICAL top-k, not just similar times
-        import hashlib as _hl
+        # (payload format lives once, in scorer.hits_digest)
+        from pisa_ray.scorer import hits_digest
 
-        canon = hits.sort_values(["query_id", "rank"])
-        payload = "|".join(
-            f"{q},{r},{d},{s:.9f}"
-            for q, r, d, s in zip(
-                canon["query_id"], canon["rank"], canon["doc_id"], canon["score"]
-            )
-        )
-        results[f"bm25_{method}_digest"] = _hl.md5(payload.encode()).hexdigest()
+        results[f"bm25_{method}_digest"] = hits_digest(hits)
 
     if "maxscore" in methods:
         results["bm25_maxscore_matches_taat"] = (
@@ -278,16 +272,10 @@ def main() -> None:
         N_QUERIES / (time.perf_counter() - t0), 1
     )
     svc.shutdown()
-    import hashlib as _hl
+    from pisa_ray.scorer import hits_digest
 
+    results["bm25_serve_digest"] = hits_digest(shits)
     canon = shits.sort_values(["query_id", "rank"])
-    payload = "|".join(
-        f"{q},{r},{d},{s:.9f}"
-        for q, r, d, s in zip(
-            canon["query_id"], canon["rank"], canon["doc_id"], canon["score"]
-        )
-    )
-    results["bm25_serve_digest"] = _hl.md5(payload.encode()).hexdigest()
 
     # ---- term-sharded (vocabulary-partitioned) serving ------------------
     # per-query cost is structurally higher than doc sharding (every

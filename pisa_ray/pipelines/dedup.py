@@ -1058,7 +1058,15 @@ def verify_pairs_jaccard(
     def _expect_all(ds_joined: rd.Dataset, col: str) -> rd.Dataset:
         ds_joined = ds_joined.materialize()
         n = ds_joined.count()
-        if n != n_pairs:
+        if n > n_pairs:
+            # inner joins can only multiply when the shingle side has
+            # repeated doc_ids — a malformed docs input, not missing
+            # candidates; say so instead of a negative "absent" count
+            raise ValueError(
+                f"verify_pairs_jaccard: docs contains duplicate doc_ids "
+                f"({col} join emitted {n} rows for {n_pairs} pairs)"
+            )
+        if n < n_pairs:
             raise KeyError(
                 f"verify_pairs_jaccard: {n_pairs - n} candidate "
                 f"pair(s) reference {col} doc_ids absent from docs"

@@ -2530,6 +2530,25 @@ def query_index_sharded(
     return hash_group_apply(allhits, "query_id", merge)
 
 
+def hits_digest(df) -> str:
+    """Canonical md5 digest of a hits frame (query_id, rank, doc_id,
+    score) — THE cross-tool rank-identity format (bench.py, the scale
+    rehearsal, scaling-protocol legs all compare these strings, so the
+    payload format lives exactly once)."""
+    import hashlib as _hl
+
+    canon = df.sort_values(["query_id", "rank"])
+    return _hl.md5(
+        "|".join(
+            f"{q},{r},{d},{s:.9f}"
+            for q, r, d, s in zip(
+                canon["query_id"], canon["rank"],
+                canon["doc_id"], canon["score"],
+            )
+        ).encode()
+    ).hexdigest()
+
+
 def _empty_hits(id_type: pa.DataType | None = None) -> pa.Table:
     """Typed empty hits table. ``id_type`` lets merge paths keep the
     index's doc-id dtype (uint64 in keys-mode) so an all-empty batch

@@ -73,6 +73,19 @@ class _ServeScorer(BM25Scorer):
         return True
 
 
+def _index_id_type(index_dir: str) -> "pa.DataType":
+    """doc-id dtype of an index from its stats.json (cheap metadata
+    read) — lets every service return TYPED empty hits for empty query
+    tables, so callers' concat_tables never sees an int64 empty next
+    to keys-mode uint64 hits (review finding)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "stats.json")) as f:
+        mode = _json.load(f).get("id_mode", "keys")
+    return pa.int64() if mode == "int" else pa.uint64()
+
+
 class BM25Service:
     """N persistent scorer actors over one broadcast index.
 
@@ -107,6 +120,7 @@ class BM25Service:
             kwargs["mask_box"] = [
                 ray.put(load_doc_filter(index_dir, doc_filter[0], doc_filter[1]))
             ]
+        self._id_type = _index_id_type(index_dir)
         actor_cls = ray.remote(num_cpus=1)(_ServeScorer)
         self.actors = [actor_cls.remote(**kwargs) for _ in range(num_actors)]
         # one no-op round so __init__ (index map-in) finishes before the
@@ -168,7 +182,7 @@ class BM25Service:
         """queries: pyarrow Table / pandas DataFrame with (query_id,
         text) -> hits Table (query_id, rank, doc_id, score)."""
         parts = ray.get(self.submit(queries, batch_size=batch_size))
-        return pa.concat_tables(parts) if parts else _empty_hits()
+        return pa.concat_tables(parts) if parts else _empty_hits(self._id_type)
 
     def query_texts(self, texts: list[str], batch_size: int = 32) -> pa.Table:
         return self.query(
@@ -232,6 +246,8 @@ class ShardedBM25Service:
         futs = []
         for svc in self.services:
             futs.extend(svc.submit(queries, batch_size=batch_size))
+        if not futs:
+            return _empty_hits(self.services[0]._id_type)
         return merge_shard_hits(ray.get(futs), self.k)
 
     def query_texts(self, texts: list[str], batch_size: int = 32) -> pa.Table:
@@ -259,6 +275,11 @@ class ShardedBM25Service:
         self.services = []
 
 
+def _cat(parts, dt):
+    """Empty-safe np.concatenate with an explicit empty dtype."""
+    return np.concatenate(parts) if parts else np.empty(0, dtype=dt)
+
+
 class _PartialScorer:
     """Term-shard actor: holds the postings of ONE vocabulary slice
     (IndexReader(term_shard=(i, S))) and returns per-term PARTIAL
@@ -274,6 +295,10 @@ class _PartialScorer:
         self._shard = (shard, n_shards)
         self._doc_filter = doc_filter
         self._score_partial = score_partial
+        # pruned-protocol state: (tag, qid) -> (mono_ts, terms, ids,
+        # contribs, uids, local_sums); entries live for one batch's
+        # three phases and are popped in phase 3
+        self._tput_cache: dict = {}
         self.reload()
 
     def reload(self) -> bool:
@@ -364,19 +389,34 @@ class _PartialScorer:
     # (local sums are order-free np.add.at); bounds are only ever
     # used to keep/drop candidates, with eps erring toward keep.
 
+    def _np_id_dtype(self):
+        return np.int64 if self.reader.id_mode == "int" else np.uint64
+
     def tput_phase1(self, batch: pa.Table, k: int, tag: int):
+        import time as _time
+
         # a crashed earlier protocol round with this tag would leak
-        # its cache entries; same-tag phase1 resets them
-        self._tput_cache = getattr(self, "_tput_cache", {})
+        # its cache entries; same-tag phase1 resets them. The backstop
+        # evicts only STALE entries (a protocol spans seconds; one
+        # hour dead = a crashed/cancelled coordinator) — clearing
+        # live tags would silently empty concurrent batches' results
+        # (review finding), and phases 2/3 now raise on a missing
+        # entry instead of degrading.
+        now = _time.monotonic()
         for key in [key for key in self._tput_cache if key[0] == tag]:
             del self._tput_cache[key]
-        if len(self._tput_cache) > 8192:  # stale-protocol backstop
-            self._tput_cache.clear()
+        if len(self._tput_cache) > 8192:
+            for key in [
+                key
+                for key, ent in self._tput_cache.items()
+                if now - ent[0] > 3600.0
+            ]:
+                del self._tput_cache[key]
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
         top_q, top_d, top_s = [], [], []
         ub_q, ub_v = [], []
-        id_dtype = np.int64 if self.reader.id_mode == "int" else np.uint64
+        id_dtype = self._np_id_dtype()
         for qid, text in zip(qids, texts):
             terms, ids, contribs = self._score_partial(
                 self.reader, text, doc_mask=self.doc_mask
@@ -392,7 +432,7 @@ class _PartialScorer:
                 uids = np.empty(0, dtype=id_dtype)
                 ls = np.empty(0, dtype=np.float64)
                 ub = 0.0
-            self._tput_cache[(tag, int(qid))] = (terms, ids, contribs,
+            self._tput_cache[(tag, int(qid))] = (now, terms, ids, contribs,
                                                  uids, ls)
             sel = np.lexsort((uids, -ls))[: min(k, uids.size)]
             top_q.append(np.full(sel.size, qid, dtype=np.int64))
@@ -400,11 +440,7 @@ class _PartialScorer:
             top_s.append(ls[sel])
             ub_q.append(int(qid))
             ub_v.append(ub)
-        cat = (
-            lambda parts, dt: np.concatenate(parts)
-            if parts
-            else np.empty(0, dtype=dt)
-        )
+        cat = _cat
         topk = pa.table(
             {
                 "query_id": pa.array(cat(top_q, np.int64), type=pa.int64()),
@@ -422,24 +458,27 @@ class _PartialScorer:
 
     def tput_phase2(self, thresholds: pa.Table, tag: int) -> pa.Table:
         out_q, out_d, out_s = [], [], []
-        id_dtype = np.int64 if self.reader.id_mode == "int" else np.uint64
+        id_dtype = self._np_id_dtype()
         for qid, t in zip(
             thresholds["query_id"].to_pylist(),
             thresholds["t"].to_pylist(),
         ):
             ent = self._tput_cache.get((tag, int(qid)))
             if ent is None:
-                continue
-            _, _, _, uids, ls = ent
+                # phase 1 cached every batch qid; a hole means the
+                # entry was lost — fail LOUDLY, a silent skip would
+                # return zero hits for the query (review finding)
+                raise RuntimeError(
+                    f"term-sharded pruned protocol: phase-2 state for "
+                    f"(tag={tag}, query_id={qid}) missing on shard "
+                    f"{self._shard[0]}"
+                )
+            _, _, _, _, uids, ls = ent
             sel = ls >= t - _TPUT_EPS
             out_q.append(np.full(int(sel.sum()), qid, dtype=np.int64))
             out_d.append(uids[sel])
             out_s.append(ls[sel])
-        cat = (
-            lambda parts, dt: np.concatenate(parts)
-            if parts
-            else np.empty(0, dtype=dt)
-        )
+        cat = _cat
         return pa.table(
             {
                 "query_id": pa.array(cat(out_q, np.int64), type=pa.int64()),
@@ -451,9 +490,18 @@ class _PartialScorer:
     def tput_phase3(self, cand: pa.Table, tag: int) -> pa.Table:
         cq = cand["query_id"].to_numpy(zero_copy_only=False)
         cd = cand["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [key for key in self._tput_cache if key[0] == tag]
+        missing = set(int(q) for q in np.unique(cq)) - {k[1] for k in keys}
+        if missing:
+            raise RuntimeError(
+                f"term-sharded pruned protocol: phase-3 state for tag "
+                f"{tag} query_ids {sorted(missing)} missing on shard "
+                f"{self._shard[0]} — those queries would silently lose "
+                "this shard's contributions"
+            )
         triples = []
-        for key in [key for key in self._tput_cache if key[0] == tag]:
-            terms, ids, contribs, _, _ = self._tput_cache.pop(key)
+        for key in keys:
+            _, terms, ids, contribs, _, _ = self._tput_cache.pop(key)
             qid = key[1]
             want = np.sort(cd[cq == qid])
             f_t, f_i, f_c = [], [], []
@@ -656,12 +704,18 @@ class TermShardedBM25Service:
         # pays when per-term df is large (stop-heavy query mixes),
         # not on rare-term mixes.
         self.prune = prune
+        self._id_type = _index_id_type(index_dir)
         actor_cls = ray.remote(num_cpus=1)(_PartialScorer)
         self.actors = [
             actor_cls.remote(index_dir, i, n_shards, doc_filter=doc_filter)
             for i in range(n_shards)
         ]
-        self._seq = 0
+        # itertools.count: atomic under CPython, so concurrent query()
+        # calls on one service cannot mint the same protocol tag
+        # (review finding — a bare += read-modify-write could)
+        import itertools
+
+        self._tags = itertools.count(1)
         ray.get([a.warmup.remote() for a in self.actors])
 
     def query(self, queries, batch_size: int = 64) -> pa.Table:
@@ -678,8 +732,7 @@ class TermShardedBM25Service:
             if self.prune:
                 # unique protocol tag: concurrent query() calls and
                 # overlapping batches must not collide actor caches
-                self._seq += 1
-                tag = (self._seq << 32) | off
+                tag = next(self._tags)
                 merged.append(
                     _tput_merge.remote(self.k, sl, tag, *self.actors)
                 )
@@ -689,7 +742,7 @@ class TermShardedBM25Service:
                 ]
                 merged.append(_merge_partials.remote(self.k, *parts))
         out = ray.get(merged)
-        return pa.concat_tables(out) if out else _empty_hits()
+        return pa.concat_tables(out) if out else _empty_hits(self._id_type)
 
     def query_texts(self, texts: list[str], batch_size: int = 64) -> pa.Table:
         return self.query(

@@ -25,7 +25,6 @@ Writes one JSON line per config; paste the table into BENCH/BASELINE.md.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import shutil
@@ -151,7 +150,7 @@ def main() -> None:
     import ray.data as rd
 
     from pisa_ray.build import IndexConfig, build_index
-    from pisa_ray.scorer import query_index
+    from pisa_ray.scorer import hits_digest as digest_of, query_index
     from pisa_ray.synth import make_queries
 
     root = "/tmp/pisa_ray_scale"
@@ -186,18 +185,6 @@ def main() -> None:
         build_s = time.perf_counter() - t0
         peak = mon.stop()
         spill1 = _spilled_mib()
-
-        def digest_of(df) -> str:
-            canon = df.sort_values(["query_id", "rank"])
-            return hashlib.md5(
-                "|".join(
-                    f"{q},{r},{d},{s:.9f}"
-                    for q, r, d, s in zip(
-                        canon["query_id"], canon["rank"],
-                        canon["doc_id"], canon["score"],
-                    )
-                ).encode()
-            ).hexdigest()
 
         t0 = time.perf_counter()
         hits = query_index(
