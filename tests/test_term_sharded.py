@@ -134,6 +134,109 @@ def test_term_sharded_pruned_bit_identical_to_taat(ts_index):
         ), n_shards
 
 
+def test_term_sharded_pruned_with_filter_and_tombstones(ts_index, tmp_path):
+    """prune=True composed with a metadata doc_filter AND live
+    tombstones must stay bit-identical to the filtered TAAT path —
+    the mask folds into phase-1 local sums, the phase-2 thresholds,
+    and the phase-3 exact rows alike."""
+    import shutil as sh
+
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.scorer import query_index
+    from pisa_ray.serve import TermShardedBM25Service
+
+    d = str(tmp_path / "idx_pf")
+    sh.copytree(ts_index, d)
+    qt = _queries()
+    flt = ("lang", "python")
+    svc = TermShardedBM25Service(d, n_shards=2, k=10, prune=True,
+                                 doc_filter=flt)
+    before = svc.query(qt).to_pandas()
+    victims = before["doc_id"].head(4).tolist()
+    delete_docs(d, victims)
+    svc.reload()
+    got = svc.query(qt, batch_size=3).to_pandas()
+    svc.shutdown()
+    assert not set(victims) & set(got["doc_id"])
+    want = (
+        query_index(rd.from_arrow(qt), d, k=10, method="taat",
+                    concurrency=2, doc_filter=flt)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_term_sharded_pruned_random_corpora_property(tmp_path):
+    """Property sweep: on seeded random corpora with different shapes
+    (tiny vocab = stop-heavy overlap, larger vocab = selective), the
+    pruned protocol must equal TAAT exactly for random query mixes
+    incl. k larger than some result sets."""
+    from pisa_ray.build import IndexConfig, build_index
+    from pisa_ray.scorer import query_index
+    from pisa_ray.serve import TermShardedBM25Service
+
+    rng = np.random.default_rng(42)
+    for case, (n_docs, vocab) in enumerate([(150, 30), (250, 800)]):
+        words = [f"w{i}" for i in range(vocab)]
+        texts = [
+            " ".join(
+                rng.choice(words, size=rng.integers(3, 40)).tolist()
+            )
+            for _ in range(n_docs)
+        ]
+        corpus = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(n_docs, dtype=np.int64), type=pa.int64()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        d = str(tmp_path / f"rand_{case}")
+        build_index(
+            corpus, d,
+            IndexConfig(id_col="doc_id", key_cols=(), content_col="text",
+                        meta_cols=(), bucket_bits=2, term_parts=4,
+                        lineage_parts=1),
+        )
+        q_texts = [
+            " ".join(rng.choice(words, size=rng.integers(1, 5)).tolist())
+            for _ in range(8)
+        ] + ["zz_oov_zz"]
+        qt = pa.table(
+            {
+                "query_id": pa.array(
+                    np.arange(len(q_texts), dtype=np.int64), type=pa.int64()
+                ),
+                "text": pa.array(q_texts, type=pa.string()),
+            }
+        )
+        k = 7
+        want = (
+            query_index(rd.from_arrow(qt), d, k=k, method="taat",
+                        concurrency=2)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        svc = TermShardedBM25Service(d, n_shards=2, k=k, prune=True)
+        got = (
+            svc.query(qt, batch_size=4)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        svc.shutdown()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), case
+        assert np.array_equal(
+            got["score"].to_numpy(), want["score"].to_numpy()
+        ), case
+
+
 def test_term_shard_readers_partition_the_vocabulary(ts_index):
     from pisa_ray.scorer import IndexReader, term_shard_of
 
