@@ -237,6 +237,45 @@ def test_term_sharded_pruned_random_corpora_property(tmp_path):
         ), case
 
 
+def test_term_sharded_over_incremental_generations(tmp_path):
+    """Vocabulary-partitioned serving (plain AND pruned) over an index
+    with a generation append must stay bit-identical to TAAT on the
+    merged corpus — term-shard lexicon filtering composes with
+    cross-generation posting decode."""
+    from pisa_ray.build import IndexConfig, build_incremental, build_index
+    from pisa_ray.scorer import query_index
+    from pisa_ray.serve import TermShardedBM25Service
+    from pisa_ray.synth import make_corpus
+
+    corpus = make_corpus(240, n_partitions=2)
+    d = str(tmp_path / "idx_gen")
+    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    build_index(corpus.slice(0, 150), d, cfg)
+    build_incremental(corpus.slice(150), d, generation="g1")
+
+    qt = _queries()
+    want = (
+        query_index(rd.from_arrow(qt), d, k=10, method="taat",
+                    concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    for prune in (False, True):
+        svc = TermShardedBM25Service(d, n_shards=2, k=10, prune=prune)
+        got = (
+            svc.query(qt, batch_size=3)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        svc.shutdown()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), prune
+        assert np.array_equal(
+            got["score"].to_numpy(), want["score"].to_numpy()
+        ), prune
+
+
 def test_term_shard_readers_partition_the_vocabulary(ts_index):
     from pisa_ray.scorer import IndexReader, term_shard_of
 
