@@ -823,11 +823,14 @@ class IndexReader:
 # --------------------------------------------------------------------------
 
 
-def _load_docmap_col(index_dir: str, col: str) -> tuple[pa.Array, np.ndarray]:
-    """(metadata column values, doc_id-sorted order indices) for a
-    docmap column — THE single definition of the docmap→``doc_sorted``
-    alignment contract, shared by doc filters and facet codes so the
-    two can never desynchronize."""
+def _load_docmap_col(
+    index_dir: str, col: str
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(metadata column values, doc_id-sorted order indices, the
+    SORTED doc ids themselves) for a docmap column — THE single
+    definition of the docmap→``doc_sorted`` alignment contract, shared
+    by doc filters (global and bucket-shard-local) and facet codes so
+    they can never desynchronize."""
     import glob as _glob
 
     dm_files = sorted(
@@ -840,7 +843,8 @@ def _load_docmap_col(index_dir: str, col: str) -> tuple[pa.Array, np.ndarray]:
     arr = dm[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return arr, np.argsort(docs, kind="stable")
+    order = np.argsort(docs, kind="stable")
+    return arr, order, docs[order]
 
 
 def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
@@ -852,9 +856,39 @@ def load_doc_filter(index_dir: str, col: str, value) -> np.ndarray:
     only the candidate set is restricted."""
     import pyarrow.compute as pc
 
-    arr, order = _load_docmap_col(index_dir, col)
+    arr, order, _ = _load_docmap_col(index_dir, col)
     eq = pc.fill_null(pc.equal(arr, value), False)
     return eq.to_numpy(zero_copy_only=False).astype(bool)[order]
+
+
+def load_doc_filter_for(
+    index_dir: str, col: str, value, doc_sorted: np.ndarray
+) -> np.ndarray:
+    """Boolean mask aligned with an ARBITRARY ``doc_sorted`` slice —
+    the bucket-shard form of :func:`load_doc_filter` (whose mask is
+    aligned with the GLOBAL docmap order and therefore rejected by
+    bucket-sharded scorers). Built actor-locally: the global mask is
+    projected onto the shard's doc ids by one searchsorted against the
+    globally-sorted id array (every shard id exists globally, so the
+    lookup is exact)."""
+    import pyarrow.compute as pc
+
+    arr, order, docs_sorted = _load_docmap_col(index_dir, col)
+    eq = (
+        pc.fill_null(pc.equal(arr, value), False)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)[order]
+    )
+    local = np.asarray(doc_sorted, dtype=np.uint64)
+    pos = np.searchsorted(docs_sorted, local)
+    if pos.size and (
+        pos.max(initial=0) >= docs_sorted.size
+        or not np.array_equal(docs_sorted[pos], local)
+    ):
+        raise ValueError(
+            "load_doc_filter_for: shard doc ids not found in the docmap"
+        )
+    return eq[pos]
 
 
 def load_facet_codes(index_dir: str, col: str) -> tuple[np.ndarray, list]:
@@ -867,7 +901,7 @@ def load_facet_codes(index_dir: str, col: str) -> tuple[np.ndarray, list]:
     ``IS NOT NULL`` filter)."""
     import pyarrow.compute as pc
 
-    arr, order = _load_docmap_col(index_dir, col)
+    arr, order, _ = _load_docmap_col(index_dir, col)
     enc = arr.dictionary_encode()
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
@@ -886,7 +920,7 @@ def load_facet_values(index_dir: str, col: str) -> np.ndarray:
     histogram output."""
     import pyarrow.compute as pc
 
-    arr, order = _load_docmap_col(index_dir, col)
+    arr, order, _ = _load_docmap_col(index_dir, col)
     vals = pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
     return vals[order]
 
@@ -2264,6 +2298,7 @@ class BM25Scorer:
         buckets: set[int] | None = None,
         reader_ref=None,
         doc_mask_ref=None,
+        doc_filter: tuple[str, object] | None = None,
         memo: bool = True,
         expand: str | None = None,
         synonyms: dict | None = None,
@@ -2306,16 +2341,36 @@ class BM25Scorer:
         # metadata-filtered queries: boolean mask over docmap positions
         # (broadcast once); filtered scoring uses the exhaustive kernel
         # (WAND bounds are not filter-aware)
+        self._doc_filter_spec = (
+            (index_dir, doc_filter[0], doc_filter[1])
+            if doc_filter is not None
+            else None
+        )
         if doc_mask_ref is not None:
             import ray
 
             if buckets is not None:
                 raise ValueError(
                     "doc_mask is aligned with the GLOBAL docmap order; "
-                    "combine it with bucket-sharded readers by slicing "
-                    "the mask per shard first"
+                    "bucket-sharded scorers take doc_filter=(col, value) "
+                    "instead and build their shard-local mask themselves"
                 )
+            if doc_filter is not None:
+                raise ValueError("pass doc_mask_ref OR doc_filter, not both")
             self.doc_mask = ray.get(doc_mask_ref)
+        elif doc_filter is not None:
+            # bucket-shard (or standalone) path: build the mask
+            # ACTOR-LOCALLY, aligned with THIS reader's doc_sorted —
+            # the global-order broadcast mask cannot be indexed by a
+            # bucket shard's local positions (review finding: the
+            # doc-sharded serving tier with a metadata filter crashed
+            # at construction)
+            if index_dir is None:
+                raise ValueError("doc_filter needs index_dir")
+            self.doc_mask = load_doc_filter_for(
+                index_dir, doc_filter[0], doc_filter[1],
+                self.reader.doc_sorted,
+            )
         else:
             self.doc_mask = None
         # query-result cache: real query mixes are Zipf-duplicated, and
@@ -2469,7 +2524,7 @@ class BM25Scorer:
                 out_r.append(rank)
                 out_d.append(doc)
                 out_s.append(score)
-        id_type = pa.int64() if self.reader.id_mode == "int" else pa.uint64()
+        id_type = id_type_of(self.reader.id_mode)
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -2547,6 +2602,14 @@ def hits_digest(df) -> str:
             )
         ).encode()
     ).hexdigest()
+
+
+def id_type_of(id_mode: str) -> pa.DataType:
+    """Arrow doc-id dtype for an index id_mode — THE single mapping
+    (int-id indexes carry int64 doc ids, keys-mode carries uint64);
+    shared by the scorer's hit emission and every serving tier's
+    typed-empty path so the int64/uint64 concat contract can't drift."""
+    return pa.int64() if id_mode == "int" else pa.uint64()
 
 
 def _empty_hits(id_type: pa.DataType | None = None) -> pa.Table:

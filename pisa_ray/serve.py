@@ -61,14 +61,26 @@ class _ServeScorer(BM25Scorer):
         """Swap in a fresh index view (new broadcast ref, or re-read
         from disk for bucket-sharded actors) and drop the result memo —
         how a LIVE service picks up deletes / incremental appends
-        without pool reconstruction."""
-        from .scorer import IndexReader
+        without pool reconstruction. The term expander is rebuilt
+        lazily against the NEW reader (review finding: a stale trie
+        silently missed appended vocabulary), and a bucket-shard
+        doc_filter re-derives its local mask from the stored spec."""
+        from .scorer import IndexReader, load_doc_filter_for
 
         if ref_box is not None:
             self.reader = ray.get(ref_box[0])
         elif index_dir is not None:
             self.reader = IndexReader(index_dir, buckets=buckets)
-        self.doc_mask = ray.get(mask_box[0]) if mask_box is not None else None
+        if mask_box is not None:
+            self.doc_mask = ray.get(mask_box[0])
+        elif self._doc_filter_spec is not None:
+            d, col, val = self._doc_filter_spec
+            self.doc_mask = load_doc_filter_for(
+                d, col, val, self.reader.doc_sorted
+            )
+        else:
+            self.doc_mask = None
+        self._expander = None
         self._result_memo.clear()
         return True
 
@@ -81,9 +93,11 @@ def _index_id_type(index_dir: str) -> "pa.DataType":
     import json as _json
     import os as _os
 
+    from .scorer import id_type_of
+
     with open(_os.path.join(index_dir, "stats.json")) as f:
         mode = _json.load(f).get("id_mode", "keys")
-    return pa.int64() if mode == "int" else pa.uint64()
+    return id_type_of(mode)
 
 
 class BM25Service:
@@ -114,30 +128,45 @@ class BM25Service:
                         "synonyms": synonyms}
         if buckets is not None:
             kwargs.update({"index_dir": index_dir, "buckets": set(buckets)})
+            if doc_filter is not None:
+                # bucket shards build their mask ACTOR-LOCALLY aligned
+                # with their own doc_sorted (the global broadcast mask
+                # is rejected by bucket readers — review finding: this
+                # path used to crash every actor at construction)
+                kwargs["doc_filter"] = tuple(doc_filter)
         else:
             kwargs["ref_box"] = [_broadcast_reader(index_dir)]
-        if doc_filter is not None:
-            kwargs["mask_box"] = [
-                ray.put(load_doc_filter(index_dir, doc_filter[0], doc_filter[1]))
-            ]
+            if doc_filter is not None:
+                kwargs["mask_box"] = [
+                    ray.put(
+                        load_doc_filter(index_dir, doc_filter[0], doc_filter[1])
+                    )
+                ]
         self._id_type = _index_id_type(index_dir)
         actor_cls = ray.remote(num_cpus=1)(_ServeScorer)
         self.actors = [actor_cls.remote(**kwargs) for _ in range(num_actors)]
+        self._rr = 0  # persistent round-robin cursor (see submit)
         # one no-op round so __init__ (index map-in) finishes before the
-        # first timed query sees it
-        ray.get(
-            [
-                a.score_batch.remote(
-                    pa.table(
-                        {
-                            "query_id": pa.array([], type=pa.int64()),
-                            "text": pa.array([], type=pa.string()),
-                        }
+        # first timed query sees it; on failure KILL the already-spawned
+        # actors before re-raising (each holds a full index view — a
+        # failed construction must not leak num_actors live copies)
+        try:
+            ray.get(
+                [
+                    a.score_batch.remote(
+                        pa.table(
+                            {
+                                "query_id": pa.array([], type=pa.int64()),
+                                "text": pa.array([], type=pa.string()),
+                            }
+                        )
                     )
-                )
-                for a in self.actors
-            ]
-        )
+                    for a in self.actors
+                ]
+            )
+        except BaseException:
+            self.shutdown()
+            raise
 
     def reload(self) -> None:
         """Refresh every actor's index view from disk — picks up
@@ -173,9 +202,18 @@ class BM25Service:
         if not isinstance(queries, pa.Table):
             queries = pa.Table.from_pandas(queries, preserve_index=False)
         futs = []
-        for i, off in enumerate(range(0, queries.num_rows, batch_size)):
+        for off in range(0, queries.num_rows, batch_size):
             sl = queries.slice(off, batch_size)
-            futs.append(self.actors[i % len(self.actors)].score_batch.remote(sl))
+            # cursor persists ACROSS calls: a stream of small bursts
+            # (the common serving case — each <= batch_size) would
+            # otherwise land every batch on actors[0] while the rest
+            # of the pool idles (review finding). Results are
+            # actor-independent, so the cursor is purely a placement
+            # choice.
+            futs.append(
+                self.actors[self._rr % len(self.actors)].score_batch.remote(sl)
+            )
+            self._rr += 1
         return futs
 
     def query(self, queries, batch_size: int = 32) -> pa.Table:
@@ -229,18 +267,25 @@ class ShardedBM25Service:
         memo: bool = True,
     ):
         self.k = k
-        self.services = [
-            BM25Service(
-                index_dir,
-                k=k,
-                method=method,
-                num_actors=actors_per_shard,
-                buckets=set(s),
-                doc_filter=doc_filter,
-                memo=memo,
-            )
-            for s in shards
-        ]
+        self.services = []
+        try:
+            for s in shards:
+                self.services.append(
+                    BM25Service(
+                        index_dir,
+                        k=k,
+                        method=method,
+                        num_actors=actors_per_shard,
+                        buckets=set(s),
+                        doc_filter=doc_filter,
+                        memo=memo,
+                    )
+                )
+        except BaseException:
+            # a failed later pool must not leak the earlier ones'
+            # actors (each holds 1/S of the index in RAM)
+            self.shutdown()
+            raise
 
     def query(self, queries, batch_size: int = 32) -> pa.Table:
         futs = []
@@ -319,7 +364,9 @@ class _PartialScorer:
         return True
 
     def _id_type(self) -> pa.DataType:
-        return pa.int64() if self.reader.id_mode == "int" else pa.uint64()
+        from .scorer import id_type_of
+
+        return id_type_of(self.reader.id_mode)
 
     def _empty_partial(self) -> pa.Table:
         return pa.table(
@@ -405,13 +452,18 @@ class _PartialScorer:
         now = _time.monotonic()
         for key in [key for key in self._tput_cache if key[0] == tag]:
             del self._tput_cache[key]
-        if len(self._tput_cache) > 8192:
-            for key in [
-                key
-                for key, ent in self._tput_cache.items()
-                if now - ent[0] > 3600.0
-            ]:
-                del self._tput_cache[key]
+        # sweep stale entries EVERY call (a protocol spans seconds;
+        # 10 min dead = a crashed/cancelled coordinator). Entries hold
+        # per-term posting arrays — O(n_docs) for stop terms — so the
+        # trigger must not wait for an entry COUNT (review finding: a
+        # count gate let a few hundred leaked protocols accumulate
+        # multi-GB RSS). Live tags are never touched.
+        for key in [
+            key
+            for key, ent in self._tput_cache.items()
+            if now - ent[0] > 600.0
+        ]:
+            del self._tput_cache[key]
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
         top_q, top_d, top_s = [], [], []
@@ -716,7 +768,11 @@ class TermShardedBM25Service:
         import itertools
 
         self._tags = itertools.count(1)
-        ray.get([a.warmup.remote() for a in self.actors])
+        try:
+            ray.get([a.warmup.remote() for a in self.actors])
+        except BaseException:
+            self.shutdown()
+            raise
 
     def query(self, queries, batch_size: int = 64) -> pa.Table:
         """queries: pyarrow Table / pandas DataFrame with (query_id,
@@ -726,6 +782,17 @@ class TermShardedBM25Service:
         rows)."""
         if not isinstance(queries, pa.Table):
             queries = pa.Table.from_pandas(queries, preserve_index=False)
+        # merge semantics accumulate per (query_id, doc): duplicate
+        # query_id rows would sum into one doubled-score query on the
+        # unpruned path and overwrite each other in the pruned cache —
+        # three different answers across serving shapes (review
+        # finding). Reject the malformed input loudly instead.
+        qids_np = queries["query_id"].to_numpy(zero_copy_only=False)
+        if np.unique(qids_np).size != qids_np.size:
+            raise ValueError(
+                "TermShardedBM25Service.query: query_id values must be "
+                "unique within one call"
+            )
         merged = []
         for off in range(0, queries.num_rows, batch_size):
             sl = queries.slice(off, batch_size)

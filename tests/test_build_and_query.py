@@ -624,6 +624,113 @@ def test_sharded_serve_tier_identical_to_broadcast(tiny_index):
     pd.testing.assert_frame_equal(a, c)
 
 
+def test_sharded_serve_tier_with_doc_filter(tiny_index, tmp_path):
+    """Doc-range sharded pools with a metadata filter — this path used
+    to crash at construction (a GLOBAL-order mask shipped to bucket
+    readers, review finding); each actor now builds its shard-local
+    mask. Must equal the filtered Dataset path, and reload() must keep
+    the filter live through deletes."""
+    import shutil as sh
+
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.scorer import query_index
+    from pisa_ray.serve import ShardedBM25Service
+
+    d = str(tmp_path / "idx_shflt")
+    sh.copytree(tiny_index, d)
+    qt = make_queries(30)
+    flt = ("lang", "python")
+    svc = ShardedBM25Service(
+        d, [{0, 1}, {2, 3}], k=10, actors_per_shard=1, doc_filter=flt
+    )
+    try:
+        a = svc.query(qt, batch_size=16).to_pandas()
+        assert len(a)  # the filter matches a real slice of the corpus
+        victims = a["doc_id"].head(3).tolist()
+        delete_docs(d, victims)
+        svc.reload()
+        b = (
+            svc.query(qt, batch_size=16)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        svc.shutdown()
+    assert not set(victims) & set(b["doc_id"])
+    want = (
+        query_index(
+            rd.from_arrow(qt), d, k=10, method="taat", concurrency=2,
+            doc_filter=flt,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert b["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(b["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_serve_small_bursts_rotate_actors(tiny_index):
+    """The round-robin cursor persists across query() calls so a
+    stream of small bursts uses the whole pool instead of pinning
+    every batch to actors[0] (review finding)."""
+    from pisa_ray import BM25Service
+
+    svc = BM25Service(tiny_index, k=5, num_actors=2)
+    try:
+        assert svc._rr == 0
+        a = svc.query_texts(["merge"]).to_pandas()
+        b = svc.query_texts(["merge"]).to_pandas()
+        assert svc._rr == 2  # two one-batch bursts -> two actors
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    finally:
+        svc.shutdown()
+
+
+def test_serve_expander_rebuilds_on_reload(tmp_path):
+    """A prefix-expansion service must see vocabulary appended by an
+    incremental generation after reload() — the lazily-built term trie
+    used to survive reload and silently miss new terms (review
+    finding)."""
+    import pyarrow as pa
+
+    from pisa_ray import BM25Service
+    from pisa_ray.build import IndexConfig, build_incremental, build_index
+
+    base = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), type=pa.int64()),
+            "text": pa.array(
+                [f"alpha beta gamma tok{i % 7}" for i in range(40)]
+            ),
+        }
+    )
+    delta = pa.table(
+        {
+            "doc_id": pa.array([100, 101], type=pa.int64()),
+            "text": pa.array(
+                ["zzappended alpha fresh", "zzappendix beta fresh"]
+            ),
+        }
+    )
+    d = str(tmp_path / "idx_exp")
+    cfg = IndexConfig(
+        id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+        bucket_bits=1, term_parts=4, lineage_parts=1,
+    )
+    build_index(base, d, cfg)
+    svc = BM25Service(d, k=5, num_actors=1, expand="prefix")
+    try:
+        assert len(svc.query_texts(["zzappend*"])) == 0  # warms the trie
+        build_incremental(delta, d, generation="g1")
+        svc.reload()
+        hits = svc.query_texts(["zzappend*"]).to_pandas()
+        assert set(hits["doc_id"]) == {100, 101}
+    finally:
+        svc.shutdown()
+
+
 # -- query-time term expansion (prefix / fuzzy) ----------------------------
 
 

@@ -276,6 +276,25 @@ def test_term_sharded_over_incremental_generations(tmp_path):
         ), prune
 
 
+def test_term_sharded_rejects_duplicate_query_ids(ts_index):
+    """Duplicate query_id rows would double-sum on the unpruned merge
+    and overwrite each other in the pruned cache — reject loudly."""
+    from pisa_ray.serve import TermShardedBM25Service
+
+    qt = pa.table(
+        {
+            "query_id": pa.array([1, 1], type=pa.int64()),
+            "text": pa.array(["merge", "sort"], type=pa.string()),
+        }
+    )
+    svc = TermShardedBM25Service(ts_index, n_shards=1, k=5)
+    try:
+        with pytest.raises(ValueError, match="unique"):
+            svc.query(qt)
+    finally:
+        svc.shutdown()
+
+
 def test_term_shard_readers_partition_the_vocabulary(ts_index):
     from pisa_ray.scorer import IndexReader, term_shard_of
 
