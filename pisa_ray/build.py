@@ -733,11 +733,20 @@ def _resolve_doc_collisions(tok_dir: str, cfg: IndexConfig, ncpus: int) -> int:
         def rewrite(b: pa.Table) -> pa.Table:
             m = _ray.get(map_ref)
             d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64).copy()
-            shas = b["content_sha256"].to_pylist()
-            for i, (di, si) in enumerate(zip(d.tolist(), shas)):
-                nd = m.get((di, si))
-                if nd is not None:
-                    d[i] = nd
+            # vectorized pre-filter: only the tiny colliding id set can
+            # match, so gate the per-row dict probe on np.isin instead
+            # of walking the ENTIRE tokenized store in Python (review
+            # finding — at 10^10+ docs the unfiltered loop is the cost)
+            coll_ids = np.fromiter(
+                (k[0] for k in m), dtype=np.uint64, count=len(m)
+            )
+            cand = np.flatnonzero(np.isin(d, coll_ids))
+            if cand.size:
+                shas = b["content_sha256"].take(pa.array(cand)).to_pylist()
+                for i, si in zip(cand.tolist(), shas):
+                    nd = m.get((int(d[i]), si))
+                    if nd is not None:
+                        d[i] = nd
             # always (re)build doc_id AND bucket: hive-layout reads of a
             # file LIST lose the bucket partition column, so recomputing
             # keeps the output schema identical across layouts
@@ -1508,6 +1517,24 @@ def _write_lexicon(
     return metrics
 
 
+def _linked_files(index_dir: str, sub: str, gen_names) -> list[str]:
+    """Parquet files of ``sub`` (segments/ or docmap/) belonging to
+    the BASE layout or a generation in ``gen_names`` — stale ``gen_*``
+    link dirs left by a crashed append of an unrecorded generation are
+    EXCLUDED, mirroring the readers' and compaction's skip (review
+    finding: build_incremental's stats/lexicon recompute used to count
+    phantom rows the readers never serve)."""
+    names = set(gen_names)
+    root = os.path.join(index_dir, sub)
+    out = []
+    for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        top = os.path.relpath(f, root).split(os.sep)[0]
+        if top.startswith("gen_") and top[4:] not in names:
+            continue
+        out.append(f)
+    return sorted(out)
+
+
 def build_incremental(
     delta_source: str | Sequence[str] | rd.Dataset | pa.Table,
     index_dir: str,
@@ -1539,6 +1566,17 @@ def build_incremental(
 
     man = Manifest(index_dir)
     cfg = IndexConfig(**{**man.data["config"]})
+    recorded = list(man.data["stats"].get("generations", []) or [])
+    if generation in recorded:
+        # a completed generation's manifest would make the inner
+        # build_index(resume=True) return WITHOUT reading the new
+        # delta — appending different data under a used name would be
+        # silently dropped (review finding). Retrying a CRASHED append
+        # (name not yet recorded) with the same delta stays supported.
+        raise ValueError(
+            f"generation {generation!r} is already appended to this "
+            "index — pick a new generation name"
+        )
     if not cfg.write_docmap:
         raise ValueError(
             "incremental generations need write_docmap=True (the global "
@@ -1564,22 +1602,13 @@ def build_incremental(
     # already linked. Narrow 8-byte id shuffle only; the driver sees
     # just the (expected-empty) duplicate set.
     if cfg.check_collisions:
-        # exclude THIS generation's own link dirs from the base: a
-        # crashed previous append of the same generation may have
-        # linked them already, and counting the delta against its own
-        # earlier copy would fail every retry forever (review finding)
-        own = (
-            os.path.join(index_dir, "docmap", f"gen_{generation}") + os.sep,
-            os.path.join(index_dir, "segments", f"gen_{generation}") + os.sep,
-        )
-        base_files = sorted(
-            f
-            for f in glob.glob(
-                os.path.join(index_dir, "docmap", "**", "*.parquet"),
-                recursive=True,
-            )
-            if not f.startswith(own)
-        )
+        # base = committed layout only: recorded generations + the
+        # base docmap. This excludes THIS generation's own link dirs
+        # (a crashed previous append of the same name would otherwise
+        # fail every retry against its own earlier copy) AND any other
+        # crashed append's stale unrecorded links (whose phantom rows
+        # the readers skip).
+        base_files = _linked_files(index_dir, "docmap", recorded)
         gen_files = sorted(
             glob.glob(os.path.join(gen_dir, "docmap", "**", "*.parquet"), recursive=True)
         )
@@ -1636,13 +1665,20 @@ def build_incremental(
     ):
         shutil.rmtree(dst, ignore_errors=True)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copytree(src, dst)
+        try:
+            # hardlink, not copy: segment/docmap files are immutable
+            # once built, and a byte copy would duplicate every delta
+            # on disk for the life of the index (review finding)
+            shutil.copytree(src, dst, copy_function=os.link)
+        except OSError:
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)  # cross-device fallback
 
-    # recompute global stats (N, avgdl) over all generations' docmaps
+    # recompute global stats (N, avgdl) over the COMMITTED docmaps
+    # (recorded generations + this one; stale unrecorded links are
+    # excluded exactly as the readers exclude them)
     dm = rd.read_parquet(
-        sorted(
-            glob.glob(os.path.join(index_dir, "docmap", "**", "*.parquet"), recursive=True)
-        ),
+        _linked_files(index_dir, "docmap", recorded + [generation]),
         columns=["doc_id", "length"],
     )
     n_docs = dm.count()
@@ -1664,14 +1700,9 @@ def build_incremental(
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         _json.dump(stats, f)
 
-    # re-aggregate the lexicon over ALL segment rows
+    # re-aggregate the lexicon over the COMMITTED segment rows
     _write_lexicon(
-        sorted(
-            glob.glob(
-                os.path.join(index_dir, "segments", "**", "*.parquet"),
-                recursive=True,
-            )
-        ),
+        _linked_files(index_dir, "segments", recorded + [generation]),
         os.path.join(index_dir, "lexicon"),
     )
     man.mark_stage(f"generation_{generation}")
@@ -1719,7 +1750,10 @@ def compact_index(index_dir: str) -> dict:
     tomb_files = sorted(
         glob.glob(os.path.join(index_dir, "tombstones", "*.parquet"))
     )
-    reader = IndexReader(index_dir)
+    # docmap/tombstone state only — loading the posting blobs here
+    # would put the ENTIRE index on the driver (review finding); the
+    # postings stream through rd.read_parquet below instead
+    reader = IndexReader(index_dir, skip_segments=True)
     # deletion purge (delete.py): tombstoned docs are dropped from the
     # decoded posting stream and the docmap, and N/avgdl are recomputed
     # over the survivors BEFORE encoding (block-max wnorms must use the
@@ -1912,19 +1946,28 @@ def compact_index(index_dir: str) -> dict:
         )
         for g, fs in sorted(groups.items())
     ]
-    triples = (parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]).repartition(
-        2 * ncpus
-    )
-    rank_map = (
-        rank_map_from_sorted_ids(surv_ids, cfg.bucket_bits)
-        if position
-        else None
-    )
-    seg = triples.groupby("grp").map_groups(
-        make_encode_group_fn(avgdl, None, n_buckets, rank_map, codec=cfg.codec),
-        batch_format="pyarrow",
-    )
-    _atomic_write(seg, os.path.join(index_dir, "segments_compacted"))
+    if parts:
+        triples = (
+            parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        ).repartition(2 * ncpus)
+        rank_map = (
+            rank_map_from_sorted_ids(surv_ids, cfg.bucket_bits)
+            if position
+            else None
+        )
+        seg = triples.groupby("grp").map_groups(
+            make_encode_group_fn(avgdl, None, n_buckets, rank_map,
+                                 codec=cfg.codec),
+            batch_format="pyarrow",
+        )
+        _atomic_write(seg, os.path.join(index_dir, "segments_compacted"))
+    else:
+        # zero segment files (e.g. every doc deleted, then a second
+        # compaction): a valid empty index, not an IndexError (review
+        # finding) — swap in an empty segments/ dir
+        tmp = os.path.join(index_dir, "segments_compacted")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
 
     # swap in atomically, drop generation links: park the old segments
     # aside first so a crash between steps never leaves the index with
@@ -1976,7 +2019,19 @@ def compact_index(index_dir: str) -> dict:
 
             dm = dm.map_batches(drop_tombstoned, batch_format="pyarrow")
         dm = dm.repartition(max(8, ncpus))
-        _atomic_write(dm, os.path.join(index_dir, "docmap"))
+        # park-then-swap like the segments/ replacement above: plain
+        # _atomic_write rmtree's the LIVE docmap before renaming the
+        # new one in, and a crash inside that window leaves an index
+        # whose readers build a truncated doc_sorted (review finding)
+        dm_new = os.path.join(index_dir, "docmap_compacted")
+        _atomic_write(dm, dm_new)
+        dm_dir = os.path.join(index_dir, "docmap")
+        dm_parked = os.path.join(index_dir, "docmap.old")
+        shutil.rmtree(dm_parked, ignore_errors=True)
+        if os.path.isdir(dm_dir):
+            os.rename(dm_dir, dm_parked)
+        os.rename(dm_new, dm_dir)
+        shutil.rmtree(dm_parked, ignore_errors=True)
         stats2 = dict(man.data["stats"])
         stats2["generations"] = []
         if purge:
@@ -2032,13 +2087,46 @@ def upsert_docs(
         cols = [cfg.id_col] if cfg.id_col else list(cfg.key_cols)
         tbl = pa.Table.from_pandas(delta_source.select_columns(cols).to_pandas())
     else:
-        files = (
-            list(delta_source)
-            if isinstance(delta_source, (list, tuple))
-            else [delta_source]
-        )
+        p = delta_source
+        if isinstance(p, (str, os.PathLike)) and os.path.isdir(str(p)):
+            files = sorted(
+                f
+                for pat in ("*.parquet", "*.csv", "*.tsv", "*.json",
+                            "*.jsonl", "*.ndjson")
+                for f in glob.glob(os.path.join(str(p), "**", pat),
+                                   recursive=True)
+            )
+        else:
+            files = list(p) if isinstance(p, (list, tuple)) else [str(p)]
         cols = [cfg.id_col] if cfg.id_col else list(cfg.key_cols)
-        tbl = pads.dataset(files).to_table(columns=cols)
+        # _read_files, not pads.dataset: the latter is parquet-only,
+        # but every other entry point accepts CSV/TSV/JSONL deltas
+        # (review finding)
+        tbl = pa.Table.from_pandas(
+            _read_files(files, cols).to_pandas(), preserve_index=False
+        )
+    # ---- pre-validate BEFORE any destructive step: the tombstone +
+    # compaction below physically removes the old versions, so a delta
+    # that would fail its own build must be rejected FIRST (review
+    # finding: a malformed delta used to destroy the current versions
+    # and then raise, losing both). A crash DURING the append itself
+    # still loses the old versions — the delta data stays in the
+    # caller's hands, so the recovery is to retry build_incremental.
+    need_cols = ([cfg.id_col] if cfg.id_col else list(cfg.key_cols)) + [
+        cfg.content_col
+    ]
+    if isinstance(delta_source, pa.Table):
+        have = set(delta_source.column_names)
+    elif isinstance(delta_source, rd.Dataset):
+        have = set(delta_source.schema().names)
+    else:
+        have = set(_read_files(files, need_cols).schema().names)
+    missing_cols = [c for c in need_cols if c not in have]
+    if missing_cols:
+        raise ValueError(
+            f"upsert_docs: delta is missing required columns "
+            f"{missing_cols}"
+        )
     if cfg.id_col:
         delta_ids = doc_ids_from_int(tbl[cfg.id_col])
     else:
@@ -2047,7 +2135,14 @@ def upsert_docs(
         delta_ids = delta_ids & np.uint64(
             (~((1 << (64 - cfg.id_bits)) - 1)) & 0xFFFFFFFFFFFFFFFF
         )
+    n_rows = delta_ids.size
     delta_ids = np.unique(delta_ids)
+    if delta_ids.size != n_rows:
+        raise ValueError(
+            f"upsert_docs: delta contains {n_rows - delta_ids.size} "
+            "duplicate document identities — dedup the delta first "
+            "(which version should win is not inferable here)"
+        )
     if delta_ids.size == 0:
         # empty delta (e.g. an ingest loop flushing an empty batch):
         # graceful no-op — the searchsorted probe below would index

@@ -70,7 +70,15 @@ class IndexReader:
         index_dir: str,
         buckets: set[int] | None = None,
         term_shard: tuple[int, int] | None = None,
+        skip_segments: bool = False,
     ):
+        """``skip_segments=True``: load ONLY the docmap-derived state
+        (doc_sorted/len_sorted, generation maps, tombstone live mask)
+        and skip reading the posting segments entirely — the
+        compaction/maintenance mode (review finding: compact_index
+        used to pull every posting blob of the index onto the driver
+        for state it never touched). Scoring APIs are unusable in
+        this mode (the term tables are empty)."""
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_docs = int(self.stats["n_docs"])
@@ -137,8 +145,15 @@ class IndexReader:
         self._qld_cache: dict = {}
         self._ub_cache: dict[str, float] = {}
 
-        seg_files = sorted(
-            glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True)
+        seg_files = (
+            []
+            if skip_segments
+            else sorted(
+                glob.glob(
+                    os.path.join(index_dir, "segments", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
         )
         # empty-but-present segments/ is legitimate (e.g. all-empty
         # docs); a MISSING dir with n_docs>0 means a crash ate it

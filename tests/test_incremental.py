@@ -2,6 +2,7 @@
 rank-identical to a from-scratch oracle over the full corpus."""
 
 import numpy as np
+import pyarrow as pa
 
 from pisa_ray.build import IndexConfig, build_incremental, build_index
 from pisa_ray.docids import doc_ids_from_keys
@@ -216,6 +217,149 @@ def test_append_retry_after_crashed_link(tmp_path):
         golden = oracle.score_query(text, 10)
         got = score_taat(after, text, 10)
         assert [g[0] for g in golden] == [e[0] for e in got]
+
+
+def test_incremental_rejects_reused_generation_name(tmp_path):
+    """Appending DIFFERENT data under an already-recorded generation
+    name must raise — the completed inner manifest would otherwise
+    make the new delta silently vanish (review finding)."""
+    import pytest as _pytest
+
+    corpus = make_corpus(150, n_partitions=1)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    build_index(corpus.slice(0, 100), d, cfg)
+    build_incremental(corpus.slice(100, 30), d, generation="g1")
+    with _pytest.raises(ValueError, match="already appended"):
+        build_incremental(corpus.slice(130), d, generation="g1")
+
+
+def test_incremental_stats_exclude_stale_crashed_links(tmp_path):
+    """A crashed append of generation X (linked but unrecorded) must
+    NOT leak phantom rows into a later successful append's stats or
+    lexicon — the readers skip those dirs, so the recompute must too
+    (review finding)."""
+    import os
+    import shutil as sh
+
+    corpus = make_corpus(220, n_partitions=2)
+    base = corpus.slice(0, 120)
+    ghost = corpus.slice(120, 50)   # the crashed append
+    delta = corpus.slice(170)       # the later successful one
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(bucket_bits=2, term_parts=8, lineage_parts=1)
+    build_index(base, d, cfg)
+
+    # simulate the crash: gen_X linked, stats never committed
+    gdir = os.path.join(d, "generations", "gx")
+    build_index(ghost, gdir, cfg)
+    sh.copytree(os.path.join(gdir, "segments"),
+                os.path.join(d, "segments", "gen_gx"))
+    sh.copytree(os.path.join(gdir, "docmap"),
+                os.path.join(d, "docmap", "gen_gx"))
+
+    build_incremental(delta, d, generation="gy")
+    r = IndexReader(d)
+    # stats count ONLY what the reader serves: base + gy, not gx
+    assert r.n_docs == base.num_rows + delta.num_rows
+    ids_served = doc_ids_from_keys(
+        *[pa.concat_tables([base, delta])[c] for c in
+          ("repo", "path", "commit")]
+    )
+    oracle = OracleIndex(
+        ids_served,
+        base["content"].to_pylist() + delta["content"].to_pylist(),
+    )
+    assert abs(r.avgdl - oracle.avgdl) < 1e-9
+    for term, df in list(oracle.df.items())[:80]:
+        assert int(r.df.get(term, 0)) == df, term
+
+
+def test_upsert_prevalidates_before_destroying(tmp_path):
+    """A malformed delta must be rejected BEFORE the old versions are
+    tombstoned + compacted away (review finding: the old data used to
+    be destroyed first, then the delta build raised)."""
+    import pytest as _pytest
+
+    from pisa_ray.build import upsert_docs
+    from pisa_ray.scorer import score_taat
+
+    base = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 41)), type=pa.int64()),
+            "text": pa.array([f"alpha beta tok{i % 5}" for i in range(40)]),
+        }
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+        bucket_bits=2, term_parts=4, lineage_parts=1,
+    )
+    build_index(base, d, cfg)
+
+    # (a) missing content column
+    bad1 = pa.table({"doc_id": pa.array([3, 4], type=pa.int64())})
+    with _pytest.raises(ValueError, match="missing required columns"):
+        upsert_docs(bad1, d, "u1")
+    # (b) duplicate identities inside the delta
+    bad2 = pa.table(
+        {
+            "doc_id": pa.array([5, 5], type=pa.int64()),
+            "text": pa.array(["one version", "other version"]),
+        }
+    )
+    with _pytest.raises(ValueError, match="duplicate document"):
+        upsert_docs(bad2, d, "u2")
+    # the old versions survived both rejections
+    r = IndexReader(d)
+    assert r.n_docs == 40
+    assert {doc for doc, _ in score_taat(r, "alpha", 50)} == set(range(1, 41))
+
+
+def test_upsert_accepts_csv_delta(tmp_path):
+    """upsert_docs must take the same CSV/TSV/JSONL formats as every
+    other ingest entry point (review finding: the id-derivation read
+    was parquet-only)."""
+    from pisa_ray.build import upsert_docs
+    from pisa_ray.scorer import score_taat
+
+    base = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["alpha beta", "beta gamma", "gamma alpha"]),
+        }
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        id_col="doc_id", key_cols=(), content_col="text", meta_cols=(),
+        bucket_bits=1, term_parts=4, lineage_parts=1,
+    )
+    build_index(base, d, cfg)
+    csv = tmp_path / "delta.csv"
+    csv.write_text("doc_id,text\n2,zzfresh beta\n9,zzfresh new\n")
+    upsert_docs(str(csv), d, "u1")
+    r = IndexReader(d)
+    assert r.n_docs == 4  # 3 base - 1 replaced + 2 delta
+    assert {doc for doc, _ in score_taat(r, "zzfresh", 10)} == {2, 9}
+
+
+def test_compact_twice_after_full_delete(tmp_path):
+    """Deleting every doc then compacting twice must not crash on the
+    empty segments/ dir (review finding: IndexError on parts[0])."""
+    from pisa_ray.build import compact_index
+    from pisa_ray.delete import delete_docs
+    from pisa_ray.scorer import query_index
+
+    corpus = make_corpus(60, n_partitions=1)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(bucket_bits=1, term_parts=4,
+                                       lineage_parts=1))
+    r = IndexReader(d)
+    delete_docs(d, r.out_ids(r.doc_sorted).tolist())
+    compact_index(d)
+    compact_index(d)  # empty-segments path
+    r2 = IndexReader(d)
+    assert r2.n_docs == 0
 
 
 def test_upsert_empty_delta_is_noop(tmp_path):
