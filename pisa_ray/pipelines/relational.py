@@ -18,6 +18,30 @@ import ray
 import ray.data as rd
 
 
+_NULLABLE_PD = {
+    pa.int8(): "Int8", pa.int16(): "Int16", pa.int32(): "Int32",
+    pa.int64(): "Int64", pa.uint8(): "UInt8", pa.uint16(): "UInt16",
+    pa.uint32(): "UInt32", pa.uint64(): "UInt64",
+}
+
+
+def _exact_pandas(t: pa.Table) -> pd.DataFrame:
+    """``to_pandas`` that keeps integer columns EXACT: pandas' default
+    conversion upcasts any null-holding int column to float64, which
+    silently rounds values beyond 2^53 (review finding — snowflake-
+    scale ids corrupted through every pandas-reducer round trip).
+    Nullable pandas extension dtypes hold int64 + nulls losslessly and
+    convert back to plain Arrow ints; sorts, groupbys and merge_asof
+    (keys AND values — verified) all accept them."""
+    return t.to_pandas(
+        types_mapper=lambda typ: pd.api.types.pandas_dtype(
+            _NULLABLE_PD[typ]
+        )
+        if typ in _NULLABLE_PD
+        else None
+    )
+
+
 def broadcast_inner_join(
     big: rd.Dataset, small: pd.DataFrame, on: str | list[str]
 ) -> rd.Dataset:
@@ -159,10 +183,25 @@ def hash_join(
             return fn
 
         # hot right rows are small by contract (caller names only keys
-        # whose LEFT side is heavy) -> one driver collect + broadcast
-        r_hot = (
-            right.map_batches(keep_hot(rkey), batch_format="pyarrow")
-            .to_pandas()
+        # whose LEFT side is heavy) -> one driver collect + broadcast.
+        # Collected as ARROW and converted via _exact_pandas: the
+        # default pandas conversion upcasts null-holding int columns
+        # to float64, diverging the hot stream's schema from the cold
+        # Dataset.join output and rounding ints > 2^53 (review
+        # finding)
+        hot_ds = right.map_batches(
+            keep_hot(rkey), batch_format="pyarrow"
+        ).materialize()
+        hot_blocks = [
+            ray.get(r)
+            for b in hot_ds.iter_internal_ref_bundles()
+            for r in b.block_refs
+        ]
+        hot_blocks = [t for t in hot_blocks if t.num_rows]
+        r_hot = _exact_pandas(
+            pa.concat_tables(hot_blocks)
+            if hot_blocks
+            else hot_ds.schema().base_schema.empty_table()
         )
         if rkey != on:
             r_hot = r_hot.rename(columns={rkey: on})
@@ -254,16 +293,31 @@ def per_group_topk(
             # preserve the input schema exactly (a pandas round-trip
             # degrades an empty string column to null type)
             return t.append_column(rank_col, pa.array([], type=pa.int64()))
-        g = t.to_pandas()
-        g = g.sort_values(
-            [group_col, *sort_cols],
-            ascending=[True, *ascending],
-            kind="mergesort",
+        # Arrow-native: one multi-key sort + a vectorized run-rank —
+        # no pandas round trip (which upcast null-holding int columns
+        # to float64, silently rounding values > 2^53 and drifting the
+        # schema from the empty branch — review finding), and faster
+        keys = [(group_col, "ascending")] + [
+            (c, "ascending" if asc else "descending")
+            for c, asc in zip(sort_cols, ascending)
+        ]
+        t = t.take(pc.sort_indices(t, sort_keys=keys)).combine_chunks()
+        codes = (
+            t[group_col]
+            .dictionary_encode()
+            .combine_chunks()
+            .indices.to_numpy(zero_copy_only=False)
         )
-        rank = g.groupby(group_col, sort=False).cumcount().to_numpy() + 1
-        g = g[rank <= k].copy()
-        g[rank_col] = rank[rank <= k].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        n = t.num_rows
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = codes[1:] != codes[:-1]
+        first = np.flatnonzero(starts)
+        run = np.cumsum(starts) - 1
+        rank = np.arange(n, dtype=np.int64) - first[run] + 1
+        keep = rank <= k
+        return t.filter(pa.array(keep)).append_column(
+            rank_col, pa.array(rank[keep], type=pa.int64())
+        )
 
     return hash_group_apply(ds, group_col, topk_shard)
 
@@ -364,6 +418,15 @@ def asof_join(
     out_ts = f"{ts_col}{suffix}"
     r_renamed = {ts_col: out_ts, **{c: f"{c}{suffix}" for c in right_value_cols}}
     r_out_names = [r_renamed[c] for c in [ts_col, *right_value_cols]]
+    clash = set(r_out_names) & set(l_names)
+    if clash:
+        # same guard range_join grew: tag_left would silently null out
+        # the left's real column and the output would carry duplicate
+        # labels (review finding)
+        raise ValueError(
+            f"asof_join: suffixed right columns {sorted(clash)} collide "
+            "with left columns — rename one side or change suffix"
+        )
 
     # align schemas: union needs identical columns; each side fills the
     # other's columns with typed nulls and carries a __side tag
@@ -382,7 +445,12 @@ def asof_join(
         cols = {}
         for n in all_names:
             if n == key_col:
-                cols[n] = b[key_col]
+                # cast to the LEFT key dtype: a mismatched pair (int32
+                # vs int64, string vs large_string) would otherwise
+                # crash pa.concat_tables deep inside the exchange
+                # (review finding); incompatible keys fail HERE with
+                # Arrow's cast error instead
+                cols[n] = b[key_col].cast(l_types[key_col])
             elif n in r_out_names:
                 src = [k for k, v in r_renamed.items() if v == n][0]
                 cols[n] = b[src]
@@ -430,7 +498,7 @@ def asof_join(
 
     if not exchange_routable(left, key_col):
         return unioned.groupby(key_col).map_groups(
-            join_group, batch_format="pandas"
+            lambda t: join_group(_exact_pandas(t)), batch_format="pyarrow"
         )
 
     def join_shard(t: pa.Table) -> pa.Table:
@@ -438,7 +506,7 @@ def asof_join(
         # the shard in one C pass — no per-group UDF
         if t.num_rows == 0:
             return out_schema.empty_table()
-        g = t.to_pandas()
+        g = _exact_pandas(t)
         lg = g[g["__side"] == 0][l_names].sort_values(ts_col, kind="mergesort")
         rg = g[g["__side"] == 1][[key_col, *r_out_names]].sort_values(
             out_ts, kind="mergesort"
@@ -803,6 +871,20 @@ def quantile_disc(
         its prefix, bincount the NEXT 16 bits; return k x 65536."""
 
         def fn(batch: pa.Table) -> pa.Table:
+            src = batch[col]
+            iv = None
+            if pa.types.is_integer(src.type if not isinstance(src, pa.ChunkedArray) else src.type):
+                iv = src.to_numpy(zero_copy_only=False)
+                if iv.size and np.abs(iv.astype(np.float64)).max() > 2.0**53:
+                    # the radix walk runs on float64 bit patterns;
+                    # beyond 2^53 distinct ints collapse and the
+                    # "EXACT discrete quantile" contract breaks —
+                    # refuse loudly (review finding)
+                    raise ValueError(
+                        f"quantile_disc: {col!r} holds integers beyond "
+                        "float64's exact range (2^53) — exact discrete "
+                        "quantiles are not representable; rescale first"
+                    )
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
             # SQL quantile_disc excludes NULL/NaN; the IEEE total-order
             # view would otherwise sort NaN above +inf and count it
@@ -891,6 +973,16 @@ def hopping_window_agg(
     hop_us = hop_seconds * 1_000_000
 
     def expand(batch: pa.Table) -> pa.Table:
+        tcol = batch[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        if tcol.null_count:
+            # NaT views as INT64_MIN and the window arithmetic wraps,
+            # silently filing the row under a garbage window (review
+            # finding) — null timestamps belong to NO window, drop
+            # them (the SQL GROUP BY analog files them under a NULL
+            # window, which downstream window math can't consume)
+            batch = batch.filter(pc.is_valid(tcol))
         n = batch.num_rows
         ts = batch[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
         tsi = ts.view("i8")
@@ -1000,12 +1092,28 @@ def stratified_sample(
         if t.num_rows == 0:
             # schema-preserving empty (column-less degenerates pass through)
             return t.drop_columns("__h") if "__h" in t.schema.names else t
-        g = t.to_pandas()
-        g = g.sort_values([key_col, "__h", id_col], kind="mergesort")
-        keep = g.groupby(key_col, sort=False).cumcount().to_numpy() < n_per_key
-        return pa.Table.from_pandas(
-            g[keep].drop(columns="__h"), preserve_index=False
+        # Arrow-native sort + run-count (see per_group_topk: the
+        # pandas round trip corrupted null-holding int columns)
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[(key_col, "ascending"), ("__h", "ascending"),
+                           (id_col, "ascending")],
+            )
+        ).combine_chunks()
+        codes = (
+            t[key_col]
+            .dictionary_encode()
+            .combine_chunks()
+            .indices.to_numpy(zero_copy_only=False)
         )
+        n = t.num_rows
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = codes[1:] != codes[:-1]
+        first = np.flatnonzero(starts)
+        run = np.cumsum(starts) - 1
+        keep = (np.arange(n, dtype=np.int64) - first[run]) < n_per_key
+        return t.filter(pa.array(keep)).drop_columns("__h")
 
     return hash_group_apply(hashed, key_col, cut_shard)
 
@@ -1219,9 +1327,11 @@ def prefix_sum(
     in_schema = ds.schema()
     if in_schema is not None and value_col in in_schema.names:
         vt = dict(zip(in_schema.names, in_schema.types))[value_col]
-        if isinstance(vt, pa.DataType) and not (
-            pa.types.is_integer(vt) or pa.types.is_boolean(vt)
-        ):
+        if not isinstance(vt, pa.DataType):
+            # pandas-block dataset: numpy dtype — normalize so the
+            # guard below can't be bypassed (review finding)
+            vt = pa.from_numpy_dtype(np.dtype(vt))
+        if not (pa.types.is_integer(vt) or pa.types.is_boolean(vt)):
             raise TypeError(
                 f"prefix_sum: value_col {value_col!r} is {vt} — the scan "
                 "is exact int64 arithmetic; cast or round explicitly first"
@@ -1236,7 +1346,14 @@ def prefix_sum(
         # rebuild from the input's)
         if in_schema is None:
             return mat
-        fields = list(zip(in_schema.names, in_schema.types))
+        types = []
+        for t in in_schema.types:
+            if not isinstance(t, pa.DataType):
+                # pandas-block dataset: numpy dtypes — pa.array([], t)
+                # rejects them with TypeError (review finding)
+                t = pa.from_numpy_dtype(np.dtype(t))
+            types.append(t)
+        fields = list(zip(in_schema.names, types))
         fields += [(out_col, pa.int64())]
         return rd.from_arrow(pa.table({n: pa.array([], t) for n, t in fields}))
 
@@ -1459,7 +1576,18 @@ def fuzzy_join(
                 vals = batch[on]
                 if isinstance(vals, pa.ChunkedArray):
                     vals = vals.combine_chunks()
-            ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            idc = batch[id_col]
+            if isinstance(idc, pa.ChunkedArray):
+                idc = idc.combine_chunks()
+            if idc.null_count:
+                # a null id would make this batch's to_numpy float64
+                # (rid schema drift across blocks + NaN crashing the
+                # pair reduce far from the cause — review finding)
+                raise ValueError(
+                    f"fuzzy_join: {id_col!r} contains nulls — ids must "
+                    "be non-null int64"
+                )
+            ids = idc.cast(pa.int64()).to_numpy(zero_copy_only=False)
             denc = vals.dictionary_encode()
             if isinstance(denc, pa.ChunkedArray):
                 denc = denc.combine_chunks()

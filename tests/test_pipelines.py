@@ -935,6 +935,167 @@ def test_seeded_shuffle_and_sampling(docs):
     assert s["doc_id"].is_unique
 
 
+def test_reducers_keep_big_int64_exact():
+    """Values beyond float64's exact range (2^53) must survive the
+    exchange reducers bit-exactly — the pandas round trips used to
+    upcast null-holding int columns to float64 and silently round
+    (review findings: per_group_topk, stratified cut, asof join)."""
+    from pisa_ray.pipelines.relational import (
+        asof_join, per_group_topk, stratified_sample,
+    )
+
+    import ray
+
+    def arrow_of(ds) -> pa.Table:
+        # read the BLOCKS as Arrow: a .to_pandas() here would itself
+        # upcast null-holding int64 to float64 and mask the very
+        # corruption under test
+        tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+        return pa.concat_tables([t for t in tabs if t.num_rows])
+
+    big = 2**53 + 1  # rounds to 2**53 through float64
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "s": pa.array([3.0, 1.0, 2.0, 9.0, 8.0]),
+            # nullable big-int payload: the poison combination
+            "payload": pa.array([big, None, big + 2, big + 4, None],
+                                type=pa.int64()),
+        }
+    )
+    out = arrow_of(per_group_topk(rd.from_arrow(t), "g", ["s"], [False], k=2))
+    assert out.schema.field("payload").type == pa.int64()
+    got = sorted(
+        v for g, v in zip(out["g"].to_pylist(), out["payload"].to_pylist())
+        if g == 1 and v is not None
+    )
+    assert got == [big, big + 2]
+
+    samp = arrow_of(
+        stratified_sample(
+            rd.from_arrow(t.append_column(
+                "id", pa.array([1, 2, 3, 4, 5], type=pa.int64())
+            )),
+            "g", 2, "id",
+        )
+    )
+    assert samp.schema.field("payload").type == pa.int64()
+    assert set(samp["payload"].to_pylist()) <= {big, big + 2, big + 4, None}
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([10, 20], type=pa.int64()),
+            "lbig": pa.array([big, big + 2], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1], type=pa.int64()),
+            "ts": pa.array([15], type=pa.int64()),
+            "rbig": pa.array([big + 4], type=pa.int64()),
+        }
+    )
+    j = arrow_of(
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), "k", "ts",
+                  ["rbig"])
+    )
+    assert j.schema.field("lbig").type == pa.int64()
+    assert j.schema.field("rbig_right").type == pa.int64()
+    assert sorted(j["lbig"].to_pylist()) == [big, big + 2]
+    assert [v for v in j["rbig_right"].to_pylist() if v is not None] == [
+        big + 4
+    ]
+
+
+def test_asof_join_guards_collision_and_key_dtype():
+    """(a) suffixed right columns colliding with left columns raise
+    up front (the left data used to be silently nulled); (b) a
+    mismatched right key dtype casts to the left's instead of
+    crashing pa.concat_tables deep in the exchange."""
+    from pisa_ray.pipelines.relational import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1], type=pa.int64()),
+            "ts": pa.array([10], type=pa.int64()),
+            "v_right": pa.array([7], type=pa.int64()),  # collides
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1], type=pa.int64()),
+            "ts": pa.array([5], type=pa.int64()),
+            "v": pa.array([1], type=pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), "k", "ts",
+                  ["v"])
+    # int32 right key joins against an int64 left key
+    left2 = pa.table(
+        {
+            "k": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([10, 10], type=pa.int64()),
+        }
+    )
+    right2 = pa.table(
+        {
+            "k": pa.array([1], type=pa.int32()),
+            "ts": pa.array([5], type=pa.int64()),
+            "w": pa.array([3.5]),
+        }
+    )
+    j = (
+        asof_join(rd.from_arrow(left2), rd.from_arrow(right2), "k", "ts",
+                  ["w"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(j["k"]) == [1, 2]
+    assert j["w_right"].notna().tolist() == [True, False]
+
+
+def test_fuzzy_join_rejects_null_ids_and_hopping_drops_null_ts():
+    from pisa_ray.pipelines.relational import fuzzy_join, hopping_window_agg
+
+    a = pa.table(
+        {
+            "left_id": pa.array([1, None], type=pa.int64()),
+            "name": pa.array(["alpha", "beta"]),
+        }
+    )
+    b = pa.table(
+        {
+            "right_id": pa.array([10], type=pa.int64()),
+            "name": pa.array(["alpha"]),
+        }
+    )
+    import ray
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+        fuzzy_join(rd.from_arrow(a), rd.from_arrow(b), on="name").count()
+    assert "contains nulls" in str(ei.value)
+
+    ev = pa.table(
+        {
+            "ts": pa.array(
+                [1_000_000, None, 7_000_000], type=pa.timestamp("us")
+            ),
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    out = hopping_window_agg(
+        rd.from_arrow(ev), "ts", "k", "v", size_seconds=10, hop_seconds=5
+    ).to_pandas()
+    # the null-ts row contributes to NO window: total events across
+    # windows = 2 live rows x 2 covering windows each
+    assert out["n_events"].sum() == 4
+    assert out["sum_value"].sum() == (1.0 + 3.0) * 2
+
+
 def test_asof_join_matches_pandas_oracle_at_any_parallelism():
     """Hash-partitioned as-of join (union + one groupby(key) +
     per-group merge_asof) equals a global pd.merge_asof(by=key) at
