@@ -27,27 +27,35 @@ STOPWORDS = {
 }
 
 
+def _tok_shared(batch: pa.Table, text_col: str) -> dict:
+    """ONE tokenize for every per-doc stat kernel: the byte-vectorized
+    ``tokenize_flat`` (bit-identical to the RE2 split the kernels used
+    to run — pinned in tokenizer.py) plus one ``doc_term_counts``.
+    ``text_stats`` computes this once per batch and hands it to all
+    its sub-kernels (review finding: the fused stage tokenized the
+    same batch up to four times, twice through the RE2 path the
+    tokenizer replaced for being ~63% of kernel CPU)."""
+    from ..tokenizer import doc_term_counts, tokenize_flat
+
+    flat, parents, _ = tokenize_flat(batch[text_col])
+    terms, tfs, dl = doc_term_counts(batch[text_col])
+    return {"flat": flat, "parents": parents, "dtc": (terms, tfs, dl)}
+
+
 def _token_stats_fn(text_col: str, id_col: str):
     """Batch kernel behind ``token_stats`` — exposed as a factory so
     ``text_stats`` can fuse it with the repetition kernel under any
     column names (no probe-extraction fragility)."""
 
-    def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        parents = parents[keep]
-        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)[keep]
+    def fn(batch: pa.Table, shared: dict | None = None) -> pa.Table:
+        sh = shared if shared is not None else _tok_shared(batch, text_col)
+        flat, parents = sh["flat"], sh["parents"]
+        terms, _, dl = sh["dtc"]
         n = len(batch)
-        n_tokens = np.zeros(n, dtype=np.int64)
-        np.add.at(n_tokens, parents, 1)
+        n_tokens = dl.astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         sum_len = np.zeros(n, dtype=np.int64)
         np.add.at(sum_len, parents, lens)
-        # distinct terms per doc via the same flatten path
-        from ..tokenizer import doc_term_counts
-
-        terms, _, _ = doc_term_counts(batch[text_col])
         n_distinct = np.diff(terms.offsets.to_numpy(zero_copy_only=False))
         avg = np.where(n_tokens > 0, sum_len / np.maximum(n_tokens, 1), 0.0)
         # half-up at 4 decimals (np.round is half-even; DuckDB/SQL
@@ -83,19 +91,16 @@ def _quality_counts_fn(text_col: str, id_col: str, lang: str = "en"):
     stop = pa.array(sorted(STOPWORDS[lang]))
     stop_col = f"n_stop_{lang}"
 
-    def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        parents = parents[keep]
-        flat = flat.filter(pa.array(keep))
+    def fn(batch: pa.Table, shared: dict | None = None) -> pa.Table:
+        sh = shared if shared is not None else _tok_shared(batch, text_col)
+        flat, parents = sh["flat"], sh["parents"]
         n = len(batch)
         is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
         n_stop = np.zeros(n, dtype=np.int64)
         np.add.at(n_stop, parents, is_stop.astype(np.int64))
-        digits = pc.count_substring_regex(batch[text_col], "[0-9]").to_numpy(
-            zero_copy_only=False
+        digits = (
+            pc.fill_null(pc.count_substring_regex(batch[text_col], "[0-9]"), 0)
+            .to_numpy(zero_copy_only=False)
         )
         return pa.table(
             {
@@ -128,7 +133,8 @@ def text_stats(
         fns.append(_quality_counts_fn(text_col, id_col))
 
     def fn(batch: pa.Table) -> pa.Table:
-        parts = [f(batch) for f in fns]
+        sh = _tok_shared(batch, text_col)  # ONE tokenize for all kernels
+        parts = [f(batch, sh) for f in fns]
         cols = {name: parts[0][name] for name in parts[0].column_names}
         for t in parts[1:]:
             for name in t.column_names:
@@ -217,9 +223,21 @@ def unigram_model(
     counts_ds = ds.map_batches(partial, batch_format="pyarrow").groupby("term").sum(
         "tf"
     )
+    empty_model = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "logp": pa.array([], type=pa.float64()),
+        }
+    )
     meta = None
     if top_v is not None:
         counts_ds = counts_ds.materialize()
+        if counts_ds.count() == 0:
+            # zero-token corpus: a graceful empty model (scoring
+            # floors every term; docs with no tokens are omitted
+            # anyway) — the raw path crashed with KeyError/TypeError
+            # (review finding)
+            return empty_model
         total = float(counts_ds.sum("sum(tf)"))
         n_terms = counts_ds.count()
         counts = (
@@ -233,6 +251,8 @@ def unigram_model(
             meta = {"oov_logp": repr(float(np.log(oov_mass / n_oov / total)))}
     else:
         counts = counts_ds.to_pandas()
+        if counts.empty or "sum(tf)" not in counts.columns:
+            return empty_model
         total = float(counts["sum(tf)"].sum())
     tf = counts["sum(tf)"].to_numpy().astype(np.float64)
     tbl = pa.table(
@@ -357,9 +377,15 @@ class LangId:
                 hit = pc.is_in(flat, value_set=ws).to_numpy(zero_copy_only=False)
                 np.add.at(votes[li], parents, hit.astype(np.int64))
         for ch, lang in self.char_votes:
-            votes[self.langs.index(lang)] += pc.count_substring(
-                batch["text"], ch
-            ).to_numpy(zero_copy_only=False)
+            # fill_null: a null text row yields a null count, whose
+            # to_numpy is float64 NaN — adding that into the int64
+            # votes matrix raised a numpy casting error and aborted
+            # the dataset (review finding); null text votes 0
+            votes[self.langs.index(lang)] += (
+                pc.fill_null(pc.count_substring(batch["text"], ch), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
         # ties break to the alphabetically-first language (argmax picks
         # the first max) — same rule as the scalar voter
         best = votes.argmax(axis=0)
@@ -379,25 +405,23 @@ def lang_id(ds: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
 def quality_score(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
     """Heuristic quality features: stopword ratio (en), digit ratio,
     mean word length band — the shape of C4/Gopher-style filters."""
-    stop = sorted(STOPWORDS["en"])
+    counts_fn = _quality_counts_fn(text_col, id_col)
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        parents = parents[keep]
-        flat = flat.filter(pa.array(keep))
-        n = len(batch)
-        n_tokens = np.zeros(n, dtype=np.int64)
-        np.add.at(n_tokens, parents, 1)
-        is_stop = pc.is_in(flat, value_set=pa.array(stop)).to_numpy(zero_copy_only=False)
-        n_stop = np.zeros(n, dtype=np.int64)
-        np.add.at(n_stop, parents, is_stop.astype(np.int64))
-        digits = pc.count_substring_regex(batch[text_col], "[0-9]").to_numpy(
-            zero_copy_only=False
+        # ratios derived from the SHARED counting kernel (review
+        # finding: this function re-implemented _quality_counts_fn's
+        # tokenize/stopword/digit sequence verbatim — the two could
+        # silently diverge)
+        sh = _tok_shared(batch, text_col)
+        counts = counts_fn(batch, sh)
+        n_tokens = sh["dtc"][2].astype(np.int64)
+        n_stop = counts["n_stop_en"].to_numpy(zero_copy_only=False)
+        digits = counts["n_digits"].to_numpy(zero_copy_only=False)
+        chars = (
+            pc.fill_null(pc.utf8_length(batch[text_col]), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        chars = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False)
         denom = np.maximum(n_tokens, 1)
         return pa.table(
             {
@@ -417,12 +441,11 @@ def _repetition_stats_fn(text_col: str, id_col: str):
     """Batch kernel behind ``repetition_stats`` (factory, see
     ``_token_stats_fn``)."""
 
-    def fn(batch: pa.Table) -> pa.Table:
-        from ..tokenizer import doc_term_counts
-
+    def fn(batch: pa.Table, shared: dict | None = None) -> pa.Table:
+        sh = shared if shared is not None else _tok_shared(batch, text_col)
         n = len(batch)
         # per-doc (term, tf) lists give n_tokens and the max tf directly
-        terms, tfs, dl = doc_term_counts(batch[text_col])
+        terms, tfs, dl = sh["dtc"]
         toffs = tfs.offsets.to_numpy(zero_copy_only=False)
         tf_flat = tfs.values.to_numpy(zero_copy_only=False).astype(np.int64)
         top = np.zeros(n, dtype=np.int64)
@@ -436,9 +459,7 @@ def _repetition_stats_fn(text_col: str, id_col: str):
 
         # word-2grams: dictionary-encode the flat token stream once,
         # pair adjacent codes within a doc, count distinct pairs per doc
-        from ..tokenizer import tokenize_flat
-
-        flat, parents, _ = tokenize_flat(batch[text_col])
+        flat, parents = sh["flat"], sh["parents"]
         n2 = np.maximum(n_tokens - 1, 0)
         dup2 = np.zeros(n, dtype=np.float64)
         if len(flat) > 1:
@@ -706,11 +727,16 @@ def fingerprint64(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         vals = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
         lists = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), vals)
         # byte stream per doc = "tok1 tok2 ... tokN " (trailing space:
-        # the scalar reference hashes a space byte after EVERY token)
-        joined = pc.binary_join(lists, " ")
+        # the scalar reference hashes a space byte after EVERY token).
+        # Separator typed to the TOKEN type: a plain-str separator has
+        # no kernel for list<large_string> (which remove_dup_spans
+        # emits), so fingerprint64(remove_dup_spans(ds)) used to crash
+        # (review finding; chunk_documents had the same workaround)
+        sep = pa.scalar(" ", type=vals.type)
+        joined = pc.binary_join(lists, sep)
         joined = pc.if_else(
             pa.array(counts > 0),
-            pc.binary_join_element_wise(joined, "", " "),
+            pc.binary_join_element_wise(joined, pa.scalar("", type=vals.type), sep),
             joined,
         )
         jb = joined.cast(pa.large_binary())
@@ -800,8 +826,13 @@ def chunk_documents(
     parallel — no shuffle, chunk ids are doc-local, output order is
     parallelism-invariant after a (doc_id, chunk_id) sort.
     """
-    if overlap >= max_tokens:
-        raise ValueError("overlap must be < max_tokens")
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        # negative overlap would stride PAST tokens and silently drop
+        # them from every chunk (review finding) — the every-token-
+        # covered invariant needs 0 <= overlap < max_tokens
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -927,6 +958,27 @@ def _token_hash_stream(content) -> tuple[np.ndarray, np.ndarray]:
     return tok_h[codes], parents
 
 
+def _require_int_ids(ds: rd.Dataset, id_col: str, op: str) -> None:
+    """Loud up-front rail: these operators route doc ids as int64
+    through the gram exchange; a string id column used to crash with
+    an opaque ArrowInvalid deep inside the shuffle (review finding),
+    and numeric STRINGS would silently change dtype."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch) if sch is not None else None
+    if base is None or not hasattr(base, "field"):
+        return  # pandas-block/unknown: the kernel's cast still guards
+    try:
+        t = base.field(id_col).type
+    except KeyError:
+        return
+    if not pa.types.is_integer(t):
+        raise TypeError(
+            f"{op}: {id_col!r} must be an integer column (got {t}) — "
+            "ids ride the gram exchange as int64; map string ids to "
+            "ints first"
+        )
+
+
 def cross_doc_ngram_stats(
     ds: rd.Dataset,
     n: int = 8,
@@ -953,6 +1005,7 @@ def cross_doc_ngram_stats(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    _require_int_ids(ds, id_col, "cross_doc_ngram_stats")
     from ..shuffle import _mix64, hash_group_apply, run_starts
     from ..tokenizer import tokenize_flat
 
@@ -1096,6 +1149,7 @@ def remove_dup_spans(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    _require_int_ids(ds, id_col, "remove_dup_spans")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would cut every token)")
     from ..shuffle import _mix64, hash_group_apply, run_starts

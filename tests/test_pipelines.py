@@ -333,6 +333,68 @@ def test_repetition_stats_vs_python_oracle(docs):
                 assert r["dup_2gram_frac"] == 0.0
 
 
+def test_text_kernels_edge_inputs():
+    """Review-finding regressions: null text rows must not crash
+    lang_id (NaN into the int64 votes matrix) or the stats kernels;
+    fingerprint64 must accept large_string tokens (remove_dup_spans
+    output); chunk_documents rejects negative overlap (it silently
+    dropped tokens); unigram_model of a zero-token corpus returns an
+    empty model; the ngram ops reject string ids up front."""
+    from pisa_ray.pipelines.text import (
+        chunk_documents, cross_doc_ngram_stats, fingerprint64, lang_id,
+        remove_dup_spans, text_stats, unigram_model,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["the quick fox", None, "la casa de"]),
+            "lang": pa.array(["en", "en", "es"]),
+        }
+    )
+    li = lang_id(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert li["pred_lang"].tolist() == ["en", "unknown", "es"]
+    ts = text_stats(rd.from_arrow(t), include_quality=True).to_pandas()
+    assert ts.sort_values("doc_id")["n_tokens"].tolist() == [3, 0, 3]
+
+    dup = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a b c d e f g h i j", "a b c d e f g h x y"]),
+        }
+    )
+    cleaned = remove_dup_spans(rd.from_arrow(dup), n=8)
+    fp = fingerprint64(cleaned).to_pandas()  # used to ArrowNotImplemented
+    assert len(fp) == 2
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_arrow(dup), max_tokens=5, overlap=-3)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(rd.from_arrow(dup), max_tokens=0, overlap=0)
+
+    empty_corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["!!! ???", "..."]),
+        }
+    )
+    m = unigram_model(rd.from_arrow(empty_corpus))
+    assert m.num_rows == 0 and m.column_names == ["term", "logp"]
+    m2 = unigram_model(rd.from_arrow(empty_corpus), top_v=10)
+    assert m2.num_rows == 0
+
+    str_ids = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "text": pa.array(["x y z w v u t s", "x y z w v u t q"]),
+        }
+    )
+    with pytest.raises(TypeError, match="integer column"):
+        cross_doc_ngram_stats(rd.from_arrow(str_ids), n=8)
+    with pytest.raises(TypeError, match="integer column"):
+        remove_dup_spans(rd.from_arrow(str_ids), n=8)
+
+
 def test_tfidf_keywords_vs_python_oracle(docs):
     import math
     from collections import Counter
