@@ -119,7 +119,16 @@ def dedup_exact(
     def keep_min(t: pa.Table) -> pa.Table:
         # whole-shard reducer: one survivor (min id) per distinct FULL
         # digest — the 32-byte digests are viewed as four uint64 words
-        # so run detection is a plain lexsort, no per-group UDF
+        # so run detection is a plain lexsort, no per-group UDF.
+        # Guard FIRST: the exchange hands reducers a 0-COLUMN table
+        # for the all-column-less-blocks degenerate (review finding)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "content_hash": pa.array([], type=pa.int64()),
+                }
+            )
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -335,6 +344,14 @@ class MinHashBander(MinHasher):
         seed: int = 7,
         num_bands: int = 8,
     ):
+        if num_bands < 1 or num_perm % num_bands:
+            # fail fast with the actual cause — the truncated
+            # rows_per_band otherwise surfaces as an opaque reshape
+            # ValueError inside a Ray map task (review finding)
+            raise ValueError(
+                f"num_perm ({num_perm}) must be a positive multiple of "
+                f"num_bands ({num_bands})"
+            )
         super().__init__(num_perm, shingle_k, seed)
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
@@ -355,6 +372,13 @@ def _band_pair_reduce(t: pa.Table) -> pa.Table:
     """Whole-shard reducer: for each multi-occupant band bucket, emit
     (doc_id, dup_of=bucket-min doc) rows — one lexsort + run scan over
     the shard, no per-group UDF. Singleton buckets contribute nothing."""
+    if t.num_rows == 0:  # 0-column degenerate (exchange contract)
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+            }
+        )
     key = t["key"].to_numpy(zero_copy_only=False)
     doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     order = np.lexsort((doc, key))
@@ -679,7 +703,11 @@ def _minhash_verify_distributed(
             }
         )
 
-    sigs = minhash_signatures(mat, num_perm, concurrency=concurrency)
+    # materialize: BOTH unions below consume sigs, and Ray Data plans
+    # are trees, not DAGs — without this the corpus-wide signature
+    # pass (the dominant cost of this web-scale branch) executes
+    # twice (review finding)
+    sigs = minhash_signatures(mat, num_perm, concurrency=concurrency).materialize()
     pairs = rd.from_arrow_refs(pair_refs)
     u1 = pairs.map_batches(
         lambda b: _as_union_rows(b, None, False), batch_format="pyarrow"
@@ -822,6 +850,13 @@ def simhash_dedup(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     def bucket_dups(t: pa.Table) -> pa.Table:
         # whole-shard reducer: hamming distance vs each bucket's min-id
         # representative, vectorized across every bucket in the shard
+        if t.num_rows == 0:  # 0-column degenerate (exchange contract)
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "dup_of": pa.array([], type=pa.int64()),
+                }
+            )
         key = t["bkey"].to_numpy(zero_copy_only=False)
         doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         sim = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
@@ -1503,15 +1538,15 @@ def embedding_dedup(
 ) -> rd.Dataset:
     """Near-dup by cosine similarity: random-hyperplane LSH buckets,
     exact cosine vs bucket representative inside each bucket."""
-    rng = np.random.default_rng(seed)
+    from .similarity import _as_matrix, _normalize
+
     planes_holder = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = batch[vec_col]
-        if isinstance(vecs, pa.ChunkedArray):
-            vecs = vecs.combine_chunks()
-        m = np.asarray(vecs.to_pylist(), dtype=np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        # shared zero-copy decode + normalize (review finding: this
+        # kernel re-implemented both via per-row to_pylist, plus a
+        # dead module-level rng that bucketize never used)
+        m = _normalize(_as_matrix(batch[vec_col]))
         if "p" not in planes_holder:
             planes_holder["p"] = np.random.default_rng(seed).standard_normal(
                 (m.shape[1], n_planes)
@@ -1584,6 +1619,10 @@ def semantic_dedup(
     from .clustering import kmeans
     from .similarity import _as_matrix, _normalize
 
+    # materialized: kmeans AND the assignment pass below both consume
+    # norm, and plans are trees — without this the normalization map
+    # executed twice over the corpus (review finding); kmeans's own
+    # materialize becomes a no-op on the cached blocks
     norm = emb.map_batches(
         lambda b: pa.table(
             {
@@ -1595,7 +1634,7 @@ def semantic_dedup(
             }
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     C, _ = kmeans(
         norm, n_clusters, n_iter=kmeans_iter, seed=seed, id_col=id_col, vec_col=vec_col
     )
@@ -1616,6 +1655,14 @@ def semantic_dedup(
         )
 
     def cluster_dups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # 0-column degenerate (exchange contract)
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "dup_of": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         cl = t["cluster"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         out_id, out_dup, out_cos = [], [], []
