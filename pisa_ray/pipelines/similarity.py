@@ -20,18 +20,20 @@ import ray
 import ray.data as rd
 
 
-def _empty_knn_frame() -> pd.DataFrame:
+def _empty_knn_frame(id_col: str = "vec_id") -> pd.DataFrame:
     """Typed empty result — Ray drops 0-row blocks, so an all-miss
     probe would otherwise surface a SCHEMA-LESS DataFrame whose
-    consumers KeyError on res['rank'] (review finding)."""
+    consumers KeyError on res['rank'] (review finding). THE single
+    definition of the knn result schema (review finding: rerank and
+    ivfpq re-implemented it verbatim, a drift hazard)."""
     return pd.DataFrame(
         {
             "query_id": pd.Series(dtype="int64"),
             "rank": pd.Series(dtype="int64"),
-            "vec_id": pd.Series(dtype="int64"),
+            id_col: pd.Series(dtype="int64"),
             "cosine": pd.Series(dtype="float64"),
         }
-    )[["query_id", "rank", "vec_id", "cosine"]]
+    )[["query_id", "rank", id_col, "cosine"]]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -73,6 +75,18 @@ def _as_matrix(col) -> np.ndarray:
         col.to_pylist() if hasattr(col, "to_pylist") else col,
         dtype=np.float64,
     )
+
+
+def _matrix_to_list_array(m: np.ndarray) -> pa.LargeListArray:
+    """(n, d) float64 -> large_list<double> column OFF THE FLAT BUFFER
+    — the write-side twin of _as_matrix's fast path (review finding:
+    hot stages built n per-row Python ndarrays via pa.array(list(m)))."""
+    n, d = m.shape
+    offsets = pa.array(
+        np.arange(0, (n + 1) * d, d, dtype=np.int64), type=pa.int64()
+    )
+    values = pa.array(np.ascontiguousarray(m, dtype=np.float64).reshape(-1))
+    return pa.LargeListArray.from_arrays(offsets, values)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -151,8 +165,16 @@ def brute_knn(
         .map_groups(merge_topk, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:
+        # empty dataset / k<=0: Ray drops the 0-row blocks and
+        # to_pandas surfaces a SCHEMA-LESS frame whose ["cosine"]
+        # would KeyError (review finding — the guard every other knn
+        # path already has)
+        return _empty_knn_frame()
     out["cosine"] = np.round(out["cosine"], 6)
-    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+        ["query_id", "rank", "vec_id", "cosine"]
+    ]
 
 
 class LshIndexer:
@@ -173,6 +195,16 @@ class LshIndexer:
         self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # an empty var-length list column decodes as (0, 0) and
+            # the plane matmul would raise on the dim mismatch
+            return pa.table(
+                {
+                    "bhash": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.large_list(pa.float64())),
+                }
+            )
         m = _normalize(_as_matrix(batch["embedding"]))
         bitvals = 1 << np.arange(self.n_planes, dtype=np.int64)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -181,7 +213,7 @@ class LshIndexer:
             bits = (m @ self.planes[t]) > 0
             keys.append((bits @ bitvals) | (np.int64(t) << self.n_planes))
         key = np.concatenate(keys)
-        vecs = pa.array(list(m), type=pa.large_list(pa.float64()))
+        vecs = _matrix_to_list_array(m)
         return pa.table(
             {
                 "bhash": pa.array(key),
@@ -286,16 +318,18 @@ def lsh_knn(
         m = np.asarray([np.asarray(v) for v in g["vec"]])
         ids = g["vec_id"].to_numpy().astype(np.int64)
         sub_qids = qids_sorted[lo:hi]
-        sims = qmat[sub_qids] @ m.T  # (nq, B)
+        # round BEFORE the cut so the bucket-local order is exactly
+        # the final merge's (rounded cosine desc, vec_id asc) — cutting
+        # on raw cosines could keep a doc the rounded order ranks
+        # below its dropped neighbor (review finding)
+        sims = np.round(qmat[sub_qids] @ m.T, 6)  # (nq, B)
         kk = min(k, len(ids))
-        # vectorized bucket-local top-k under (cosine desc, vec_id asc)
-        # — partition-invariant, same order as the final merge
         sel_ids, sel_sims = _topk_rows(sims, ids, kk)
         return pd.DataFrame(
             {
                 "query_id": np.repeat(sub_qids.astype(np.int64), kk),
                 "vec_id": sel_ids.reshape(-1),
-                "cosine": np.round(sel_sims.reshape(-1), 6),
+                "cosine": sel_sims.reshape(-1),
             }
         )
 
@@ -307,14 +341,23 @@ def lsh_knn(
     if res.empty:
         return _empty_knn_frame()
     if n_tables > 1:
-        # a doc found in several tables carries the SAME exact cosine
-        # from each — keep-first is exact, not an approximation
-        res = res.drop_duplicates(["query_id", "vec_id"])
+        # a pair scored in different tables lands in different bucket
+        # GROUPS, whose BLAS sums can differ in the last ulp and round
+        # to adjacent 1e-6 bins — keep-first would then be
+        # order-dependent (review finding); an order-independent MAX
+        # per (query, vec) is deterministic at any partitioning
+        res = res.groupby(["query_id", "vec_id"], as_index=False)[
+            "cosine"
+        ].max()
     res = res.sort_values(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
     res["rank"] = res.groupby("query_id").cumcount() + 1
-    return res[res["rank"] <= k].reset_index(drop=True)
+    # documented column order, matching _empty_knn_frame (review
+    # finding: the empty and non-empty paths used to disagree)
+    return res[res["rank"] <= k].reset_index(drop=True)[
+        ["query_id", "rank", "vec_id", "cosine"]
+    ]
 
 
 def ivf_knn(
@@ -354,18 +397,23 @@ def ivf_knn(
     from .clustering import kmeans
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
+    # zero-copy emit + MATERIALIZED: kmeans, the assignment/encode
+    # pass and (for PQ) the train sample all consume this map, and
+    # plans are trees — unmaterialized it re-executed per consumer
+    # (review finding)
     norm = emb.map_batches(
         lambda b: pa.table(
             {
                 id_col: b[id_col],
-                vec_col: pa.array(
-                    list(_normalize(_as_matrix(b[vec_col]))),
-                    type=pa.large_list(pa.float64()),
-                ),
+                vec_col: _matrix_to_list_array(
+                    _normalize(_as_matrix(b[vec_col]))
+                )
+                if b.num_rows
+                else pa.array([], type=pa.large_list(pa.float64())),
             }
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     C, _ = kmeans(norm, n_clusters, n_iter=kmeans_iter, seed=seed,
                   id_col=id_col, vec_col=vec_col)
     n_probe = min(int(n_probe), C.shape[0])
@@ -382,6 +430,14 @@ def ivf_knn(
     cref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.large_list(pa.float64())),
+                }
+            )
         cc = ray.get(cref)
         m = _normalize(_as_matrix(batch[vec_col]))
         a = np.argmax(m @ cc.T, axis=1)  # IP argmax (same rule as probe)
@@ -389,7 +445,7 @@ def ivf_knn(
             {
                 "cluster": pa.array(a.astype(np.int64)),
                 "vec_id": batch[id_col],
-                "vec": pa.array(list(m), type=pa.large_list(pa.float64())),
+                "vec": _matrix_to_list_array(m),
             }
         )
 
@@ -403,15 +459,16 @@ def ivf_knn(
         m = np.asarray([np.asarray(v) for v in g["vec"]])
         ids = g["vec_id"].to_numpy().astype(np.int64)
         sub_qids = sub["query_id"].to_numpy()
-        sims = qmat[sub_qids] @ m.T
+        # rounded BEFORE the cut: cluster-local order == final merge
+        # order (see lsh_knn's probe)
+        sims = np.round(qmat[sub_qids] @ m.T, 6)
         kk = min(k, len(ids))
-        # vectorized cluster-local top-k (cosine desc, vec_id asc)
         sel_ids, sel_sims = _topk_rows(sims, ids, kk)
         return pd.DataFrame(
             {
                 "query_id": np.repeat(sub_qids.astype(np.int64), kk),
                 "vec_id": sel_ids.reshape(-1),
-                "cosine": np.round(sel_sims.reshape(-1), 6),
+                "cosine": sel_sims.reshape(-1),
             }
         )
 
@@ -427,7 +484,11 @@ def ivf_knn(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
     res["rank"] = res.groupby("query_id").cumcount() + 1
-    return res[res["rank"] <= k].reset_index(drop=True)
+    # documented column order, matching _empty_knn_frame (review
+    # finding: the empty and non-empty paths used to disagree)
+    return res[res["rank"] <= k].reset_index(drop=True)[
+        ["query_id", "rank", "vec_id", "cosine"]
+    ]
 
 
 def rerank_topk(
@@ -459,12 +520,7 @@ def rerank_topk(
     qids = np.asarray(query_ids, dtype=np.int64)
     qrow_of = {int(v): i for i, v in enumerate(qids)}
     if candidates.empty:
-        return pd.DataFrame(
-            {"query_id": [], "rank": [], cand_id_col: [], "cosine": []}
-        ).astype(
-            {"query_id": "int64", "rank": "int64", cand_id_col: "int64",
-             "cosine": "float64"}
-        )
+        return _empty_knn_frame(cand_id_col)
     # dedup (query, candidate) pairs: unioned shortlists (BM25 ∪ ANN)
     # repeat docs, which would score twice and occupy two ranks,
     # pushing a genuine top-k doc past the cut (review finding)
@@ -517,12 +573,7 @@ def rerank_topk(
 
     out = emb.map_batches(score_candidates, batch_format="pyarrow").to_pandas()
     if out.empty:
-        return pd.DataFrame(
-            {"query_id": [], "rank": [], cand_id_col: [], "cosine": []}
-        ).astype(
-            {"query_id": "int64", "rank": "int64", cand_id_col: "int64",
-             "cosine": "float64"}
-        )
+        return _empty_knn_frame(cand_id_col)
     out = out.sort_values(
         ["query_id", "cosine", cand_id_col], ascending=[True, False, True],
         kind="mergesort",
@@ -729,18 +780,23 @@ def ivfpq_knn(
     q = _normalize(np.asarray(queries, dtype=np.float64))
     if refine < 1:
         raise ValueError("ivfpq_knn: refine must be >= 1")
+    # zero-copy emit + MATERIALIZED: kmeans, the assignment/encode
+    # pass and (for PQ) the train sample all consume this map, and
+    # plans are trees — unmaterialized it re-executed per consumer
+    # (review finding)
     norm = emb.map_batches(
         lambda b: pa.table(
             {
                 id_col: b[id_col],
-                vec_col: pa.array(
-                    list(_normalize(_as_matrix(b[vec_col]))),
-                    type=pa.large_list(pa.float64()),
-                ),
+                vec_col: _matrix_to_list_array(
+                    _normalize(_as_matrix(b[vec_col]))
+                )
+                if b.num_rows
+                else pa.array([], type=pa.large_list(pa.float64())),
             }
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     C, _ = kmeans(norm, n_clusters, n_iter=kmeans_iter, seed=seed,
                   id_col=id_col, vec_col=vec_col)
     # PQ codebooks from a deterministic bounded sample (row order of
@@ -836,12 +892,7 @@ def ivfpq_knn(
         .to_pandas()
     )
     if cand.empty:
-        return pd.DataFrame(
-            {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
-        ).astype(
-            {"query_id": "int64", "rank": "int64", "vec_id": "int64",
-             "cosine": "float64"}
-        )
+        return _empty_knn_frame()
     cand = (
         cand.sort_values(
             ["query_id", "approx", "vec_id"], ascending=[True, False, True]
