@@ -318,6 +318,16 @@ class IndexReader:
         # counts to translate global rank -> local array index (buckets
         # are top-of-id-range, so global rank order is bucket-major).
         bucket_bits = self._manifest_bucket_bits(index_dir)
+        if buckets is not None and bucket_bits is None:
+            # silently loading the GLOBAL docmap would break the 1/S
+            # per-shard memory contract with no warning (review
+            # finding) — at the scale bucket sharding exists for, that
+            # is an actor OOM, not a fallback
+            raise ValueError(
+                f"IndexReader(buckets=...): {index_dir}/manifest.json is "
+                "missing or lacks config.bucket_bits — bucket-sharded "
+                "loading needs the recorded bucket layout"
+            )
         owned = None
         if buckets is not None and bucket_bits is not None:
             owned = np.zeros(1 << bucket_bits, dtype=bool)
@@ -714,7 +724,12 @@ class IndexReader:
         if df * 16 <= self.n_local or len(cache) >= 64:
             return None
         docs, contrib, pos = self.term_contributions(term)
-        if docs.size == 0:
+        # gate on the LOCAL decoded size, not the global df: on a
+        # bucket-sharded reader a globally-hot term can be locally
+        # sparse, and a dense n_local-length vector for it would make
+        # every query pay a full-buffer add + reset where add.at costs
+        # O(local df) (review finding)
+        if docs.size == 0 or pos.size * 16 <= self.n_local:
             return None
         dv = np.bincount(pos, weights=contrib, minlength=self.n_local).astype(
             np.float32
@@ -1007,8 +1022,9 @@ def facet_counts(
 
     if mode not in ("conj", "any"):
         raise ValueError(f"facet_counts mode must be 'conj' or 'any', got {mode!r}")
-    codes, cats = load_facet_codes(index_dir, facet_col)
     if not queries:
+        # BEFORE the docmap scan — a no-op call should be free
+        # (facet_histogram already orders it this way)
         return pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int64"),
@@ -1016,6 +1032,7 @@ def facet_counts(
                 "n_docs": pd.Series(dtype="int64"),
             }
         )
+    codes, cats = load_facet_codes(index_dir, facet_col)
     reader_ref = _broadcast_reader(index_dir)
     codes_ref = ray.put(codes)
     n_cats = len(cats)
@@ -1191,30 +1208,39 @@ def score_taat(
     live: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, f64 contrib) per term
     dense_used = False
     total_df = 0
-    for t in terms:
-        # Cost ladder per term: precomputed dense f32 vector (1 SIMD
-        # add) > bincount (dense, uncached) > add.at (sparse).
-        dv = reader.dense_contrib(t)
-        if dv is not None:
-            buf += dv
-            dense_used = True
+    try:
+        for t in terms:
+            # Cost ladder per term: precomputed dense f32 vector (1 SIMD
+            # add) > bincount (dense, uncached) > add.at (sparse).
+            dv = reader.dense_contrib(t)
+            if dv is not None:
+                buf += dv
+                dense_used = True
+                docs, contrib, pos = reader.term_contributions(t)
+                live.append((pos, contrib))
+                total_df += pos.size
+                continue
             docs, contrib, pos = reader.term_contributions(t)
+            if docs.size == 0:
+                continue
+            if pos.size * 16 > reader.n_local:
+                buf += np.bincount(
+                    pos, weights=contrib, minlength=reader.n_local
+                ).astype(np.float32)
+                dense_used = True
+            else:
+                np.add.at(buf, pos, contrib.astype(np.float32))
+                touched.append(pos)
             live.append((pos, contrib))
             total_df += pos.size
-            continue
-        docs, contrib, pos = reader.term_contributions(t)
-        if docs.size == 0:
-            continue
-        if pos.size * 16 > reader.n_local:
-            buf += np.bincount(
-                pos, weights=contrib, minlength=reader.n_local
-            ).astype(np.float32)
-            dense_used = True
-        else:
-            np.add.at(buf, pos, contrib.astype(np.float32))
-            touched.append(pos)
-        live.append((pos, contrib))
-        total_df += pos.size
+    except BaseException:
+        # mid-accumulation failure (corrupt blob decode, MemoryError):
+        # the buffer holds an UNKNOWN partial state — full reset, or
+        # every later query on this actor would silently score
+        # inflated (review finding; the selection block below already
+        # resets via its finally)
+        buf[:] = 0.0
+        raise
     if not live:
         return []
     # margin: T nonneg f32 adds err < T*2^-24 relative; use 16x slack
@@ -1241,8 +1267,14 @@ def score_taat(
                     if sample.size > k
                     else 0.0
                 )
-                cand0 = np.flatnonzero(buf >= t_s) if t_s > 0.0 else np.flatnonzero(
-                    buf > 0.0
+                # margin on the SAMPLED threshold too: a true top-k
+                # doc's f32 accumulation can round BELOW t_s while the
+                # sampled docs' rounded up (review finding) — the
+                # second-stage s_k cut already carries this margin
+                cand0 = (
+                    np.flatnonzero(buf >= t_s * (1.0 - margin_rel))
+                    if t_s > 0.0
+                    else np.flatnonzero(buf > 0.0)
                 )
                 if cand0.size > k:
                     s_k = float(
@@ -1276,7 +1308,11 @@ def score_taat(
                     if sample.size > k
                     else 0.0
                 )
-                cand0 = midx[vals >= t_s] if t_s > 0.0 else midx[vals > 0.0]
+                cand0 = (
+                    midx[vals >= t_s * (1.0 - margin_rel)]
+                    if t_s > 0.0
+                    else midx[vals > 0.0]
+                )
                 if cand0.size > k:
                     s_k = float(
                         np.partition(buf[cand0], cand0.size - k)[cand0.size - k]
@@ -1579,13 +1615,17 @@ def score_qld(
         buf = reader._qld_buf = np.zeros(reader.n_local, dtype=np.float64)
     touched: list[np.ndarray] = []
     dense_used = False
-    for pos, contrib in live:
-        if pos.size * 16 > reader.n_local:
-            buf += np.bincount(pos, weights=contrib, minlength=reader.n_local)
-            dense_used = True
-        else:
-            np.add.at(buf, pos, contrib)
-            touched.append(pos)
+    try:
+        for pos, contrib in live:
+            if pos.size * 16 > reader.n_local:
+                buf += np.bincount(pos, weights=contrib, minlength=reader.n_local)
+                dense_used = True
+            else:
+                np.add.at(buf, pos, contrib)
+                touched.append(pos)
+    except BaseException:
+        buf[:] = 0.0  # unknown partial state (see score_taat)
+        raise
     try:
         matched = (
             np.flatnonzero(buf > 0.0)
@@ -2172,11 +2212,29 @@ class TermExpander:
             ]
         return sorted(cand)
 
+    @staticmethod
+    def _prefix_hi(p: str) -> str:
+        """EXACT exclusive upper bound of the prefix range: increment
+        the last code point (dropping trailing U+10FFFF). The old
+        ``p + '\uffff'`` sentinel missed vocabulary terms whose next
+        character is an astral-plane code point, which sorts after
+        U+FFFF (review finding)."""
+        for i in range(len(p) - 1, -1, -1):
+            cp = ord(p[i])
+            if cp < 0x10FFFF:
+                return p[:i] + chr(cp + 1)
+        return ""  # p is all U+10FFFF: no upper bound
+
     def prefix(self, p: str) -> list[str]:
         if not p:
             return []
         lo = int(np.searchsorted(self.terms, p))
-        hi = int(np.searchsorted(self.terms, p + "￿"))
+        hi_key = self._prefix_hi(p)
+        hi = (
+            int(np.searchsorted(self.terms, hi_key))
+            if hi_key
+            else self.terms.size
+        )
         return self._cap(self.terms[lo:hi].tolist())
 
     def wildcard(self, pattern: str) -> list[str]:
@@ -2202,7 +2260,12 @@ class TermExpander:
             return [lit] if lit in self.df else []
         if lit:
             lo = int(np.searchsorted(self.terms, lit))
-            hi = int(np.searchsorted(self.terms, lit + "￿"))
+            hi_key = self._prefix_hi(lit)
+            hi = (
+                int(np.searchsorted(self.terms, hi_key))
+                if hi_key
+                else self.terms.size
+            )
             cand = self.terms[lo:hi]
         else:
             cand = self.terms
@@ -2244,7 +2307,12 @@ class TermExpander:
         if not p:
             return []
         lo = int(np.searchsorted(self.terms, p))
-        hi = int(np.searchsorted(self.terms, p + "￿"))
+        hi_key = self._prefix_hi(p)
+        hi = (
+            int(np.searchsorted(self.terms, hi_key))
+            if hi_key
+            else self.terms.size
+        )
         cand = self.terms[lo:hi].tolist()
         cand.sort(key=lambda t: (-int(self.df[t]), t))
         return [(t, int(self.df[t])) for t in cand[:k]]
@@ -2322,6 +2390,24 @@ class BM25Scorer:
             raise ValueError(f"unknown expand mode {expand!r}")
         if method not in ("auto", "taat", "bmw", "conj", "bool", "qld", "maxscore"):
             raise ValueError(f"unknown method {method!r}")
+        if method == "conj" and (expand is not None or synonyms):
+            # expansion is documented OR semantics; conj would demand
+            # EVERY expanded neighbor appear in the doc — silently
+            # near-empty results (review finding)
+            raise ValueError(
+                "method='conj' cannot be combined with expand/synonyms "
+                "(expansion is OR semantics; conjunction would require "
+                "every expanded term)"
+            )
+        if reader_ref is not None and buckets is not None:
+            # the broadcast reader is the FULL index: silently ignoring
+            # buckets would make every shard of a mis-wired deployment
+            # score the whole corpus and the merge emit duplicate docs
+            # (review finding)
+            raise ValueError(
+                "pass reader_ref (broadcast full index) OR buckets "
+                "(shard-local load via index_dir), not both"
+            )
         self.expand = expand
         self._expander: TermExpander | None = None
         if reader_ref is not None:

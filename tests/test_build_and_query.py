@@ -734,6 +734,36 @@ def test_serve_expander_rebuilds_on_reload(tmp_path):
 # -- query-time term expansion (prefix / fuzzy) ----------------------------
 
 
+def test_scorer_construction_rails(tiny_index):
+    """Review-finding rails: reader_ref+buckets is a contradiction
+    (every shard would score the whole index and the merge would
+    emit duplicates); conj + expansion inverts OR semantics into
+    required AND terms."""
+    from pisa_ray.scorer import BM25Scorer, _broadcast_reader
+
+    ref = _broadcast_reader(tiny_index)
+    with pytest.raises(ValueError, match="not both"):
+        BM25Scorer(reader_ref=ref, buckets={0, 1})
+    with pytest.raises(ValueError, match="conj"):
+        BM25Scorer(index_dir=tiny_index, method="conj", expand="prefix")
+    with pytest.raises(ValueError, match="conj"):
+        BM25Scorer(index_dir=tiny_index, method="conj",
+                   synonyms={"merge": ["join"]})
+
+
+def test_term_expander_astral_prefix_bound():
+    """The prefix upper bound must include vocabulary terms whose next
+    code point is beyond U+FFFF (the old +'\\uffff' sentinel missed
+    them — review finding)."""
+    from pisa_ray.scorer import TermExpander
+
+    astral = "a" + chr(0x10348)  # GOTHIC LETTER HWAIR, sorts after U+FFFF
+    vocab = {"a": 3, "ab": 2, astral: 1, "b": 5}
+    exp = TermExpander(vocab, max_expand=10)
+    assert exp.prefix("a") == sorted(["a", "ab", astral])
+    assert exp.wildcard("a*") == sorted(["a", "ab", astral])
+
+
 def test_term_expander_prefix_and_fuzzy_vs_brute(tiny_oracle):
     from pisa_ray.scorer import TermExpander
 
